@@ -1,0 +1,227 @@
+"""Text-analysis operators over the documents table.
+
+Language-ID, quality scoring, token counting, and fingerprinting —
+each a pure column-expression pipeline (whole-stage codegen, no UDFs)
+so throughput is scan-bound at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.functions.exact import davg_sql, dsum_sql
+from cga_logs_to_kinesis_spark.registry import QuerySpec, register
+from cga_logs_to_kinesis_spark.session import tune_session
+from cga_logs_to_kinesis_spark.sources import load_table
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(col)), r"\s+"))).cast("long")
+
+
+TOKEN_COUNT_SQL = ("CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+                   "ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) "
+                   "END")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (token/char/doc counts)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs
+        .withColumn("n_tokens", token_count())
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+register(QuerySpec(
+    "text_stats", q_text_stats,
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM({TOKEN_COUNT_SQL}) AS total_tokens,
+               SUM(n_chars) AS total_chars,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="token counting + per-language corpus stats",
+    tags=("text", "north-star", "agg"),
+))
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-document quality signals: length, punctuation/digit/space
+    ratios, mean token length.  All ratios are double arithmetic on
+    integer counts — engine-exact."""
+    n_chars = F.length("text").cast("double")
+    n_punct = (F.length("text")
+               - F.length(F.regexp_replace("text", r"[.,;:!?]", "")))
+    n_digit = (F.length("text")
+               - F.length(F.regexp_replace("text", r"[0-9]", "")))
+    n_space = (F.length("text")
+               - F.length(F.regexp_replace("text", r" ", "")))
+    toks = token_count()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        toks.alias("n_tokens"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (n_digit / n_chars).alias("digit_ratio"),
+        (n_space / n_chars).alias("space_ratio"),
+        ((n_chars - n_space) / toks.cast("double")).alias("mean_token_len"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+register(QuerySpec(
+    "quality_features", q_quality_score,
+    oracle=f"""
+        SELECT doc_id,
+               LENGTH(text) AS len_chars,
+               {TOKEN_COUNT_SQL} AS n_tokens,
+               (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                   / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio,
+               (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                   / CAST(LENGTH(text) AS DOUBLE) AS digit_ratio,
+               (LENGTH(text) - LENGTH(replace(text, ' ', '')))
+                   / CAST(LENGTH(text) AS DOUBLE) AS space_ratio,
+               CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+                   / ({TOKEN_COUNT_SQL}) AS mean_token_len
+        FROM documents
+    """,
+    doc="quality scoring: punctuation/digit/space ratios, token stats",
+    tags=("text", "north-star"),
+))
+
+
+# Tiny deterministic stopword table for the n-gram/stopword language
+# heuristic.  At scale this is the canonical broadcast-join shape:
+# the stopword list is bytes, the corpus is TBs.
+_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "in", "it", "that"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "que", "es", "un", "una", "por"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: explode tokens, broadcast-join the
+    stopword table, vote by hit count (ties → lexicographic, then
+    'unknown' when nothing matches)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in _STOPWORDS.items() for w in ws],
+        "sw_lang string, sw_word string")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("tok"))
+    toks = toks.withColumn("tok", F.regexp_replace("tok", r"[^a-z]", ""))
+    hits = (
+        toks.join(F.broadcast(sw), toks.tok == sw.sw_word)
+        .groupBy("doc_id", "lang", "sw_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("hits").desc(), F.col("sw_lang")))
+    best = (hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lang",
+                    F.col("sw_lang").alias("pred_lang"), "hits"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(best.select("doc_id", "pred_lang", "hits"), "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).alias("stopword_hits"),
+        )
+    )
+
+
+_SW_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in _STOPWORDS.items() for w in ws)
+
+register(QuerySpec(
+    "lang_id", q_lang_id,
+    oracle=f"""
+        WITH sw(sw_lang, sw_word) AS (VALUES {_SW_VALUES}),
+        toks AS (
+            SELECT doc_id, lang,
+                   regexp_replace(t.tok, '[^a-z]', '', 'g') AS tok
+            FROM documents,
+                 UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS t(tok)
+        ),
+        hits AS (
+            SELECT doc_id, lang, sw_lang, COUNT(*) AS hits
+            FROM toks JOIN sw ON tok = sw_word
+            GROUP BY 1, 2, 3
+        ),
+        best AS (
+            SELECT doc_id, sw_lang AS pred_lang, hits,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY hits DESC, sw_lang) AS rn
+            FROM hits
+        )
+        SELECT d.doc_id, d.lang,
+               COALESCE(b.pred_lang, 'unknown') AS pred_lang,
+               COALESCE(b.hits, 0) AS stopword_hits
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+    """,
+    doc="language ID: tokenize + broadcast stopword vote",
+    tags=("text", "north-star", "join"),
+))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full digest + first-8-hex-chars prefix
+    bucket (the shard key a fingerprint index would partition on)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                            r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        digest.alias("fingerprint"),
+        F.substring(digest, 1, 8).alias("fp_bucket"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+register(QuerySpec(
+    "doc_fingerprint", q_doc_fingerprint,
+    oracle="""
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS fingerprint,
+               SUBSTRING(md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                   'g'))), 1, 8) AS fp_bucket,
+               LENGTH(text) AS len_chars
+        FROM documents
+    """,
+    doc="document fingerprinting (digest + shard bucket)",
+    tags=("text", "north-star"),
+))

@@ -1,0 +1,7 @@
+from cga_logs_to_kinesis_spark.plans.inspect import (  # noqa: F401
+    formatted_plan,
+    has_pushed_filters,
+    scan_read_schema_columns,
+    uses_broadcast_join,
+    wholestage_codegen_spans,
+)

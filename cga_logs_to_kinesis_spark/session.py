@@ -1,0 +1,100 @@
+"""SparkSession construction and scale-oriented defaults.
+
+The engine never *requires* its own session — every public API takes a
+``SparkSession`` argument so it composes with a driver-owned session —
+but ``get_session`` builds one with the configs we want for local runs,
+and ``tune_session`` applies the runtime-settable subset to a session we
+didn't create (e.g. the correctness driver's).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session the engine touches.
+# Keys chosen for 100 TB behavior, values sized for local[32] testing:
+#   - AQE on: runtime shuffle-partition coalescing + skew-join splitting
+#     replaces hand-tuned partition counts when data sizes move 1000x.
+#   - nanosAsLong: the fixture `events.ts` is parquet TIMESTAMP(NANOS),
+#     which the vectorized reader rejects; we read it as int64 ns and
+#     derive TimestampType columns explicitly (sources/tables.py).
+#   - Arrow on: every toPandas()/pandas_udf boundary is Arrow-batched.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Fixture timestamps are naive; render them as UTC so formatted
+    # output matches engines (DuckDB) that treat them as wall-clock.
+    "spark.sql.session.timeZone": "UTC",
+    # Keep implicit broadcast behavior predictable; operators that want a
+    # broadcast say so explicitly with F.broadcast().
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+}
+
+# Session-creation-time confs (cannot be changed after the JVM starts).
+BUILD_CONFS: dict[str, str] = {
+    # Sized for local[32] at sf<=0.1; a real cluster overrides via
+    # spark-submit.  AQE coalesces down from this at runtime.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside executor Python workers.
+
+    A driver-owned session (the correctness harness, a notebook) may
+    run with a cwd where `cga_logs_to_kinesis_spark` isn't on the
+    workers' path; pandas-UDF closures then fail to unpickle.  Zipping
+    the package once and `addPyFile`-ing it ships it with every task.
+    """
+    if getattr(spark, "_cga_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"cga_logs_to_kinesis_spark_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, parent))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. Spark Connect without SparkContext access
+    spark._cga_pkg_shipped = True
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf removed/renamed in a future Spark: never fatal
+    _ship_package(spark)
+    return spark
+
+
+def get_session(app_name: str = "cga-logs-to-kinesis-spark",
+                master: str | None = None) -> SparkSession:
+    """Build (or fetch) a session with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]")
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
+        builder = builder.config(k, v)
+    return tune_session(builder.getOrCreate())

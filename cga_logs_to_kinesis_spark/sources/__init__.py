@@ -1,0 +1,5 @@
+from cga_logs_to_kinesis_spark.sources.tables import (  # noqa: F401
+    load_table,
+    load_events,
+    register_views,
+)

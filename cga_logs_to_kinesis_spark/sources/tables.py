@@ -1,0 +1,58 @@
+"""Fixture-table readers.
+
+All relational inputs come from driver-generated parquet at
+``{sf_dir}/{name}.parquet`` (see /root/repo/TESTDATA.md).  Readers are
+plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown,
+column pruning, and partition pruning; the only special case is
+``events``, whose ``ts`` column is parquet TIMESTAMP(NANOS) — a type
+Spark's vectorized reader rejects — read as int64 nanoseconds via
+``spark.sql.legacy.parquet.nanosAsLong`` with a derived
+microsecond-precision ``event_time`` TimestampType column.
+
+At 100 TB these readers are unchanged: parquet scans scale with the
+file listing, filters/projections still push down to the footers, and
+the ns→timestamp derivation is a codegen'd projection, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.schema import FIXTURE_TABLES
+
+
+def _ensure_nanos_as_long(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; ``events`` gets ns-timestamp handling."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with exact `ts` (int64 ns) plus derived `event_time`.
+
+    `event_time` truncates ns → µs (TimestampType's resolution).  Exact
+    time arithmetic (window bucketing, as-of comparisons) should use
+    the integer `ts` column; `event_time` exists for calendar functions
+    and Structured Streaming watermarks.
+    """
+    _ensure_nanos_as_long(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = FIXTURE_TABLES) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

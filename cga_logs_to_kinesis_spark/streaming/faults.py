@@ -1,0 +1,69 @@
+"""Fault-injection and inspection transports.
+
+The reference's only test affordance is the `logProducer` stub sink for
+manual runs (reference main.go:349-369); these transports are its
+systematic equivalent: deterministic fault schedules reproducing the
+PutRecords partial-failure and whole-request-error shapes
+(kinesis.go:463-474), plus a filesystem transport whose output the
+driver can inspect.  They live in the package (not tests/) so Spark
+workers can unpickle them.
+"""
+
+from __future__ import annotations
+
+import json
+
+from cga_logs_to_kinesis_spark.streaming.sink import Transport
+
+
+class PartialFailTransport(Transport):
+    """Fails every record whose payload contains ``poison``,
+    ``fail_attempts`` times per record — the per-record ErrorCode
+    shape of a PutRecords response."""
+
+    def __init__(self, fail_attempts: int):
+        self.fail_attempts = fail_attempts
+        self.seen: dict[bytes, int] = {}
+
+    def send(self, stream, page):
+        failed = []
+        for i, (data, _key) in enumerate(page):
+            if b"poison" in data:
+                n = self.seen.get(data, 0)
+                self.seen[data] = n + 1
+                if n < self.fail_attempts:
+                    failed.append(i)
+        return failed
+
+
+class CrashingTransport(Transport):
+    """Whole-request errors for the first ``crashes`` calls (exercises
+    the B4 backoff path)."""
+
+    def __init__(self, crashes: int):
+        self.crashes = crashes
+        self.calls = 0
+
+    def send(self, stream, page):
+        self.calls += 1
+        if self.calls <= self.crashes:
+            raise ConnectionError("simulated request failure")
+        return []
+
+
+class JsonDirTransport(Transport):
+    """Writes each page as one JSON file of [data, key] pairs —
+    executor-safe, inspectable from the driver via shared filesystem."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def send(self, stream, page):
+        import os
+        import uuid
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = f"{self.out_dir}/page-{uuid.uuid4().hex}.json"
+        with open(path, "w") as f:
+            json.dump([[d.decode("utf-8", "replace"), k]
+                       for d, k in page], f)
+        return []

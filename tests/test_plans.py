@@ -1,0 +1,53 @@
+"""Physical-plan assertions: the properties that make queries survive
+a 100x scale-up.  A query that passes correctness but reads all
+columns, skips pushdown, or shuffles a broadcastable dim is a bug here
+even though its rows are right."""
+
+from __future__ import annotations
+
+from cga_logs_to_kinesis_spark.plans import (
+    has_pushed_filters,
+    scan_read_schema_columns,
+    uses_broadcast_join,
+    wholestage_codegen_spans,
+)
+from cga_logs_to_kinesis_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+SPECS = all_queries()
+
+
+def test_filter_project_pushdown_and_pruning(spark):
+    df = SPECS["filter_project"].fn(spark, SF_SMOKE)
+    # predicates reach the parquet scan
+    assert has_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+    # projection prunes: the scan must not read all 11 lineitem columns
+    scans = scan_read_schema_columns(df)
+    assert scans and all(len(cols) <= 6 for cols in scans)
+
+
+def test_dimension_joins_are_broadcast(spark):
+    for name in ("revenue_by_nation", "segment_totals"):
+        assert uses_broadcast_join(SPECS[name].fn(spark, SF_SMOKE)), name
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = SPECS["global_topk"].fn(spark, SF_SMOKE)
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    assert "TakeOrderedAndProject" in formatted_plan(plan)
+
+
+def test_scalar_gallery_stays_in_codegen(spark):
+    df = SPECS["scalar_gallery"].fn(spark, SF_SMOKE)
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_dedup_shuffles_digest_not_text(spark):
+    """The exact-dedup exchange must carry the 32-char digest + id,
+    never the document text: check text is pruned before the shuffle."""
+    df = SPECS["dedup_exact"].fn(spark, SF_SMOKE)
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(df)
+    exchange = plan[plan.index("Exchange"):] if "Exchange" in plan else ""
+    assert "text_digest" in exchange
+    assert "text#" not in exchange.split("Scan parquet")[0]

@@ -1,0 +1,103 @@
+"""Delivery-sink semantics: batch cut, retry, drop — against
+fault-injecting transports reproducing PutRecordsResp partial failures
+(reference kinesis.go:463-474, batchproducer.go:326-444).
+
+Transports run inside executor Python workers (mapInPandas), so tests
+assert via the returned per-page stats and via files written to the
+shared local filesystem — never via driver-side transport state.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cga_logs_to_kinesis_spark.streaming.faults import (
+    CrashingTransport,
+    JsonDirTransport,
+    PartialFailTransport,
+)
+from cga_logs_to_kinesis_spark.streaming.sink import SinkConfig, deliver_pages
+
+
+def _records_df(spark, n, key="k"):
+    return spark.createDataFrame(
+        [(f"record-{i}".encode(), key) for i in range(n)],
+        "data binary, partition_key string")
+
+
+def test_page_cut_at_500(spark):
+    # single-partition input so one task pages all 1200 records
+    df = _records_df(spark, 1200).coalesce(1)
+    stats = deliver_pages(df, JsonDirTransport("/tmp/_ignored"),
+                          SinkConfig())
+    # ≤500 per page (B2, reference batchproducer.go:14): 500+500+200
+    assert sorted(stats["records_sent"]) == [200, 500, 500]
+    assert stats["records_dropped"].sum() == 0
+
+
+def test_per_record_retry_then_success(spark):
+    tp = PartialFailTransport(fail_attempts=2)
+    df = spark.createDataFrame(
+        [(b"ok-1", "k"), (b"poison-1", "k"), (b"ok-2", "k")],
+        "data binary, partition_key string").coalesce(1)
+    stats = deliver_pages(df, tp, SinkConfig(base_backoff_s=0))
+    assert stats["records_sent"].sum() == 3   # retried within budget
+    assert stats["records_dropped"].sum() == 0
+
+
+def test_per_record_drop_after_max_attempts(spark):
+    tp = PartialFailTransport(fail_attempts=99)
+    df = spark.createDataFrame(
+        [(b"ok-1", "k"), (b"poison-1", "k")],
+        "data binary, partition_key string").coalesce(1)
+    stats = deliver_pages(df, tp,
+                          SinkConfig(base_backoff_s=0,
+                                     max_attempts_per_record=5))
+    assert stats["records_sent"].sum() == 1
+    assert stats["records_dropped"].sum() == 1   # B5 drop policy
+    # page needed exactly MaxAttemptsPerRecord passes to exhaust budget
+    assert stats["attempts"].max() == 5
+
+
+def test_request_error_backoff_then_delivery(spark):
+    tp = CrashingTransport(crashes=3)
+    df = _records_df(spark, 10).coalesce(1)
+    stats = deliver_pages(df, tp, SinkConfig(base_backoff_s=0))
+    assert stats["records_sent"].sum() == 10
+    assert stats["request_errors"].sum() == 3
+    assert stats["attempts"].max() == 4
+
+
+def test_load_shed_when_enabled(spark):
+    tp = CrashingTransport(crashes=99)
+    df = _records_df(spark, 10).coalesce(1)
+    cfg = SinkConfig(base_backoff_s=0, shed=True,
+                     max_consecutive_errors_shed=5)
+    stats = deliver_pages(df, tp, cfg)
+    assert stats["records_dropped"].sum() == 10   # B6 whole-batch shed
+    assert stats["records_sent"].sum() == 0
+
+
+def test_delivery_completeness_across_tasks(spark, tmp_path):
+    """Every record delivered exactly once even when the input arrives
+    pre-shuffled across many partitions."""
+    out = tmp_path / "pages"
+    rows = [(f"r{i}".encode(), f"key-{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "data binary, partition_key string").repartition(8)
+    stats = deliver_pages(df, JsonDirTransport(str(out)), SinkConfig())
+    assert stats["records_sent"].sum() == 30
+    delivered = []
+    for f in out.glob("page-*.json"):
+        delivered.extend(tuple(x) for x in json.loads(f.read_text()))
+    assert sorted(delivered) == sorted(
+        (f"r{i}", f"key-{i % 3}") for i in range(30))
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_empty_and_single(spark, n):
+    stats = deliver_pages(_records_df(spark, n).coalesce(1),
+                          JsonDirTransport("/tmp/_ignored"), SinkConfig())
+    assert stats["records_sent"].sum() == n
