@@ -30,10 +30,15 @@ HEADLINE = (
     "top3_orders_per_customer",  # partitioned window
     "global_topk",           # TakeOrderedAndProject
     "dedup_exact",           # digest hash-groupBy
+    "dedup_minhash_lsh",     # shingle->band->candidate near-dup
     "text_stats",            # tokenize + agg
     "cosine_topk",           # similarity brute-force
+    "cosine_topk_lsh",       # LSH-bucketed ANN
     "batch_pages",           # pipeline batch-cut window+agg
     "json_props",            # JSON extraction + agg
+    "sliding_window",        # hopping-window agg
+    "session_windows",       # session_window stateless-batch agg
+    "shipping_priority",     # TPC-H Q3: filters + 3-way join + topk
 )
 
 

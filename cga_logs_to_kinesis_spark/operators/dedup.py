@@ -98,3 +98,240 @@ register(QuerySpec(
     doc="exact-dedup survivor set (keep-first policy)",
     tags=("dedup", "north-star"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup.  Topology (the part that matters at 100 TB):
+# shingle -> per-band min-hash signature -> band-bucket equi-join for
+# candidates -> exact Jaccard verification on candidates only.  The
+# full cross product never materializes; every stage is a shuffle on a
+# small key (doc_id/band/signature), and the verify join touches only
+# candidate pairs.  Banding here is b=16 bands of r=1 rows, the
+# high-recall corner of the standard S-curve.
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 3      # word-level shingles
+N_BANDS = 16
+
+
+def shingle_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>) - distinct word-K-shingles."""
+    toks = F.split(normalized_text(), " ")
+    shingles = F.when(
+        F.size(toks) >= SHINGLE_K,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {SHINGLE_K - 1}), "
+            f"i -> concat_ws(' ', slice(_toks, i, {SHINGLE_K})))")
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs
+            .withColumn("_toks", toks)
+            .select("doc_id",
+                    F.array_distinct(shingles).alias("shingles"))
+            .filter(F.size("shingles") > 0))
+
+
+SHINGLES_SQL = f"""
+    toks AS (
+        SELECT doc_id,
+               regexp_split_to_array({NORMALIZED_SQL}, ' ') AS t
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= {SHINGLE_K}
+                   THEN list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                        i -> array_to_string(list_slice(t, i,
+                             i + {SHINGLE_K - 1}), ' '))
+                   ELSE [] END) AS shingles
+        FROM toks
+    ),
+    shingled_ne AS (SELECT * FROM shingled WHERE len(shingles) > 0)
+"""
+
+
+def minhash_signatures(docs: DataFrame,
+                       n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, sig): per-band min of md5(band || shingle).
+
+    One explode + one hash-groupBy; the shuffle carries (doc_id, band,
+    32-byte digest), never the text.
+    """
+    sh = shingle_docs(docs)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    banded = exploded.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "shingle")
+    return (banded
+            .select("doc_id", "band",
+                    F.md5(F.concat_ws(":", "band", "shingle")).alias("h"))
+            .groupBy("doc_id", "band")
+            .agg(F.min("h").alias("sig")))
+
+
+MINHASH_SIGS_SQL = f"""
+    WITH {SHINGLES_SQL.strip()},
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shingled_ne
+    ),
+    banded AS (
+        SELECT doc_id, b.band, shingle
+        FROM exploded, (SELECT unnest(range(0, {N_BANDS})) AS band) b
+    )
+    SELECT doc_id, band,
+           MIN(md5(band || ':' || shingle)) AS sig
+    FROM banded
+    GROUP BY doc_id, band
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+register(QuerySpec(
+    "minhash_signatures", q_minhash_signatures,
+    oracle=MINHASH_SIGS_SQL,
+    doc="MinHash band signatures (b=16, r=1) over word-3-shingles",
+    tags=("dedup", "north-star", "minhash"),
+))
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs + exact Jaccard verification.
+
+    Returns (doc_a, doc_b, n_common_bands, jaccard) for pairs sharing
+    at least one band bucket, with true shingle-set Jaccard computed
+    only for those candidates.
+    """
+    sigs = minhash_signatures(docs)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = (a.join(b, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common_bands")))
+    sh = shingle_docs(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sh_b"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select(
+                "doc_a", "doc_b", "n_common_bands",
+                (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                 / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard")))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return minhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+register(QuerySpec(
+    "dedup_minhash_lsh", q_dedup_minhash_lsh,
+    oracle=f"""
+        WITH {SHINGLES_SQL.strip()},
+        exploded AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM shingled_ne
+        ),
+        banded AS (
+            SELECT doc_id, b.band, shingle
+            FROM exploded, (SELECT unnest(range(0, {N_BANDS})) AS band) b
+        ),
+        sigs AS (
+            SELECT doc_id, band,
+                   MIN(md5(band || ':' || shingle)) AS sig
+            FROM banded GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_common_bands
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.sig = b.sig
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b, c.n_common_bands,
+               CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.shingles, y.shingles)))
+                   AS jaccard
+        FROM cand c
+        JOIN shingled_ne x ON c.doc_a = x.doc_id
+        JOIN shingled_ne y ON c.doc_b = y.doc_id
+    """,
+    doc="MinHash-LSH candidates + exact Jaccard verify (no cross product)",
+    tags=("dedup", "north-star", "minhash", "join"),
+))
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints: 16-bit signatures from token hashes.  Each bit
+# b of the fingerprint is the sign of sum(+-1 over tokens), where the
+# +-1 comes from hex digit b of md5(token) - deterministic across
+# engines, no UDFs, one explode + two hash-aggs.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    toks = (docs
+            .select("doc_id",
+                    F.explode(F.split(normalized_text(), " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .select("doc_id", F.md5("tok").alias("h")))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h")
+    votes = (bits
+             .select("doc_id", "bit",
+                     F.when(F.col("h").substr(F.col("bit") + 1,
+                                              F.lit(1)) >= "8", 1)
+                     .otherwise(-1).alias("vote"))
+             .groupBy("doc_id", "bit")
+             .agg(F.sum("vote").alias("v")))
+    return (votes
+            .groupBy("doc_id")
+            .agg(F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)"))
+                .otherwise(0)).cast("long").alias("simhash")))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+register(QuerySpec(
+    "dedup_simhash", q_dedup_simhash,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, md5(t.tok) AS h
+            FROM documents,
+                 UNNEST(regexp_split_to_array({NORMALIZED_SQL}, ' '))
+                     AS t(tok)
+            WHERE t.tok != ''
+        ),
+        bits AS (
+            SELECT doc_id, b.bit,
+                   CASE WHEN substring(h, b.bit + 1, 1) >= '8'
+                        THEN 1 ELSE -1 END AS vote
+            FROM toks,
+                 (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit) b
+        ),
+        votes AS (
+            SELECT doc_id, bit, SUM(vote) AS v
+            FROM bits GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes
+        GROUP BY doc_id
+    """,
+    doc="SimHash 16-bit fingerprints (token-hash bit votes)",
+    tags=("dedup", "north-star", "simhash"),
+))

@@ -114,3 +114,174 @@ register(QuerySpec(
     doc="brute-force exact cosine top-k (broadcast query set)",
     tags=("similarity", "north-star"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: the scale path.  Random-hyperplane signatures
+# (SimHash-for-cosine) put each vector in one of 2^P buckets; queries
+# only score candidates in their own bucket, so the per-query work is
+# corpus/2^P on average instead of the full scan.  The hyperplanes are
+# pseudo-random +-1 coefficients derived from md5(plane:dim) - fully
+# deterministic, identical constants compiled into the Spark plan and
+# the DuckDB oracle, no stored model state to distribute.
+# At 100 TB: bucket the corpus once (one narrow projection), cluster
+# or Z-order the stored table by bucket, and ANN queries become
+# partition-pruned scans.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+EMB_DIM = 64
+N_PLANES = 4
+
+
+def _plane_coefs(plane: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic +-1.0 hyperplane from md5 - public-knowledge
+    construction (Charikar SimHash), reproducible in any engine."""
+    return [
+        1.0 if _hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0] >= "8"
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+_PLANES = [_plane_coefs(p) for p in range(N_PLANES)]
+
+
+def lsh_bucket(emb_col: str) -> Column:
+    """2^N_PLANES-way bucket id from hyperplane signs."""
+    bucket = F.lit(0)
+    for p, coefs in enumerate(_PLANES):
+        plane = F.array(*[F.lit(c) for c in coefs])
+        proj = _seq_sum(F.zip_with(
+            F.col(emb_col), plane,
+            lambda x, c: x.cast("double") * c))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def _bucket_sql(emb_expr: str) -> str:
+    terms = []
+    for p, coefs in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(c) for c in coefs) + "]"
+        proj = (f"list_reduce(list_transform(list_zip({emb_expr}, {lit}), "
+                f"t -> CAST(t[1] AS DOUBLE) * t[2]), (a, x) -> a + x)")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def cosine_topk_lsh(emb: DataFrame, queries: DataFrame,
+                    k: int) -> DataFrame:
+    """ANN top-k: score only candidates sharing the query's bucket."""
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qe"),
+                       lsh_bucket("embedding").alias("bucket"))
+    c = emb.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("ce"),
+                   lsh_bucket("embedding").alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id",
+                (exact_dot("qe", "ce")
+                 / (exact_norm("qe") * exact_norm("ce"))).alias("cosine"))
+    )
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cosine").desc(), F.col("cand_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cosine", "rank"))
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+register(QuerySpec(
+    "cosine_topk_lsh", q_cosine_topk_lsh,
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {_bucket_sql("embedding")} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+              FROM b WHERE vec_id < 8),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   list_reduce(list_transform(list_zip(q.qe, c.embedding),
+                       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+                       (a, x) -> a + x)
+                   / (SQRT(list_reduce(list_transform(q.qe,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (a, x) -> a + x))
+                      * SQRT(list_reduce(list_transform(c.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (a, x) -> a + x))) AS cosine
+            FROM q JOIN b c ON q.bucket = c.bucket
+            WHERE c.vec_id != q.query_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, cand_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    doc="LSH-bucketed ANN cosine top-k (2^4 hyperplane buckets)",
+    tags=("similarity", "north-star", "lsh"),
+))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked: pairs are only
+    scored within a bucket, so the pair count is sum(bucket_size^2/2),
+    not corpus^2/2."""
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(F.col("vec_id"), F.col("embedding"),
+                   lsh_bucket("embedding").alias("bucket"))
+    a = b.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"), "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                (exact_dot("ea", "eb")
+                 / (exact_norm("ea") * exact_norm("eb"))).alias("cosine"))
+        .filter(F.col("cosine") >= 0.30)
+    )
+
+
+register(QuerySpec(
+    "dedup_embedding_cosine", q_embedding_near_dup,
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {_bucket_sql("embedding")} AS bucket
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                   list_reduce(list_transform(
+                       list_zip(x.embedding, y.embedding),
+                       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+                       (a, v) -> a + v)
+                   / (SQRT(list_reduce(list_transform(x.embedding,
+                          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
+                          (a, v) -> a + v))
+                      * SQRT(list_reduce(list_transform(y.embedding,
+                          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
+                          (a, v) -> a + v))) AS cosine
+            FROM b x JOIN b y
+              ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        )
+        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.30
+    """,
+    doc="embedding-cosine near-dup pairs, LSH-blocked (no cross product)",
+    tags=("dedup", "similarity", "north-star", "lsh"),
+))

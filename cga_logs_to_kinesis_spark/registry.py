@@ -42,6 +42,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         pipeline_ops,
         relational,
+        relational2,
         similarity,
         text,
     )

@@ -46,9 +46,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _ensure_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer DIV, not `/`: float division of an ~1.7e18 ns value loses
+    # sub-µs precision (doubles carry 53 bits) and can round up 1 µs
     return df.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def register_views(spark: SparkSession, sf_dir: str,
