@@ -48,9 +48,11 @@ def main() -> None:
     spark = get_session("bench")
     specs = all_queries()
 
-    # Warm the JVM/codegen paths once on the smallest SF so per-query
-    # numbers measure the engine, not first-call JIT.
-    specs["stats_tumbling"].fn(spark, "/root/testdata/sf0.001").count()
+    # Warm each query's codegen/JIT path once on the smallest SF so
+    # per-query numbers measure the engine, not first-call JIT.
+    for name in HEADLINE:
+        specs[name].fn(spark, "/root/testdata/sf0.001") \
+            .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -123,7 +123,14 @@ def shingle_docs(docs: DataFrame) -> DataFrame:
             f"transform(sequence(1, size(_toks) - {SHINGLE_K - 1}), "
             f"i -> concat_ws(' ', slice(_toks, i, {SHINGLE_K})))")
     ).otherwise(F.array().cast("array<string>"))
+    # Spread docs across cores BEFORE the band-explode amplifies rows
+    # 16x: a small parquet file scans as one partition, which would pin
+    # the whole md5 fan-out to a single task.  (At real scale the scan
+    # has many partitions and this exchange is still cheap relative to
+    # the explode it parallelizes.)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (docs
+            .repartition(par, "doc_id")
             .withColumn("_toks", toks)
             .select("doc_id",
                     F.array_distinct(shingles).alias("shingles"))
@@ -153,35 +160,31 @@ def minhash_signatures(docs: DataFrame,
                        n_bands: int = N_BANDS) -> DataFrame:
     """(doc_id, band, sig): per-band min of md5(band || shingle).
 
-    One explode + one hash-groupBy; the shuffle carries (doc_id, band,
-    32-byte digest), never the text.
+    Computed as a NARROW plan: the per-band minimum is
+    ``array_min(transform(shingles, md5))`` evaluated inside each row,
+    so the only row amplification is the 16-way band explode of
+    already-reduced (doc_id, band, sig) triples — no shuffle of
+    exploded shingles, no groupBy.  The md5 fan-out cost is identical
+    but it stays in the scan stage's codegen, which is exactly where a
+    100 TB corpus wants it (work scales with the scan, shuffle scales
+    with docs x bands only).
     """
     sh = shingle_docs(docs)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    banded = exploded.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        "shingle")
-    return (banded
-            .select("doc_id", "band",
-                    F.md5(F.concat_ws(":", "band", "shingle")).alias("h"))
-            .groupBy("doc_id", "band")
-            .agg(F.min("h").alias("sig")))
+    band_sig = F.expr(
+        "transform(sequence(0, {n}), b -> "
+        "array_min(transform(shingles, s -> md5(concat(b, ':', s)))))"
+        .format(n=n_bands - 1))
+    return (sh
+            .select("doc_id", F.posexplode(band_sig).alias("band", "sig")))
 
 
 MINHASH_SIGS_SQL = f"""
-    WITH {SHINGLES_SQL.strip()},
-    exploded AS (
-        SELECT doc_id, unnest(shingles) AS shingle FROM shingled_ne
-    ),
-    banded AS (
-        SELECT doc_id, b.band, shingle
-        FROM exploded, (SELECT unnest(range(0, {N_BANDS})) AS band) b
-    )
-    SELECT doc_id, band,
-           MIN(md5(band || ':' || shingle)) AS sig
-    FROM banded
-    GROUP BY doc_id, band
+    WITH {SHINGLES_SQL.strip()}
+    SELECT doc_id, b.band,
+           list_min(list_transform(shingles,
+                    s -> md5(b.band || ':' || s))) AS sig
+    FROM shingled_ne,
+         (SELECT unnest(range(0, {N_BANDS})) AS band) b
 """
 
 
@@ -233,17 +236,12 @@ register(QuerySpec(
     "dedup_minhash_lsh", q_dedup_minhash_lsh,
     oracle=f"""
         WITH {SHINGLES_SQL.strip()},
-        exploded AS (
-            SELECT doc_id, unnest(shingles) AS shingle FROM shingled_ne
-        ),
-        banded AS (
-            SELECT doc_id, b.band, shingle
-            FROM exploded, (SELECT unnest(range(0, {N_BANDS})) AS band) b
-        ),
         sigs AS (
-            SELECT doc_id, band,
-                   MIN(md5(band || ':' || shingle)) AS sig
-            FROM banded GROUP BY doc_id, band
+            SELECT doc_id, b.band,
+                   list_min(list_transform(shingles,
+                            s -> md5(b.band || ':' || s))) AS sig
+            FROM shingled_ne,
+                 (SELECT unnest(range(0, {N_BANDS})) AS band) b
         ),
         cand AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -277,7 +275,9 @@ SIMHASH_BITS = 16
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    par = docs.sparkSession.sparkContext.defaultParallelism
     toks = (docs
+            .repartition(par, "doc_id")
             .select("doc_id",
                     F.explode(F.split(normalized_text(), " ")).alias("tok"))
             .filter(F.col("tok") != "")

@@ -1,0 +1,252 @@
+"""Relational surface, part 3: pivot, range window frames, argmax
+aggregates, blocked string-distance joins, token frequencies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cga_logs_to_kinesis_spark.functions.exact import dsum, dsum_sql
+from cga_logs_to_kinesis_spark.operators.dedup import normalized_text
+from cga_logs_to_kinesis_spark.registry import QuerySpec, register
+from cga_logs_to_kinesis_spark.session import tune_session
+from cga_logs_to_kinesis_spark.sources import load_events, load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot: one column per event type.  The pivot values are
+    listed explicitly — at scale an unlisted pivot forces an extra
+    distinct-collection job before planning."""
+    tune_session(spark)
+    ev = load_events(spark, sf_dir)
+    day = F.expr("ts DIV 86400000000000").cast("long")
+    return (
+        ev.withColumn("day_bucket", day)
+        .groupBy("day_bucket")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+register(QuerySpec(
+    "pivot_event_types", q_pivot_event_types,
+    oracle="""
+        SELECT (epoch_ns(ts) // 86400000000000) AS day_bucket,
+               {cols}
+        FROM events
+        GROUP BY 1
+    """.format(cols=",\n               ".join(
+        f"COALESCE(COUNT(CASE WHEN event_type = '{t}' THEN 1 END), 0) "
+        f"AS {t}" for t in EVENT_TYPES)),
+    doc="native pivot with explicit values (vs conditional-agg oracle)",
+    tags=("agg", "pivot"),
+))
+
+
+def q_orders_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: for each order, how many orders the same
+    customer placed within +-30 days, and their total value."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+    w = (Window.partitionBy("o_custkey").orderBy("order_day")
+         .rangeBetween(-30, 30))
+    return (
+        orders.withColumn("order_day", day.cast("long"))
+        .select(
+            "o_orderkey", "o_custkey", "order_day",
+            F.count("*").over(w).alias("n_nearby_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w)
+            .cast("double").alias("nearby_value"),
+        )
+    )
+
+
+register(QuerySpec(
+    "orders_in_window", q_orders_in_window,
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               date_diff('day', DATE '1970-01-01', o_orderdate)
+                   AS order_day,
+               COUNT(*) OVER w AS n_nearby_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w
+                    AS DOUBLE) AS nearby_value
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+            RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+    """,
+    doc="RANGE window frame (value-based, not row-based)",
+    tags=("window", "range-frame"),
+))
+
+
+def q_longest_doc_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with an exact integer tie-breaker (ties otherwise
+    make argmax nondeterministic across engines)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ordv = (F.col("n_chars") * 1_000_000 + F.col("doc_id"))
+    ordv_min = (F.col("n_chars") * 1_000_000 - F.col("doc_id"))
+    return (
+        docs.groupBy("lang")
+        .agg(F.max_by("doc_id", ordv).alias("longest_doc_id"),
+             F.min_by("doc_id", ordv_min).alias("shortest_doc_id"),
+             F.max("n_chars").alias("max_chars"),
+             F.min("n_chars").alias("min_chars"))
+    )
+
+
+register(QuerySpec(
+    "longest_doc_per_lang", q_longest_doc_per_lang,
+    oracle="""
+        SELECT lang,
+               arg_max(doc_id, n_chars * 1000000 + doc_id)
+                   AS longest_doc_id,
+               arg_min(doc_id, n_chars * 1000000 - doc_id)
+                   AS shortest_doc_id,
+               MAX(n_chars) AS max_chars,
+               MIN(n_chars) AS min_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="max_by/min_by (argmax) with deterministic tie-break",
+    tags=("agg", "argmax"),
+))
+
+
+def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked string-distance self-join: Levenshtein only within a
+    brand block, never across the full cross product — the standard
+    fuzzy-matching topology at scale (block key keeps candidate sets
+    small; the distance function runs on candidates only)."""
+    tune_session(spark)
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(F.col("p_brand").alias("brand"),
+                    F.col("p_partkey").alias("key_a"),
+                    F.col("p_name").alias("name_a"))
+    b = part.select(F.col("p_brand").alias("brand"),
+                    F.col("p_partkey").alias("key_b"),
+                    F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("brand", "key_a", "key_b", "edit_dist")
+    )
+
+
+register(QuerySpec(
+    "similar_part_names", q_similar_part_names,
+    oracle="""
+        SELECT a.p_brand AS brand,
+               a.p_partkey AS key_a,
+               b.p_partkey AS key_b,
+               levenshtein(a.p_name, b.p_name) AS edit_dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    doc="blocked Levenshtein fuzzy self-join",
+    tags=("join", "text", "fuzzy"),
+))
+
+
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top 25 — explode + count + top-k,
+    with map-side partial aggregation absorbing the Zipf skew before
+    the shuffle (the frequent-token hot keys pre-reduce per partition)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (docs
+            .repartition(par, "doc_id")
+            .select(F.explode(F.split(normalized_text(), " "))
+                    .alias("token"))
+            .filter(F.col("token") != ""))
+    return (toks.groupBy("token")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token"))
+            .limit(25))
+
+
+register(QuerySpec(
+    "token_frequencies", q_token_frequencies,
+    oracle=f"""
+        SELECT t.tok AS token, COUNT(*) AS n
+        FROM documents,
+             UNNEST(regexp_split_to_array(
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))
+                 AS t(tok)
+        WHERE t.tok != ''
+        GROUP BY 1
+        ORDER BY n DESC, token
+        LIMIT 25
+    """,
+    doc="token frequency top-k (skew-absorbing partial agg)",
+    tags=("text", "agg", "topk", "north-star"),
+))
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-shaped projections + dedup."""
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.select(F.col("c_name").alias("name"),
+                    F.col("c_nationkey").alias("nationkey"),
+                    F.lit("customer").alias("kind"))
+    s = supp.select(F.lit("supplier").alias("kind"),
+                    F.col("s_name").alias("name"),
+                    F.col("s_nationkey").alias("nationkey"))
+    return (c.unionByName(s)
+            .groupBy("kind", "nationkey")
+            .agg(F.count("*").alias("n")))
+
+
+register(QuerySpec(
+    "union_by_name", q_union_by_name,
+    oracle="""
+        SELECT kind, nationkey, COUNT(*) AS n FROM (
+            SELECT c_name AS name, c_nationkey AS nationkey,
+                   'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_name, s_nationkey, 'supplier' FROM supplier
+        )
+        GROUP BY kind, nationkey
+    """,
+    doc="unionByName (schema-aligned union) + agg",
+    tags=("setop",),
+))
+
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts: the scale-path twin
+    of distinct_users (single pass, constant memory per group, no
+    distinct-expand shuffle).  Sketch internals differ per engine, so
+    there is no value oracle; the local test bounds relative error
+    against the exact count instead (rsd=0.02 here)."""
+    tune_session(spark)
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02)
+             .alias("approx_users"),
+             F.count("*").alias("n_events"))
+    )
+
+
+register(QuerySpec(
+    "approx_distinct_users", q_approx_distinct_users,
+    oracle=None,   # sketch values are engine-specific by construction
+    doc="approx_count_distinct (HLL++), error-bounded by test",
+    tags=("agg", "approx"),
+))

@@ -43,6 +43,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_ops,
         relational,
         relational2,
+        relational3,
         similarity,
         text,
     )

@@ -1,0 +1,84 @@
+"""Consumer-side decode (S7), protobuf codec gating, approx-aggregate
+error bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.registry import all_queries
+from cga_logs_to_kinesis_spark.sources import load_events
+from cga_logs_to_kinesis_spark.sources.pages import (
+    decode_envelopes,
+    read_delivered_jsonl,
+)
+from cga_logs_to_kinesis_spark.streaming.envelope import (
+    envelope_projection,
+    envelope_to_json,
+)
+from cga_logs_to_kinesis_spark.streaming.protobuf_codec import (
+    envelope_to_protobuf,
+    wire_encode,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_wire_roundtrip_through_files(spark, tmp_path):
+    """Produce → deliver to files → consume → decode: the full loop
+    the reference ships through Kinesis (S1→T1→T3→K1→S7)."""
+    watch = tmp_path / "logs"
+    watch.mkdir()
+    (watch / "x.log").write_text("r1\nr2\nr3\n")
+    lines = spark.read.format("text").load(str(watch))
+    wire = envelope_to_json(envelope_projection(lines, "origin-9"))
+
+    out = tmp_path / "delivered"
+    wire.select("data").write.format("text").save(str(out))
+
+    decoded = decode_envelopes(
+        read_delivered_jsonl(spark, str(out)))
+    rows = decoded.collect()
+    assert len(rows) == 3
+    assert all(not r.is_corrupt for r in rows)
+    assert {bytes(r.log_message.message).decode() for r in rows} == {
+        "r1", "r2", "r3"}
+    assert all(r.log_message.source_type == "bosh" for r in rows)
+
+
+def test_decode_tolerates_corrupt_records(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"origin":"o","event_type":"LogMessage","timestamp":1}\n'
+        'not json at all\n')
+    decoded = decode_envelopes(read_delivered_jsonl(spark, str(src)))
+    rows = {r.origin: r for r in decoded.collect()}
+    assert len(rows) == 2
+    assert rows["o"].is_corrupt is False
+    assert rows[None].is_corrupt is True    # survived, flagged
+
+
+def test_protobuf_codec_gated(spark, tmp_path):
+    """No descriptor in this environment → explicit NotImplementedError
+    and a JSON fallback that works."""
+    (tmp_path / "y.log").write_text("hello\n")
+    lines = spark.read.format("text").load(str(tmp_path))
+    env = envelope_projection(lines, "o")
+    with pytest.raises(NotImplementedError):
+        envelope_to_protobuf(F.struct("origin"), descriptor_path=None)
+    wire = wire_encode(env, descriptor_path=None)   # JSON fallback
+    assert wire.columns == ["data", "partition_key"]
+    assert wire.count() == 1
+
+
+def test_approx_distinct_error_bound(spark):
+    q = all_queries()["approx_distinct_users"]
+    approx = {r.event_type: r.approx_users
+              for r in q.fn(spark, SF_SMOKE).collect()}
+    exact = {r.event_type: r.n for r in
+             load_events(spark, SF_SMOKE)
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for et, n in exact.items():
+        rel_err = abs(approx[et] - n) / n
+        assert rel_err < 0.10, f"{et}: approx {approx[et]} vs exact {n}"
