@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         similarity,
+        temporal,
         text,
     )
     return dict(_REGISTRY)
