@@ -335,3 +335,116 @@ register(QuerySpec(
     doc="SimHash 16-bit fingerprints (token-hash bit votes)",
     tags=("dedup", "north-star", "simhash"),
 ))
+
+
+
+# ---------------------------------------------------------------------------
+# Character-n-gram Jaccard near-dup: same LSH-banded topology as the
+# word-shingle pipeline, over 5-char shingles (robust to word-boundary
+# edits).  Shingling is a narrow higher-order expression; candidates
+# come from band buckets; Jaccard is verified only on candidates.
+# ---------------------------------------------------------------------------
+
+# Character shingles are far less selective than word shingles (every
+# pair of documents shares common 5-grams), so r=1 banding floods the
+# candidate set (~72% of all pairs at sf0.01).  b=4 bands of r=2 rows
+# makes band collision ~ jaccard^2 — the precision knob of the
+# standard (b, r) S-curve.
+CHAR_K = 5
+CHAR_BANDS = 4
+CHAR_ROWS_PER_BAND = 2
+
+
+def char_shingle_docs(docs: DataFrame) -> DataFrame:
+    norm = normalized_text()
+    shingles = F.when(
+        F.length(norm) >= CHAR_K,
+        F.expr(
+            f"transform(sequence(1, length(_norm) - {CHAR_K - 1}), "
+            f"i -> substring(_norm, i, {CHAR_K}))")
+    ).otherwise(F.array().cast("array<string>"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (docs
+            .repartition(par, "doc_id")
+            .withColumn("_norm", norm)
+            .select("doc_id",
+                    F.array_distinct(shingles).alias("shingles"))
+            .filter(F.size("shingles") > 0))
+
+
+CHAR_SHINGLES_SQL = f"""
+    normed AS (
+        SELECT doc_id, {NORMALIZED_SQL} AS nrm FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LENGTH(nrm) >= {CHAR_K}
+                   THEN list_transform(range(1, LENGTH(nrm) - {CHAR_K - 2}),
+                        i -> substring(nrm, i, {CHAR_K}))
+                   ELSE [] END) AS shingles
+        FROM normed
+    ),
+    shingled_ne AS (SELECT * FROM shingled WHERE len(shingles) > 0)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingle_docs(docs)
+    band_sig = F.expr(
+        "transform(sequence(0, {n}), b -> md5(concat("
+        "array_min(transform(shingles, s -> md5(concat(b*2,   ':', s)))), "
+        "array_min(transform(shingles, s -> md5(concat(b*2+1, ':', s))))"
+        ")))".format(n=CHAR_BANDS - 1))
+    sigs = sh.select("doc_id", F.posexplode(band_sig).alias("band", "sig"))
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = (a.join(b, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sh_b"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.size(F.array_intersect("sh_a", "sh_b"))
+                     .cast("double")
+                     / F.size(F.array_union("sh_a", "sh_b")))
+                    .alias("char_jaccard"))
+            .filter(F.col("char_jaccard") >= 0.10))
+
+
+register(QuerySpec(
+    "dedup_ngram_jaccard", q_dedup_ngram_jaccard,
+    oracle=f"""
+        WITH {CHAR_SHINGLES_SQL.strip()},
+        sigs AS (
+            SELECT doc_id, b.band,
+                   md5(list_min(list_transform(shingles,
+                           s -> md5((b.band * 2) || ':' || s)))
+                       || list_min(list_transform(shingles,
+                           s -> md5((b.band * 2 + 1) || ':' || s)))) AS sig
+            FROM shingled_ne,
+                 (SELECT unnest(range(0, {CHAR_BANDS})) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.shingles, y.shingles)))
+                   AS char_jaccard
+        FROM cand c
+        JOIN shingled_ne x ON c.doc_a = x.doc_id
+        JOIN shingled_ne y ON c.doc_b = y.doc_id
+        WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.shingles, y.shingles)))
+              >= 0.10
+    """,
+    doc="character-5-gram Jaccard near-dup (banded candidates)",
+    tags=("dedup", "north-star", "ngram"),
+))

@@ -104,3 +104,92 @@ register(QuerySpec(
     doc="binary media column + mapInPandas feature extraction (stub decode)",
     tags=("multimodal", "north-star", "pandas-udf"),
 ))
+
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample stubs: the remaining media-pipeline stages.
+# Real codecs are absent in this container; the Spark-side contract
+# (schemas, Arrow batching, partition inheritance) is real and tested.
+# ---------------------------------------------------------------------------
+
+RESIZED = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("thumb_digest", StringType(), False),
+])
+
+FRAMES = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("frame_index", IntegerType(), False),
+    StructField("frame_digest", StringType(), False),
+])
+
+
+def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """STUB resize: deterministic fake downscale preserving aspect
+    ratio; a real implementation decodes + resamples here."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [_fake_decode(bytes(b)) for b in pdf["payload"]]
+            out_w, out_h, digests = [], [], []
+            for (w, h), blob in zip(dims, pdf["payload"]):
+                scale = max_side / max(w, h)
+                nw = max(1, int(w * scale))
+                nh = max(1, int(h * scale))
+                out_w.append(nw)
+                out_h.append(nh)
+                digests.append(hashlib.md5(
+                    bytes(blob) + f"{nw}x{nh}".encode()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(out_w, dtype="int32"),
+                "height": pd.Series(out_h, dtype="int32"),
+                "thumb_digest": digests,
+            })
+
+    return media.mapInPandas(batches, schema=RESIZED)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 10,
+                  frames_per_blob: int = 100) -> DataFrame:
+    """STUB frame sampler: emits every Nth frame index with a
+    deterministic per-frame digest — the row-expansion shape of video
+    decode (1 blob -> many frames), which is why it must run
+    executor-side and never collect."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, digs = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, frames_per_blob, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digs.append(hashlib.md5(
+                        bytes(blob) + i.to_bytes(4, "big")).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_index": pd.Series(idxs, dtype="int32"),
+                "frame_digest": digs,
+            })
+
+    return media.mapInPandas(batches, schema=FRAMES)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", F.lit("image/fake").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"))
+    return resize_media(media).orderBy("doc_id")
+
+
+register(QuerySpec(
+    "multimodal_resize", q_multimodal_resize,
+    oracle=None,
+    doc="media resize stage (stub decode; real Arrow/mapInPandas shape)",
+    tags=("multimodal", "north-star", "pandas-udf"),
+))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from cga_logs_to_kinesis_spark.functions.exact import davg_sql, dsum_sql
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
 from cga_logs_to_kinesis_spark.session import tune_session
-from cga_logs_to_kinesis_spark.sources import load_table
+from cga_logs_to_kinesis_spark.sources import load_events, load_table
 
 
 def token_count(col: str = "text") -> Column:
@@ -223,5 +223,87 @@ register(QuerySpec(
         FROM documents
     """,
     doc="document fingerprinting (digest + shard bucket)",
+    tags=("text", "north-star"),
+))
+
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (hypertable-style) rollup: coarse aggregates derived
+# from fine aggregates, not from raw rows.  At 100 TB the 5 s layer is
+# the only scan; every coarser resolution is a re-aggregation of the
+# (tiny) previous layer - the continuous-aggregate pattern.  The
+# oracle computes the coarse layer directly from raw rows, proving the
+# hierarchical derivation is lossless (sums/counts are associative).
+# ---------------------------------------------------------------------------
+
+def q_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_events(spark, sf_dir)
+    fine = (
+        ev
+        .withColumn("w5s", (F.expr("ts DIV 5000000000") * 5).cast("long"))
+        .groupBy("w5s", "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"))
+    )
+    return (
+        fine
+        .withColumn("w1m", (F.expr("w5s DIV 60") * 60).cast("long"))
+        .groupBy("w1m", "event_type")
+        .agg(F.sum("n").alias("n_events"),
+             F.sum("sv").cast("double").alias("sum_value"))
+    )
+
+
+register(QuerySpec(
+    "multi_resolution_rollup", q_multi_resolution_rollup,
+    oracle="""
+        SELECT ((epoch_ns(ts) // 5000000000) * 5 // 60) * 60 AS w1m,
+               event_type,
+               COUNT(*) AS n_events,
+               {sum_value}
+        FROM events
+        GROUP BY 1, 2
+    """.format(sum_value=dsum_sql("value", "sum_value")),
+    doc="hypertable-style hierarchical rollup (1m layer from 5s layer)",
+    tags=("agg", "window-time", "rollup"),
+))
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish tokenization: the GPT-2 pretokenizer shape (letter runs,
+# digit runs, punctuation runs) via regexp_extract_all - a closer
+# token-count proxy than whitespace splitting, still pure codegen.
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        token_count().alias("n_ws_tokens"),
+        (F.size(toks).cast("double") / token_count())
+        .alias("bpe_per_word"),
+    )
+
+
+register(QuerySpec(
+    "bpe_token_counts", q_bpe_token_counts,
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                   AS n_bpe_tokens,
+               {TOKEN_COUNT_SQL} AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                    AS DOUBLE) / ({TOKEN_COUNT_SQL}) AS bpe_per_word
+        FROM documents
+    """,
+    doc="BPE-ish pretokenizer counting (letter/digit/punct runs)",
     tags=("text", "north-star"),
 ))
