@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis): the as-of join against a
+brute-force model, and envelope JSON round-trip on adversarial text."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cga_logs_to_kinesis_spark.operators.temporal import (
+    asof_join_last_event,
+)
+
+EVENT = st.tuples(
+    st.integers(0, 3),                    # user_id
+    st.integers(0, 10_000),               # us (time)
+    st.sampled_from(["purchase", "signup"]),
+)
+
+
+def brute_force_asof(events):
+    """Reference model: for each purchase, the signup with the
+    greatest us <= purchase.us for the same user (greatest event_id on
+    us ties — matching the window order (us, is_left, event_id))."""
+    out = {}
+    for i, (u, us, et) in enumerate(events):
+        if et != "purchase":
+            continue
+        best = None
+        for j, (u2, us2, et2) in enumerate(events):
+            if et2 == "signup" and u2 == u and us2 <= us:
+                if best is None or (us2, j) > (events[best][1], best):
+                    best = j
+        out[i] = best
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(EVENT, min_size=1, max_size=40))
+def test_asof_matches_brute_force(spark, events):
+    rows = [(i, u, us * 1000, et, 0.0)     # ts in ns = us*1000
+            for i, (u, us, et) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, "
+              "event_type string, value double")
+    got = {r.purchase_id: r.last_signup_id
+           for r in asof_join_last_event(df, "purchase", "signup")
+           .collect()}
+    want = brute_force_asof(events)
+    assert got == {k: (None if v is None else v)
+                   for k, v in want.items()}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.text(min_size=0, max_size=80))
+def test_envelope_json_roundtrip_arbitrary_text(spark, text):
+    """to_json ∘ from_json is identity for any message content Spark
+    can hold in a string column."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(text,)], "msg string")
+    wire = df.select(F.to_json(F.struct(F.col("msg"))).alias("w"))
+    back = wire.select(
+        F.from_json("w", "msg string").getField("msg").alias("msg"))
+    assert back.collect()[0].msg == (text if text != "" else text)
+    # and the wire is real JSON
+    payload = json.loads(wire.collect()[0].w)
+    assert payload.get("msg", "") == text or payload == {}
