@@ -250,3 +250,48 @@ register(QuerySpec(
     doc="approx_count_distinct (HLL++), error-bounded by test",
     tags=("agg", "approx"),
 ))
+
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build, extract, keys/size — the Envelope
+    `tags` map's operation set (schema.py ENVELOPE.tags)."""
+    tune_session(spark)
+    ev = load_events(spark, sf_dir)
+    k = F.from_json("props", "k INT").getField("k")
+    tags = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), k.cast("string"))
+    return (
+        ev.select("event_id", tags.alias("tags"))
+        .select(
+            "event_id",
+            F.element_at("tags", "type").alias("tag_type"),
+            F.element_at("tags", "k").alias("tag_k"),
+            F.size("tags").alias("n_tags"),
+            F.array_join(F.sort_array(F.map_keys("tags")), ",")
+            .alias("key_list"),
+        )
+    )
+
+
+register(QuerySpec(
+    "map_functions", q_map_functions,
+    oracle="""
+        SELECT event_id,
+               map_extract(tags, 'type')[1] AS tag_type,
+               map_extract(tags, 'k')[1] AS tag_k,
+               cardinality(tags) AS n_tags,
+               array_to_string(list_sort(map_keys(tags)), ',') AS key_list
+        FROM (
+            SELECT event_id,
+                   MAP(['type', 'k'],
+                       [event_type,
+                        CAST(CAST(json_extract_string(props, '$.k') AS INT)
+                             AS VARCHAR)]) AS tags
+            FROM events
+        )
+    """,
+    doc="MapType build/extract/keys (the Envelope tags surface)",
+    tags=("scalar", "map"),
+))

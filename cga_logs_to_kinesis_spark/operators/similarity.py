@@ -132,7 +132,8 @@ register(QuerySpec(
 import hashlib as _hashlib
 
 EMB_DIM = 64
-N_PLANES = 4
+N_PLANES = 4       # planes per table -> 2^4 buckets
+N_TABLES = 4       # independent hash tables; candidates are unioned
 
 
 def _plane_coefs(plane: int, dim: int = EMB_DIM) -> list[float]:
@@ -145,13 +146,14 @@ def _plane_coefs(plane: int, dim: int = EMB_DIM) -> list[float]:
     ]
 
 
-_PLANES = [_plane_coefs(p) for p in range(N_PLANES)]
+_PLANES = [[_plane_coefs(t * N_PLANES + p) for p in range(N_PLANES)]
+           for t in range(N_TABLES)]
 
 
-def lsh_bucket(emb_col: str) -> Column:
-    """2^N_PLANES-way bucket id from hyperplane signs."""
+def lsh_bucket(emb_col: str, table: int = 0) -> Column:
+    """2^N_PLANES-way bucket id from hyperplane signs (one table)."""
     bucket = F.lit(0)
-    for p, coefs in enumerate(_PLANES):
+    for p, coefs in enumerate(_PLANES[table]):
         plane = F.array(*[F.lit(c) for c in coefs])
         proj = _seq_sum(F.zip_with(
             F.col(emb_col), plane,
@@ -160,9 +162,21 @@ def lsh_bucket(emb_col: str) -> Column:
     return bucket
 
 
-def _bucket_sql(emb_expr: str) -> str:
+def lsh_table_buckets(emb_col: str) -> Column:
+    """Array of (table, bucket) ids — one entry per hash table.
+    Encoded as table * 2^N_PLANES + bucket so the join key is one int.
+    Single-table LSH has poor recall on weakly-clustered vectors;
+    unioning candidates across independent tables is the standard
+    recall repair (probability of missing a true neighbor decays
+    exponentially in the number of tables)."""
+    return F.array(*[
+        (lsh_bucket(emb_col, t) + F.lit(t * (1 << N_PLANES)))
+        for t in range(N_TABLES)])
+
+
+def _bucket_sql(emb_expr: str, table: int) -> str:
     terms = []
-    for p, coefs in enumerate(_PLANES):
+    for p, coefs in enumerate(_PLANES[table]):
         lit = "[" + ", ".join(repr(c) for c in coefs) + "]"
         proj = (f"list_reduce(list_transform(list_zip({emb_expr}, {lit}), "
                 f"t -> CAST(t[1] AS DOUBLE) * t[2]), (a, x) -> a + x)")
@@ -170,22 +184,32 @@ def _bucket_sql(emb_expr: str) -> str:
     return " + ".join(terms)
 
 
+def _table_buckets_sql(emb_expr: str) -> str:
+    entries = ", ".join(
+        f"({_bucket_sql(emb_expr, t)}) + {t * (1 << N_PLANES)}"
+        for t in range(N_TABLES))
+    return f"[{entries}]"
+
+
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame,
                     k: int) -> DataFrame:
-    """ANN top-k: score only candidates sharing the query's bucket."""
-    q = queries.select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("qe"),
-                       lsh_bucket("embedding").alias("bucket"))
-    c = emb.select(F.col("vec_id").alias("cand_id"),
-                   F.col("embedding").alias("ce"),
-                   lsh_bucket("embedding").alias("bucket"))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id",
-                (exact_dot("qe", "ce")
-                 / (exact_norm("qe") * exact_norm("ce"))).alias("cosine"))
-    )
+    """ANN top-k: score candidates sharing any hash table's bucket."""
+    q = (queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qe"),
+                        F.explode(lsh_table_buckets("embedding"))
+                        .alias("bucket")))
+    c = (emb.select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("ce"),
+                    F.explode(lsh_table_buckets("embedding"))
+                    .alias("bucket")))
+    pairs = (c.join(F.broadcast(q), "bucket")
+             .filter(F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "cand_id", "qe", "ce")
+             .distinct())          # union across tables, score once
+    scored = pairs.select(
+        "query_id", "cand_id",
+        (exact_dot("qe", "ce")
+         / (exact_norm("qe") * exact_norm("ce"))).alias("cosine"))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cosine").desc(), F.col("cand_id")))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -204,24 +228,29 @@ register(QuerySpec(
     oracle=f"""
         WITH b AS (
             SELECT vec_id, embedding,
-                   {_bucket_sql("embedding")} AS bucket
+                   unnest({_table_buckets_sql("embedding")}) AS bucket
             FROM embeddings
         ),
         q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
               FROM b WHERE vec_id < 8),
-        scored AS (
-            SELECT q.query_id, c.vec_id AS cand_id,
-                   list_reduce(list_transform(list_zip(q.qe, c.embedding),
-                       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
-                       (a, x) -> a + x)
-                   / (SQRT(list_reduce(list_transform(q.qe,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                          (a, x) -> a + x))
-                      * SQRT(list_reduce(list_transform(c.embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                          (a, x) -> a + x))) AS cosine
+        pairs AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS cand_id,
+                   q.qe, c.embedding AS ce
             FROM q JOIN b c ON q.bucket = c.bucket
             WHERE c.vec_id != q.query_id
+        ),
+        scored AS (
+            SELECT query_id, cand_id,
+                   list_reduce(list_transform(list_zip(qe, ce),
+                       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+                       (a, x) -> a + x)
+                   / (SQRT(list_reduce(list_transform(qe,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (a, x) -> a + x))
+                      * SQRT(list_reduce(list_transform(ce,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (a, x) -> a + x))) AS cosine
+            FROM pairs
         )
         SELECT query_id, cand_id, cosine, rank FROM (
             SELECT query_id, cand_id, cosine,
@@ -230,7 +259,7 @@ register(QuerySpec(
             FROM scored
         ) WHERE rank <= 5
     """,
-    doc="LSH-bucketed ANN cosine top-k (2^4 hyperplane buckets)",
+    doc="multi-table LSH ANN cosine top-k (4 tables x 2^4 buckets)",
     tags=("similarity", "north-star", "lsh"),
 ))
 
@@ -242,7 +271,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     b = emb.select(F.col("vec_id"), F.col("embedding"),
-                   lsh_bucket("embedding").alias("bucket"))
+                   F.explode(lsh_table_buckets("embedding"))
+                   .alias("bucket"))
     a = b.select(F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("ea"), "bucket")
     c = b.select(F.col("vec_id").alias("vec_b"),
@@ -250,6 +280,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(c, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "eb").distinct()
         .select("vec_a", "vec_b",
                 (exact_dot("ea", "eb")
                  / (exact_norm("ea") * exact_norm("eb"))).alias("cosine"))
@@ -262,26 +293,100 @@ register(QuerySpec(
     oracle=f"""
         WITH b AS (
             SELECT vec_id, embedding,
-                   {_bucket_sql("embedding")} AS bucket
+                   unnest({_table_buckets_sql("embedding")}) AS bucket
             FROM embeddings
         ),
-        pairs AS (
-            SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-                   list_reduce(list_transform(
-                       list_zip(x.embedding, y.embedding),
-                       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
-                       (a, v) -> a + v)
-                   / (SQRT(list_reduce(list_transform(x.embedding,
-                          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
-                          (a, v) -> a + v))
-                      * SQRT(list_reduce(list_transform(y.embedding,
-                          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
-                          (a, v) -> a + v))) AS cosine
+        upairs AS (
+            SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                   x.embedding AS ea, y.embedding AS eb
             FROM b x JOIN b y
               ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        ),
+        pairs AS (
+            SELECT vec_a, vec_b,
+                   list_reduce(list_transform(
+                       list_zip(ea, eb),
+                       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+                       (a, v) -> a + v)
+                   / (SQRT(list_reduce(list_transform(ea,
+                          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
+                          (a, v) -> a + v))
+                      * SQRT(list_reduce(list_transform(eb,
+                          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
+                          (a, v) -> a + v))) AS cosine
+            FROM upairs
         )
         SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.30
     """,
     doc="embedding-cosine near-dup pairs, LSH-blocked (no cross product)",
     tags=("dedup", "similarity", "north-star", "lsh"),
+))
+
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized fast path: numpy matmul over mapInPandas batches.
+# The oracle-exact operators above keep every flop in deterministic
+# JVM expressions; this path trades bit-exactness (BLAS reorders the
+# sums) for throughput - it scores a whole Arrow batch against the
+# broadcast query block in one matmul.  Rows-only in the correctness
+# gate; tests/test_similarity_fast.py pins top-k agreement with the
+# exact operator instead.
+# ---------------------------------------------------------------------------
+
+def cosine_topk_fast(emb: DataFrame, queries: DataFrame,
+                     k: int) -> DataFrame:
+    """ANN-speed exact scoring: per-partition numpy matmul + local
+    top-k, then a global k-row-per-query merge.  The corpus never
+    shuffles; only |partitions| x |Q| x k candidate rows move."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("vec_id", "embedding").collect()
+    q_ids = [r.vec_id for r in q_rows]
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = ("query_id long, cand_id long, cosine double")
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (q_mat @ c_mat.T) / np.outer(q_norm, c_norm)
+            frames = []
+            for qi, qid in enumerate(q_ids):
+                row = sims[qi]
+                mask = ids != qid
+                cand_ids = ids[mask]
+                cand_sims = row[mask]
+                top = np.argsort(-cand_sims, kind="stable")[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "cand_id": cand_ids[top],
+                    "cosine": cand_sims[top]}))
+            if frames:
+                yield pd.concat(frames)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema=out_schema)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cosine").desc(), F.col("cand_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cosine", "rank"))
+
+
+def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_fast(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+register(QuerySpec(
+    "cosine_topk_fast", q_cosine_topk_fast,
+    oracle=None,   # BLAS sum order != sequential fold; see docstring
+    doc="Arrow/numpy-vectorized cosine top-k (throughput path)",
+    tags=("similarity", "north-star", "pandas-udf"),
 ))

@@ -1,0 +1,57 @@
+"""Partitioned archival sink: layout, pruning, file sizing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.plans import formatted_plan
+from cga_logs_to_kinesis_spark.streaming.archive import (
+    archive_envelopes,
+    read_archive,
+)
+from cga_logs_to_kinesis_spark.streaming.envelope import envelope_projection
+
+
+def _envelopes(spark, tmp_path):
+    watch = tmp_path / "logs"
+    watch.mkdir()
+    (watch / "a.log").write_text("l1\nl2\nl3\nl4\n")
+    lines = spark.read.format("text").load(str(watch))
+    return envelope_projection(lines, origin="arch-test")
+
+
+def test_archive_layout_and_roundtrip(spark, tmp_path):
+    env = _envelopes(spark, tmp_path)
+    out = str(tmp_path / "archive")
+    archive_envelopes(env, out)
+
+    dirs = sorted(p.name for p in (tmp_path / "archive").iterdir()
+                  if p.is_dir())
+    assert len(dirs) == 1 and dirs[0].startswith("event_date=")
+    sub = sorted(p.name for p in
+                 (tmp_path / "archive" / dirs[0]).iterdir() if p.is_dir())
+    assert sub == ["origin=arch-test"]
+
+    back = read_archive(spark, out)
+    assert back.count() == 4
+    assert set(back.select("origin").distinct().toPandas()["origin"]) == {
+        "arch-test"}
+
+
+def test_archive_partition_pruning(spark, tmp_path):
+    env = _envelopes(spark, tmp_path)
+    out = str(tmp_path / "archive")
+    archive_envelopes(env, out)
+    q = read_archive(spark, out).filter(
+        F.col("origin") == "no-such-origin")
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan
+    assert q.count() == 0
+
+
+def test_archive_file_sizing(spark, tmp_path):
+    env = _envelopes(spark, tmp_path)
+    out = str(tmp_path / "archive")
+    archive_envelopes(env, out, files_per_partition=2)
+    files = list((tmp_path / "archive").rglob("*.parquet"))
+    assert 1 <= len(files) <= 2
