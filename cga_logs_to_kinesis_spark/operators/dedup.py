@@ -208,10 +208,27 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     at least one band bucket, with true shingle-set Jaccard computed
     only for those candidates.
     """
-    sigs = minhash_signatures(docs)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    cand = (a.join(b, ["band", "sig"])
+    # One signature pass (localCheckpoint truncates the lineage so the
+    # md5 fan-out runs exactly once), then pair up the 16 raw
+    # minhashes into 8 bands of r=2: band collision probability is
+    # jaccard^2, which keeps the candidate set proportional to real
+    # similarity instead of to the most common shingle (r=1 floods:
+    # 156k candidate pairs at sf0.1, most with tiny jaccard, and the
+    # verify join becomes the bottleneck).  Candidates are expanded
+    # inside each bucket's member list — no self-join.
+    sigs = minhash_signatures(docs).localCheckpoint()
+    banded = (sigs
+              .withColumn("band2", F.expr("band DIV 2"))
+              .groupBy("doc_id", "band2")
+              .agg(F.md5(F.concat_ws("", F.sort_array(
+                  F.collect_list(F.concat_ws(":", "band", "sig")))))
+                   .alias("sig2")))
+    buckets = (banded.groupBy("band2", "sig2")
+               .agg(F.collect_list("doc_id").alias("ds"))
+               .filter(F.size("ds") > 1))
+    cand = (buckets
+            .select(F.explode("ds").alias("doc_a"), "ds")
+            .select("doc_a", F.explode("ds").alias("doc_b"))
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_common_bands")))
@@ -243,11 +260,18 @@ register(QuerySpec(
             FROM shingled_ne,
                  (SELECT unnest(range(0, {N_BANDS})) AS band) b
         ),
+        banded AS (
+            SELECT doc_id, band // 2 AS band2,
+                   md5(array_to_string(
+                       list_sort(list(band || ':' || sig)), '')) AS sig2
+            FROM sigs
+            GROUP BY doc_id, band // 2
+        ),
         cand AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    COUNT(*) AS n_common_bands
-            FROM sigs a JOIN sigs b
-              ON a.band = b.band AND a.sig = b.sig
+            FROM banded a JOIN banded b
+              ON a.band2 = b.band2 AND a.sig2 = b.sig2
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
