@@ -169,7 +169,11 @@ def minhash_signatures(docs: DataFrame,
     100 TB corpus wants it (work scales with the scan, shuffle scales
     with docs x bands only).
     """
-    sh = shingle_docs(docs)
+    return signatures_from_shingles(shingle_docs(docs), n_bands)
+
+
+def signatures_from_shingles(sh: DataFrame,
+                             n_bands: int = N_BANDS) -> DataFrame:
     band_sig = F.expr(
         "transform(sequence(0, {n}), b -> "
         "array_min(transform(shingles, s -> md5(concat(b, ':', s)))))"
@@ -208,15 +212,18 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     at least one band bucket, with true shingle-set Jaccard computed
     only for those candidates.
     """
-    # One signature pass (localCheckpoint truncates the lineage so the
-    # md5 fan-out runs exactly once), then pair up the 16 raw
-    # minhashes into 8 bands of r=2: band collision probability is
-    # jaccard^2, which keeps the candidate set proportional to real
-    # similarity instead of to the most common shingle (r=1 floods:
-    # 156k candidate pairs at sf0.1, most with tiny jaccard, and the
-    # verify join becomes the bottleneck).  Candidates are expanded
-    # inside each bucket's member list — no self-join.
-    sigs = minhash_signatures(docs).localCheckpoint()
+    # Shingle ONCE (localCheckpoint truncates the lineage so the
+    # tokenize/shingle pass — reused by the signature derivation and
+    # both sides of the Jaccard verify — runs a single time), then
+    # pair up the 16 raw minhashes into 8 bands of r=2: band collision
+    # probability is jaccard^2, which keeps the candidate set
+    # proportional to real similarity instead of to the most common
+    # shingle (r=1 floods: 156k candidate pairs at sf0.1, most with
+    # tiny jaccard, and the verify join becomes the bottleneck).
+    # Candidates are expanded inside each bucket's member list — no
+    # self-join.
+    sh = shingle_docs(docs).localCheckpoint()
+    sigs = signatures_from_shingles(sh)
     banded = (sigs
               .withColumn("band2", F.expr("band DIV 2"))
               .groupBy("doc_id", "band2")
@@ -232,7 +239,6 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_common_bands")))
-    sh = shingle_docs(docs)
     sa = sh.select(F.col("doc_id").alias("doc_a"),
                    F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"),
