@@ -194,22 +194,33 @@ def _table_buckets_sql(emb_expr: str) -> str:
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame,
                     k: int) -> DataFrame:
     """ANN top-k: score candidates sharing any hash table's bucket."""
-    q = (queries.select(F.col("vec_id").alias("query_id"),
-                        F.col("embedding").alias("qe"),
+    # Candidate generation moves only (bucket, id) pairs; the distinct
+    # that unions candidates across hash tables dedups 16-byte id
+    # pairs, not embedding arrays.  Arrays are joined back just once
+    # per surviving pair (query side broadcast, corpus side one small
+    # shuffle) before scoring.
+    q_ids = (queries.select(F.col("vec_id").alias("query_id"),
+                            F.explode(lsh_table_buckets("embedding"))
+                            .alias("bucket")))
+    c_ids = (emb.select(F.col("vec_id").alias("cand_id"),
                         F.explode(lsh_table_buckets("embedding"))
                         .alias("bucket")))
-    c = (emb.select(F.col("vec_id").alias("cand_id"),
-                    F.col("embedding").alias("ce"),
-                    F.explode(lsh_table_buckets("embedding"))
-                    .alias("bucket")))
-    pairs = (c.join(F.broadcast(q), "bucket")
-             .filter(F.col("cand_id") != F.col("query_id"))
-             .select("query_id", "cand_id", "qe", "ce")
-             .distinct())          # union across tables, score once
-    scored = pairs.select(
-        "query_id", "cand_id",
-        (exact_dot("qe", "ce")
-         / (exact_norm("qe") * exact_norm("ce"))).alias("cosine"))
+    pair_ids = (c_ids.join(F.broadcast(q_ids), "bucket")
+                .filter(F.col("cand_id") != F.col("query_id"))
+                .select("query_id", "cand_id")
+                .distinct())
+    q_arr = queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("qe"))
+    c_arr = emb.select(F.col("vec_id").alias("cand_id"),
+                       F.col("embedding").alias("ce"))
+    scored = (pair_ids
+              .join(F.broadcast(q_arr), "query_id")
+              .join(c_arr, "cand_id")
+              .select(
+                  "query_id", "cand_id",
+                  (exact_dot("qe", "ce")
+                   / (exact_norm("qe") * exact_norm("ce")))
+                  .alias("cosine")))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cosine").desc(), F.col("cand_id")))
     return (scored.withColumn("rank", F.row_number().over(w))
