@@ -47,5 +47,6 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         temporal,
         text,
+        tpch_shapes,
     )
     return dict(_REGISTRY)
