@@ -307,3 +307,147 @@ register(QuerySpec(
     doc="BPE-ish pretokenizer counting (letter/digit/punct runs)",
     tags=("text", "north-star"),
 ))
+
+
+
+def q_dedup_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup over a compound key ((user_id, event_type) by
+    time) — the batch twin of the streaming first-seen dedup
+    (streaming/stateful.py), expressed as a row_number window."""
+    tune_session(spark)
+    ev = load_events(spark, sf_dir)
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy("ts", "event_id"))
+    return (ev
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id",
+                    F.expr("ts DIV 1000").alias("first_us")))
+
+
+register(QuerySpec(
+    "dedup_events_first", q_dedup_events_first,
+    oracle="""
+        SELECT user_id, event_type, event_id,
+               epoch_us(ts) AS first_us
+        FROM (
+            SELECT user_id, event_type, event_id, ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="keep-first dedup by compound key (batch twin of stateful dedup)",
+    tags=("dedup", "window"),
+))
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: per user, did a purchase follow the
+    first signup?  Conditional aggregation over per-user firsts — one
+    shuffle on user_id, no self-join."""
+    tune_session(spark)
+    ev = load_events(spark, sf_dir)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup",
+                         F.col("ts"))).alias("first_signup"),
+            F.max(F.when(F.col("event_type") == "purchase",
+                         F.col("ts"))).alias("last_purchase"),
+        )
+    )
+    return (
+        per_user
+        .withColumn("signed_up", F.col("first_signup").isNotNull())
+        .withColumn(
+            "converted",
+            F.col("first_signup").isNotNull()
+            & F.col("last_purchase").isNotNull()
+            & (F.col("last_purchase") >= F.col("first_signup")))
+        .groupBy("signed_up")
+        .agg(F.count("*").alias("n_users"),
+             F.count(F.when(F.col("converted"), 1)).alias("n_converted"))
+    )
+
+
+register(QuerySpec(
+    "funnel_conversion", q_funnel_conversion,
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                       AS first_signup,
+                   MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS last_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT first_signup IS NOT NULL AS signed_up,
+               COUNT(*) AS n_users,
+               COUNT(CASE WHEN first_signup IS NOT NULL
+                          AND last_purchase IS NOT NULL
+                          AND last_purchase >= first_signup
+                     THEN 1 END) AS n_converted
+        FROM per_user
+        GROUP BY 1
+    """,
+    doc="signup->purchase funnel (per-user firsts, no self-join)",
+    tags=("agg", "funnel"),
+))
+
+
+def q_quality_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed filtering pipeline: quality features -> thresholds
+    -> surviving corpus with its stats.  This is the shape of a real
+    pretraining data filter: all narrow expressions over one scan."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs)
+    survivors = feats.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("punct_ratio") <= 0.10)
+        & (F.col("digit_ratio") <= 0.20)
+        & (F.col("mean_token_len") >= 3.0)
+        & (F.col("mean_token_len") <= 12.0))
+    return (
+        docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("n_chars").alias("kept_chars"))
+    )
+
+
+register(QuerySpec(
+    "quality_filter_survivors", q_quality_filter_survivors,
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   {TOKEN_COUNT_SQL} AS n_tokens,
+                   (LENGTH(text) - LENGTH(regexp_replace(text,
+                        '[.,;:!?]', '', 'g')))
+                       / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio,
+                   (LENGTH(text) - LENGTH(regexp_replace(text,
+                        '[0-9]', '', 'g')))
+                       / CAST(LENGTH(text) AS DOUBLE) AS digit_ratio,
+                   CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+                       / ({TOKEN_COUNT_SQL}) AS mean_token_len
+            FROM documents
+        )
+        SELECT d.lang, d.source,
+               COUNT(*) AS n_kept,
+               SUM(d.n_chars) AS kept_chars
+        FROM documents d
+        WHERE EXISTS (
+            SELECT 1 FROM feats f
+            WHERE f.doc_id = d.doc_id
+              AND f.n_tokens >= 10
+              AND f.punct_ratio <= 0.10
+              AND f.digit_ratio <= 0.20
+              AND f.mean_token_len BETWEEN 3.0 AND 12.0)
+        GROUP BY d.lang, d.source
+    """,
+    doc="composed quality-filter pipeline -> surviving corpus stats",
+    tags=("text", "north-star", "filter"),
+))
