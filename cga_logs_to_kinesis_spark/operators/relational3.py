@@ -295,3 +295,88 @@ register(QuerySpec(
     doc="MapType build/extract/keys (the Envelope tags surface)",
     tags=("scalar", "map"),
 ))
+
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long): per-nation aggregate columns melted into
+    (metric, value) rows — Spark `unpivot` vs SQL UNPIVOT semantics."""
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    wide = (cust.groupBy("c_nationkey")
+            .agg(F.count("*").cast("double").alias("n_customers"),
+                 F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+                 .cast("double").alias("total_balance"),
+                 F.max("c_acctbal").alias("max_balance")))
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["n_customers", "total_balance", "max_balance"],
+        variableColumnName="metric",
+        valueColumnName="value")
+
+
+register(QuerySpec(
+    "unpivot_metrics", q_unpivot_metrics,
+    oracle="""
+        WITH wide AS (
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS DOUBLE) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                        AS DOUBLE) AS total_balance,
+                   MAX(c_acctbal) AS max_balance
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, metric, value
+        FROM wide
+        UNPIVOT (value FOR metric IN
+                 (n_customers, total_balance, max_balance))
+    """,
+    doc="unpivot/melt wide aggregates into (metric, value) rows",
+    tags=("reshape", "unpivot"),
+))
+
+
+def q_rank_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function gallery: rank / dense_rank / percent_rank /
+    cume_dist / ntile over a deterministic total order."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+    return (
+        orders
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderpriority", "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 100)
+    )
+
+
+register(QuerySpec(
+    "rank_gallery", q_rank_gallery,
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, rnk, drnk, prnk, cdist,
+               quartile
+        FROM (
+            SELECT o_orderpriority, o_orderkey,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   PERCENT_RANK() OVER w AS prnk,
+                   CUME_DIST() OVER w AS cdist,
+                   NTILE(4) OVER w AS quartile
+            FROM orders
+            WHERE o_orderstatus = 'F'
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)
+        ) WHERE rnk <= 100
+    """,
+    doc="rank/dense_rank/percent_rank/cume_dist/ntile gallery",
+    tags=("window", "rank"),
+))
