@@ -228,3 +228,78 @@ register(QuerySpec(
     doc="TPC-H Q18 shape: HAVING aggregate then join-back + top-k",
     tags=("join", "agg", "having", "topk"),
 ))
+
+
+
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via a window over an aggregate (the scalar-
+    subquery-in-SELECT shape, decorrelated into a windowed agg)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+    per_status = (orders.groupBy("o_orderstatus")
+                  .agg(F.sum(F.col("o_totalprice")
+                             .cast("decimal(38,6)")).alias("s"),
+                       F.count("*").alias("n_orders")))
+    return (per_status
+            .select(
+                "o_orderstatus", "n_orders",
+                F.col("s").cast("double").alias("status_total"),
+                (F.col("s").cast("double")
+                 / F.sum("s").over(
+                     Window.partitionBy()).cast("double") * 100.0)
+                .alias("pct_of_total")))
+
+
+register(QuerySpec(
+    "share_of_total", q_share_of_total,
+    oracle="""
+        WITH per_status AS (
+            SELECT o_orderstatus,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS s,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, n_orders,
+               CAST(s AS DOUBLE) AS status_total,
+               CAST(s AS DOUBLE)
+                   / CAST(SUM(s) OVER () AS DOUBLE) * 100.0
+                   AS pct_of_total
+        FROM per_status
+    """,
+    doc="percent-of-total (windowed grand total over aggregate)",
+    tags=("window", "agg", "ratio"),
+))
+
+
+def q_date_trunc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing with date_trunc (week boundaries are the
+    calendar semantics integer DIV can't express)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders
+        .withColumn("order_week",
+                    F.date_format(F.date_trunc("week", "o_orderdate"),
+                                  "yyyy-MM-dd"))
+        .groupBy("order_week")
+        .agg(F.count("*").alias("n_orders"),
+             dsum("o_totalprice", "week_total"))
+        .orderBy("order_week")
+    )
+
+
+register(QuerySpec(
+    "date_trunc_buckets", q_date_trunc_buckets,
+    oracle="""
+        SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+                   AS order_week,
+               COUNT(*) AS n_orders,
+               {week_total}
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+    """.format(week_total=dsum_sql("o_totalprice", "week_total")),
+    doc="calendar week bucketing via date_trunc",
+    tags=("date", "agg"),
+))
