@@ -51,3 +51,40 @@ def test_dedup_shuffles_digest_not_text(spark):
     exchange = plan[plan.index("Exchange"):] if "Exchange" in plan else ""
     assert "text_digest" in exchange
     assert "text#" not in exchange.split("Scan parquet")[0]
+
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The as-of join must compile to union + window (one exchange on
+    user_id), never a nested-loop range join."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    df = SPECS["asof_last_signup"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "Window" in plan
+
+
+def test_q18_aggregates_before_join(spark):
+    """HAVING-aggregate-then-join-back: the lineitem aggregate must sit
+    below the join, and customer must broadcast."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    df = SPECS["large_volume_customers"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("BroadcastHashJoin")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_range_join_is_equi_join(spark):
+    """Bucketed interval join must be an equi-join (hash/sort-merge on
+    (user, bucket)), not a broadcast nested loop over the inequality."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    df = SPECS["range_join_error_after_purchase"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
