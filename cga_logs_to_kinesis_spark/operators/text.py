@@ -451,3 +451,69 @@ register(QuerySpec(
     doc="composed quality-filter pipeline -> surviving corpus stats",
     tags=("text", "north-star", "filter"),
 ))
+
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style salient terms per document: score = tf * N / df
+    (the rational core of TF-IDF - logs are omitted because libm ln()
+    rounding differs across engines, and the monotone transform does
+    not change the per-document ranking for fixed tf).  Two hash-aggs
+    (tf, df) + a broadcast of the df table; top-3 terms per doc by
+    window."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (docs
+            .repartition(par, "doc_id")
+            .select("doc_id",
+                    F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("tok"))
+            .withColumn("tok", F.regexp_replace("tok", r"[^a-z0-9]", ""))
+            .filter(F.length("tok") >= 3))
+    n_docs = docs.count()
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "tok").distinct()         .groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("score").desc(), F.col("tok")))
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .withColumn("score",
+                    (F.col("tf") * F.lit(float(n_docs))) / F.col("df"))
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", F.col("tok").alias("term"),
+                "tf", "df", "score", "term_rank")
+    )
+
+
+register(QuerySpec(
+    "tfidf_top_terms", q_tfidf_top_terms,
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS tok
+            FROM documents,
+                 UNNEST(regexp_split_to_array(lower(trim(text)), '\s+'))
+                     AS t(tok)
+        ),
+        toks_f AS (SELECT * FROM toks WHERE LENGTH(tok) >= 3),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+               FROM toks_f GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(*) AS df FROM
+               (SELECT DISTINCT doc_id, tok FROM toks_f) GROUP BY tok),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+        SELECT doc_id, tok AS term, tf, df, score, term_rank FROM (
+            SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                   (tf.tf * n.n_docs) / df.df AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (tf.tf * n.n_docs) / df.df DESC, tf.tok
+                   ) AS term_rank
+            FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        ) WHERE term_rank <= 3
+    """,
+    doc="TF-IDF salient terms per doc (rational score, log-free)",
+    tags=("text", "north-star", "agg", "topk"),
+))
