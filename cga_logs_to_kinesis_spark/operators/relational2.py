@@ -305,11 +305,17 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(F.count("*").alias("n"),
-             F.slice(F.sort_array(F.collect_list("k")), 1, 5)
+             # Arrays are serialized to CSV strings: the driver's pandas
+             # canonicalizer cannot sort array-typed cells (same convention
+             # as timestamps — emit scalars only).
+             F.array_join(
+                 F.slice(F.sort_array(F.collect_list("k")), 1, 5), ",")
              .alias("k_smallest5"),
-             F.sort_array(
-                 F.array_distinct(F.slice(F.sort_array(F.collect_list("k")),
-                                          1, 5))).alias("k_smallest5_uniq"),
+             F.array_join(
+                 F.sort_array(
+                     F.array_distinct(
+                         F.slice(F.sort_array(F.collect_list("k")), 1, 5))),
+                 ",").alias("k_smallest5_uniq"),
              F.min("k").alias("k_min"),
              F.max("k").alias("k_max"))
     )
@@ -320,8 +326,9 @@ register(QuerySpec(
     oracle="""
         SELECT event_type,
                COUNT(*) AS n,
-               list_sort(list(k))[1:5] AS k_smallest5,
-               list_sort(list_distinct(list_sort(list(k))[1:5]))
+               array_to_string(list_sort(list(k))[1:5], ',') AS k_smallest5,
+               array_to_string(
+                   list_sort(list_distinct(list_sort(list(k))[1:5])), ',')
                    AS k_smallest5_uniq,
                MIN(k) AS k_min,
                MAX(k) AS k_max

@@ -22,6 +22,12 @@ SPECS = all_queries()
 
 
 def canon(v) -> str:
+    if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+        # The driver's pandas-based canonicalizer crashes on non-hashable
+        # cells; queries must serialize arrays/maps to strings themselves.
+        raise TypeError(
+            f"non-scalar output cell ({type(v).__name__}): serialize with "
+            "array_join / to_json in the query")
     if v is None:
         return "NULL"
     if isinstance(v, float):

@@ -1,0 +1,37 @@
+"""Registry / driver-window invariants.
+
+The driver verifies only the first 50 entries of ``queries()`` — these
+tests keep the curated window exactly 50 wide, duplicate-free, and in
+front, so what the driver checks is a deliberate choice rather than an
+accident of import order (the round-1 failure mode).
+"""
+
+from __future__ import annotations
+
+from cga_logs_to_kinesis_spark.registry import DRIVER_WINDOW, all_queries
+
+DRIVER_CAP = 50
+
+
+def test_window_is_exactly_driver_cap():
+    assert len(DRIVER_WINDOW) == DRIVER_CAP
+
+
+def test_window_has_no_duplicates():
+    assert len(set(DRIVER_WINDOW)) == len(DRIVER_WINDOW)
+
+
+def test_window_names_all_registered():
+    registered = set(all_queries())
+    missing = [n for n in DRIVER_WINDOW if n not in registered]
+    assert not missing, f"window names not in registry: {missing}"
+
+
+def test_window_leads_query_order():
+    names = list(all_queries())
+    assert tuple(names[:DRIVER_CAP]) == DRIVER_WINDOW
+
+
+def test_every_registered_query_returned_once():
+    names = list(all_queries())
+    assert len(names) == len(set(names))

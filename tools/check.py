@@ -29,6 +29,14 @@ from cga_logs_to_kinesis_spark.session import get_session  # noqa: E402
 
 
 def canon(v) -> str:
+    if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+        # The driver canonicalizes through pandas sort_values, which dies on
+        # non-hashable cells (TypeError: unhashable type 'numpy.ndarray').
+        # Reject here so local green predicts driver green: serialize arrays
+        # with array_join/to_json in the query itself.
+        raise TypeError(
+            f"non-scalar output cell ({type(v).__name__}): query must "
+            "serialize arrays/maps to strings (array_join / to_json)")
     if v is None:
         return "NULL"
     if isinstance(v, float):
