@@ -17,7 +17,7 @@ parameter without touching the topology.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
@@ -115,14 +115,19 @@ N_BANDS = 16
 
 
 def shingle_docs(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles: array<string>) - distinct word-K-shingles."""
+    """(doc_id, shingles: array<string>) - distinct word-K-shingles.
+
+    Short docs are dropped by filtering on the token count BEFORE the
+    shingle transform, not by wrapping the transform in
+    ``when(...).otherwise(empty)`` and filtering its output: the
+    when/filter-on-result form defeats subexpression elimination (the
+    normalize+split pipeline gets inlined into the when-condition, the
+    lambda body, and the filter) and measured ~15x slower at sf0.1.
+    """
     toks = F.split(normalized_text(), " ")
-    shingles = F.when(
-        F.size(toks) >= SHINGLE_K,
-        F.expr(
-            f"transform(sequence(1, size(_toks) - {SHINGLE_K - 1}), "
-            f"i -> concat_ws(' ', slice(_toks, i, {SHINGLE_K})))")
-    ).otherwise(F.array().cast("array<string>"))
+    shingles = F.expr(
+        f"transform(sequence(1, size(_toks) - {SHINGLE_K - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {SHINGLE_K})))")
     # Spread docs across cores BEFORE the band-explode amplifies rows
     # 16x: a small parquet file scans as one partition, which would pin
     # the whole md5 fan-out to a single task.  (At real scale the scan
@@ -132,9 +137,9 @@ def shingle_docs(docs: DataFrame) -> DataFrame:
     return (docs
             .repartition(par, "doc_id")
             .withColumn("_toks", toks)
+            .filter(F.size("_toks") >= SHINGLE_K)
             .select("doc_id",
-                    F.array_distinct(shingles).alias("shingles"))
-            .filter(F.size("shingles") > 0))
+                    F.array_distinct(shingles).alias("shingles")))
 
 
 SHINGLES_SQL = f"""
@@ -205,6 +210,15 @@ register(QuerySpec(
 ))
 
 
+# Buckets larger than this are dropped from candidate generation on
+# BOTH engines.  A hot bucket (boilerplate-heavy web corpora collapse
+# many near-identical docs into one band signature) emits O(n²)
+# candidate pairs; past ~1000 members those pairs are overwhelmingly
+# template noise, and at 100 TB a single such bucket would dominate the
+# job.  1000²/2 = ~500k pairs is the bounded worst case per bucket.
+MAX_BUCKET = 1000
+
+
 def minhash_candidates(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs + exact Jaccard verification.
 
@@ -220,8 +234,6 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     # proportional to real similarity instead of to the most common
     # shingle (r=1 floods: 156k candidate pairs at sf0.1, most with
     # tiny jaccard, and the verify join becomes the bottleneck).
-    # Candidates are expanded inside each bucket's member list — no
-    # self-join.
     sh = shingle_docs(docs).localCheckpoint()
     sigs = signatures_from_shingles(sh)
     banded = (sigs
@@ -230,12 +242,23 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
               .agg(F.md5(F.concat_ws("", F.sort_array(
                   F.collect_list(F.concat_ws(":", "band", "sig")))))
                    .alias("sig2")))
-    buckets = (banded.groupBy("band2", "sig2")
-               .agg(F.collect_list("doc_id").alias("ds"))
-               .filter(F.size("ds") > 1))
-    cand = (buckets
-            .select(F.explode("ds").alias("doc_a"), "ds")
-            .select("doc_a", F.explode("ds").alias("doc_b"))
+    # Candidate pairs via a SELF-EQUI-JOIN on the bucket key, not a
+    # per-bucket collect_list + double explode: the join streams a hot
+    # bucket's pairs through normal shuffle machinery (AQE skew-join can
+    # split one bucket across tasks), whereas a collected member array
+    # pins the whole O(n²) expansion plus an unbounded array into a
+    # single task.  The size cap drops degenerate buckets entirely;
+    # the window count reuses the (band2, sig2) exchange the join needs
+    # anyway.
+    bucket_n = F.count("*").over(
+        Window.partitionBy("band2", "sig2"))
+    eligible = (banded
+                .withColumn("_bn", bucket_n)
+                .filter((F.col("_bn") > 1) & (F.col("_bn") <= MAX_BUCKET))
+                .drop("_bn"))
+    a = eligible.select(F.col("doc_id").alias("doc_a"), "band2", "sig2")
+    b = eligible.select(F.col("doc_id").alias("doc_b"), "band2", "sig2")
+    cand = (a.join(b, ["band2", "sig2"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_common_bands")))
@@ -273,10 +296,16 @@ register(QuerySpec(
             FROM sigs
             GROUP BY doc_id, band // 2
         ),
+        eligible AS (
+            SELECT doc_id, band2, sig2 FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band2, sig2) AS bn
+                FROM banded
+            ) WHERE bn > 1 AND bn <= {MAX_BUCKET}
+        ),
         cand AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    COUNT(*) AS n_common_bands
-            FROM banded a JOIN banded b
+            FROM eligible a JOIN eligible b
               ON a.band2 = b.band2 AND a.sig2 = b.sig2
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2
@@ -386,20 +415,18 @@ CHAR_ROWS_PER_BAND = 2
 
 
 def char_shingle_docs(docs: DataFrame) -> DataFrame:
+    # Filter-before-transform, same CSE reasoning as shingle_docs.
     norm = normalized_text()
-    shingles = F.when(
-        F.length(norm) >= CHAR_K,
-        F.expr(
-            f"transform(sequence(1, length(_norm) - {CHAR_K - 1}), "
-            f"i -> substring(_norm, i, {CHAR_K}))")
-    ).otherwise(F.array().cast("array<string>"))
+    shingles = F.expr(
+        f"transform(sequence(1, length(_norm) - {CHAR_K - 1}), "
+        f"i -> substring(_norm, i, {CHAR_K}))")
     par = docs.sparkSession.sparkContext.defaultParallelism
     return (docs
             .repartition(par, "doc_id")
             .withColumn("_norm", norm)
+            .filter(F.length("_norm") >= CHAR_K)
             .select("doc_id",
-                    F.array_distinct(shingles).alias("shingles"))
-            .filter(F.size("shingles") > 0))
+                    F.array_distinct(shingles).alias("shingles")))
 
 
 CHAR_SHINGLES_SQL = f"""
@@ -428,6 +455,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_min(transform(shingles, s -> md5(concat(b*2+1, ':', s))))"
         ")))".format(n=CHAR_BANDS - 1))
     sigs = sh.select("doc_id", F.posexplode(band_sig).alias("band", "sig"))
+    # Same hot-bucket bound as minhash_candidates: drop degenerate
+    # buckets before the self-join so one boilerplate signature cannot
+    # emit O(n²) pairs.
+    sigs = (sigs
+            .withColumn("_bn", F.count("*").over(
+                Window.partitionBy("band", "sig")))
+            .filter((F.col("_bn") > 1) & (F.col("_bn") <= MAX_BUCKET))
+            .drop("_bn"))
     a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     cand = (a.join(b, ["band", "sig"])
@@ -459,9 +494,15 @@ register(QuerySpec(
             FROM shingled_ne,
                  (SELECT unnest(range(0, {CHAR_BANDS})) AS band) b
         ),
+        eligible AS (
+            SELECT doc_id, band, sig FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bn
+                FROM sigs
+            ) WHERE bn > 1 AND bn <= {MAX_BUCKET}
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sigs a JOIN sigs b
+            FROM eligible a JOIN eligible b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         )
         SELECT c.doc_a, c.doc_b,

@@ -88,3 +88,20 @@ def test_range_join_is_equi_join(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+def test_minhash_lsh_candidates_join_not_collect(spark):
+    """Candidate generation must be a self-equi-join on the bucket key
+    (skew-splittable by AQE), never a per-bucket collect_list(doc_id)
+    + double explode, which pins a hot bucket's O(n²) expansion and an
+    unbounded member array into one task."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["dedup_minhash_lsh"].fn(spark, SF_SMOKE))
+    assert "collect_list(doc_id" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+
+
+def test_ngram_jaccard_candidates_join_not_collect(spark):
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["dedup_ngram_jaccard"].fn(spark, SF_SMOKE))
+    assert "collect_list(doc_id" not in plan
