@@ -29,7 +29,10 @@ import sys
 
 from cga_logs_to_kinesis_spark.session import get_session
 from cga_logs_to_kinesis_spark.streaming.config import watch_config_from_env
-from cga_logs_to_kinesis_spark.streaming.metrics import attach_metrics
+from cga_logs_to_kinesis_spark.streaming.metrics import (
+    attach_metrics,
+    serve_metrics,
+)
 from cga_logs_to_kinesis_spark.streaming.pipeline import (
     PipelineConfig,
     build_pipeline,
@@ -98,7 +101,14 @@ def run(env: dict[str, str] | None = None,
         spark.stop()
         return 0
 
-    # daemon mode: block until SIGINT/SIGTERM (reference main.go:415-417)
+    # daemon mode: serve /metrics on $PORT (reference main.go:410-413)
+    # and block until SIGINT/SIGTERM (main.go:415-417)
+    server = None
+    if env.get("PORT"):
+        server = serve_metrics(
+            lambda: render_all_metrics(metrics, stats_list),
+            int(env["PORT"]))
+
     def shutdown(_sig, _frm):
         for q in queries:
             q.stop()
@@ -110,9 +120,27 @@ def run(env: dict[str, str] | None = None,
     metrics_path = env.get("METRICS_PATH")
     if metrics_path:
         with open(metrics_path, "w") as f:
-            f.write(metrics.render_prometheus())
+            f.write(render_all_metrics(metrics, stats_list))
+    if server is not None:
+        server.shutdown()
     spark.stop()
     return 0
+
+
+def render_all_metrics(metrics, stats_list) -> str:
+    """Engine (A3) + delivery (A2) counters in one exposition page —
+    the reference's records_sent/records_dropped/request_errors family
+    (main.go:28-47) alongside the streaming-progress metrics."""
+    sent = sum(s.records_sent for s in stats_list)
+    dropped = sum(s.records_dropped for s in stats_list)
+    errors = sum(s.request_errors for s in stats_list)
+    return metrics.render_prometheus() + (
+        "# TYPE engine_records_sent_total counter\n"
+        f"engine_records_sent_total {sent}\n"
+        "# TYPE engine_records_dropped_total counter\n"
+        f"engine_records_dropped_total {dropped}\n"
+        "# TYPE engine_request_errors_total counter\n"
+        f"engine_request_errors_total {errors}\n")
 
 
 if __name__ == "__main__":

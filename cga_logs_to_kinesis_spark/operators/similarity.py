@@ -345,6 +345,14 @@ register(QuerySpec(
 # exact operator instead.
 # ---------------------------------------------------------------------------
 
+# cosine_topk_fast collects the query set to the driver (it is
+# broadcast into every scoring task as a dense numpy block).  The
+# design assumes |Q| << |corpus|; this cap turns a mistaken "score
+# everything against everything" call into a loud error instead of a
+# driver OOM.  |Q| x dim x 8 bytes at the cap is ~50 MB for dim=1024.
+MAX_FAST_QUERIES = 5_000
+
+
 def cosine_topk_fast(emb: DataFrame, queries: DataFrame,
                      k: int) -> DataFrame:
     """ANN-speed exact scoring: per-partition numpy matmul + local
@@ -353,7 +361,13 @@ def cosine_topk_fast(emb: DataFrame, queries: DataFrame,
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select("vec_id", "embedding").collect()
+    q_rows = queries.select("vec_id", "embedding") \
+        .limit(MAX_FAST_QUERIES + 1).collect()
+    if len(q_rows) > MAX_FAST_QUERIES:
+        raise ValueError(
+            f"cosine_topk_fast query set exceeds {MAX_FAST_QUERIES} "
+            "rows; it is collected to the driver and broadcast to every "
+            "task. Use cosine_topk_lsh for large query sets.")
     q_ids = [r.vec_id for r in q_rows]
     q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -4,14 +4,18 @@ The reference exposes Prometheus counters/gauges keyed by instance on
 an HTTP endpoint (reference main.go:28-47,410-413).  The Spark-native
 equivalent is a StreamingQueryListener that folds every progress event
 into cumulative counters, plus a text renderer in the Prometheus
-exposition format.  No HTTP server is started here (engine core stays
-transport-free); `render_prometheus` output can be served by any
-framework — or scraped from a file sink.
+exposition format.  :func:`serve_metrics` exposes that render on a
+stdlib HTTP server thread (the reference's ``promhttp.Handler()`` at
+``/metrics``, main.go:410-413); the engine core itself stays
+transport-free — the render can equally be scraped from a file sink.
 """
 
 from __future__ import annotations
 
+import threading
+from collections.abc import Callable
 from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
@@ -70,3 +74,35 @@ def attach_metrics(spark: SparkSession) -> EngineMetrics:
     metrics = EngineMetrics()
     spark.streams.addListener(MetricsListener(metrics))
     return metrics
+
+
+def serve_metrics(render: Callable[[], str],
+                  port: int = 0) -> ThreadingHTTPServer:
+    """Serve ``render()`` at ``GET /metrics`` (reference main.go:410-413).
+
+    A daemon thread runs a stdlib ThreadingHTTPServer; ``port=0``
+    binds an ephemeral port (read it back from
+    ``server.server_address[1]``).  Call ``server.shutdown()`` to stop.
+    ``render`` is called per scrape, so counters are always current.
+    """
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):                             # noqa: N802 (stdlib API)
+            if self.path.rstrip("/") != "/metrics":
+                self.send_error(404)
+                return
+            body = render().encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *_args):                # keep stderr quiet
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=server.serve_forever,
+                     name="metrics-http", daemon=True).start()
+    return server

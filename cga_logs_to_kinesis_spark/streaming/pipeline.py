@@ -14,6 +14,9 @@ ingests new *files*, not appends to existing ones (the reference runs
 ``tail --follow=name``, main.go:215).  The unit of ingest here is the
 rotated/closed file — idiomatic for a distributed engine, and the
 rotation case is exactly what the reference's ``--retry`` handles.
+For true append-following, :func:`build_tailed_pipeline` composes the
+driver-side :class:`~cga_logs_to_kinesis_spark.streaming.tailer.
+TailFollower` bridge (§7.4.1 option b) in front of this same pipeline.
 """
 
 from __future__ import annotations
@@ -77,3 +80,35 @@ def build_pipeline(spark: SparkSession, cfg: PipelineConfig,
         writer = writer.trigger(
             processingTime=f"{cfg.flush_interval_s} seconds")
     return writer.start(), stats
+
+
+def build_tailed_pipeline(spark: SparkSession, cfg: PipelineConfig,
+                          transport: Transport,
+                          spool_dir: str,
+                          sink_cfg: SinkConfig | None = None,
+                          poll_interval_s: float = 0.2,
+                          ):
+    """Append-following variant (reference ``tail --follow=name
+    --retry``, main.go:214-250): a driver-side TailFollower converts
+    appends under ``cfg.watch_dir`` into atomic spool files, and the
+    standard pipeline streams the spool directory.  Appends become
+    visible within one poll + one trigger, no rotation needed.
+
+    Returns ``(query, stats, tailer)``; stop the tailer after the
+    query.
+    """
+    from cga_logs_to_kinesis_spark.streaming.tailer import TailFollower
+
+    tailer = TailFollower(watch_dir=cfg.watch_dir, spool_dir=spool_dir,
+                          glob=cfg.glob,
+                          poll_interval_s=poll_interval_s).start()
+    if cfg.available_now:
+        tailer.poll_once()      # drain mode: capture pre-start appends
+    spool_cfg = PipelineConfig(
+        watch_dir=spool_dir, glob="*.log", origin=cfg.origin,
+        checkpoint_dir=cfg.checkpoint_dir,
+        flush_interval_s=cfg.flush_interval_s,
+        available_now=cfg.available_now,
+        max_files_per_trigger=cfg.max_files_per_trigger)
+    query, stats = build_pipeline(spark, spool_cfg, transport, sink_cfg)
+    return query, stats, tailer

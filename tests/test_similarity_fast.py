@@ -29,6 +29,22 @@ def test_fast_topk_matches_exact_neighbors(spark):
         assert abs(e_vals[(r.query_id, r.cand_id)] - r.cosine) < 1e-9
 
 
+def test_fast_topk_rejects_oversized_query_set(spark, monkeypatch):
+    """The fast path collects the query set to the driver; an
+    unbounded query side must fail loudly, not OOM the driver."""
+    import pytest
+
+    from cga_logs_to_kinesis_spark.operators import similarity
+    from cga_logs_to_kinesis_spark.operators.similarity import (
+        cosine_topk_fast, load_table, tune_session)
+
+    tune_session(spark)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    monkeypatch.setattr(similarity, "MAX_FAST_QUERIES", 3)
+    with pytest.raises(ValueError, match="query set exceeds"):
+        cosine_topk_fast(emb, emb.limit(10), k=2).collect()
+
+
 def test_lsh_recall_vs_exact(spark):
     """ANN recall is measured, not guessed: the LSH variant must
     retrieve a reasonable fraction of the true top-5."""

@@ -1,0 +1,137 @@
+"""Append-tail bridge (SURVEY §7.4.1 option b; reference ``tail
+--follow=name --retry``, main.go:214-250): appends to open files must
+ship without waiting for rotation."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from cga_logs_to_kinesis_spark.streaming.faults import JsonDirTransport
+from cga_logs_to_kinesis_spark.streaming.pipeline import (
+    PipelineConfig,
+    build_tailed_pipeline,
+)
+from cga_logs_to_kinesis_spark.streaming.tailer import TailFollower
+
+
+def mk(tmp_path):
+    watch = tmp_path / "logs"
+    spool = tmp_path / "spool"
+    watch.mkdir()
+    spool.mkdir()
+    t = TailFollower(watch_dir=str(watch), spool_dir=str(spool))
+    t._load_state()
+    return watch, spool, t
+
+
+def spooled_lines(spool):
+    out = []
+    for f in sorted(spool.glob("*.log")):
+        out.extend(f.read_text().splitlines())
+    return out
+
+
+def test_appends_spool_as_complete_lines(tmp_path):
+    watch, spool, t = mk(tmp_path)
+    f = watch / "app.log"
+    f.write_text("one\ntwo\npart")           # trailing partial line
+    assert t.poll_once() == 1
+    assert spooled_lines(spool) == ["one", "two"]
+    # partial completes + more appended
+    with f.open("a") as fh:
+        fh.write("ial\nthree\n")
+    assert t.poll_once() == 1
+    assert spooled_lines(spool) == ["one", "two", "partial", "three"]
+    # nothing new → no spool file
+    assert t.poll_once() == 0
+
+
+def test_retry_semantics_file_appears_later(tmp_path):
+    watch, spool, t = mk(tmp_path)
+    assert t.poll_once() == 0                 # nothing there yet: no error
+    (watch / "late.log").write_text("hello\n")
+    assert t.poll_once() == 1
+    assert spooled_lines(spool) == ["hello"]
+
+
+def test_rotation_follow_by_name(tmp_path):
+    watch, spool, t = mk(tmp_path)
+    f = watch / "rot.log"
+    f.write_text("a\n")
+    t.poll_once()
+    # rotate: move aside, recreate same name (new inode)
+    os.rename(f, watch / "rot.log.1")
+    f.write_text("b\n")
+    t.poll_once()
+    assert spooled_lines(spool) == ["a", "b"]
+
+
+def test_truncation_restarts_from_zero(tmp_path):
+    watch, spool, t = mk(tmp_path)
+    f = watch / "tr.log"
+    f.write_text("aaa\nbbb\n")
+    t.poll_once()
+    f.write_text("c\n")                       # same inode, smaller
+    t.poll_once()
+    assert spooled_lines(spool) == ["aaa", "bbb", "c"]
+
+
+def test_offsets_survive_restart(tmp_path):
+    watch, spool, t = mk(tmp_path)
+    f = watch / "per.log"
+    f.write_text("x\n")
+    t.poll_once()
+    t._save_state()
+    t2 = TailFollower(watch_dir=str(watch), spool_dir=str(spool))
+    t2._load_state()
+    assert t2.poll_once() == 0                # nothing re-shipped
+    with f.open("a") as fh:
+        fh.write("y\n")
+    assert t2.poll_once() == 1
+    assert spooled_lines(spool) == ["x", "y"]
+
+
+def delivered_messages(out):
+    import base64
+
+    msgs = []
+    for fp in out.glob("page-*.json"):
+        for data, _key in json.loads(fp.read_text()):
+            raw = json.loads(data)["log_message"]["message"]
+            msgs.append(base64.b64decode(raw).decode())
+    return msgs
+
+
+def test_tailed_pipeline_ships_appends_live(spark, tmp_path):
+    """The full bridge: append to a watched open file while the query
+    runs; rows are delivered without any rotation."""
+    watch = tmp_path / "logs"
+    watch.mkdir()
+    f = watch / "app.log"
+    f.write_text("first\n")
+    out = tmp_path / "delivered"
+
+    cfg = PipelineConfig(watch_dir=str(watch), glob="*.log",
+                         origin="inst-t",
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         flush_interval_s=1)
+    query, stats, tailer = build_tailed_pipeline(
+        spark, cfg, JsonDirTransport(str(out)),
+        spool_dir=str(tmp_path / "spool"), poll_interval_s=0.1)
+    try:
+        deadline = time.time() + 60
+        while stats.records_sent < 1 and time.time() < deadline:
+            time.sleep(0.2)
+        assert stats.records_sent >= 1, "initial content never delivered"
+
+        with f.open("a") as fh:                 # append — no rotation
+            fh.write("second\nthird\n")
+        while stats.records_sent < 3 and time.time() < deadline:
+            time.sleep(0.2)
+        assert stats.records_sent == 3, "appends not delivered"
+    finally:
+        query.stop()
+        tailer.stop()
+    assert sorted(delivered_messages(out)) == ["first", "second", "third"]
