@@ -1,0 +1,355 @@
+"""Kinesis-consumer *streaming* source (S7 as a stream).
+
+The reference's client library pages a shard with GetShardIterator /
+GetRecords (reference kinesis.go:374-423: iterator → ``GetRecords`` →
+``{Records: [{Data, PartitionKey, SequenceNumber,
+ApproximateArrivalTimestamp}], NextShardIterator,
+MillisBehindLatest}``).  This module re-expresses that as:
+
+* :class:`ConsumerClient` — the paging protocol, one method per
+  reference API call;
+* :class:`DirStreamClient` / :class:`DirStreamTransport` — a
+  file-backed stream fake: the transport shards records by
+  md5(partition_key) (Kinesis's hash-key routing) into per-shard
+  JSON-lines files, the client pages them back in sequence order.
+  File-backed so Spark executor tasks (separate Python processes) and
+  the driver observe the same stream — same reasoning as
+  ``streaming/faults.py``;
+* :func:`boto3_consumer_client` — the real thing, import-gated like
+  ``boto3_transport``;
+* :class:`ShardPoller` — driver-side bridge thread: rate-limited
+  GetRecords per shard (Kinesis caps 5 calls/s/shard), records spooled
+  as atomic JSON-lines files that a checkpointed Spark file stream
+  ingests (:func:`read_consumer_stream`).  Same division of labor as
+  ``streaming/tailer.py``: tiny driver-side glue around an external
+  paging API, distributed processing stays in Spark.
+
+Resume: the poller persists each shard's last sequence number
+(``.consumer_state.json``), so a restarted daemon continues
+AFTER_SEQUENCE_NUMBER instead of re-reading TRIM_HORIZON — the
+consumer-side analogue of the sink's checkpointed exactly-once story.
+"""
+
+from __future__ import annotations
+
+import base64
+import glob as globmod
+import hashlib
+import json
+import os
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cga_logs_to_kinesis_spark.streaming.sink import Transport
+
+
+@dataclass(frozen=True)
+class ConsumerRecord:
+    """One GetRecords record (reference kinesis.go:384-394)."""
+    data: bytes
+    partition_key: str
+    sequence_number: str
+    approximate_arrival_ts: float
+
+
+@dataclass(frozen=True)
+class RecordsPage:
+    """One GetRecords response (reference kinesis.go:396-401)."""
+    records: tuple[ConsumerRecord, ...]
+    next_shard_iterator: str | None
+    millis_behind_latest: int
+
+
+class ConsumerClient:
+    """GetShardIterator/GetRecords paging protocol."""
+
+    def shard_ids(self, stream: str) -> list[str]:
+        raise NotImplementedError
+
+    def get_shard_iterator(self, stream: str, shard_id: str,
+                           iterator_type: str = "TRIM_HORIZON",
+                           after_sequence: str | None = None) -> str:
+        raise NotImplementedError
+
+    def get_records(self, iterator: str, limit: int = 500) -> RecordsPage:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# File-backed stream fake (test/local transport + consumer pair)
+# ---------------------------------------------------------------------------
+
+def _shard_for_key(key: str, n_shards: int) -> int:
+    # Kinesis routes by MD5(partition key) over the hash-key range.
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:8],
+                          "big") % n_shards
+
+
+class DirStreamTransport(Transport):
+    """Sink side of the fake stream: append records to per-shard
+    JSON-lines files.  File names are time-prefixed so lexicographic
+    order == arrival order within a shard (the only order Kinesis
+    promises)."""
+
+    def __init__(self, stream_dir: str, n_shards: int = 2):
+        self.stream_dir = stream_dir
+        self.n_shards = n_shards
+
+    def send(self, stream, page):
+        by_shard: dict[int, list] = {}
+        for data, key in page:
+            if isinstance(data, str):
+                data = data.encode()
+            by_shard.setdefault(_shard_for_key(key, self.n_shards),
+                                []).append((data, key))
+        now = time.time()
+        for shard, recs in by_shard.items():
+            d = os.path.join(self.stream_dir, stream,
+                             f"shard-{shard:04d}")
+            os.makedirs(d, exist_ok=True)
+            name = f"{time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
+            tmp = os.path.join(d, f".{name}.tmp")
+            with open(tmp, "w") as f:
+                for data, key in recs:
+                    f.write(json.dumps({
+                        "d": base64.b64encode(data).decode(),
+                        "k": key, "t": now}) + "\n")
+            os.replace(tmp, os.path.join(d, name))
+        return []
+
+
+class DirStreamClient(ConsumerClient):
+    """Consumer side: page per-shard files back in order.
+
+    Sequence number = ``<zero-padded-file-name>:<9-digit line no>`` —
+    lexicographically monotone per shard, so AFTER_SEQUENCE_NUMBER is a
+    plain string comparison (Kinesis sequence numbers are likewise
+    opaque monotone strings).  Iterator = shard + exclusive-start
+    sequence, advanced by each page like NextShardIterator.
+    """
+
+    def __init__(self, stream_dir: str):
+        self.stream_dir = stream_dir
+
+    def _shard_dir(self, stream: str, shard_id: str) -> str:
+        return os.path.join(self.stream_dir, stream, shard_id)
+
+    def shard_ids(self, stream: str) -> list[str]:
+        root = os.path.join(self.stream_dir, stream)
+        if not os.path.isdir(root):
+            return []
+        return sorted(d for d in os.listdir(root)
+                      if d.startswith("shard-"))
+
+    def _sequences(self, stream: str, shard_id: str):
+        """All (sequence, record) in order; files are append-only and
+        time-named, so this is a stable total order."""
+        for path in sorted(globmod.glob(
+                os.path.join(self._shard_dir(stream, shard_id),
+                             "*.jsonl"))):
+            fname = os.path.basename(path)
+            with open(path) as f:
+                for i, line in enumerate(f):
+                    row = json.loads(line)
+                    yield (f"{fname}:{i:09d}",
+                           ConsumerRecord(
+                               data=base64.b64decode(row["d"]),
+                               partition_key=row["k"],
+                               sequence_number=f"{fname}:{i:09d}",
+                               approximate_arrival_ts=row["t"]))
+
+    def get_shard_iterator(self, stream, shard_id,
+                           iterator_type="TRIM_HORIZON",
+                           after_sequence=None):
+        if iterator_type == "TRIM_HORIZON":
+            start = ""
+        elif iterator_type == "LATEST":
+            start = max((s for s, _ in self._sequences(stream, shard_id)),
+                        default="")
+        elif iterator_type == "AFTER_SEQUENCE_NUMBER":
+            start = after_sequence or ""
+        else:
+            raise ValueError(f"unsupported iterator type {iterator_type}")
+        return json.dumps({"stream": stream, "shard": shard_id,
+                           "after": start})
+
+    def get_records(self, iterator, limit=500):
+        it = json.loads(iterator)
+        out = []
+        last = it["after"]
+        for seq, rec in self._sequences(it["stream"], it["shard"]):
+            if seq <= it["after"]:
+                continue
+            out.append(rec)
+            last = seq
+            if len(out) >= limit:
+                break
+        next_it = json.dumps({"stream": it["stream"], "shard": it["shard"],
+                              "after": last})
+        return RecordsPage(records=tuple(out), next_shard_iterator=next_it,
+                           millis_behind_latest=0)
+
+
+def boto3_consumer_client(region: str) -> ConsumerClient:
+    """Real Kinesis consumer, gated: boto3 isn't in this container."""
+    try:
+        import boto3  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "boto3 not available; use DirStreamClient") from e
+
+    class Boto3Consumer(ConsumerClient):  # pragma: no cover
+        def __init__(self, region: str):
+            import boto3
+            self._c = boto3.client("kinesis", region_name=region)
+
+        def shard_ids(self, stream):
+            shards = self._c.list_shards(StreamName=stream)["Shards"]
+            return sorted(s["ShardId"] for s in shards)
+
+        def get_shard_iterator(self, stream, shard_id,
+                               iterator_type="TRIM_HORIZON",
+                               after_sequence=None):
+            kw = {"StreamName": stream, "ShardId": shard_id,
+                  "ShardIteratorType": iterator_type}
+            if after_sequence is not None:
+                kw["StartingSequenceNumber"] = after_sequence
+            return self._c.get_shard_iterator(**kw)["ShardIterator"]
+
+        def get_records(self, iterator, limit=500):
+            r = self._c.get_records(ShardIterator=iterator, Limit=limit)
+            return RecordsPage(
+                records=tuple(ConsumerRecord(
+                    data=rec["Data"],
+                    partition_key=rec["PartitionKey"],
+                    sequence_number=rec["SequenceNumber"],
+                    approximate_arrival_ts=rec[
+                        "ApproximateArrivalTimestamp"].timestamp())
+                    for rec in r["Records"]),
+                next_shard_iterator=r.get("NextShardIterator"),
+                millis_behind_latest=r.get("MillisBehindLatest", 0))
+
+    return Boto3Consumer(region)
+
+
+# ---------------------------------------------------------------------------
+# Driver-side poller → spool → Spark file stream
+# ---------------------------------------------------------------------------
+
+CONSUMER_SPOOL_SCHEMA = ("wire STRING, partition_key STRING, "
+                         "shard_id STRING, sequence_number STRING, "
+                         "approximate_arrival_ts DOUBLE")
+
+
+@dataclass
+class ShardPoller:
+    """Page every shard of ``stream`` through ``client``; spool records
+    for Spark.  ``min_poll_interval_s`` rate-limits per shard (the
+    Kinesis service cap is 5 GetRecords/s/shard)."""
+
+    client: ConsumerClient
+    stream: str
+    spool_dir: str
+    min_poll_interval_s: float = 0.2
+    page_limit: int = 500
+    _iterators: dict[str, str] = field(default_factory=dict)
+    _last_seq: dict[str, str] = field(default_factory=dict)
+    _stop: threading.Event = field(default_factory=threading.Event)
+    _thread: threading.Thread | None = None
+
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.spool_dir, ".consumer_state.json")
+
+    def _load_state(self) -> None:
+        try:
+            with open(self._state_path) as f:
+                self._last_seq = json.load(f)
+        except (OSError, ValueError):
+            self._last_seq = {}
+
+    def _save_state(self) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._last_seq, f)
+        os.replace(tmp, self._state_path)
+
+    def _iterator_for(self, shard_id: str) -> str:
+        it = self._iterators.get(shard_id)
+        if it is None:
+            seq = self._last_seq.get(shard_id)
+            it = self.client.get_shard_iterator(
+                self.stream, shard_id,
+                iterator_type=("AFTER_SEQUENCE_NUMBER" if seq
+                               else "TRIM_HORIZON"),
+                after_sequence=seq)
+            self._iterators[shard_id] = it
+        return it
+
+    def poll_once(self) -> int:
+        """One GetRecords pass over every shard; returns records
+        spooled.  Public for deterministic tests and drain mode."""
+        total = 0
+        for shard_id in self.client.shard_ids(self.stream):
+            page = self.client.get_records(self._iterator_for(shard_id),
+                                           limit=self.page_limit)
+            if page.next_shard_iterator is None:   # closed shard
+                self._iterators.pop(shard_id, None)
+            else:
+                self._iterators[shard_id] = page.next_shard_iterator
+            if not page.records:
+                continue
+            self._write_spool(shard_id, page.records)
+            self._last_seq[shard_id] = page.records[-1].sequence_number
+            total += len(page.records)
+        if total:
+            self._save_state()
+        return total
+
+    def _write_spool(self, shard_id: str,
+                     records: tuple[ConsumerRecord, ...]) -> None:
+        name = f"{time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(self.spool_dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            for r in records:
+                f.write(json.dumps({
+                    "wire": r.data.decode("utf-8", "replace"),
+                    "partition_key": r.partition_key,
+                    "shard_id": shard_id,
+                    "sequence_number": r.sequence_number,
+                    "approximate_arrival_ts": r.approximate_arrival_ts,
+                }) + "\n")
+        os.replace(tmp, os.path.join(self.spool_dir, name))
+
+    def start(self) -> "ShardPoller":
+        os.makedirs(self.spool_dir, exist_ok=True)
+        self._load_state()
+        self._stop.clear()
+        self._thread = threading.Thread(
+            target=self._run, name="shard-poller", daemon=True)
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self.poll_once()
+            self._stop.wait(self.min_poll_interval_s)
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+        self._save_state()
+
+
+def read_consumer_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """Streaming DataFrame over a ShardPoller's spool: one row per
+    consumed record, wire payload + Kinesis metadata columns."""
+    return (spark.readStream.schema(CONSUMER_SPOOL_SCHEMA)
+            .option("pathGlobFilter", "*.jsonl")
+            .json(spool_dir))

@@ -8,9 +8,9 @@ written by FileTransport / JsonDirTransport (or downloaded from a real
 stream by any fetcher), decoded back into Envelope rows with
 ``from_json`` against the declared schema.
 
-A real Kinesis *streaming* source would implement the same decode over
-``readStream`` micro-batches fed by a GetRecords poller; the decode
-path below is identical for both.
+The *streaming* variant lives in ``sources/consumer.py``: a
+GetShardIterator/GetRecords paging client feeding a ``readStream``
+spool; it reuses :func:`decode_envelopes` below for the payload.
 """
 
 from __future__ import annotations
