@@ -59,8 +59,10 @@ def test_decode_tolerates_corrupt_records(spark, tmp_path):
 
 
 def test_protobuf_codec_gated(spark, tmp_path):
-    """No descriptor in this environment → explicit NotImplementedError
-    and a JSON fallback that works."""
+    """No spark-protobuf connector jar in this environment → explicit
+    NotImplementedError (the packaged events.desc descriptor exists,
+    but the probe in protobuf_codec detects the missing jar) and a
+    JSON fallback that works."""
     (tmp_path / "y.log").write_text("hello\n")
     lines = spark.read.format("text").load(str(tmp_path))
     env = envelope_projection(lines, "o")
