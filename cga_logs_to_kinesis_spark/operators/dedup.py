@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
-from cga_logs_to_kinesis_spark.session import tune_session
+from cga_logs_to_kinesis_spark.session import explode_parallelism, tune_session
 from cga_logs_to_kinesis_spark.sources import load_table
 
 
@@ -133,7 +133,7 @@ def shingle_docs(docs: DataFrame) -> DataFrame:
     # the whole md5 fan-out to a single task.  (At real scale the scan
     # has many partitions and this exchange is still cheap relative to
     # the explode it parallelizes.)
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    par = explode_parallelism(docs.sparkSession)
     return (docs
             .repartition(par, "doc_id")
             .withColumn("_toks", toks)
@@ -334,7 +334,7 @@ SIMHASH_BITS = 16
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    par = explode_parallelism(docs.sparkSession)
     toks = (docs
             .repartition(par, "doc_id")
             .select("doc_id",
@@ -420,7 +420,7 @@ def char_shingle_docs(docs: DataFrame) -> DataFrame:
     shingles = F.expr(
         f"transform(sequence(1, length(_norm) - {CHAR_K - 1}), "
         f"i -> substring(_norm, i, {CHAR_K}))")
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    par = explode_parallelism(docs.sparkSession)
     return (docs
             .repartition(par, "doc_id")
             .withColumn("_norm", norm)

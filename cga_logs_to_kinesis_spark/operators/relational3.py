@@ -11,7 +11,7 @@ from pyspark.sql.window import Window
 from cga_logs_to_kinesis_spark.functions.exact import dsum, dsum_sql
 from cga_logs_to_kinesis_spark.operators.dedup import normalized_text
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
-from cga_logs_to_kinesis_spark.session import tune_session
+from cga_logs_to_kinesis_spark.session import explode_parallelism, tune_session
 from cga_logs_to_kinesis_spark.sources import load_events, load_table
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -165,7 +165,7 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle (the frequent-token hot keys pre-reduce per partition)."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    par = explode_parallelism(docs.sparkSession)
     toks = (docs
             .repartition(par, "doc_id")
             .select(F.explode(F.split(normalized_text(), " "))

@@ -46,6 +46,23 @@ BUILD_CONFS: dict[str, str] = {
 }
 
 
+# One knob for every repartition() placed ahead of a row-amplifying
+# stage (shingle/band explodes in dedup, token explodes in text).
+# Unset → the session's defaultParallelism, which is right for
+# local[N]; on a cluster, set it to ~2-3x total executor cores (or rely
+# on AQE to coalesce afterwards) via --conf at submit time.
+EXPLODE_PARALLELISM_CONF = "spark.cga.explode.parallelism"
+
+
+def explode_parallelism(spark: SparkSession) -> int:
+    """Partition width to spread rows across before explode-amplified
+    stages (a single-file parquet scan is 1 partition otherwise)."""
+    v = spark.conf.get(EXPLODE_PARALLELISM_CONF, None)
+    if v:
+        return int(v)
+    return spark.sparkContext.defaultParallelism
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable inside executor Python workers.
 

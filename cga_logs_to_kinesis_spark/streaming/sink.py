@@ -6,10 +6,18 @@ model:
 
 - micro-batch trigger ≈ FlushInterval (B2, reference
   ``batchproducer.go:242-259``; 5 s config ``main.go:88``)
-- page cut: ≤500 records per request per partition key (reference
-  ``batchproducer.go:14``, ``main.go:346``)
+- page cut: ≤500 records per request (reference
+  ``batchproducer.go:14``).  Records are hash-partitioned by key
+  across tasks (main.go:346) but a page may MIX keys within its task —
+  the reference's batcher likewise fills requests from one buffer
+  regardless of key (batchproducer.go:406); the stats row records the
+  page's ``first_key`` only.
 - whole-request failure → exponential backoff, 50 ms doubling per
-  consecutive error (B4, reference ``batchproducer.go:326-356``)
+  consecutive error, capped at ``max_backoff_s`` (B4, reference
+  ``batchproducer.go:326-356``; the cap is ours — the reference's
+  unbounded doubling can park the producer for minutes), and at most
+  ``max_request_attempts`` tries per page before the remainder is
+  dropped and counted (bounded liveness; set 0 to retry forever)
 - per-record failures retried up to MaxAttemptsPerRecord=5 then
   dropped and counted (B5, reference ``batchproducer.go:426-444``,
   config ``main.go:89``)
@@ -47,7 +55,7 @@ from cga_logs_to_kinesis_spark.streaming.envelope import (
 )
 
 PAGE_STATS = StructType([
-    StructField("partition_key", StringType(), False),
+    StructField("first_key", StringType(), False),
     StructField("page_id", LongType(), False),
     StructField("records_sent", LongType(), False),
     StructField("records_dropped", LongType(), False),
@@ -137,6 +145,8 @@ class SinkConfig:
     max_batch_size: int = MAX_BATCH_SIZE
     max_attempts_per_record: int = MAX_ATTEMPTS_PER_RECORD
     base_backoff_s: float = 0.050          # reference batchproducer.go:327
+    max_backoff_s: float = 5.0             # cap on the doubling delay
+    max_request_attempts: int = 20         # per page; 0 = retry forever
     max_consecutive_errors_shed: int = 5   # B6, batchproducer.go:346-348
     shed: bool = False                     # load-shedding off by default:
     # Spark's checkpointed retry makes shedding a liveness choice, not a
@@ -203,8 +213,16 @@ def deliver_pages(df: DataFrame, transport: Transport,
                             >= cfg.max_consecutive_errors_shed):
                         dropped += len(work)   # B6 load-shed
                         break
-                    time.sleep(cfg.base_backoff_s
-                               * (2 ** (consecutive_errors - 1)))
+                    if (cfg.max_request_attempts
+                            and attempts_this_page
+                            >= cfg.max_request_attempts):
+                        # bounded liveness: surface as dropped records
+                        # + request_errors instead of sleeping forever
+                        dropped += len(work)
+                        break
+                    time.sleep(min(cfg.max_backoff_s,
+                                   cfg.base_backoff_s
+                                   * (2 ** (consecutive_errors - 1))))
                     continue
                 # per-record verdicts (B5)
                 retry: list[tuple[bytes, str, int]] = []
@@ -218,7 +236,7 @@ def deliver_pages(df: DataFrame, transport: Transport,
                         retry.append((d, k, a + 1))
                 work = retry
             out.append({
-                "partition_key": page[0][1] if page else "",
+                "first_key": page[0][1] if page else "",
                 "page_id": page_seq,
                 "records_sent": sent,
                 "records_dropped": dropped,

@@ -105,3 +105,20 @@ def test_ngram_jaccard_candidates_join_not_collect(spark):
     from cga_logs_to_kinesis_spark.plans import formatted_plan
     plan = formatted_plan(SPECS["dedup_ngram_jaccard"].fn(spark, SF_SMOKE))
     assert "collect_list(doc_id" not in plan
+
+
+def test_explode_parallelism_conf_knob(spark):
+    """Pre-explode repartition width comes from one conf knob
+    (cluster-tunable), defaulting to defaultParallelism for local."""
+    from cga_logs_to_kinesis_spark.operators.dedup import shingle_docs
+    from cga_logs_to_kinesis_spark.session import EXPLODE_PARALLELISM_CONF
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert (shingle_docs(docs).rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+    spark.conf.set(EXPLODE_PARALLELISM_CONF, "7")
+    try:
+        assert shingle_docs(docs).rdd.getNumPartitions() == 7
+    finally:
+        spark.conf.unset(EXPLODE_PARALLELISM_CONF)

@@ -70,6 +70,21 @@ def test_request_error_backoff_then_delivery(spark):
     assert stats["attempts"].max() == 4
 
 
+def test_bounded_retry_drops_after_max_request_attempts(spark):
+    """A persistently failing transport must not hang the task: after
+    max_request_attempts the page is dropped and counted (liveness
+    bound on the B4 retry loop; the reference's unbounded doubling can
+    park its producer indefinitely)."""
+    tp = CrashingTransport(crashes=10**9)
+    df = _records_df(spark, 10).coalesce(1)
+    cfg = SinkConfig(base_backoff_s=0, max_request_attempts=3)
+    stats = deliver_pages(df, tp, cfg)
+    assert stats["records_sent"].sum() == 0
+    assert stats["records_dropped"].sum() == 10
+    assert stats["request_errors"].sum() == 3
+    assert stats["attempts"].max() == 3
+
+
 def test_load_shed_when_enabled(spark):
     tp = CrashingTransport(crashes=99)
     df = _records_df(spark, 10).coalesce(1)
