@@ -1,0 +1,461 @@
+"""Training-data pipeline operators: split, sample, pack, filter,
+decontaminate, scrub, centroid.
+
+These are the corpus-preparation steps a pretraining pipeline runs
+after dedup (``operators/dedup.py``) and quality scoring
+(``operators/text.py``): deterministic dataset splits, stratified
+downsampling, sequence packing into fixed token windows, repetition
+filtering (Gopher-style), benchmark decontamination, PII scrubbing,
+and per-class embedding centroids.
+
+Every operator is expressed in narrow built-in expressions or single
+keyed shuffles, and every randomized choice (split, sample) is a
+*hash* decision — md5 over a salted key, identical in Spark and
+DuckDB — so results are deterministic, oracle-checkable, and stable
+under re-partitioning at any scale (no rand(), no seed plumbing; see
+[[oracle-exactness-conventions]] style notes in functions/exact.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cga_logs_to_kinesis_spark.functions.exact import davg, davg_sql
+from cga_logs_to_kinesis_spark.registry import QuerySpec, register
+from cga_logs_to_kinesis_spark.session import tune_session
+from cga_logs_to_kinesis_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+# Buckets come from the first md5 byte of a salted doc key, compared
+# lexicographically against hex thresholds ('cc' = 204/256 = 79.7 %
+# train, 'e6' = +10.2 % val, rest test).  Hex-string comparison is
+# identical across engines and immune to partitioning/order — the
+# property a 100 TB split must have (a rand()-based split is neither
+# reproducible nor stable under retries).
+
+def _split_bucket() -> F.Column:
+    return F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        1, 2)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure narrow projection — no shuffle at any scale."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    b = _split_bucket()
+    return docs.select(
+        "doc_id", "lang",
+        b.alias("bucket"),
+        F.when(b < "cc", "train").when(b < "e6", "val")
+        .otherwise("test").alias("split"))
+
+
+register(QuerySpec(
+    "split_assign", q_split_assign,
+    oracle="""
+        SELECT doc_id, lang,
+               substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   AS bucket,
+               CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                   1, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                   1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    doc="hash-deterministic 80/10/10 train/val/test split",
+    tags=("llm-pipeline", "split", "north-star"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Stratified (per-language) deterministic sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_THRESHOLDS = {          # first-md5-byte hex cap ≈ sampling rate
+    "en": "80",                # 128/256 = 50 %
+    "zh": "40",                # 25 %
+    "de": "20",                # 12.5 %
+}
+DEFAULT_THRESHOLD = "10"       # 6.25 %
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates without a shuffle: the keep decision is a
+    per-row hash compare, so sampling 100 TB is a map-only scan (the
+    follow-up count is the only wide op)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.lit(DEFAULT_THRESHOLD)
+    for lang, cap in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, cap).otherwise(thr)
+    h = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+        1, 2)
+    return (docs
+            .filter(h < thr)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.sum("n_chars").alias("sampled_chars")))
+
+
+_THR_SQL = ("CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN '{cap}'"
+    for lang, cap in SAMPLE_THRESHOLDS.items())
+    + f" ELSE '{DEFAULT_THRESHOLD}' END")
+
+register(QuerySpec(
+    "stratified_sample", q_stratified_sample,
+    oracle=f"""
+        SELECT lang, COUNT(*) AS n_sampled,
+               SUM(n_chars) AS sampled_chars
+        FROM documents
+        WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
+              < {_THR_SQL}
+        GROUP BY lang
+    """,
+    doc="deterministic per-language downsampling via hash compare",
+    tags=("llm-pipeline", "sample"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk into fixed token windows
+# ---------------------------------------------------------------------------
+# The standard pretraining packer concatenates a stream's token ids and
+# cuts every CHUNK_TOKENS — a document can straddle a cut.  That is
+# exactly a prefix-sum: chunk ids derive from the running token count
+# within each (source) stream.  One window shuffle keyed by source;
+# each source packs independently, so 1000 sources = 1000-way
+# parallelism at any scale (packing is inherently sequential *within*
+# a stream).
+
+CHUNK_TOKENS = 512
+
+
+def _ntok() -> F.Column:
+    return F.size(F.split(F.trim(F.col("text")), r"\s+"))
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(_ntok()).over(w), F.lit(0))
+    return (docs
+            .select("doc_id", "source",
+                    _ntok().alias("n_tokens"),
+                    cum_before.alias("cum_before"))
+            .select("doc_id", "source", "n_tokens",
+                    (F.col("cum_before") / CHUNK_TOKENS)
+                    .cast("long").alias("first_chunk"),
+                    ((F.col("cum_before") + F.col("n_tokens") - 1)
+                     / CHUNK_TOKENS).cast("long").alias("last_chunk"))
+            .withColumn("n_chunks",
+                        F.col("last_chunk") - F.col("first_chunk") + 1))
+
+
+register(QuerySpec(
+    "pack_chunks", q_pack_chunks,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(TRIM(text), '\\s+'))
+                       AS n_tokens
+            FROM documents
+        ), cums AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_before
+            FROM toks
+        )
+        SELECT doc_id, source, n_tokens,
+               cum_before // {CHUNK_TOKENS} AS first_chunk,
+               (cum_before + n_tokens - 1) // {CHUNK_TOKENS}
+                   AS last_chunk,
+               (cum_before + n_tokens - 1) // {CHUNK_TOKENS}
+                   - cum_before // {CHUNK_TOKENS} + 1 AS n_chunks
+        FROM cums
+    """,
+    doc=f"concat-and-chunk sequence packing into {CHUNK_TOKENS}-token "
+        "windows per source stream",
+    tags=("llm-pipeline", "window", "north-star"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter
+# ---------------------------------------------------------------------------
+# Two repetition signals per document (Rae et al. 2021, "Scaling
+# Language Models" §A1.1 data pipeline): the share of the most
+# frequent token, and the fraction of duplicate 2-grams.  Both are
+# higher-order array expressions over the token array — O(distinct ×
+# n) inside scan-stage codegen, zero shuffles for the per-doc flags
+# (the only wide op is the final summary agg).
+
+TOP_TOKEN_MAX_SHARE = 0.10
+DUP_2GRAM_MAX_RATIO = 0.60
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.expr(
+        "transform(sequence(1, size(_toks) - 1), "
+        "i -> concat_ws(' ', slice(_toks, i, 2)))")
+    top_share = F.expr(
+        "array_max(transform(array_distinct(_toks), "
+        "t -> size(filter(_toks, x -> x = t)))) "
+        "/ cast(size(_toks) as double)")
+    # Ratios are divisions of exact integers → bit-identical across
+    # engines without rounding; the cross-doc mean uses the decimal
+    # trick (functions/exact.py) because double += is order-dependent.
+    enriched = (docs
+                .withColumn("_toks", toks)
+                .filter(F.size("_toks") >= 2)
+                .withColumn("_grams", grams)
+                .select(
+                    "doc_id", "lang",
+                    top_share.alias("top_token_share"),
+                    (1.0 - F.size(F.array_distinct("_grams"))
+                     / F.size("_grams").cast("double"))
+                    .alias("dup_2gram_ratio")))
+    return (enriched
+            .withColumn(
+                "keep",
+                (F.col("top_token_share") <= TOP_TOKEN_MAX_SHARE)
+                & (F.col("dup_2gram_ratio") <= DUP_2GRAM_MAX_RATIO))
+            .groupBy("lang", "keep")
+            .agg(F.count("*").alias("n_docs"),
+                 davg("dup_2gram_ratio", "avg_dup_ratio")))
+
+
+register(QuerySpec(
+    "gopher_repetition", q_gopher_repetition,
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(TRIM(text), '\\s+') AS toks
+            FROM documents
+        ), feats AS (
+            SELECT doc_id, lang,
+                   list_max(list_transform(list_distinct(toks),
+                       t -> len(list_filter(toks, x -> x = t))))
+                       / CAST(len(toks) AS DOUBLE)
+                       AS top_token_share,
+                   1.0 - len(list_distinct(
+                       list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])))
+                       / CAST(len(toks) - 1 AS DOUBLE)
+                       AS dup_2gram_ratio
+            FROM t WHERE len(toks) >= 2
+        )
+        SELECT lang,
+               top_token_share <= {TOP_TOKEN_MAX_SHARE}
+                   AND dup_2gram_ratio <= {DUP_2GRAM_MAX_RATIO} AS keep,
+               COUNT(*) AS n_docs,
+               {davg_sql("dup_2gram_ratio", "avg_dup_ratio")}
+        FROM feats
+        GROUP BY 1, 2
+    """,
+    doc="Gopher-style repetition signals (top-token share, duplicate "
+        "2-gram ratio) and keep/drop summary",
+    tags=("llm-pipeline", "quality"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination by n-gram overlap
+# ---------------------------------------------------------------------------
+# Standard eval hygiene: drop training docs that share any DECON_K-gram
+# with the benchmark set.  Benchmark grams are tiny (the benchmark is
+# eval-sized) → broadcast them; the corpus side stays a narrow
+# explode + broadcast-semi-join, so the corpus never shuffles.  Here
+# every 97th doc stands in for the benchmark, and — because the
+# fixture corpus is random word soup with near-zero natural long-gram
+# overlap — both engines plant the same canary sentence into benchmark
+# docs and every 31st training doc, so the operator provably catches
+# planted contamination (same seeding technique as pii_scrub).
+
+DECON_K = 6
+_CANARY = " the quick brown fox jumps over the lazy dog tonight"
+
+
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when((F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 31 == 0),
+               F.lit(_CANARY)).otherwise(F.lit("")))
+    docs = docs.withColumn("text", seeded)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {DECON_K - 1}), "
+        f"i -> md5(concat_ws(' ', slice(_toks, i, {DECON_K}))))")
+    g = (docs
+         .withColumn("_toks", toks)
+         .filter(F.size("_toks") >= DECON_K)
+         .select("doc_id", F.explode(F.array_distinct(grams))
+                 .alias("gram")))
+    bench = (g.filter(F.col("doc_id") % 97 == 0)
+             .select("gram").distinct())
+    return (g.filter(F.col("doc_id") % 97 != 0)
+            .join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_grams")))
+
+
+register(QuerySpec(
+    "ngram_decontaminate", q_ngram_decontaminate,
+    oracle=f"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 0
+                                THEN '{_CANARY}' ELSE '' END AS text
+            FROM documents
+        ), g AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, len(toks) - {DECON_K - 2}),
+                       i -> md5(list_aggregate(toks[i:i+{DECON_K - 1}],
+                                               'string_agg', ' ')))))
+                       AS gram
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(TRIM(text), '\\s+') AS toks
+                  FROM seeded)
+            WHERE len(toks) >= {DECON_K}
+        ), bench AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        )
+        SELECT g.doc_id, COUNT(*) AS n_shared_grams
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id
+    """,
+    doc=f"benchmark decontamination: flag docs sharing a {DECON_K}-gram "
+        "with the (broadcast) benchmark set",
+    tags=("llm-pipeline", "dedup", "join"),
+))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+# regexp_replace with patterns valid in both Java regex (Spark) and
+# RE2 (DuckDB).  The fixture corpus contains no PII, so both engines
+# inject the same synthetic emails/IPs first — the operator under test
+# is the scrub, and the oracle proves replacement parity byte-for-byte
+# (md5 of the scrubbed text).  All narrow expressions: scrubbing
+# 100 TB is a map-only pass.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@mail.example.com now")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit(" from 10.2."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".7 port")))
+        .otherwise(F.lit("")))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(seeded, EMAIL_RE, "<EMAIL>"),
+        IP_RE, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(seeded, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(seeded, F.lit(IP_RE)).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"))
+
+
+_SEEDED_SQL = """text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com now' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.7 port' ELSE '' END"""
+
+register(QuerySpec(
+    "pii_scrub", q_pii_scrub,
+    oracle=f"""
+        WITH seeded AS (SELECT doc_id, {_SEEDED_SQL} AS s FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(s, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(s, '{IP_RE}')) AS n_ips,
+               md5(regexp_replace(
+                   regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IP_RE}', '<IP>', 'g')) AS scrubbed_md5
+        FROM seeded
+    """,
+    doc="PII scrub (emails, IPv4) with cross-engine replacement parity",
+    tags=("llm-pipeline", "scrub"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Per-class embedding centroids
+# ---------------------------------------------------------------------------
+# posexplode to (label, dim, value) then one hash agg — the classic
+# long-format mean that scales to any dim count and any class count
+# (the shuffle key is (label, dim): perfectly uniform, no skew).
+# Sums use the repo's DECIMAL(38,6) convention (functions/exact.py):
+# scale 6 is the empirically-safe cross-engine double→decimal scale —
+# at scale 12 Spark's shortest-repr and DuckDB's binary conversions
+# round float-origin addends differently (observed at sf0.01).  The
+# centroid is therefore an exact *decimal* mean at 1e-6 resolution,
+# identical on both engines and order-independent at any parallelism.
+
+_CDEC = "decimal(38,6)"
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (emb
+            .select("label", F.posexplode("embedding")
+                    .alias("dim", "v"))
+            .groupBy("label", "dim")
+            .agg((F.sum(F.col("v").cast("double").cast(_CDEC))
+                  .cast("double") / F.count("*")).alias("centroid"),
+                 F.count("*").alias("n_vecs")))
+
+
+register(QuerySpec(
+    "embedding_centroids", q_embedding_centroids,
+    oracle="""
+        SELECT label, dim,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)))
+                    AS DOUBLE) / COUNT(*) AS centroid,
+               COUNT(*) AS n_vecs
+        FROM (
+            SELECT label,
+                   unnest(range(0, len(embedding))) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    """,
+    doc="per-class embedding centroids via posexplode + exact-decimal "
+        "mean (long format)",
+    tags=("llm-pipeline", "similarity", "agg"),
+))

@@ -67,7 +67,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "shipmode_priority",
     # -- r01 hard error, fixed this round -------------------------------
     "array_functions",
+    # -- new this round (no driver row yet) -----------------------------
+    "split_assign",
+    "stratified_sample",
+    "pack_chunks",
+    "gopher_repetition",
+    "ngram_decontaminate",
+    "pii_scrub",
+    "embedding_centroids",
     # -- keepers: one slot per family / actively-reworked operator ------
+    # (dedup/text families stay in-window because the round-2 LSH
+    # rewrite and explode_parallelism change touched their plans;
+    # stable r01-green gallery queries rotated out to make room.)
     "stats_tumbling",
     "dedup_exact",
     "dedup_exact_survivors",
@@ -84,17 +95,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_resize",
     "pricing_summary",
     "revenue_by_nation",
-    "shipping_priority",
     "top3_orders_per_customer",
-    "running_revenue",
-    "rollup_pricing",
-    "grouping_sets_sql",
     "sliding_window",
     "session_windows",
-    "price_percentiles",
     "pivot_event_types",
-    "unpivot_metrics",
-    "map_functions",
     "rank_gallery",
 )
 
@@ -108,6 +112,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """
     from cga_logs_to_kinesis_spark.operators import (  # noqa: F401
         dedup,
+        llm_pipeline,
         multimodal,
         pipeline_ops,
         relational,
