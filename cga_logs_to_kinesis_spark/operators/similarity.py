@@ -151,7 +151,16 @@ _PLANES = [[_plane_coefs(t * N_PLANES + p) for p in range(N_PLANES)]
 
 
 def lsh_bucket(emb_col: str, table: int = 0) -> Column:
-    """2^N_PLANES-way bucket id from hyperplane signs (one table)."""
+    """2^N_PLANES-way bucket id from hyperplane signs (one table).
+
+    This is the pure-JVM *spec* form — the executable twin of the
+    oracle SQL.  Hot paths use :func:`lsh_table_buckets_vec` instead:
+    higher-order-function lambdas evaluate interpreted per element
+    (~1.4 s just to bucket 2 000×64 floats at sf0.1), and unrolling
+    into flat codegen arithmetic is worse (a 1 024-node expression tree
+    per table blows up Janino compile time, measured 14 s).
+    ``tests/test_similarity_fast.py`` pins the vectorized path to this
+    one bucket-for-bucket."""
     bucket = F.lit(0)
     for p, coefs in enumerate(_PLANES[table]):
         plane = F.array(*[F.lit(c) for c in coefs])
@@ -172,6 +181,83 @@ def lsh_table_buckets(emb_col: str) -> Column:
     return F.array(*[
         (lsh_bucket(emb_col, t) + F.lit(t * (1 << N_PLANES)))
         for t in range(N_TABLES)])
+
+
+def lsh_table_buckets_vec(emb_col: str) -> Column:
+    """Arrow-vectorized twin of :func:`lsh_table_buckets`.
+
+    BIT-IDENTICAL to the JVM fold, not merely close: the accumulator
+    adds one dimension at a time across the whole Arrow batch
+    (``acc += E[:, i] * plane[:, i]``), so each (row, plane) projection
+    performs the same left-to-right float64 additions as
+    ``aggregate(zip_with(...))`` in Spark and ``list_reduce`` in
+    DuckDB — no BLAS matmul, whose sum reordering could flip the sign
+    of a near-zero projection and change a bucket id.  float32→float64
+    widening is exact, products of float-origin doubles are the same
+    doubles, so sign decisions agree everywhere.
+
+    Why it exists: interpreted HOF lambdas cost ~1.4 s per pass over
+    2 000×64 floats; this path is one vectorized pass per Arrow batch
+    and keeps the bucketing a narrow map at 100 TB (no shuffle, no
+    collected state — the plane matrix is a compile-time constant
+    closed over by the UDF).
+    """
+    import pandas as pd
+
+    try:
+        import numpy as np
+    except ImportError:                        # pragma: no cover
+        return lsh_table_buckets(emb_col)      # JVM fallback
+
+    flat = np.array(
+        [_PLANES[t][p] for t in range(N_TABLES) for p in range(N_PLANES)],
+        dtype=np.float64)                      # (16, 64)
+    bits = np.array([1 << p for p in range(N_PLANES)])
+    offs = np.arange(N_TABLES) * (1 << N_PLANES)
+
+    def buckets(s):                            # pd.Series -> pd.Series
+        E = np.stack(s.to_numpy()).astype(np.float64)    # (n, dim)
+        acc = np.zeros((E.shape[0], flat.shape[0]))
+        for i in range(flat.shape[1]):         # sequential over dims
+            acc += E[:, i:i + 1] * flat[:, i]
+        signs = acc > 0                        # (n, 16)
+        b = ((signs.reshape(-1, N_TABLES, N_PLANES) * bits).sum(axis=2)
+             + offs)
+        return pd.Series(list(b.astype(np.int32)))
+
+    return F.pandas_udf(buckets, "array<int>")(F.col(emb_col))
+
+
+def cosine_vec(a_col: str, b_col: str) -> Column:
+    """Arrow-vectorized cosine of two array columns, bit-identical to
+    ``exact_dot/exact_norm``: the three folds (dot, |a|², |b|²)
+    accumulate one dimension at a time across the batch — the same
+    left-to-right float64 additions as the JVM fold and the oracle's
+    ``list_reduce`` — and sqrt/division are correctly rounded in IEEE,
+    so the final double matches exactly.  Same rationale as
+    :func:`lsh_table_buckets_vec`: interpreted HOF lambdas cost ~100×
+    a vectorized pass once pair counts grow."""
+    import pandas as pd
+
+    try:
+        import numpy as np
+    except ImportError:                        # pragma: no cover
+        return (exact_dot(a_col, b_col)
+                / (exact_norm(a_col) * exact_norm(b_col)))
+
+    def cos(a, b):                             # two pd.Series of arrays
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        dot = np.zeros(A.shape[0])
+        na = np.zeros(A.shape[0])
+        nb = np.zeros(A.shape[0])
+        for i in range(A.shape[1]):            # sequential over dims
+            dot += A[:, i] * B[:, i]
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return F.pandas_udf(cos, "double")(F.col(a_col), F.col(b_col))
 
 
 def _bucket_sql(emb_expr: str, table: int) -> str:
@@ -200,10 +286,10 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame,
     # per surviving pair (query side broadcast, corpus side one small
     # shuffle) before scoring.
     q_ids = (queries.select(F.col("vec_id").alias("query_id"),
-                            F.explode(lsh_table_buckets("embedding"))
+                            F.explode(lsh_table_buckets_vec("embedding"))
                             .alias("bucket")))
     c_ids = (emb.select(F.col("vec_id").alias("cand_id"),
-                        F.explode(lsh_table_buckets("embedding"))
+                        F.explode(lsh_table_buckets_vec("embedding"))
                         .alias("bucket")))
     pair_ids = (c_ids.join(F.broadcast(q_ids), "bucket")
                 .filter(F.col("cand_id") != F.col("query_id"))
@@ -216,11 +302,8 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame,
     scored = (pair_ids
               .join(F.broadcast(q_arr), "query_id")
               .join(c_arr, "cand_id")
-              .select(
-                  "query_id", "cand_id",
-                  (exact_dot("qe", "ce")
-                   / (exact_norm("qe") * exact_norm("ce")))
-                  .alias("cosine")))
+              .select("query_id", "cand_id",
+                      cosine_vec("qe", "ce").alias("cosine")))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cosine").desc(), F.col("cand_id")))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -281,22 +364,28 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus^2/2."""
     tune_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select(F.col("vec_id"), F.col("embedding"),
-                   F.explode(lsh_table_buckets("embedding"))
+    # Candidate union dedups 16-byte id pairs, never embedding arrays
+    # (a distinct over (id, id, array, array) rows shuffles the whole
+    # corpus' vectors; over ids it shuffles ~nothing).  Arrays join
+    # back once per surviving pair, scored by the vectorized
+    # bit-identical cosine.
+    b = emb.select(F.col("vec_id"),
+                   F.explode(lsh_table_buckets_vec("embedding"))
                    .alias("bucket"))
-    a = b.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("ea"), "bucket")
-    c = b.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("eb"), "bucket")
-    return (
-        a.join(c, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "ea", "eb").distinct()
-        .select("vec_a", "vec_b",
-                (exact_dot("ea", "eb")
-                 / (exact_norm("ea") * exact_norm("eb"))).alias("cosine"))
-        .filter(F.col("cosine") >= 0.30)
-    )
+    a = b.select(F.col("vec_id").alias("vec_a"), "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), "bucket")
+    pair_ids = (a.join(c, "bucket")
+                .filter(F.col("vec_a") < F.col("vec_b"))
+                .select("vec_a", "vec_b").distinct())
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"))
+    return (pair_ids
+            .join(ea, "vec_a").join(eb, "vec_b")
+            .select("vec_a", "vec_b",
+                    cosine_vec("ea", "eb").alias("cosine"))
+            .filter(F.col("cosine") >= 0.30))
 
 
 register(QuerySpec(

@@ -45,6 +45,27 @@ def test_fast_topk_rejects_oversized_query_set(spark, monkeypatch):
         cosine_topk_fast(emb, emb.limit(10), k=2).collect()
 
 
+def test_vectorized_buckets_match_jvm_fold(spark):
+    """The Arrow-vectorized bucketing must agree bucket-for-bucket
+    with the pure-JVM fold (the oracle spec form) — its sequential
+    per-dimension accumulation is designed to be bit-identical, and
+    this pins it."""
+    from cga_logs_to_kinesis_spark.operators.similarity import (
+        load_table, lsh_table_buckets, lsh_table_buckets_vec,
+        tune_session)
+
+    tune_session(spark)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    jvm = {r.vec_id: r.b for r in
+           emb.select("vec_id",
+                      lsh_table_buckets("embedding").alias("b")).collect()}
+    vec = {r.vec_id: r.b for r in
+           emb.select("vec_id",
+                      lsh_table_buckets_vec("embedding").alias("b"))
+           .collect()}
+    assert jvm == vec
+
+
 def test_lsh_recall_vs_exact(spark):
     """ANN recall is measured, not guessed: the LSH variant must
     retrieve a reasonable fraction of the true top-5."""
