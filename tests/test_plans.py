@@ -107,6 +107,32 @@ def test_ngram_jaccard_candidates_join_not_collect(spark):
     assert "collect_list(doc_id" not in plan
 
 
+def test_llm_pipeline_narrow_ops_have_no_shuffle(spark):
+    """Split assignment and PII scrubbing are per-row hash/regex
+    decisions — at 100 TB they must stay map-only scans."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    for name in ("split_assign", "pii_scrub"):
+        plan = formatted_plan(SPECS[name].fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, name
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set is eval-sized; the corpus side must not
+    shuffle for the contamination join."""
+    assert uses_broadcast_join(
+        SPECS["ngram_decontaminate"].fn(spark, SF_SMOKE))
+
+
+def test_pack_chunks_single_exchange(spark):
+    """Packing shuffles once on the stream key (source) for the window
+    prefix-sum — and nothing else."""
+    import re
+
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["pack_chunks"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
 def test_explode_parallelism_conf_knob(spark):
     """Pre-explode repartition width comes from one conf knob
     (cluster-tunable), defaulting to defaultParallelism for local."""
