@@ -413,6 +413,99 @@ register(QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# Per-domain document caps
+# ---------------------------------------------------------------------------
+# Rebalancing: no single domain/source may contribute more than
+# DOMAIN_CAP documents; keep the longest ones (n_chars is the quality
+# proxy the fixture carries).  One window shuffle keyed by source —
+# the same topology as any per-group top-k, skew governed by the
+# largest single domain, which AQE splits.
+
+DOMAIN_CAP = 15
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(F.desc("n_chars"), "doc_id"))
+    kept = (docs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= DOMAIN_CAP))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").alias("kept_chars"),
+                 F.max("n_chars").alias("longest"),
+                 F.min("n_chars").alias("shortest_kept")))
+
+
+register(QuerySpec(
+    "domain_cap", q_domain_cap,
+    oracle=f"""
+        SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars,
+               MAX(n_chars) AS longest, MIN(n_chars) AS shortest_kept
+        FROM (
+            SELECT source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= {DOMAIN_CAP}
+        GROUP BY source
+    """,
+    doc=f"per-domain rebalancing: keep the {DOMAIN_CAP} longest docs "
+        "per source",
+    tags=("llm-pipeline", "window"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Corpus stats report
+# ---------------------------------------------------------------------------
+# The one-scan health dashboard a pipeline run ends with: volume,
+# token counts, exact-duplicate rate, and share of short docs, per
+# language.  Distinct-text counting goes through the 16-byte md5
+# digest (never the text itself) — the same digest-only-shuffle rule
+# as dedup_exact.
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .select("lang", "n_chars",
+                    _ntok().alias("ntok"),
+                    F.md5("text").alias("digest"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ntok").alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.countDistinct("digest").alias("distinct_texts"),
+                 (1.0 - F.countDistinct("digest")
+                  / F.count("*").cast("double")).alias("dup_rate"),
+                 F.sum(F.when(F.col("ntok") < 20, 1).otherwise(0))
+                 .alias("n_short")))
+
+
+register(QuerySpec(
+    "corpus_stats", q_corpus_stats,
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(len(regexp_split_to_array(TRIM(text), '\\s+')))
+                   AS total_tokens,
+               SUM(n_chars) AS total_chars,
+               COUNT(DISTINCT md5(text)) AS distinct_texts,
+               1.0 - COUNT(DISTINCT md5(text))
+                   / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+               SUM(CASE WHEN len(regexp_split_to_array(TRIM(text),
+                   '\\s+')) < 20 THEN 1 ELSE 0 END) AS n_short
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="per-language corpus health report: volume, tokens, exact-dup "
+        "rate, short-doc count in one scan",
+    tags=("llm-pipeline", "agg"),
+))
+
+
+# ---------------------------------------------------------------------------
 # Per-class embedding centroids
 # ---------------------------------------------------------------------------
 # posexplode to (label, dim, value) then one hash agg — the classic

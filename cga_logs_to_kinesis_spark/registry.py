@@ -75,6 +75,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ngram_decontaminate",
     "pii_scrub",
     "embedding_centroids",
+    "domain_cap",
+    "corpus_stats",
     # -- keepers: one slot per family / actively-reworked operator ------
     # (dedup/text families stay in-window because the round-2 LSH
     # rewrite and explode_parallelism change touched their plans;
@@ -96,9 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pricing_summary",
     "revenue_by_nation",
     "top3_orders_per_customer",
-    "sliding_window",
     "session_windows",
-    "pivot_event_types",
     "rank_gallery",
 )
 
