@@ -77,6 +77,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_centroids",
     "domain_cap",
     "corpus_stats",
+    "multimodal_raw_features",
+    "multimodal_raw_resize",
     # -- keepers: one slot per family / actively-reworked operator ------
     # (dedup/text families stay in-window because the round-2 LSH
     # rewrite and explode_parallelism change touched their plans;
@@ -90,14 +92,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "cosine_topk",
     "cosine_topk_lsh",
-    "envelope_project",
     "envelope_json_roundtrip",
     "batch_pages",
     "multimodal_features",
     "multimodal_resize",
     "pricing_summary",
     "revenue_by_nation",
-    "top3_orders_per_customer",
     "session_windows",
     "rank_gallery",
 )

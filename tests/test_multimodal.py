@@ -45,3 +45,84 @@ def test_partitioning_preserved(spark):
     out = extract_media_features(df)
     assert out.rdd.getNumPartitions() == 8
     assert out.agg(F.count("*")).collect()[0][0] == 64
+
+
+# -- RAW-format path: real pixel math, exactness pinned by hand ------------
+
+def test_raw_roundtrip_and_exact_means():
+    """Encode a hand-built 2x2 image, decode it back, and check the
+    fixed-point channel means against hand-computed values."""
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        decode_raw_image,
+        encode_raw_image,
+    )
+
+    arr = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8)
+    blob = encode_raw_image(arr)
+    assert blob[:8] == (2).to_bytes(4, "big") * 2        # w=2, h=2
+    back = decode_raw_image(blob)
+    assert (back == arr).all()
+    # channel sums: r=510, g=510, b=510 over 4 px -> mean 127.5
+    sums = arr.reshape(-1, 3).sum(axis=0)
+    assert list(sums) == [510, 510, 510]
+
+
+def test_raw_features_query_exact(spark):
+    """End-to-end raw decode: widths/heights follow the seeding
+    formula and means equal an independent numpy recomputation."""
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.doc_id: r for r in
+            all_queries()["multimodal_raw_features"]
+            .fn(spark, SF_SMOKE).limit(50).collect()}
+    for doc_id, r in list(rows.items())[:10]:
+        assert r.width == 8 + doc_id % 25
+        assert r.height == 8 + (doc_id // 3) % 25
+        rng = np.random.default_rng(int(doc_id))
+        arr = rng.integers(0, 256, size=(r.height, r.width, 3),
+                           dtype=np.uint8)
+        sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        n = r.width * r.height
+        assert r.mean_r == int(sums[0]) * 1_000_000 // n
+        assert r.mean_g == int(sums[1]) * 1_000_000 // n
+        assert r.mean_b == int(sums[2]) * 1_000_000 // n
+
+
+def test_raw_resize_nearest_neighbor_exact(spark):
+    """Nearest-neighbor semantics pinned on a 4x4 checkerboard resized
+    to 2x2: output pixel (x, y) must equal source (x*w//2, y*h//2)."""
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        decode_raw_image,
+        encode_raw_image,
+        resize_raw,
+    )
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    arr[::2, ::2] = 255          # checkerboard corners
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_raw_image(arr)))],
+        "doc_id long, payload binary")
+    [row] = resize_raw(media, out_w=2, out_h=2).collect()
+    small = decode_raw_image(bytes(row.payload))
+    # (x*4//2, y*4//2) -> rows/cols 0 and 2 of the source
+    expect = arr[np.ix_([0, 2], [0, 2])]
+    assert (small == expect).all()
+
+
+def test_raw_decode_rejects_truncated_blob():
+    import pytest
+
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        decode_raw_image,
+    )
+
+    with pytest.raises(ValueError, match="expected"):
+        decode_raw_image((3).to_bytes(4, "big") * 2 + b"\x00" * 5)
