@@ -50,3 +50,33 @@ def test_salted_agg_matches_plain_agg(spark):
         final_aggs=[F.sum("pn").alias("n"), F.sum("ps").alias("s")])
     assert sorted(map(tuple, plain.collect())) == \
         sorted(map(tuple, salted.collect()))
+
+
+def test_minhash_hot_bucket_is_bounded(spark):
+    """Behavioral guard for the MAX_BUCKET cap: a boilerplate flood
+    (thousands of near-identical docs collapsing into one LSH bucket)
+    must NOT produce O(n^2) candidate pairs — the degenerate bucket is
+    dropped, while genuinely similar small clusters still pair up."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        MAX_BUCKET,
+        minhash_candidates,
+    )
+
+    n_flood = MAX_BUCKET + 200
+    flood = spark.range(n_flood).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate footer text repeated on every "
+              "page of the crawl forever and ever").alias("text"))
+    # two near-dup docs that should still be found
+    pair = spark.createDataFrame(
+        [(100001, "alpha beta gamma delta epsilon zeta eta theta "
+                  "iota kappa lambda mu"),
+         (100002, "alpha beta gamma delta epsilon zeta eta theta "
+                  "iota kappa lambda nu")],
+        "doc_id long, text string")
+    cands = minhash_candidates(flood.unionByName(pair))
+    rows = cands.collect()
+    # without the cap the flood alone yields ~n^2/2 > 700k pairs
+    assert len(rows) < 100
+    assert not any(r.doc_a < 100000 and r.doc_b < 100000 for r in rows)
+    assert any({r.doc_a, r.doc_b} == {100001, 100002} for r in rows)
