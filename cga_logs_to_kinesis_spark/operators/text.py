@@ -62,10 +62,10 @@ register(QuerySpec(
 ))
 
 
-def quality_features(docs: DataFrame) -> DataFrame:
-    """Per-document quality signals: length, punctuation/digit/space
-    ratios, mean token length.  All ratios are double arithmetic on
-    integer counts — engine-exact."""
+def quality_feature_columns() -> dict[str, F.Column]:
+    """The per-document quality signals as named Columns over ``text``
+    — usable as a projection (batch report) or inline on any
+    documents-shaped DataFrame, batch or streaming (all narrow)."""
     n_chars = F.length("text").cast("double")
     n_punct = (F.length("text")
                - F.length(F.regexp_replace("text", r"[.,;:!?]", "")))
@@ -74,15 +74,23 @@ def quality_features(docs: DataFrame) -> DataFrame:
     n_space = (F.length("text")
                - F.length(F.regexp_replace("text", r" ", "")))
     toks = token_count()
+    return {
+        "len_chars": F.length("text"),
+        "n_tokens": toks,
+        "punct_ratio": n_punct / n_chars,
+        "digit_ratio": n_digit / n_chars,
+        "space_ratio": n_space / n_chars,
+        "mean_token_len": (n_chars - n_space) / toks.cast("double"),
+    }
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-document quality signals: length, punctuation/digit/space
+    ratios, mean token length.  All ratios are double arithmetic on
+    integer counts — engine-exact."""
+    cols = quality_feature_columns()
     return docs.select(
-        "doc_id",
-        F.length("text").alias("len_chars"),
-        toks.alias("n_tokens"),
-        (n_punct / n_chars).alias("punct_ratio"),
-        (n_digit / n_chars).alias("digit_ratio"),
-        (n_space / n_chars).alias("space_ratio"),
-        ((n_chars - n_space) / toks.cast("double")).alias("mean_token_len"),
-    )
+        "doc_id", *[c.alias(name) for name, c in cols.items()])
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,74 @@
+"""Streaming corpus preparation: the batch operators, as a stream.
+
+A training-data pipeline at 100 TB doesn't re-scan the corpus per run
+— new documents arrive continuously (crawl drops, upload batches) and
+flow through the same filters incrementally.  This module composes the
+batch corpus operators (``operators/text.py``,
+``operators/llm_pipeline.py``) over a Structured Streaming source:
+
+* quality filtering is the *same Column expressions* as the batch
+  report (``quality_feature_columns``) applied inline — narrow, zero
+  state, so batch/stream parity holds by construction and
+  ``tests/test_corpus_stream.py`` asserts it row-for-row;
+* exact dedup becomes ``dropDuplicates`` on the 16-byte text digest —
+  Spark keeps first-seen digests as streaming state (the streaming
+  twin of ``dedup_exact_survivors``).  State grows with distinct docs;
+  for bounded state on true infinite streams, bound it with an
+  event-time watermark (``dropDuplicatesWithinWatermark``,
+  demonstrated in ``tests/test_watermark.py``) — the fixture documents
+  carry no event time, so the backfill form here is the honest one;
+* per-language running stats use update/complete-mode aggregation, the
+  streaming twin of the batch ``corpus_stats`` report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.operators.text import (
+    quality_feature_columns,
+)
+
+# One definition of "keep" (the thresholds of
+# operators/text.py::quality_filter_survivors), shared by the batch
+# and streaming paths.
+def keep_predicate() -> F.Column:
+    c = quality_feature_columns()
+    return ((c["n_tokens"] >= 10)
+            & (c["punct_ratio"] <= 0.10)
+            & (c["digit_ratio"] <= 0.20)
+            & (c["mean_token_len"] >= 3.0)
+            & (c["mean_token_len"] <= 12.0))
+
+
+def stream_documents(spark: SparkSession, src_dir: str,
+                     schema: str | None = None) -> DataFrame:
+    """File stream over a documents-shaped parquet directory."""
+    schema = schema or ("doc_id long, text string, lang string, "
+                        "source string, n_chars long")
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def corpus_keep_filter(docs: DataFrame) -> DataFrame:
+    """Quality-filtered survivors — identical semantics on batch and
+    streaming inputs (a per-row predicate, no join, no state)."""
+    return docs.filter(keep_predicate())
+
+
+def streaming_dedup_exact(docs: DataFrame) -> DataFrame:
+    """First-seen exact dedup on the text digest (streaming state =
+    16-byte digests, never the text)."""
+    return (docs.withColumn("digest", F.md5("text"))
+            .dropDuplicates(["digest"]))
+
+
+def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-language running totals — streaming twin of the batch
+    ``corpus_stats`` report (works in update/complete output modes)."""
+    return (docs
+            .withColumn("ntok", F.size(F.split(F.trim("text"), r"\s+")))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ntok").alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars")))

@@ -1,0 +1,73 @@
+"""Streaming corpus preparation: batch/stream parity for the quality
+filter, first-seen streaming dedup, and running stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.sources import load_table
+from cga_logs_to_kinesis_spark.streaming.corpus import (
+    corpus_keep_filter,
+    stream_documents,
+    streaming_corpus_stats,
+    streaming_dedup_exact,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _staged_stream(spark, tmp_path):
+    """The fixture corpus split into two 'arrival batches' on disk."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "arrivals"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    return docs, stream_documents(spark, str(src) + "/*")
+
+
+def _drain(stream_df, tmp_path, name, mode="append"):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    docs, stream = _staged_stream(spark, tmp_path)
+    got = _drain(corpus_keep_filter(stream), tmp_path, "kept")
+    want = corpus_keep_filter(docs)
+    assert sorted(r.doc_id for r in got.collect()) == \
+        sorted(r.doc_id for r in want.collect())
+    assert got.count() > 0
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    docs, stream = _staged_stream(spark, tmp_path)
+    got = _drain(streaming_dedup_exact(stream), tmp_path, "deduped")
+    # one survivor per distinct text, across arrival batches
+    want_groups = docs.groupBy(F.md5("text")).count()
+    assert got.count() == want_groups.count()
+    assert got.select("digest").distinct().count() == got.count()
+
+
+def test_streaming_stats_match_batch_totals(spark, tmp_path):
+    docs, stream = _staged_stream(spark, tmp_path)
+    got = {r.lang: r for r in
+           _drain(streaming_corpus_stats(stream), tmp_path,
+                  "stats", mode="complete").collect()}
+    want = {r.lang: r for r in
+            docs.withColumn("ntok",
+                            F.size(F.split(F.trim("text"), r"\s+")))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ntok").alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars")).collect()}
+    assert got.keys() == want.keys()
+    for lang in want:
+        assert (got[lang].n_docs, got[lang].total_tokens,
+                got[lang].total_chars) == \
+               (want[lang].n_docs, want[lang].total_tokens,
+                want[lang].total_chars)
