@@ -519,3 +519,101 @@ register(QuerySpec(
     doc="character-5-gram Jaccard near-dup (banded candidates)",
     tags=("dedup", "north-star", "ngram"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over verified LSH pairs
+# ---------------------------------------------------------------------------
+# A dedup pipeline ends with *clusters*, not pairs: A~B and B~C must
+# collapse into one group even when A~C was never emitted.  That's
+# connected components — an inherently iterative algorithm, expressed
+# as distributed min-label propagation: each round every node takes
+# the minimum component id among itself and its neighbors; fixpoint in
+# O(diameter) rounds (near-dup clusters are shallow, so a handful).
+# Each round is one join + one agg over the (small) edge set —
+# localCheckpoint cuts the growing lineage.  The DuckDB oracle reaches
+# the same fixpoint with a recursive transitive-closure CTE, making
+# this a hash-checked *iterative* operator.
+
+JACCARD_EDGE_THRESHOLD = 0.5
+
+
+def connected_components(pairs: DataFrame,
+                         max_iters: int = 25) -> DataFrame:
+    """(doc_a, doc_b) edges → (doc, comp) labels, comp = min doc_id
+    reachable.  Nodes are docs appearing in at least one edge."""
+    # The label graph is docs-in-pairs, orders of magnitude smaller
+    # than the corpus — collapse it to a few partitions so each
+    # propagation round is a handful of tasks, not a full-width
+    # shuffle.  (At 100 TB the edge set of verified near-dup pairs is
+    # still corpus-fraction-sized; scale the coalesce width with it.)
+    sym = (pairs.select("doc_a", "doc_b")
+           .union(pairs.select(F.col("doc_b").alias("doc_a"),
+                               F.col("doc_a").alias("doc_b")))
+           .coalesce(4)
+           .localCheckpoint())
+    labels = (sym.select(F.col("doc_a").alias("doc")).distinct()
+              .withColumn("comp", F.col("doc")))
+    for _ in range(max_iters):
+        nbr = (sym.join(labels.withColumnRenamed("doc", "doc_b"),
+                        "doc_b")
+               .select(F.col("doc_a").alias("doc"), "comp"))
+        new = (labels.union(nbr)
+               .groupBy("doc").agg(F.min("comp").alias("comp"))
+               .localCheckpoint())
+        changed = new.join(labels, ["doc", "comp"], "left_anti").count()
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD))
+    comp = connected_components(edges)
+    sizes = comp.groupBy("comp").agg(
+        F.count("*").alias("component_size"))
+    return (comp.join(sizes, "comp")
+            .select(F.col("doc").alias("doc_id"),
+                    F.col("comp").alias("component"),
+                    "component_size"))
+
+
+from cga_logs_to_kinesis_spark.registry import _REGISTRY  # noqa: E402
+
+register(QuerySpec(
+    "dedup_components", q_dedup_components,
+    oracle=f"""
+        WITH RECURSIVE lsh AS (
+            {_REGISTRY["dedup_minhash_lsh"].oracle}
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM lsh
+            WHERE jaccard >= {JACCARD_EDGE_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION
+            SELECT doc_b, doc_a FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        )
+        SELECT c.doc_id, c.component, s.component_size
+        FROM comp c
+        JOIN (SELECT component, COUNT(*) AS component_size
+              FROM comp GROUP BY component) s USING (component)
+    """,
+    doc="near-dup clusters: iterative min-label connected components "
+        "over verified LSH pairs (recursive-CTE oracle)",
+    tags=("dedup", "north-star", "iterative"),
+))

@@ -79,6 +79,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_stats",
     "multimodal_raw_features",
     "multimodal_raw_resize",
+    "dedup_components",
     # -- keepers: one slot per family / actively-reworked operator ------
     # (dedup/text families stay in-window because the round-2 LSH
     # rewrite and explode_parallelism change touched their plans;
@@ -96,7 +97,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "batch_pages",
     "multimodal_features",
     "multimodal_resize",
-    "pricing_summary",
     "revenue_by_nation",
     "session_windows",
     "rank_gallery",
