@@ -80,6 +80,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_raw_features",
     "multimodal_raw_resize",
     "dedup_components",
+    "kmeans_embeddings",
     # -- keepers: one slot per family / actively-reworked operator ------
     # (dedup/text families stay in-window because the round-2 LSH
     # rewrite and explode_parallelism change touched their plans;
@@ -98,7 +99,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "revenue_by_nation",
-    "session_windows",
     "rank_gallery",
 )
 
@@ -111,6 +111,7 @@ def all_queries() -> dict[str, QuerySpec]:
     entries), then every remaining query alphabetically.
     """
     from cga_logs_to_kinesis_spark.operators import (  # noqa: F401
+        clustering,
         dedup,
         llm_pipeline,
         multimodal,
