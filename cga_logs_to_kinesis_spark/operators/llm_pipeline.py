@@ -552,3 +552,94 @@ register(QuerySpec(
         "mean (long format)",
     tags=("llm-pipeline", "similarity", "agg"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram (length-bucketed batching support)
+# ---------------------------------------------------------------------------
+# Batch builders group sequences by length to minimize padding; the
+# planner needs the length distribution.  Fixed-width buckets keyed by
+# (lang, bucket): one scan, one small agg — at 100 TB the histogram
+# rows number languages x buckets, never corpus-sized.
+
+HIST_BUCKET_TOKENS = 16
+HIST_MAX_BUCKET = 15
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(_ntok() / HIST_BUCKET_TOKENS,
+                     F.lit(HIST_MAX_BUCKET)).cast("long")
+    return (docs
+            .groupBy("lang", bucket.alias("len_bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(_ntok()).alias("bucket_tokens")))
+
+
+register(QuerySpec(
+    "token_length_histogram", q_token_length_histogram,
+    oracle=f"""
+        SELECT lang,
+               LEAST(len(regexp_split_to_array(TRIM(text), '\\s+'))
+                     // {HIST_BUCKET_TOKENS}, {HIST_MAX_BUCKET})
+                   AS len_bucket,
+               COUNT(*) AS n_docs,
+               SUM(len(regexp_split_to_array(TRIM(text), '\\s+')))
+                   AS bucket_tokens
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    doc=f"token-length histogram ({HIST_BUCKET_TOKENS}-token buckets) "
+        "for length-bucketed batch planning",
+    tags=("llm-pipeline", "agg"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: quality deciles within split
+# ---------------------------------------------------------------------------
+# Curriculum schedules feed higher-quality data later (or earlier);
+# the operator assigns each doc a decile by a quality proxy within its
+# split.  ntile is a per-split window — shuffle keyed by split, three
+# partitions, each internally sorted once.
+
+def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = q_split_assign(spark, sf_dir).join(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"), "doc_id")
+    w = (Window.partitionBy("split")
+         .orderBy(F.desc("n_chars"), "doc_id"))
+    dec = docs.withColumn("decile", F.ntile(10).over(w))
+    return (dec.groupBy("split", "decile")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+register(QuerySpec(
+    "curriculum_deciles", q_curriculum_deciles,
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN substring(md5('split:'
+                            || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train'
+                        WHEN substring(md5('split:'
+                            || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val' ELSE 'test' END AS split
+            FROM documents
+        ), d AS (
+            SELECT split, n_chars,
+                   NTILE(10) OVER (PARTITION BY split
+                       ORDER BY n_chars DESC, doc_id) AS decile
+            FROM s
+        )
+        SELECT split, decile, COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM d GROUP BY 1, 2
+    """,
+    doc="curriculum schedule: quality-proxy deciles within each split",
+    tags=("llm-pipeline", "window"),
+))

@@ -81,20 +81,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_raw_resize",
     "dedup_components",
     "kmeans_embeddings",
+    "token_length_histogram",
+    "curriculum_deciles",
     # -- keepers: one slot per family / actively-reworked operator ------
     # (dedup/text families stay in-window because the round-2 LSH
     # rewrite and explode_parallelism change touched their plans;
     # stable r01-green gallery queries rotated out to make room.)
     "stats_tumbling",
     "dedup_exact",
-    "dedup_exact_survivors",
     "minhash_signatures",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "cosine_topk",
     "cosine_topk_lsh",
-    "envelope_json_roundtrip",
     "batch_pages",
     "multimodal_features",
     "multimodal_resize",

@@ -42,3 +42,24 @@ def read_archive(spark, path: str) -> DataFrame:
     """Scan the archive; partition columns come back as columns and
     filters on them prune directories (asserted in tests)."""
     return spark.read.parquet(path)
+
+
+def compact_archive(spark, src_path: str, dest_path: str,
+                    files_per_partition: int = 1) -> None:
+    """Rewrite an archive with ``files_per_partition`` files per
+    partition directory.
+
+    Streaming appends accumulate one file per micro-batch per
+    partition; at scale that's the small-files problem (listing cost,
+    tiny row groups, scheduler overhead).  Compaction writes to a NEW
+    directory and the caller swaps it in — never read-and-overwrite
+    the same location, which races the scan against file deletion.
+    At 100 TB the swap is a metastore/view pointer flip; locally it's
+    an ``os.rename``.
+    """
+    (spark.read.parquet(src_path)
+     .repartition(files_per_partition, "event_date", "origin")
+     .write
+     .partitionBy("event_date", "origin")
+     .mode("error")             # dest must be fresh: no silent merge
+     .parquet(dest_path))

@@ -55,3 +55,39 @@ def test_archive_file_sizing(spark, tmp_path):
     archive_envelopes(env, out, files_per_partition=2)
     files = list((tmp_path / "archive").rglob("*.parquet"))
     assert 1 <= len(files) <= 2
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    """Many small appended files -> one file per partition, identical
+    rows, pruning intact."""
+    import glob
+
+    from cga_logs_to_kinesis_spark.streaming.archive import (
+        compact_archive,
+    )
+
+    env = _envelopes(spark, tmp_path)
+    src = str(tmp_path / "archive")
+    for _ in range(5):                        # 5 micro-batch appends
+        archive_envelopes(env, src, files_per_partition=2)
+
+    before = read_archive(spark, src)
+    n_before = before.count()
+    files_before = glob.glob(f"{src}/*/*/*.parquet")
+    assert len(files_before) >= 5
+
+    dest = str(tmp_path / "archive_compact")
+    compact_archive(spark, src, dest, files_per_partition=1)
+
+    after = read_archive(spark, dest)
+    assert after.count() == n_before
+    files_after = glob.glob(f"{dest}/*/*/*.parquet")
+    assert len(files_after) == 1              # one partition, one file
+    # pruning still works on the compacted layout
+    plan = formatted_plan(
+        after.filter(F.col("origin") == "arch-test"))
+    assert "PartitionFilters" in plan
+    # identical content
+    assert sorted(map(tuple, before.drop("event_date", "origin")
+                      .collect())) == \
+        sorted(map(tuple, after.drop("event_date", "origin").collect()))
