@@ -643,3 +643,154 @@ register(QuerySpec(
     doc="curriculum schedule: quality-proxy deciles within each split",
     tags=("llm-pipeline", "window"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (RefinedWeb-style duplicated-span signal)
+# ---------------------------------------------------------------------------
+# Doc-level dedup misses boilerplate spans repeated across otherwise
+# distinct pages; passage-level dedup (Penedo et al. 2023 §4.3; Lee et
+# al. 2022 exact-substring dedup, at fixed granularity) measures what
+# fraction of each doc is made of spans seen elsewhere.  Fixed
+# 10-token passages are digested per row (md5) inside scan-stage
+# codegen, so only 16-byte digests ever shuffle — never passage text.
+# The dup decision needs a per-digest distinct-doc count (one keyed
+# agg) joined back to the passage stream (same key, exchange reuse);
+# at 100 TB every wide op here moves (digest, id) pairs only, and a
+# corpus-wide hot passage fans out as plain shuffle rows that AQE can
+# split — no per-bucket arrays anywhere.
+
+PASSAGE_TOKENS = 10
+DUP_FRAC_DROP_NUM = 3          # drop when n_dup * 10 > n_passages * 3
+DUP_FRAC_DROP_DEN = 10         # (integer compare: no float threshold)
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    # Full passages only; the CASE guards sequence(1, 0), which would
+    # otherwise step backwards.  Docs shorter than one passage drop out.
+    passages = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(t) >= {PASSAGE_TOKENS} THEN "
+            f"transform(sequence(1, size(t) DIV {PASSAGE_TOKENS}), "
+            f"i -> md5(array_join(slice(t, (i-1)*{PASSAGE_TOKENS}+1, "
+            f"{PASSAGE_TOKENS}), ' '))) "
+            "ELSE array() END")).alias("digest"))
+    ndocs = (passages.groupBy("digest")
+             .agg(F.count_distinct("doc_id").alias("n_docs")))
+    per_doc = (passages.join(ndocs, "digest")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_passages"),
+                    F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                    .alias("n_dup_passages")))
+    return per_doc.select(
+        "doc_id", "n_passages", "n_dup_passages",
+        (F.col("n_dup_passages").cast("double") / F.col("n_passages"))
+        .alias("dup_frac"),
+        F.when(F.col("n_dup_passages") * DUP_FRAC_DROP_DEN
+               > F.col("n_passages") * DUP_FRAC_DROP_NUM, "drop")
+        .otherwise("keep").alias("verdict"))
+
+
+register(QuerySpec(
+    "passage_dedup", q_passage_dedup,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(t,
+                       (i-1)*{PASSAGE_TOKENS}+1, i*{PASSAGE_TOKENS}), ' '))
+                       AS digest
+            FROM toks,
+                 unnest(range(1, 1 + len(t)//{PASSAGE_TOKENS})) AS u(i)
+            WHERE len(t) >= {PASSAGE_TOKENS}
+        ), nd AS (
+            SELECT digest, COUNT(DISTINCT doc_id) AS n_docs
+            FROM p GROUP BY digest
+        )
+        SELECT p.doc_id,
+               COUNT(*) AS n_passages,
+               SUM(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END)
+                   AS n_dup_passages,
+               CAST(SUM(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS dup_frac,
+               CASE WHEN SUM(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END)
+                         * {DUP_FRAC_DROP_DEN}
+                         > COUNT(*) * {DUP_FRAC_DROP_NUM}
+                    THEN 'drop' ELSE 'keep' END AS verdict
+        FROM p JOIN nd USING (digest)
+        GROUP BY p.doc_id
+    """,
+    doc=f"passage-level exact dedup: duplicated {PASSAGE_TOKENS}-token "
+        "span fraction per doc (digest-only shuffle)",
+    tags=("llm-pipeline", "dedup", "north-star"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Source mixture weights (temperature resampling)
+# ---------------------------------------------------------------------------
+# Multi-source pretraining rebalances corpora by w_s ∝ n_s^α (α=0.5
+# here — the multilingual temperature-sampling convention): small
+# sources are upweighted relative to their raw token share.  One keyed
+# agg reduces the corpus to #sources rows; the normalizing sum runs as
+# a global window over that tiny aggregate (driver-scale regardless of
+# corpus size).  Cross-engine exactness: sqrt is IEEE-correctly-rounded
+# in both engines, but a *double* sum over sources is
+# order-dependent — so the sqrt is quantized to decimal(38,6) first
+# and summed as decimals (exact, order-free), then both numerator and
+# denominator return to double for the division.
+
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (docs.groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(_ntok()).alias("n_tokens")))
+    sq = (F.sqrt(F.col("n_tokens").cast("double"))
+          .cast("decimal(38,6)"))
+    tot = F.sum(sq).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    weight = sq.cast("double") / tot.cast("double")
+    return (per_src
+            .select("source", "n_docs", "n_tokens",
+                    weight.alias("weight"),
+                    ((weight * MIX_TOKEN_BUDGET)
+                     / F.col("n_tokens")).alias("expected_epochs")))
+
+
+register(QuerySpec(
+    "mixture_weights", q_mixture_weights,
+    oracle=f"""
+        WITH s AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(len(regexp_split_to_array(TRIM(text), '\\s+')))
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ), q AS (
+            SELECT source, n_docs, n_tokens,
+                   CAST(sqrt(CAST(n_tokens AS DOUBLE))
+                        AS DECIMAL(38,6)) AS sq
+            FROM s
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE)
+                   AS weight,
+               (CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE)
+                * {MIX_TOKEN_BUDGET}) / n_tokens AS expected_epochs
+        FROM q
+    """,
+    doc="temperature-sampling source mixture weights (w ∝ tokens^0.5) "
+        "+ expected epochs at a fixed token budget",
+    tags=("llm-pipeline", "agg", "ratio"),
+))

@@ -504,3 +504,192 @@ register(QuerySpec(
     doc="Arrow/numpy-vectorized cosine top-k (throughput path)",
     tags=("similarity", "north-star", "pandas-udf"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (ANN memory/bandwidth reduction)
+# ---------------------------------------------------------------------------
+# Symmetric max-abs int8: scale = max|x|/127, q_i = clamp(round(x_i /
+# scale)).  A quantized corpus is 4x smaller, which at 100 TB is the
+# difference between an ANN index that fits in executor memory and one
+# that spills; this operator reports the fidelity cost per vector
+# (max abs error, MSE, cosine of original vs reconstruction) so the
+# recall impact is measured, not guessed.  Entirely narrow per-row
+# array expressions — zero shuffles at any scale.
+#
+# Exactness notes: rounding is floor(v + 0.5) on BOTH engines (round()
+# tie semantics differ subtly across engines; floor does not), and all
+# reductions are sequential left-to-right folds per the module-header
+# contract.  Zero vectors (scale = 0) are excluded on both sides.
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    df = emb.select("vec_id", "label", x.alias("x"))
+    maxabs = F.array_max(F.transform(F.col("x"), F.abs))
+    df = (df.withColumn("scale", maxabs / F.lit(127.0))
+          .filter(F.col("scale") > 0))
+    q = F.transform(
+        F.col("x"),
+        lambda v: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0),
+                    F.floor(v / F.col("scale") + F.lit(0.5))
+                    .cast("double"))))
+    df = df.withColumn("recon",
+                       F.transform(q, lambda qi: qi * F.col("scale")))
+    err = F.zip_with(F.col("x"), F.col("recon"), lambda a, b: a - b)
+    mse = (_seq_sum(F.transform(err, lambda e: e * e))
+           / F.size(F.col("x")))
+    max_abs_err = F.array_max(F.transform(err, F.abs))
+    dot = _seq_sum(F.zip_with(F.col("x"), F.col("recon"),
+                              lambda a, b: a * b))
+    nx = F.sqrt(_seq_sum(F.transform(F.col("x"), lambda v: v * v)))
+    nr = F.sqrt(_seq_sum(F.transform(F.col("recon"), lambda v: v * v)))
+    return df.select(
+        "vec_id", "label", "scale",
+        max_abs_err.alias("max_abs_err"),
+        mse.alias("mse"),
+        (dot / (nx * nr)).alias("cos_recon"))
+
+
+register(QuerySpec(
+    "embedding_quantize", q_embedding_quantize,
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+            FROM embeddings
+        ), scaled AS (
+            SELECT vec_id, label, x,
+                   list_aggregate(list_transform(x, v -> abs(v)), 'max')
+                       / 127.0 AS scale
+            FROM base
+        ), rec AS (
+            SELECT vec_id, label, x, scale,
+                   list_transform(x, v ->
+                       greatest(-127.0, least(127.0,
+                           floor(v / scale + 0.5))) * scale) AS recon
+            FROM scaled
+            WHERE scale > 0
+        ), err AS (
+            SELECT vec_id, label, scale, x, recon,
+                   list_transform(list_zip(x, recon),
+                       p -> p[1] - p[2]) AS e
+            FROM rec
+        )
+        SELECT vec_id, label, scale,
+               list_aggregate(list_transform(e, v -> abs(v)), 'max')
+                   AS max_abs_err,
+               (0.0 + list_reduce(list_transform(e, v -> v * v),
+                                  (acc, v) -> acc + v)) / len(x) AS mse,
+               (0.0 + list_reduce(list_transform(list_zip(x, recon),
+                                      p -> p[1] * p[2]),
+                                  (acc, v) -> acc + v))
+               / (SQRT(0.0 + list_reduce(list_transform(x, v -> v * v),
+                                         (acc, v) -> acc + v))
+                  * SQRT(0.0 + list_reduce(
+                        list_transform(recon, v -> v * v),
+                        (acc, v) -> acc + v))) AS cos_recon
+        FROM err
+    """,
+    doc="symmetric int8 quantization fidelity report (max-abs scale, "
+        "per-vector error + cosine of reconstruction)",
+    tags=("similarity", "llm-pipeline", "scalar"),
+))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: centroid-blocked semantic dedup
+# ---------------------------------------------------------------------------
+# Semantic dedup (Abbas et al. 2023, "SemDeDup") prunes documents
+# whose *embeddings* nearly coincide, catching paraphrases that no
+# lexical dedup sees.  Blocking is by nearest-centroid cluster, so
+# pair counts are sum(cluster_size²/2), never corpus²/2; at 100 TB the
+# centroid count scales with the corpus (k ~ N/target_cluster_size) to
+# keep each block bounded — here k is a fixed deterministic set (the
+# lowest-id vectors) so the result is oracle-checkable without
+# training state.  Assignment is a broadcast cross-score (corpus never
+# shuffles; k rows do), pair generation self-joins the (vec_id,
+# cluster) assignment — id pairs only, arrays join back once per
+# surviving pair, scored by the bit-exact Arrow cosine.
+
+SEMDEDUP_K = 8
+SEMDEDUP_THRESHOLD = 0.30
+
+_COS_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), "
+    "(acc, v) -> acc + v) "
+    "/ (SQRT(list_reduce(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) "
+    "* SQRT(list_reduce(list_transform({b}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))")
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (emb.filter(F.col("vec_id") < SEMDEDUP_K)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("cent")))
+    scored = (emb.select("vec_id", "embedding")
+              .crossJoin(F.broadcast(cents))
+              .select("vec_id", "centroid_id",
+                      cosine_vec("embedding", "cent").alias("ccos")))
+    w = (Window.partitionBy("vec_id")
+         .orderBy(F.col("ccos").desc(), "centroid_id"))
+    assign = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("vec_id", F.col("centroid_id").alias("cluster")))
+    a = assign.select(F.col("vec_id").alias("vec_a"), "cluster")
+    b = assign.select(F.col("vec_id").alias("vec_b"), "cluster")
+    pair_ids = (a.join(b, "cluster")
+                .filter(F.col("vec_a") < F.col("vec_b")))
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"))
+    return (pair_ids
+            .join(ea, "vec_a").join(eb, "vec_b")
+            .select("cluster", "vec_a", "vec_b",
+                    cosine_vec("ea", "eb").alias("cosine"))
+            .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD))
+
+
+register(QuerySpec(
+    "semdedup", q_semdedup,
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cent
+            FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+        ), scored AS (
+            SELECT e.vec_id, c.centroid_id,
+                   {_COS_SQL.format(a="e.embedding", b="c.cent")} AS ccos
+            FROM embeddings e CROSS JOIN cents c
+        ), assign AS (
+            SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT vec_id, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY ccos DESC, centroid_id) AS rn
+                FROM scored) WHERE rn = 1
+        ), pairs AS (
+            SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b
+            FROM assign x JOIN assign y
+              ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        ), final AS (
+            SELECT p.cluster, p.vec_a, p.vec_b,
+                   {_COS_SQL.format(a="ea.embedding", b="eb.embedding")}
+                       AS cosine
+            FROM pairs p
+            JOIN embeddings ea ON p.vec_a = ea.vec_id
+            JOIN embeddings eb ON p.vec_b = eb.vec_id
+        )
+        SELECT cluster, vec_a, vec_b, cosine
+        FROM final WHERE cosine >= {SEMDEDUP_THRESHOLD}
+    """,
+    doc=f"SemDeDup: nearest-centroid blocking (k={SEMDEDUP_K}) + "
+        "within-cluster cosine near-dup pairs",
+    tags=("similarity", "llm-pipeline", "dedup", "north-star"),
+))

@@ -83,6 +83,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kmeans_embeddings",
     "token_length_histogram",
     "curriculum_deciles",
+    "passage_dedup",
+    "mixture_weights",
+    "embedding_quantize",
+    "semdedup",
     # -- keepers: one slot per family / actively-reworked operator ------
     # (dedup/text families stay in-window because the round-2 LSH
     # rewrite and explode_parallelism change touched their plans;
@@ -93,13 +97,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "cosine_topk",
     "cosine_topk_lsh",
     "batch_pages",
-    "multimodal_features",
-    "multimodal_resize",
     "revenue_by_nation",
-    "rank_gallery",
 )
 
 

@@ -148,3 +148,44 @@ def test_explode_parallelism_conf_knob(spark):
         assert shingle_docs(docs).rdd.getNumPartitions() == 7
     finally:
         spark.conf.unset(EXPLODE_PARALLELISM_CONF)
+
+
+def test_passage_dedup_shuffles_digest_not_text(spark):
+    """Passage dedup digests passages in the scan stage; every
+    exchange must carry md5 digests + ids, never passage text or the
+    token array."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["passage_dedup"].fn(spark, SF_SMOKE))
+    exchanges = plan[plan.index("Exchange"):] if "Exchange" in plan else ""
+    assert "text#" not in exchanges.split("Scan parquet")[0]
+    assert "collect_list" not in plan
+
+
+def test_mixture_weights_single_corpus_shuffle(spark):
+    """The corpus reduces to #sources rows in one keyed agg; the
+    normalizing window runs over that tiny aggregate only."""
+    import re
+
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["mixture_weights"].fn(spark, SF_SMOKE))
+    # one hash-partitioned exchange (the groupBy); the window's
+    # SinglePartition exchange moves #sources rows, which is fine
+    assert len(re.findall(r"hashpartitioning\(source", plan)) >= 1
+
+
+def test_embedding_quantize_is_map_only(spark):
+    """Quantization fidelity is per-row array math — no shuffle at
+    any scale."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["embedding_quantize"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_semdedup_broadcasts_centroids(spark):
+    """Cluster assignment must broadcast the k centroids — the corpus
+    never shuffles for the cross-score — and candidate pairs come from
+    a join on the cluster key, not a per-cluster collected array."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["semdedup"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "collect_list" not in plan
