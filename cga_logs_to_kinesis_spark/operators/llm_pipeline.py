@@ -794,3 +794,91 @@ register(QuerySpec(
         "+ expected epochs at a fixed token budget",
     tags=("llm-pipeline", "agg", "ratio"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage
+# ---------------------------------------------------------------------------
+# Vocab-size selection for tokenizer training: how much of the corpus
+# does a top-N frequency vocabulary cover, and what hits OOV?  The
+# corpus reduces to one row per token *type* in a skew-absorbing
+# partial agg (Zipf hot keys pre-reduce map-side); ranking then runs
+# over the type table, which is vocabulary-scale (millions at 100 TB),
+# not corpus-scale — small next to the scan that produced it.  The
+# conditional one-pass rollup avoids re-sorting per vocab size.
+
+VOCAB_SIZES = (64, 256, 1024)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cga_logs_to_kinesis_spark.operators.dedup import normalized_text
+    from cga_logs_to_kinesis_spark.session import explode_parallelism
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = explode_parallelism(docs.sparkSession)
+    types = (docs
+             .repartition(par, "doc_id")
+             .select(F.explode(F.split(normalized_text(), " "))
+                     .alias("token"))
+             .filter(F.col("token") != "")
+             .groupBy("token")
+             .agg(F.count("*").alias("n")))
+    rank = F.row_number().over(
+        Window.orderBy(F.col("n").desc(), F.col("token")))
+    ranked = types.withColumn("rank", rank)
+    covered = [
+        F.sum(F.when(F.col("rank") <= s, F.col("n")).otherwise(0))
+        .alias(f"cov_{s}") for s in VOCAB_SIZES]
+    totals = ranked.agg(F.sum("n").alias("total"),
+                        F.count("*").alias("n_types"), *covered)
+    stack = ", ".join(f"{s}, cov_{s}" for s in VOCAB_SIZES)
+    return (totals
+            .select(F.expr(f"stack({len(VOCAB_SIZES)}, {stack}) "
+                           "AS (vocab_size, covered_tokens)"),
+                    "total", "n_types")
+            .select(F.col("vocab_size").cast("long"),
+                    "covered_tokens", F.col("total").alias("total_tokens"),
+                    "n_types",
+                    (F.col("covered_tokens").cast("double")
+                     / F.col("total")).alias("coverage"),
+                    (F.lit(1.0) - F.col("covered_tokens").cast("double")
+                     / F.col("total")).alias("oov_rate")))
+
+
+register(QuerySpec(
+    "vocab_coverage", q_vocab_coverage,
+    oracle=f"""
+        WITH types AS (
+            SELECT t.tok AS token, COUNT(*) AS n
+            FROM documents,
+                 UNNEST(regexp_split_to_array(
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                     ' ')) AS t(tok)
+            WHERE t.tok != ''
+            GROUP BY 1
+        ), ranked AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+            FROM types
+        ), totals AS (
+            SELECT SUM(n) AS total, COUNT(*) AS n_types,
+                   {", ".join(
+                       f"SUM(CASE WHEN rank <= {s} THEN n ELSE 0 END)"
+                       f" AS cov_{s}" for s in VOCAB_SIZES)}
+            FROM ranked
+        )
+        SELECT u.vocab_size, u.covered_tokens, total AS total_tokens,
+               n_types,
+               CAST(u.covered_tokens AS DOUBLE) / total AS coverage,
+               1.0 - CAST(u.covered_tokens AS DOUBLE) / total AS oov_rate
+        FROM totals, (VALUES {", ".join(
+            f"({s}, NULL)" for s in VOCAB_SIZES)}) _dummy(vs, _),
+        LATERAL (SELECT CAST(vs AS BIGINT) AS vocab_size,
+                        CASE vs {" ".join(
+                            f"WHEN {s} THEN cov_{s}" for s in VOCAB_SIZES)}
+                        END AS covered_tokens) u
+    """,
+    doc="tokenizer vocab coverage/OOV at candidate vocab sizes "
+        f"{VOCAB_SIZES} (one-pass conditional rollup over the type table)",
+    tags=("llm-pipeline", "text", "agg"),
+))

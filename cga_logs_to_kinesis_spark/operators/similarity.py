@@ -693,3 +693,113 @@ register(QuerySpec(
         "within-cluster cosine near-dup pairs",
     tags=("similarity", "llm-pipeline", "dedup", "north-star"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: inverted file over centroid clusters
+# ---------------------------------------------------------------------------
+# The other classical ANN layout besides LSH: partition the corpus by
+# nearest centroid (the inverted "file"), then search each query only
+# in its nprobe closest clusters.  Shares the deterministic centroid
+# set with semdedup, so the cluster assignment is the same broadcast
+# cross-score (corpus never shuffles for it).  Candidate generation is
+# an equi-join on cluster id between the corpus assignment and the
+# query probe lists — id-and-cluster rows only; embedding arrays join
+# back once per candidate for scoring.  At 100 TB: k centroids ~
+# N/target_cluster_size keeps every cluster bounded, and the probe
+# join prunes (k - nprobe)/k of the corpus per query.
+
+IVF_NPROBE = 2
+IVF_TOPK = 5
+
+
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SEMDEDUP_K)
+    cents = (emb.filter(F.col("vec_id") < SEMDEDUP_K)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("cent")))
+
+    def nearest(df: DataFrame, id_alias: str, n: int) -> DataFrame:
+        scored = (df.select(F.col("vec_id").alias(id_alias), "embedding")
+                  .crossJoin(F.broadcast(cents))
+                  .select(id_alias, "centroid_id",
+                          cosine_vec("embedding", "cent").alias("ccos")))
+        w = (Window.partitionBy(id_alias)
+             .orderBy(F.col("ccos").desc(), "centroid_id"))
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= n)
+                .select(id_alias, F.col("centroid_id").alias("cluster")))
+
+    corpus_assign = nearest(emb, "cand_id", 1)
+    probes = nearest(queries, "query_id", IVF_NPROBE)
+    pair_ids = (corpus_assign.join(F.broadcast(probes), "cluster")
+                .filter(F.col("cand_id") != F.col("query_id"))
+                .select("query_id", "cand_id").distinct())
+    qa = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qe"))
+    ca = emb.select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("ce"))
+    scored = (pair_ids
+              .join(F.broadcast(qa), "query_id")
+              .join(ca, "cand_id")
+              .select("query_id", "cand_id",
+                      cosine_vec("qe", "ce").alias("cosine")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cosine").desc(), F.col("cand_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= IVF_TOPK)
+            .select("query_id", "cand_id", "cosine", "rank"))
+
+
+register(QuerySpec(
+    "cosine_topk_ivf", q_cosine_topk_ivf,
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cent
+            FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+        ), corpus_scored AS (
+            SELECT e.vec_id AS cand_id, c.centroid_id,
+                   {_COS_SQL.format(a="e.embedding", b="c.cent")} AS ccos
+            FROM embeddings e CROSS JOIN cents c
+        ), corpus_assign AS (
+            SELECT cand_id, centroid_id AS cluster FROM (
+                SELECT cand_id, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY cand_id
+                           ORDER BY ccos DESC, centroid_id) AS rn
+                FROM corpus_scored) WHERE rn = 1
+        ), query_scored AS (
+            SELECT q.vec_id AS query_id, c.centroid_id,
+                   {_COS_SQL.format(a="q.embedding", b="c.cent")} AS ccos
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < {SEMDEDUP_K}
+        ), probes AS (
+            SELECT query_id, centroid_id AS cluster FROM (
+                SELECT query_id, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY ccos DESC, centroid_id) AS rn
+                FROM query_scored) WHERE rn <= {IVF_NPROBE}
+        ), pair_ids AS (
+            SELECT DISTINCT p.query_id, a.cand_id
+            FROM corpus_assign a JOIN probes p ON a.cluster = p.cluster
+            WHERE a.cand_id != p.query_id
+        ), scored AS (
+            SELECT i.query_id, i.cand_id,
+                   {_COS_SQL.format(a="qe.embedding", b="ce.embedding")}
+                       AS cosine
+            FROM pair_ids i
+            JOIN embeddings qe ON i.query_id = qe.vec_id
+            JOIN embeddings ce ON i.cand_id = ce.vec_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, cand_id) AS rank
+            FROM scored
+        ) WHERE rank <= {IVF_TOPK}
+    """,
+    doc=f"IVF ANN cosine top-k: nearest-centroid inverted file, "
+        f"nprobe={IVF_NPROBE} cluster-pruned search",
+    tags=("similarity", "north-star", "llm-pipeline"),
+))

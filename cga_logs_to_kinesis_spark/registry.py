@@ -87,6 +87,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mixture_weights",
     "embedding_quantize",
     "semdedup",
+    "vocab_coverage",
+    "cosine_topk_ivf",
     # -- keepers: one slot per family / actively-reworked operator ------
     # (dedup/text families stay in-window because the round-2 LSH
     # rewrite and explode_parallelism change touched their plans;
@@ -95,10 +97,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "cosine_topk_lsh",
-    "batch_pages",
     "revenue_by_nation",
 )
 

@@ -189,3 +189,13 @@ def test_semdedup_broadcasts_centroids(spark):
     plan = formatted_plan(SPECS["semdedup"].fn(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "collect_list" not in plan
+
+
+def test_ivf_probe_join_prunes_clusters(spark):
+    """IVF candidate generation joins the corpus assignment to the
+    broadcast probe list on cluster id — no per-cluster collected
+    arrays, centroids broadcast for assignment."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["cosine_topk_ivf"].fn(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "collect_list" not in plan

@@ -79,3 +79,18 @@ def test_lsh_recall_vs_exact(spark):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.3, f"LSH recall {hits}/{total} too low"
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF ANN recall vs brute force: nprobe=2 of 8 clusters must
+    still retrieve a reasonable fraction of the true top-5."""
+    exact = SPECS["cosine_topk"].fn(spark, SF_SMOKE).collect()
+    ann = SPECS["cosine_topk_ivf"].fn(spark, SF_SMOKE).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in ann:
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.3, f"IVF recall {hits}/{total} too low"
