@@ -111,3 +111,172 @@ register(QuerySpec(
         f"{N_ITERS} iters, exact-decimal centroid updates)",
     tags=("similarity", "north-star", "iterative", "pandas-udf"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Covariance + PCA over embeddings
+# ---------------------------------------------------------------------------
+# Dimensionality reduction for embedding post-processing (whitening
+# before semantic dedup, compression before ANN).  The covariance
+# accumulation is the scale-critical part: the d x d pair products are
+# expanded ROW-LOCALLY (nested array transform, no self-join), so the
+# only shuffle is the (i, j)-keyed aggregation whose key space is
+# d*(d+1)/2 — partial map-side aggregation absorbs the corpus-sized
+# blowup before it ever crosses the network.  Sums are exact decimals
+# (order-independent), which makes the covariance — and therefore the
+# eigenvectors computed from it — reproducible across partitionings
+# and bit-checkable against the DuckDB oracle.
+#
+# The eigensolve itself runs driver-side on the d x d matrix (4 KB at
+# d=64 — legitimately driver-scale, like k-means centroids); the
+# corpus-sized projection is an Arrow map with sequential per-dim
+# accumulation (the repo's bit-exact pattern).
+
+
+def _pair_products():
+    """Upper-triangle (i, j, xi*xj) structs expanded within each row."""
+    return F.expr("""
+        filter(flatten(transform(embedding, (xi, i) ->
+            transform(embedding, (xj, j) ->
+                struct(i AS i, j AS j,
+                       cast(xi AS double) * cast(xj AS double) AS xy)))),
+            p -> p.j >= p.i)
+    """)
+
+
+def covariance_long(emb: DataFrame) -> DataFrame:
+    """(i, j, cov, n) for the upper triangle, exact-decimal sums."""
+    n_mean = (emb
+              .select(F.posexplode("embedding").alias("dim", "v"))
+              .groupBy("dim")
+              .agg((F.sum(F.col("v").cast("double").cast(_DEC))
+                    .cast("double") / F.count("*")).alias("mean")))
+    sums = (emb
+            .select(F.explode(_pair_products()).alias("p"))
+            .select("p.i", "p.j", "p.xy")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("xy").cast(_DEC)).cast("double").alias("sxy"),
+                 F.count("*").alias("n")))
+    mi = F.broadcast(n_mean.select(F.col("dim").alias("i"),
+                                   F.col("mean").alias("mean_i")))
+    mj = F.broadcast(n_mean.select(F.col("dim").alias("j"),
+                                   F.col("mean").alias("mean_j")))
+    return (sums.join(mi, "i").join(mj, "j")
+            .select("i", "j",
+                    (F.col("sxy") / F.col("n")
+                     - F.col("mean_i") * F.col("mean_j")).alias("cov"),
+                    "n"))
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return covariance_long(load_table(spark, sf_dir, "embeddings"))
+
+
+register(QuerySpec(
+    "embedding_covariance", q_embedding_covariance,
+    oracle=f"""
+        WITH x AS (
+            SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings
+        ), means AS (
+            SELECT dim,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) AS {_DEC.upper()}))
+                        AS DOUBLE) / COUNT(*) AS mean
+            FROM x GROUP BY dim
+        ), sums AS (
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(SUM(CAST(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)
+                        AS {_DEC.upper()})) AS DOUBLE) AS sxy,
+                   COUNT(*) AS n
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+            GROUP BY 1, 2
+        )
+        SELECT i, j, sxy / n - mi.mean * mj.mean AS cov, n
+        FROM sums
+        JOIN means mi ON mi.dim = i
+        JOIN means mj ON mj.dim = j
+    """,
+    doc="upper-triangle embedding covariance: row-local pair expansion "
+        "+ exact-decimal (i,j)-keyed aggregation (d^2 keys, never a "
+        "self-join shuffle)",
+    tags=("similarity", "llm-pipeline", "agg", "north-star"),
+))
+
+
+PCA_COMPONENTS = 2
+PCA_POWER_ITERS = 100
+
+
+def _top_eigvecs(cov_rows, dim: int, k: int):
+    """Deterministic top-k eigenvectors of the symmetric covariance:
+    driver-side deflated power iteration from a fixed start vector,
+    sign-fixed so the largest-magnitude component is positive."""
+    import numpy as np
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vecs = []
+    for _ in range(k):
+        v = np.ones(dim) / np.sqrt(dim)
+        for _ in range(PCA_POWER_ITERS):
+            for u in vecs:                       # deflate
+                v = v - u * float(u @ v)
+            w = C @ v
+            nrm = float(np.linalg.norm(w))
+            if nrm == 0.0:
+                break
+            v = w / nrm
+        lead = int(np.abs(v).argmax())
+        if v[lead] < 0:
+            v = -v
+        vecs.append(v)
+    return np.stack(vecs)                        # (k, dim)
+
+
+def pca_project(emb: DataFrame, k: int = PCA_COMPONENTS) -> DataFrame:
+    """(vec_id, pc1..pck): project onto the top-k principal axes.
+
+    The eigensolve sees only the d x d exact covariance (collected —
+    driver-scale by construction); the corpus projection is an Arrow
+    map accumulating sequentially per dim, bit-identical across
+    partitionings."""
+    import pandas as pd
+
+    import numpy as np
+    dim = len(emb.select("embedding").first()["embedding"])
+    W = _top_eigvecs(covariance_long(emb).collect(), dim, k)
+
+    def project(it):
+        for pdf in it:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            P = np.zeros((E.shape[0], W.shape[0]))
+            for i in range(W.shape[1]):          # sequential over dims
+                P += E[:, i:i + 1] * W[:, i]
+            out = {"vec_id": pdf["vec_id"]}
+            for c in range(W.shape[0]):
+                out[f"pc{c + 1}"] = P[:, c]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(
+        f"pc{c + 1} double" for c in range(k))
+    return emb.select("vec_id", "embedding").mapInPandas(project, schema)
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb).orderBy("vec_id")
+
+
+register(QuerySpec(
+    "pca_project", q_pca_project,
+    oracle=None,   # eigensolve is not SQL-expressible; covariance
+                   # input is oracle-paired above, projection pinned
+                   # by pytest (variance ordering + reconstruction)
+    doc=f"PCA projection onto top-{PCA_COMPONENTS} axes (exact-decimal "
+        "covariance, driver-side power iteration, Arrow projection)",
+    tags=("similarity", "llm-pipeline", "iterative", "pandas-udf"),
+))

@@ -617,3 +617,62 @@ register(QuerySpec(
         "over verified LSH pairs (recursive-CTE oracle)",
     tags=("dedup", "north-star", "iterative"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs already-ingested corpus
+# ---------------------------------------------------------------------------
+# The production shape of exact dedup: a crawl snapshot arrives and
+# must be deduplicated (a) against everything already in the corpus
+# and (b) within itself.  The seen side is the digest-only table a
+# pipeline persists between snapshots, so the anti-join moves 16-byte
+# md5 keys, never text; at 100 TB the new batch is a fraction of the
+# corpus and AQE picks a broadcast or shuffled-hash anti join on the
+# digest.  Here the "seen corpus" is simulated deterministically as
+# doc_id % 4 < 3 (75% ingested, 25% arriving).
+
+
+def incremental_dedup(seen_digests: DataFrame, batch: DataFrame) -> DataFrame:
+    """Survivors of `batch` after anti-joining `seen_digests` and
+    keep-first dedup within the batch itself."""
+    return (batch
+            .join(seen_digests, "text_digest", "left_anti")
+            .groupBy("text_digest")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("n_batch_dups")))
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    digests = docs.select(
+        "doc_id", F.md5(normalized_text()).alias("text_digest"))
+    seen = (digests.filter(F.col("doc_id") % 4 < 3)
+            .select("text_digest").distinct())
+    batch = digests.filter(F.col("doc_id") % 4 == 3)
+    return incremental_dedup(seen, batch)
+
+
+register(QuerySpec(
+    "dedup_incremental", q_dedup_incremental,
+    oracle=f"""
+        WITH digests AS (
+            SELECT doc_id, md5({NORMALIZED_SQL}) AS text_digest
+            FROM documents
+        ), seen AS (
+            SELECT DISTINCT text_digest FROM digests WHERE doc_id % 4 < 3
+        ), batch AS (
+            SELECT * FROM digests WHERE doc_id % 4 = 3
+        )
+        SELECT b.text_digest, MIN(b.doc_id) AS doc_id,
+               COUNT(*) AS n_batch_dups
+        FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM seen s
+                          WHERE s.text_digest = b.text_digest)
+        GROUP BY 1
+    """,
+    doc="incremental exact dedup: new batch anti-joined against the "
+        "persisted seen-corpus digest table, then keep-first within "
+        "the batch",
+    tags=("dedup", "north-star", "anti-join"),
+))

@@ -802,10 +802,13 @@ register(QuerySpec(
 # Vocab-size selection for tokenizer training: how much of the corpus
 # does a top-N frequency vocabulary cover, and what hits OOV?  The
 # corpus reduces to one row per token *type* in a skew-absorbing
-# partial agg (Zipf hot keys pre-reduce map-side); ranking then runs
-# over the type table, which is vocabulary-scale (millions at 100 TB),
-# not corpus-scale — small next to the scan that produced it.  The
-# conditional one-pass rollup avoids re-sorting per vocab size.
+# partial agg (Zipf hot keys pre-reduce map-side).  Only ranks up to
+# max(VOCAB_SIZES) can contribute coverage, so the ranking never
+# touches the full type table: orderBy+limit plans as a distributed
+# TakeOrderedAndProject (per-partition top-k, merged on the driver)
+# instead of a no-partition window that would funnel every type —
+# millions at 100 TB — through a single task.  The conditional
+# one-pass rollup over those 1024 rows avoids re-sorting per size.
 
 VOCAB_SIZES = (64, 256, 1024)
 
@@ -823,15 +826,21 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("token"))
              .filter(F.col("token") != "")
              .groupBy("token")
-             .agg(F.count("*").alias("n")))
+             .agg(F.count("*").alias("n"))
+             # consumed twice (top-k + corpus totals); materialize the
+             # vocabulary-scale table once rather than re-scan the corpus
+             .localCheckpoint())
+    top = (types.orderBy(F.col("n").desc(), "token")
+           .limit(max(VOCAB_SIZES)))
     rank = F.row_number().over(
         Window.orderBy(F.col("n").desc(), F.col("token")))
-    ranked = types.withColumn("rank", rank)
+    ranked = top.withColumn("rank", rank)
     covered = [
         F.sum(F.when(F.col("rank") <= s, F.col("n")).otherwise(0))
         .alias(f"cov_{s}") for s in VOCAB_SIZES]
-    totals = ranked.agg(F.sum("n").alias("total"),
-                        F.count("*").alias("n_types"), *covered)
+    corpus = types.agg(F.sum("n").alias("total"),
+                       F.count("*").alias("n_types"))
+    totals = ranked.agg(*covered).crossJoin(corpus)
     stack = ", ".join(f"{s}, cov_{s}" for s in VOCAB_SIZES)
     return (totals
             .select(F.expr(f"stack({len(VOCAB_SIZES)}, {stack}) "

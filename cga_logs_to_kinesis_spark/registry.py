@@ -89,13 +89,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "semdedup",
     "vocab_coverage",
     "cosine_topk_ivf",
+    "dedup_incremental",
+    "embedding_covariance",
     # -- keepers: one slot per family / actively-reworked operator ------
     # (dedup/text families stay in-window because the round-2 LSH
     # rewrite and explode_parallelism change touched their plans;
     # stable r01-green gallery queries rotated out to make room.)
+    # minhash_signatures rotated out (r01 green; its signature code
+    # path stays covered in-window via dedup_minhash_lsh)
     "stats_tumbling",
-    "dedup_exact",
-    "minhash_signatures",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "cosine_topk_lsh",

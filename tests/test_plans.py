@@ -199,3 +199,25 @@ def test_ivf_probe_join_prunes_clusters(spark):
     plan = formatted_plan(SPECS["cosine_topk_ivf"].fn(spark, SF_SMOKE))
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "collect_list" not in plan
+
+
+def test_vocab_coverage_ranks_topk_not_full_table(spark):
+    """Ranking must be a distributed top-k (TakeOrderedAndProject),
+    never a no-partition window funneling every token type through
+    one task."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["vocab_coverage"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_incremental_prunes_and_shuffles_digests_only(spark):
+    """The anti-join side moves md5 digests, not text: the scan reads
+    only (doc_id, text) and no exchange carries the text column."""
+    df = SPECS["dedup_incremental"].fn(spark, SF_SMOKE)
+    scans = scan_read_schema_columns(df)
+    assert scans and all(set(cols) <= {"doc_id", "text"} for cols in scans)
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "text#" not in line, line
