@@ -803,3 +803,66 @@ register(QuerySpec(
         f"nprobe={IVF_NPROBE} cluster-pruned search",
     tags=("similarity", "north-star", "llm-pipeline"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report: measured quality of the approximate paths
+# ---------------------------------------------------------------------------
+# Recall@k of each ANN variant against exact brute force, as a query
+# rather than only a pytest: a user tuning tables/planes/nprobe gets a
+# one-row-per-method scorecard from the engine itself.  Every input is
+# deterministic (fixed hyperplanes, deterministic centroids), so the
+# report is oracle-paired by composing the already-registered oracle
+# SQL of the exact and ANN queries as CTEs.  Cost is the three
+# pipelines themselves; the recall join moves only (query_id, cand_id)
+# pairs — k rows per query — never embeddings.
+
+
+def _recall_row(method: str, exact: DataFrame, ann: DataFrame) -> DataFrame:
+    hits = exact.select("query_id", "cand_id").join(
+        ann.select("query_id", "cand_id"),
+        ["query_id", "cand_id"], "left_semi")
+    return (exact.agg(F.count("*").alias("truth_pairs"))
+            .crossJoin(hits.agg(F.count("*").alias("hits")))
+            .select(F.lit(method).alias("method"), "truth_pairs", "hits",
+                    (F.col("hits") / F.col("truth_pairs")).alias("recall")))
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    exact = q_cosine_topk(spark, sf_dir)
+    lsh = q_cosine_topk_lsh(spark, sf_dir)
+    ivf = q_cosine_topk_ivf(spark, sf_dir)
+    return (_recall_row("lsh", exact, lsh)
+            .unionByName(_recall_row("ivf", exact, ivf)))
+
+
+def _ann_recall_oracle() -> str:
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+    exact = _REGISTRY["cosine_topk"].oracle
+    lsh = _REGISTRY["cosine_topk_lsh"].oracle
+    ivf = _REGISTRY["cosine_topk_ivf"].oracle
+    method = """
+        SELECT '{m}' AS method,
+               (SELECT COUNT(*) FROM exact) AS truth_pairs,
+               (SELECT COUNT(*) FROM exact e
+                WHERE EXISTS (SELECT 1 FROM {m} a
+                              WHERE a.query_id = e.query_id
+                                AND a.cand_id = e.cand_id)) AS hits,
+               (SELECT COUNT(*) FROM exact e
+                WHERE EXISTS (SELECT 1 FROM {m} a
+                              WHERE a.query_id = e.query_id
+                                AND a.cand_id = e.cand_id))
+               / (SELECT COUNT(*) FROM exact) AS recall
+    """
+    return (f"WITH exact AS ({exact}), lsh AS ({lsh}), ivf AS ({ivf})\n"
+            + method.format(m="lsh") + " UNION ALL " + method.format(m="ivf"))
+
+
+register(QuerySpec(
+    "ann_recall_report", q_ann_recall_report,
+    oracle=_ann_recall_oracle(),
+    doc="recall@k scorecard of the LSH and IVF ANN paths vs exact "
+        "brute-force top-k (deterministic, oracle-paired)",
+    tags=("similarity", "llm-pipeline", "report"),
+))
