@@ -221,3 +221,13 @@ def test_dedup_incremental_prunes_and_shuffles_digests_only(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_ann_recall_join_moves_ids_not_embeddings(spark):
+    """The recall semi-join compares (query_id, cand_id) pairs; no
+    exchange may carry an embedding array."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["ann_recall_report"].fn(spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "embedding#" not in line, line
