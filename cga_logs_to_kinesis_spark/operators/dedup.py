@@ -235,6 +235,22 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     # shingle (r=1 floods: 156k candidate pairs at sf0.1, most with
     # tiny jaccard, and the verify join becomes the bottleneck).
     sh = shingle_docs(docs).localCheckpoint()
+    cand = lsh_candidate_ids(sh)
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sh_b"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select(
+                "doc_a", "doc_b", "n_common_bands",
+                (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                 / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard")))
+
+
+def lsh_candidate_ids(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common_bands) candidate pairs from banded
+    minhash buckets over pre-shingled docs — the shared front half of
+    every minhash-family verifier (Jaccard, containment)."""
     sigs = signatures_from_shingles(sh)
     banded = (sigs
               .withColumn("band2", F.expr("band DIV 2"))
@@ -258,19 +274,10 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
                 .drop("_bn"))
     a = eligible.select(F.col("doc_id").alias("doc_a"), "band2", "sig2")
     b = eligible.select(F.col("doc_id").alias("doc_b"), "band2", "sig2")
-    cand = (a.join(b, ["band2", "sig2"])
+    return (a.join(b, ["band2", "sig2"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_common_bands")))
-    sa = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"),
-                   F.col("shingles").alias("sh_b"))
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
-            .select(
-                "doc_a", "doc_b", "n_common_bands",
-                (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                 / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard")))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,4 +682,87 @@ register(QuerySpec(
         "persisted seen-corpus digest table, then keep-first within "
         "the batch",
     tags=("dedup", "north-star", "anti-join"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: directional overlap for partial duplicates
+# ---------------------------------------------------------------------------
+# Symmetric Jaccard misses the excerpt case: a paragraph quoted inside
+# a much longer page has tiny union-relative overlap but containment
+# ~1.0 relative to the shorter side.  Candidates come from the same
+# banded-minhash front half as dedup_minhash_lsh (shared
+# lsh_candidate_ids — one shingle pass, bucket-capped self-equi-join);
+# only the verify expression differs: per-direction shingle-set
+# containment, kept when either direction clears the threshold.
+
+CONTAINMENT_MIN = 0.2
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(docs).localCheckpoint()
+    cand = lsh_candidate_ids(sh)
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (inter / F.size("sh_a")).alias("containment_a"),
+                    (inter / F.size("sh_b")).alias("containment_b"))
+            .filter(F.greatest("containment_a", "containment_b")
+                    >= CONTAINMENT_MIN))
+
+
+register(QuerySpec(
+    "dedup_containment", q_dedup_containment,
+    oracle=f"""
+        WITH {SHINGLES_SQL.strip()},
+        sigs AS (
+            SELECT doc_id, b.band,
+                   list_min(list_transform(shingles,
+                            s -> md5(b.band || ':' || s))) AS sig
+            FROM shingled_ne,
+                 (SELECT unnest(range(0, {N_BANDS})) AS band) b
+        ),
+        banded AS (
+            SELECT doc_id, band // 2 AS band2,
+                   md5(array_to_string(
+                       list_sort(list(band || ':' || sig)), '')) AS sig2
+            FROM sigs
+            GROUP BY doc_id, band // 2
+        ),
+        eligible AS (
+            SELECT doc_id, band2, sig2 FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band2, sig2) AS bn
+                FROM banded
+            ) WHERE bn > 1 AND bn <= {MAX_BUCKET}
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM eligible a JOIN eligible b
+              ON a.band2 = b.band2 AND a.sig2 = b.sig2
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / len(x.shingles) AS containment_a,
+               CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / len(y.shingles) AS containment_b
+        FROM cand c
+        JOIN shingled_ne x ON c.doc_a = x.doc_id
+        JOIN shingled_ne y ON c.doc_b = y.doc_id
+        WHERE GREATEST(
+            CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                / len(x.shingles),
+            CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                / len(y.shingles)) >= {CONTAINMENT_MIN}
+    """,
+    doc="directional containment near-dup (excerpt/quote detection): "
+        "shared banded-minhash candidates, per-direction overlap verify",
+    tags=("dedup", "north-star", "minhash", "join"),
 ))
