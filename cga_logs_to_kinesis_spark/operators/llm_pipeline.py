@@ -114,7 +114,7 @@ register(QuerySpec(
     "stratified_sample", q_stratified_sample,
     oracle=f"""
         SELECT lang, COUNT(*) AS n_sampled,
-               SUM(n_chars) AS sampled_chars
+               CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
         FROM documents
         WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
               < {_THR_SQL}
@@ -172,10 +172,11 @@ register(QuerySpec(
             FROM documents
         ), cums AS (
             SELECT doc_id, source, n_tokens,
-                   COALESCE(SUM(n_tokens) OVER (
+                   CAST(COALESCE(SUM(n_tokens) OVER (
                        PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING), 0) AS cum_before
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cum_before
             FROM toks
         )
         SELECT doc_id, source, n_tokens,

@@ -50,8 +50,8 @@ register(QuerySpec(
     oracle=f"""
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM({TOKEN_COUNT_SQL}) AS total_tokens,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM({TOKEN_COUNT_SQL}) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars
         FROM documents
@@ -445,7 +445,7 @@ register(QuerySpec(
         )
         SELECT d.lang, d.source,
                COUNT(*) AS n_kept,
-               SUM(d.n_chars) AS kept_chars
+               CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
         FROM documents d
         WHERE EXISTS (
             SELECT 1 FROM feats f

@@ -6,6 +6,15 @@ order-insensitive canonical value hash.  Strictness matches or exceeds
 the driver: values are stringified with exact float repr (no rounding
 tolerance), so anything passing here should pass any reasonable hasher.
 
+Driver fidelity: the oracle result is materialized through pandas
+(``con.execute(sql).df()``) exactly like the driver's canonicalizer —
+NOT ``fetchall()``.  This is load-bearing: DuckDB types ``SUM(<int>)``
+as HUGEINT, which pandas renders as float64 (``"123.0"``) while Spark's
+LongType renders ``"123"``; ``fetchall()`` returns Python ints on both
+sides and silently hides that divergence (the round-2 36/50 regression).
+Oracles must ``CAST(... AS BIGINT)`` integer sums; this checker now
+fails locally when they don't.
+
 Usage: python tools/check.py [sf_dir] [query ...]
 """
 
@@ -88,9 +97,12 @@ def main() -> int:
                                  "sec": round(time.time() - t0, 2)}
                 print(f"  {name}: rows-only, {len(srows)} rows")
                 continue
-            cur = con.execute(spec.oracle)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # Pandas canonicalization path, mirroring the driver: HUGEINT
+            # (un-cast integer SUMs) becomes float64 here and hash-fails.
+            pdf = con.execute(spec.oracle).df()
+            ocols = list(pdf.columns)
+            orows = [tuple(r) for r in
+                     pdf.itertuples(index=False, name=None)]
             problems = []
             if len(srows) != len(orows):
                 problems.append(f"rowcount spark={len(srows)} "
