@@ -442,7 +442,8 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(QuerySpec(
     "domain_cap", q_domain_cap,
     oracle=f"""
-        SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars,
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
                MAX(n_chars) AS longest, MIN(n_chars) AS shortest_kept
         FROM (
             SELECT source, n_chars,
@@ -489,14 +490,15 @@ register(QuerySpec(
     "corpus_stats", q_corpus_stats,
     oracle="""
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(len(regexp_split_to_array(TRIM(text), '\\s+')))
-                   AS total_tokens,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(len(regexp_split_to_array(TRIM(text), '\\s+')))
+                   AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                COUNT(DISTINCT md5(text)) AS distinct_texts,
                1.0 - COUNT(DISTINCT md5(text))
                    / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
-               SUM(CASE WHEN len(regexp_split_to_array(TRIM(text),
-                   '\\s+')) < 20 THEN 1 ELSE 0 END) AS n_short
+               CAST(SUM(CASE WHEN len(regexp_split_to_array(TRIM(text),
+                   '\\s+')) < 20 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_short
         FROM documents
         GROUP BY lang
     """,
@@ -586,8 +588,8 @@ register(QuerySpec(
                      // {HIST_BUCKET_TOKENS}, {HIST_MAX_BUCKET})
                    AS len_bucket,
                COUNT(*) AS n_docs,
-               SUM(len(regexp_split_to_array(TRIM(text), '\\s+')))
-                   AS bucket_tokens
+               CAST(SUM(len(regexp_split_to_array(TRIM(text), '\\s+')))
+                   AS BIGINT) AS bucket_tokens
         FROM documents
         GROUP BY 1, 2
     """,
@@ -717,8 +719,8 @@ register(QuerySpec(
         )
         SELECT p.doc_id,
                COUNT(*) AS n_passages,
-               SUM(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END)
-                   AS n_dup_passages,
+               CAST(SUM(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_passages,
                CAST(SUM(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END)
                     AS DOUBLE) / COUNT(*) AS dup_frac,
                CASE WHEN SUM(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END)
@@ -775,8 +777,8 @@ register(QuerySpec(
     oracle=f"""
         WITH s AS (
             SELECT source, COUNT(*) AS n_docs,
-                   SUM(len(regexp_split_to_array(TRIM(text), '\\s+')))
-                       AS n_tokens
+                   CAST(SUM(len(regexp_split_to_array(TRIM(text),
+                       '\\s+'))) AS BIGINT) AS n_tokens
             FROM documents GROUP BY source
         ), q AS (
             SELECT source, n_docs, n_tokens,
@@ -871,10 +873,11 @@ register(QuerySpec(
             SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
             FROM types
         ), totals AS (
-            SELECT SUM(n) AS total, COUNT(*) AS n_types,
+            SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_types,
                    {", ".join(
-                       f"SUM(CASE WHEN rank <= {s} THEN n ELSE 0 END)"
-                       f" AS cov_{s}" for s in VOCAB_SIZES)}
+                       f"CAST(SUM(CASE WHEN rank <= {s} THEN n ELSE 0"
+                       f" END) AS BIGINT) AS cov_{s}"
+                       for s in VOCAB_SIZES)}
             FROM ranked
         )
         SELECT u.vocab_size, u.covered_tokens, total AS total_tokens,

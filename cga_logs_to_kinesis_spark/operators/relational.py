@@ -368,7 +368,9 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             F.sum(F.col("o_totalprice").cast(_DEC)).over(w)
             .cast("double").alias("running_total"),
-            F.lag("o_totalprice", 1).over(
+            # lag default -1.0 (not NULL): first-row NULL would render
+            # NaN through the oracle's pandas path but NULL from Spark
+            F.lag("o_totalprice", 1, -1.0).over(
                 Window.partitionBy("o_custkey")
                 .orderBy("o_orderdate", "o_orderkey")).alias("prev_price"),
         )
@@ -384,7 +386,7 @@ register(QuerySpec(
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS running_total,
-               LAG(o_totalprice, 1) OVER (
+               LAG(o_totalprice, 1, -1.0) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ) AS prev_price
         FROM orders

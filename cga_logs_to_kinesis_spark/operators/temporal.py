@@ -72,7 +72,12 @@ def asof_join_last_event(events: DataFrame, left_type: str,
 def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = load_events(spark, sf_dir)
-    return asof_join_last_event(ev, "purchase", "signup")
+    out = asof_join_last_event(ev, "purchase", "signup")
+    # NULL-free output: unmatched purchases (no prior signup) carry a -1
+    # sentinel so the cross-engine compare never hits pandas'
+    # nullable-int64→float64 coercion on the oracle side.
+    return out.fillna(
+        -1, subset=["last_signup_id", "last_signup_us", "lag_us"])
 
 
 register(QuerySpec(
@@ -85,9 +90,9 @@ register(QuerySpec(
         SELECT p.user_id,
                p.event_id AS purchase_id,
                epoch_us(p.ts) AS purchase_us,
-               s.event_id AS last_signup_id,
-               epoch_us(s.ts) AS last_signup_us,
-               epoch_us(p.ts) - epoch_us(s.ts) AS lag_us
+               COALESCE(s.event_id, -1) AS last_signup_id,
+               COALESCE(epoch_us(s.ts), -1) AS last_signup_us,
+               COALESCE(epoch_us(p.ts) - epoch_us(s.ts), -1) AS lag_us
         FROM p ASOF LEFT JOIN s
           ON p.user_id = s.user_id AND p.ts >= s.ts
     """,

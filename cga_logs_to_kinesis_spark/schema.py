@@ -144,9 +144,10 @@ FIXTURE_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# `events.ts` is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives
-# as LongType ns; sources/tables.py derives `event_time` (TimestampType,
-# microsecond precision) alongside the exact `ts` ns value.
+# `events.ts` has shipped as parquet TIMESTAMP(NANOS) (read as LongType
+# ns via nanosAsLong) and as plain timestamp[us]; sources/tables.py
+# normalizes both to exact int64-ns `ts` + TimestampType `event_time`.
+# This StructType describes the normalized load_events output.
 EVENTS = StructType([
     StructField("event_id", LongType(), True),
     StructField("ts", LongType(), True),                # ns since epoch

@@ -17,9 +17,10 @@ from pyspark.sql import SparkSession
 # Keys chosen for 100 TB behavior, values sized for local[32] testing:
 #   - AQE on: runtime shuffle-partition coalescing + skew-join splitting
 #     replaces hand-tuned partition counts when data sizes move 1000x.
-#   - nanosAsLong: the fixture `events.ts` is parquet TIMESTAMP(NANOS),
-#     which the vectorized reader rejects; we read it as int64 ns and
-#     derive TimestampType columns explicitly (sources/tables.py).
+#   - nanosAsLong: some fixture generations ship `events.ts` as parquet
+#     TIMESTAMP(NANOS), which the vectorized reader rejects; with this
+#     on it reads as int64 ns.  Current fixtures are timestamp[us];
+#     sources/tables.py branches on the scanned dtype either way.
 #   - Arrow on: every toPandas()/pandas_udf boundary is Arrow-batched.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",

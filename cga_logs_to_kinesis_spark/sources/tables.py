@@ -4,14 +4,23 @@ All relational inputs come from driver-generated parquet at
 ``{sf_dir}/{name}.parquet`` (see /root/repo/TESTDATA.md).  Readers are
 plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown,
 column pruning, and partition pruning; the only special case is
-``events``, whose ``ts`` column is parquet TIMESTAMP(NANOS) — a type
-Spark's vectorized reader rejects — read as int64 nanoseconds via
-``spark.sql.legacy.parquet.nanosAsLong`` with a derived
-microsecond-precision ``event_time`` TimestampType column.
+``events``, whose ``ts`` column has shipped in two physical forms
+across fixture generations:
+
+* parquet TIMESTAMP(NANOS) — rejected by Spark's vectorized reader,
+  so read as int64 nanoseconds via
+  ``spark.sql.legacy.parquet.nanosAsLong``;
+* plain ``timestamp[us]`` (current fixtures) — arrives as
+  TIMESTAMP/TIMESTAMP_NTZ and is converted back to the engine's
+  canonical int64-ns ``ts``.
+
+``load_events`` normalizes both to the same output contract: exact
+int64-ns ``ts`` plus a derived TimestampType ``event_time``, so every
+downstream ``ts DIV ...`` site is fixture-format-agnostic.
 
 At 100 TB these readers are unchanged: parquet scans scale with the
 file listing, filters/projections still push down to the footers, and
-the ns→timestamp derivation is a codegen'd projection, not a UDF.
+the ns↔timestamp derivations are codegen'd projections, not UDFs.
 """
 
 from __future__ import annotations
@@ -43,13 +52,28 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     time arithmetic (window bucketing, as-of comparisons) should use
     the integer `ts` column; `event_time` exists for calendar functions
     and Structured Streaming watermarks.
+
+    The physical parquet type of `ts` has varied between fixture
+    generations (TIMESTAMP(NANOS)-as-int64 vs plain timestamp[us]);
+    both are normalized to this contract by branching on the scanned
+    dtype, so callers never see the difference.
     """
+    from pyspark.sql.types import LongType
+
     _ensure_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV, not `/`: float division of an ~1.7e18 ns value loses
-    # sub-µs precision (doubles carry 53 bits) and can round up 1 µs
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) fixtures read as int64 ns (nanosAsLong).
+        # Integer DIV, not `/`: float division of an ~1.7e18 ns value
+        # loses sub-µs precision (doubles carry 53 bits).
+        return df.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # timestamp[us] fixtures: arrives as TIMESTAMP or TIMESTAMP_NTZ.
+    # Session tz is UTC (session.py), so NTZ→LTZ cast is an identity on
+    # epoch micros; reconstruct the canonical int64-ns `ts` exactly.
+    df = df.withColumn("event_time", F.col("ts").cast("timestamp"))
     return df.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+        "ts", F.unix_micros(F.col("event_time")) * F.lit(1000))
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -18,16 +18,27 @@ same division of labor as the reference shelling out to ``tail``.
 
 Follow-by-name semantics reproduced:
 
-* **rotation** — st_ino/st_dev change under the same name → reopen the
-  new file from offset 0 (the final unterminated line of the old file
-  is shipped at rotation, matching tail's EOF flush, main.go:238-244);
-* **truncation** — size < offset → restart from 0 (``tail`` prints
-  "file truncated" and does the same);
+* **rotation** — st_ino/st_dev change under the same name → the *old*
+  inode is first drained to EOF through the retained file handle
+  (every byte appended since the last poll, including a final
+  unterminated line — tail's EOF flush, main.go:238-244), then the new
+  file is adopted from offset 0.  Without the drain, bytes appended to
+  the old inode between the last poll and the rename would be lost on
+  every logrotate;
+* **truncation** — size < offset on the *same* inode → restart from 0
+  (``tail`` prints "file truncated" and does the same; the overwritten
+  bytes are unrecoverable by definition);
 * **retry** — a watched path that does not exist yet (or vanishes) is
   polled until it appears, never an error (``--retry``, main.go:215);
+  a vanished file's handle is drained to EOF then closed, so deletion
+  loses nothing that was already on disk;
 * **line unit** — only complete ``\n``-terminated lines ship; a
   partial tail line stays buffered in the source file until finished
-  (bufio.ReadBytes('\n') loop, main.go:230-248).
+  (bufio.ReadBytes('\n') loop, main.go:230-248).  Exception: a single
+  line longer than ``max_chunk_bytes`` ships in chunk-sized segments
+  (deviation from ``tail``, which buffers unboundedly) — the
+  alternative is an unbounded buffer or a livelock re-reading the
+  same newline-free chunk forever.
 
 Offsets are persisted to ``<spool>/.tail_state.json`` after each
 poll, so a daemon restart re-ships nothing (stronger than the
@@ -68,6 +79,12 @@ class TailFollower:
     poll_interval_s: float = 0.2
     max_chunk_bytes: int = 64 * 1024 * 1024   # bound one spool file
     _states: dict[str, _FileState] = field(default_factory=dict)
+    # Open handle per watched path, pinned to the inode recorded in
+    # _states — this is what lets rotation/deletion drain the old
+    # inode after the name already points elsewhere.  Never persisted
+    # (a restart cannot recover a dropped fd; that loss window matches
+    # the reference's restarted `tail`).
+    _handles: dict[str, object] = field(default_factory=dict)
     _stop: threading.Event = field(default_factory=threading.Event)
     _thread: threading.Thread | None = None
 
@@ -108,6 +125,11 @@ class TailFollower:
                 continue
             seen.add(path)
             spooled += self._poll_file(path)
+        # Paths with a retained handle that the glob no longer matches
+        # (deleted / renamed away): drain their remaining bytes through
+        # the old fd, then release it.
+        for path in [p for p in self._handles if p not in seen]:
+            spooled += self._poll_file(path)
         # A vanished file keeps its state (retry semantics: it may come
         # back under the same name via rotation); state for files gone
         # >1 poll is harmless — offset is keyed by (ino, dev) identity.
@@ -120,28 +142,81 @@ class TailFollower:
         try:
             stat = os.stat(path)
         except OSError:
-            return 0                           # vanished mid-poll: retry
+            # Vanished: drain whatever the retained handle can still
+            # see, then close it.  State is kept (retry semantics — the
+            # name may come back; a new inode then takes the rotation
+            # branch below and starts from 0).
+            return self._drain_and_close(path, st)
         rotated = (stat.st_ino, stat.st_dev) != (st.ino, st.dev)
-        truncated = stat.st_size < st.offset
-        if rotated or truncated:
+        spooled = 0
+        if rotated:
+            # Drain the old inode to EOF (complete lines AND the final
+            # partial — tail's EOF flush) before adopting the new file.
+            spooled += self._drain_and_close(path, st)
             st.ino, st.dev, st.offset = stat.st_ino, stat.st_dev, 0
+        elif stat.st_size < st.offset:         # truncated in place
+            st.offset = 0
         if stat.st_size <= st.offset:
-            return 0
+            return spooled
+        fh = self._handles.get(path)
+        if fh is None:
+            try:
+                fh = open(path, "rb")
+            except OSError:
+                return spooled                 # vanished mid-poll: retry
+            fst = os.fstat(fh.fileno())
+            if (fst.st_ino, fst.st_dev) != (st.ino, st.dev):
+                fh.close()                     # rotated between stat and
+                return spooled                 # open; next poll adopts it
+            self._handles[path] = fh
         try:
-            with open(path, "rb") as f:
-                f.seek(st.offset)
-                chunk = f.read(min(stat.st_size - st.offset,
-                                   self.max_chunk_bytes))
+            fh.seek(st.offset)
+            chunk = fh.read(min(stat.st_size - st.offset,
+                                self.max_chunk_bytes))
         except OSError:
-            return 0
+            return spooled
+        if not chunk:
+            return spooled
         # Ship only complete lines; keep a trailing partial buffered in
-        # the source file by not advancing the offset past it.
+        # the source file by not advancing the offset past it — UNLESS
+        # a full max_chunk read found no newline at all, where waiting
+        # would livelock: ship the oversized segment and move on.
         cut = chunk.rfind(b"\n")
         if cut < 0:
-            return 0
-        body, st.offset = chunk[:cut + 1], st.offset + cut + 1
+            if len(chunk) < self.max_chunk_bytes:
+                return spooled
+            body = chunk
+        else:
+            body = chunk[:cut + 1]
+        st.offset += len(body)
         self._write_spool(path, body)
-        return 1
+        return spooled + 1
+
+    def _drain_and_close(self, path: str, st: _FileState) -> int:
+        """Read the retained handle (the inode recorded in ``st``) to
+        EOF, shipping everything including a final unterminated line,
+        then close it.  Returns spool files written (0 if no handle —
+        e.g. first poll, or a restart that lost the fd)."""
+        fh = self._handles.pop(path, None)
+        if fh is None:
+            return 0
+        spooled = 0
+        try:
+            fst = os.fstat(fh.fileno())
+            if (fst.st_ino, fst.st_dev) == (st.ino, st.dev):
+                while True:
+                    fh.seek(st.offset)
+                    chunk = fh.read(self.max_chunk_bytes)
+                    if not chunk:
+                        break
+                    st.offset += len(chunk)
+                    self._write_spool(path, chunk)
+                    spooled += 1
+        except OSError:
+            pass                               # old fd unreadable: give up
+        finally:
+            fh.close()
+        return spooled
 
     def _write_spool(self, src_path: str, body: bytes) -> None:
         # One spool file per (file, poll) chunk.  Name = zero-padded
@@ -178,3 +253,9 @@ class TailFollower:
             self._thread.join(timeout=10)
             self._thread = None
         self._save_state()
+        for fh in self._handles.values():
+            try:
+                fh.close()
+            except OSError:
+                pass
+        self._handles.clear()

@@ -68,6 +68,65 @@ def test_rotation_follow_by_name(tmp_path):
     assert spooled_lines(spool) == ["a", "b"]
 
 
+def test_rotation_drains_old_inode(tmp_path):
+    """Bytes appended to the old inode after the last poll — including
+    a final unterminated line — ship at rotation (tail's EOF flush,
+    reference main.go:238-244).  This is the logrotate race: poll,
+    append, rename, recreate, poll."""
+    watch, spool, t = mk(tmp_path)
+    f = watch / "rot.log"
+    f.write_text("a\n")
+    t.poll_once()
+    # appended after the poll, then rotated away before the next one
+    with f.open("a") as fh:
+        fh.write("late1\nlate2\npartial-tail")
+    os.rename(f, watch / "rot.log.1")
+    f.write_text("new\n")
+    t.poll_once()
+    assert spooled_lines(spool) == [
+        "a", "late1", "late2", "partial-tail", "new"]
+
+
+def test_deletion_drains_old_inode(tmp_path):
+    """A deleted (not rotated) file's remaining bytes ship too; the
+    name is then retried and a recreation starts from 0."""
+    watch, spool, t = mk(tmp_path)
+    f = watch / "del.log"
+    f.write_text("kept\n")
+    t.poll_once()
+    with f.open("a") as fh:
+        fh.write("after-poll\n")
+    os.remove(f)
+    assert t.poll_once() == 1                 # drain ships the tail
+    assert spooled_lines(spool) == ["kept", "after-poll"]
+    f.write_text("reborn\n")
+    t.poll_once()
+    assert spooled_lines(spool) == ["kept", "after-poll", "reborn"]
+
+
+def test_oversized_line_no_livelock(tmp_path):
+    """A single line longer than max_chunk_bytes ships in chunk-sized
+    segments instead of being re-read forever (documented deviation
+    from tail's unbounded buffering)."""
+    watch, spool, t = mk(tmp_path)
+    t.max_chunk_bytes = 8
+    f = watch / "big.log"
+    f.write_text("0123456789abcdef\n")        # 17 B total, 8 B chunks
+    assert t.poll_once() == 1                 # bytes 0-7, no newline
+    assert t.poll_once() == 1                 # bytes 8-15, no newline
+    assert t.poll_once() == 1                 # final "\n"
+    assert t.poll_once() == 0                 # fully consumed: no loop
+    joined = "".join(
+        fp.read_text() for fp in sorted(spool.glob("*.log")))
+    assert joined == "0123456789abcdef\n"
+    # normal short lines still work afterwards
+    with f.open("a") as fh:
+        fh.write("ok\n")
+    t.poll_once()
+    assert joined + "ok\n" == "".join(
+        fp.read_text() for fp in sorted(spool.glob("*.log")))
+
+
 def test_truncation_restarts_from_zero(tmp_path):
     watch, spool, t = mk(tmp_path)
     f = watch / "tr.log"
