@@ -234,6 +234,13 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     # proportional to real similarity instead of to the most common
     # shingle (r=1 floods: 156k candidate pairs at sf0.1, most with
     # tiny jaccard, and the verify join becomes the bottleneck).
+    # Disk sizing at 100 TB: localCheckpoint materializes the full
+    # shingle set (~distinct-shingles x 8 B per doc, roughly the size
+    # of the text column) to executor-local disk.  Justified by 3x
+    # reuse (signatures + both verify sides); provision local SSD
+    # ~1x the scanned text volume, or swap to .persist(DISK_ONLY)
+    # if lineage-cut semantics aren't needed on a cluster with
+    # reliable shuffle storage.
     sh = shingle_docs(docs).localCheckpoint()
     cand = lsh_candidate_ids(sh)
     sa = sh.select(F.col("doc_id").alias("doc_a"),

@@ -43,6 +43,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.streaming.sink import Transport
 
@@ -240,7 +241,12 @@ def boto3_consumer_client(region: str) -> ConsumerClient:
 # Driver-side poller → spool → Spark file stream
 # ---------------------------------------------------------------------------
 
-CONSUMER_SPOOL_SCHEMA = ("wire STRING, partition_key STRING, "
+# Spool rows carry the record payload base64-encoded: Kinesis record
+# data is opaque bytes (reference kinesis.go:477-489 — the daemon ships
+# Envelope.Marshal() protobuf wire), and a utf-8 text round-trip would
+# corrupt any non-UTF-8 byte.  Same encoding DirStreamTransport uses
+# for its at-rest pages.
+CONSUMER_SPOOL_SCHEMA = ("wire_b64 STRING, partition_key STRING, "
                          "shard_id STRING, sequence_number STRING, "
                          "approximate_arrival_ts DOUBLE")
 
@@ -317,7 +323,7 @@ class ShardPoller:
         with open(tmp, "w") as f:
             for r in records:
                 f.write(json.dumps({
-                    "wire": r.data.decode("utf-8", "replace"),
+                    "wire_b64": base64.b64encode(r.data).decode("ascii"),
                     "partition_key": r.partition_key,
                     "shard_id": shard_id,
                     "sequence_number": r.sequence_number,
@@ -349,7 +355,18 @@ class ShardPoller:
 
 def read_consumer_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
     """Streaming DataFrame over a ShardPoller's spool: one row per
-    consumed record, wire payload + Kinesis metadata columns."""
-    return (spark.readStream.schema(CONSUMER_SPOOL_SCHEMA)
-            .option("pathGlobFilter", "*.jsonl")
-            .json(spool_dir))
+    consumed record, wire payload + Kinesis metadata columns.
+
+    ``wire_bytes`` is the bit-exact record payload (protobuf-safe);
+    ``wire`` is its UTF-8 string view for JSON-wire consumers
+    (``decode_envelopes``).  Both derive from the base64 spool column
+    in a codegen'd projection — no Python in the decode path.
+    """
+    raw = (spark.readStream.schema(CONSUMER_SPOOL_SCHEMA)
+           .option("pathGlobFilter", "*.jsonl")
+           .json(spool_dir))
+    return raw.select(
+        F.unbase64("wire_b64").alias("wire_bytes"),
+        F.unbase64("wire_b64").cast("string").alias("wire"),
+        "partition_key", "shard_id", "sequence_number",
+        "approximate_arrival_ts")

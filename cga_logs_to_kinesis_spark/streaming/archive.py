@@ -21,6 +21,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _salted_repartition(df: DataFrame, n: int, *part_cols: str) -> DataFrame:
+    """Shuffle so each (part_cols) group spreads over at most ``n``
+    tasks → at most ``n`` files per partition directory.
+
+    A plain ``repartition(n, *part_cols)`` does NOT do this: all rows
+    of one group share a hash and land in ONE task, so every partition
+    directory gets exactly one file and a hot partition writes through
+    a single straw.  Salting with a deterministic row hash (stable
+    across task retries, unlike monotonically_increasing_id) fans each
+    group out to ``n`` writers.
+
+    The shuffle width is passed explicitly (session shuffle.partitions)
+    — an implicit-width ``repartition(cols)`` is fair game for AQE
+    partition coalescing, which at low volume would merge the salted
+    spread straight back into one writer.
+    """
+    width = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n))
+    return (df.withColumn("_salt", salt)
+            .repartition(width, *part_cols, "_salt")
+            .drop("_salt"))
+
+
 def archive_envelopes(env: DataFrame, path: str,
                       files_per_partition: int = 4,
                       mode: str = "append") -> None:
@@ -30,8 +54,8 @@ def archive_envelopes(env: DataFrame, path: str,
         "event_date",
         F.date_format(F.timestamp_micros(F.expr("timestamp DIV 1000")),
                       "yyyy-MM-dd"))
-    (dated
-     .repartition(files_per_partition, "event_date", "origin")
+    (_salted_repartition(dated, files_per_partition,
+                         "event_date", "origin")
      .write
      .partitionBy("event_date", "origin")
      .mode(mode)
@@ -57,8 +81,8 @@ def compact_archive(spark, src_path: str, dest_path: str,
     At 100 TB the swap is a metastore/view pointer flip; locally it's
     an ``os.rename``.
     """
-    (spark.read.parquet(src_path)
-     .repartition(files_per_partition, "event_date", "origin")
+    (_salted_repartition(spark.read.parquet(src_path),
+                         files_per_partition, "event_date", "origin")
      .write
      .partitionBy("event_date", "origin")
      .mode("error")             # dest must be fresh: no silent merge

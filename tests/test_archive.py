@@ -57,6 +57,35 @@ def test_archive_file_sizing(spark, tmp_path):
     assert 1 <= len(files) <= 2
 
 
+def test_files_per_partition_spreads_writers(spark, tmp_path):
+    """files_per_partition=N really yields up to N files in ONE
+    partition directory (salted repartition) — a hot partition is not
+    funneled through a single writer task."""
+    import glob
+
+    from cga_logs_to_kinesis_spark.streaming.archive import (
+        compact_archive,
+    )
+
+    watch = tmp_path / "logs"
+    watch.mkdir()
+    (watch / "big.log").write_text(
+        "".join(f"line-{i}\n" for i in range(400)))
+    lines = spark.read.format("text").load(str(watch))
+    env = envelope_projection(lines, origin="hot")
+
+    src = str(tmp_path / "archive")
+    archive_envelopes(env, src, files_per_partition=3)
+    files = glob.glob(f"{src}/*/*/*.parquet")
+    assert 2 <= len(files) <= 3               # spread, and capped at N
+
+    dest = str(tmp_path / "compacted")
+    compact_archive(spark, src, dest, files_per_partition=2)
+    files2 = glob.glob(f"{dest}/*/*/*.parquet")
+    assert len(files2) == 2
+    assert read_archive(spark, dest).count() == 400
+
+
 def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     """Many small appended files -> one file per partition, identical
     rows, pruning intact."""

@@ -91,8 +91,39 @@ def test_poller_resumes_after_restart(tmp_path):
     lines = []
     for f in spool.glob("*.jsonl"):
         lines.extend(json.loads(ln) for ln in f.read_text().splitlines())
-    assert sorted(ln["wire"] for ln in lines) == sorted(
+    assert sorted(base64.b64decode(ln["wire_b64"]).decode()
+                  for ln in lines) == sorted(
         [f"r{i}" for i in range(5)] + ["late"])
+
+
+def test_spool_preserves_arbitrary_bytes(spark, tmp_path):
+    """Record payloads are opaque bytes (reference kinesis.go:477-489
+    — Envelope.Marshal() protobuf wire); the spool must round-trip
+    them bit-exact, including bytes invalid as UTF-8."""
+    payloads = [
+        b"\x0a\x05hello\x10\xff\x01",          # protobuf-ish wire
+        bytes(range(256)),                      # every byte value
+        "unicode-ok ✓".encode(),                # valid UTF-8 too
+    ]
+    tp = DirStreamTransport(str(tmp_path / "stream"), n_shards=1)
+    tp.send("s", [(d, f"k{i}") for i, d in enumerate(payloads)])
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    poller = ShardPoller(client=DirStreamClient(str(tmp_path / "stream")),
+                         stream="s", spool_dir=str(spool))
+    poller._load_state()
+    assert poller.poll_once() == 3
+
+    wire = read_consumer_stream(spark, str(spool))
+    q = (wire.writeStream.format("memory").queryName("raw_spool")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT wire_bytes FROM raw_spool ORDER BY sequence_number"
+    ).collect()
+    assert [bytes(r.wire_bytes) for r in got] == payloads
 
 
 def test_consumer_stream_round_trip_with_sink(spark, tmp_path):
