@@ -48,10 +48,16 @@ def main() -> None:
     spark = get_session("bench")
     specs = all_queries()
 
-    # Warm each query's codegen/JIT path once on the smallest SF so
-    # per-query numbers measure the engine, not first-call JIT.
+    # Warm each query's codegen/JIT path on a smaller SF so per-query
+    # numbers measure the engine, not first-call JIT.  sf0.01 (not
+    # sf0.001): C2 compilation of the generated code needs enough
+    # invocations to trigger; a 600-row warm run leaves the hot loops
+    # interpreted and the measured run then pays the compile.
+    warm_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(warm_dir) or warm_dir == sf_dir:
+        warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
-        specs[name].fn(spark, "/root/testdata/sf0.001") \
+        specs[name].fn(spark, warm_dir) \
             .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
