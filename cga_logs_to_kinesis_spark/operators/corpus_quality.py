@@ -1,0 +1,269 @@
+"""Corpus-statistics quality operators (CCNet/C4-family, log-free).
+
+Three operators a training-data pipeline runs between raw scrape and
+tokenizer, all driven by *corpus-level* token statistics rather than
+per-document features (which live in ``text.py``):
+
+* ``unigram_rarity`` — per-document mean inverse unigram frequency, the
+  rational core of CCNet's LM-perplexity quality split (Wenzek et al.,
+  "CCNet", 2020).  Real CCNet scores ``exp(mean -log p(tok))``; the
+  monotone ``mean (total/count(tok))`` surrogate keeps the same
+  ordering for fixed document length and stays bit-exact across
+  engines (libm ``ln`` rounding differs — same reasoning as
+  ``tfidf_top_terms``).
+* ``winnowing_fingerprints`` — the MOSS winnowing scheme (Schleimer,
+  Wilkerson, Aiken, SIGMOD 2003): k-gram rolling hashes, per-window
+  minimum selection.  Guarantees any shared run of ≥ K+W-1 tokens
+  yields a shared fingerprint, with ~2/(W+1) selection density —
+  the standard local-fingerprint alternative to minhash for
+  plagiarism/overlap detection.
+* ``prune_frequent_tokens`` — corpus-driven boilerplate pruning:
+  tokens whose document frequency exceeds ``DF_SHARE`` of the corpus
+  are removed from every document (the token-granular analogue of
+  CCNet/RefinedWeb duplicated-line removal — this fixture corpus has
+  no line structure, so the unit is the token).
+
+100 TB topology: the only wide operations are token hash-aggregations
+(vocabulary-sized results, Zipf-skewed keys absorbed by partial aggs +
+AQE skew handling) and, for rarity, one join of exploded tokens
+against the vocabulary table — kept a plain equi-join, NOT a
+broadcast, because a web-scale vocabulary (~1e8 types) outgrows a
+broadcast even though this fixture's doesn't.  The stop-token set of
+``prune_frequent_tokens`` is tiny by construction (tokens in >50 % of
+documents), so it IS broadcast, and the rewrite itself is row-local
+array work in codegen — no shuffle touches document text.
+Winnowing is entirely row-local (scan-bound at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.functions.exact import davg, davg_sql
+from cga_logs_to_kinesis_spark.registry import QuerySpec, register
+from cga_logs_to_kinesis_spark.session import explode_parallelism, tune_session
+from cga_logs_to_kinesis_spark.sources import load_table
+
+
+def norm_tokens(col: str = "text") -> Column:
+    """Normalized token array: lowercase, whitespace-split, alnum-only,
+    empties dropped.  Same normalization as ``tfidf_top_terms`` minus
+    its length floor."""
+    return F.expr(
+        f"filter(transform(split(lower(trim({col})), '\\\\s+'), "
+        "t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '')")
+
+
+NORM_TOKENS_SQL = (
+    "list_filter(list_transform("
+    "regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t != '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# unigram_rarity
+# ---------------------------------------------------------------------------
+
+def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean inverse unigram frequency.
+
+    rarity(doc) = mean over tokens t of total_tokens / count(t):
+    1.0 floor for a document of nothing but the single most common
+    token, large for rare-vocabulary documents.  CCNet keeps the
+    middle of this distribution (head = boilerplate, tail = noise).
+    Exact decimal mean (``davg``) so shuffle order can't move the
+    result between engines.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = explode_parallelism(spark)
+    toks = (docs.repartition(par, "doc_id")
+            .select("doc_id", F.explode(norm_tokens()).alias("tok")))
+    total = toks.count()
+    freq = toks.groupBy("tok").agg(F.count("*").alias("occ"))
+    # Plain equi-join (see module docstring): the vocabulary outgrows
+    # a broadcast at web scale; Zipf-hot tokens are exactly what AQE
+    # skew-join splitting is for.
+    return (toks.join(freq, "tok")
+            .withColumn("inv", F.lit(float(total)) / F.col("occ"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_toks"),
+                 davg("inv", "rarity_score")))
+
+
+register(QuerySpec(
+    "unigram_rarity", q_unigram_rarity,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM (SELECT doc_id, {NORM_TOKENS_SQL} AS l FROM documents),
+                 UNNEST(l) AS t(tok)
+        ),
+        freq AS (SELECT tok, COUNT(*) AS occ FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks)
+        SELECT doc_id, COUNT(*) AS n_toks,
+               {davg_sql('tot.total / freq.occ', 'rarity_score')}
+        FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    doc="CCNet-style corpus-statistics quality score "
+        "(mean inverse unigram frequency, log-free exact)",
+    tags=("text", "north-star", "quality", "agg"),
+))
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3    # token k-gram length
+WINNOW_W = 4    # winnowing window (min selected per window)
+
+
+def winnow(docs: DataFrame, k: int = WINNOW_K,
+           w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, fingerprint) — winnowed k-gram hash selection.
+
+    Entirely row-local: gram construction, hashing (md5 prefix →
+    int64, the engine's cross-engine-stable hash), window minima and
+    dedup all happen inside one codegen'd projection, so the operator
+    is scan-bound at 100 TB.  Documents shorter than k+w-1 tokens
+    yield no fingerprints (no full window exists) on both engines.
+    """
+    toks = norm_tokens()
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {k})))")
+    hashes = F.expr(
+        "transform(_grams, g -> "
+        "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))")
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(_hs) - {w - 1}), "
+        f"j -> array_min(slice(_hs, j, {w}))))")
+    return (docs
+            .withColumn("_toks", toks)
+            .filter(F.size("_toks") >= k + w - 1)
+            .withColumn("_grams", grams)
+            .withColumn("_hs", hashes)
+            .select("doc_id", F.explode(fps).alias("fingerprint")))
+
+
+def q_winnowing_fingerprints(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return winnow(load_table(spark, sf_dir, "documents"))
+
+
+register(QuerySpec(
+    "winnowing_fingerprints", q_winnowing_fingerprints,
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {NORM_TOKENS_SQL} AS toks FROM documents
+        ),
+        eligible AS (
+            SELECT * FROM base
+            WHERE len(toks) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(
+                           range(1, len(toks) - {WINNOW_K - 2}),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + {WINNOW_K - 1}),
+                               ' ')),
+                       g -> CAST(('0x' || substr(md5(g), 1, 15))
+                                 AS BIGINT)) AS hs
+            FROM eligible
+        )
+        SELECT doc_id, f.fingerprint
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(hs) - {WINNOW_W - 2}),
+                       j -> list_min(list_slice(hs, j,
+                                     j + {WINNOW_W - 1})))) AS fps
+            FROM hashed
+        ), UNNEST(fps) AS f(fingerprint)
+    """,
+    doc=f"MOSS winnowing fingerprints (k={WINNOW_K} token-grams, "
+        f"window w={WINNOW_W}; shared runs >= {WINNOW_K + WINNOW_W - 1} "
+        "tokens guarantee a shared fingerprint)",
+    tags=("text", "north-star", "dedup", "fingerprint"),
+))
+
+
+# ---------------------------------------------------------------------------
+# prune_frequent_tokens
+# ---------------------------------------------------------------------------
+
+DF_SHARE = 0.5   # tokens in more than this share of docs are boilerplate
+
+
+def q_prune_frequent_tokens(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Remove tokens present in > ``DF_SHARE`` of documents.
+
+    Document frequency (distinct docs per token) is a vocabulary-sized
+    aggregate; the resulting stop set is tiny by construction and is
+    broadcast into a row-local array rewrite — document text never
+    shuffles, and token order within each document is preserved by
+    construction (``filter`` keeps relative order).
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = explode_parallelism(spark)
+    n_docs = docs.count()
+    base = docs.withColumn("_toks", norm_tokens())
+    dtoks = (base.repartition(par, "doc_id")
+             .select("doc_id",
+                     F.explode(F.array_distinct("_toks")).alias("tok")))
+    dfreq = dtoks.groupBy("tok").agg(F.count("*").alias("nd"))
+    stop = (dfreq.filter(F.col("nd") > DF_SHARE * n_docs)
+            .agg(F.sort_array(F.collect_list("tok")).alias("stop_list")))
+    kept = F.expr("filter(_toks, t -> NOT array_contains(stop_list, t))")
+    return (base.crossJoin(F.broadcast(stop))
+            .withColumn("_kept", kept)
+            .select(
+                "doc_id",
+                F.size("_kept").cast("long").alias("n_kept"),
+                (F.size("_toks") - F.size("_kept")).cast("long")
+                .alias("n_removed"),
+                F.concat_ws(" ", "_kept").alias("pruned_text")))
+
+
+register(QuerySpec(
+    "prune_frequent_tokens", q_prune_frequent_tokens,
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {NORM_TOKENS_SQL} AS toks FROM documents
+        ),
+        dtoks AS (
+            SELECT doc_id, t.tok
+            FROM (SELECT doc_id, list_distinct(toks) AS dl FROM base),
+                 UNNEST(dl) AS t(tok)
+        ),
+        dfreq AS (SELECT tok, COUNT(*) AS nd FROM dtoks GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        stop AS (
+            SELECT COALESCE(list(tok ORDER BY tok), []) AS stop_list
+            FROM dfreq, n WHERE nd > {DF_SHARE} * n_docs
+        )
+        SELECT doc_id,
+               len(kept) AS n_kept,
+               len(toks) - len(kept) AS n_removed,
+               COALESCE(array_to_string(kept, ' '), '') AS pruned_text
+        FROM (
+            SELECT doc_id, toks,
+                   list_filter(toks,
+                       t -> NOT list_contains(stop.stop_list, t)) AS kept
+            FROM base, stop
+        )
+    """,
+    doc="corpus-driven boilerplate pruning: drop tokens with document "
+        f"frequency > {DF_SHARE:.0%} (token-granular analogue of "
+        "CCNet duplicated-line removal)",
+    tags=("text", "north-star", "quality", "corpus-prep"),
+))

@@ -43,65 +43,67 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- no driver row yet (r01 indices 50-70) --------------------------
-    "dedup_embedding_cosine",
-    "cosine_topk_fast",
+    # -- round-4 curation ------------------------------------------------
+    # r3 ERR (events timestamp[us] regression) or hash-fail (HUGEINT
+    # oracles), all fixed this round — need fresh green driver rows:
+    "stats_tumbling",
     "asof_last_signup",
     "range_join_error_after_purchase",
-    "text_stats",
-    "quality_features",
-    "lang_id",
-    "doc_fingerprint",
-    "bpe_token_counts",
-    "tfidf_top_terms",
-    "quality_filter_survivors",
     "dedup_events_first",
     "funnel_conversion",
-    "date_trunc_buckets",
     "multi_resolution_rollup",
-    "share_of_total",
-    "priority_count",
-    "promo_share",
-    "returned_revenue",
-    "large_volume_customers",
-    "shipmode_priority",
-    # -- r01 hard error, fixed this round -------------------------------
     "array_functions",
-    # -- new this round (no driver row yet) -----------------------------
-    "split_assign",
-    "stratified_sample",
-    "pack_chunks",
-    "gopher_repetition",
-    "ngram_decontaminate",
-    "pii_scrub",
-    "embedding_centroids",
     "domain_cap",
     "corpus_stats",
-    "multimodal_raw_features",
-    "multimodal_raw_resize",
-    "dedup_components",
-    "kmeans_embeddings",
     "token_length_histogram",
-    "curriculum_deciles",
     "passage_dedup",
     "mixture_weights",
-    "embedding_quantize",
-    "semdedup",
     "vocab_coverage",
-    "cosine_topk_ivf",
-    "dedup_incremental",
-    "embedding_covariance",
-    # -- keepers: one slot per family / actively-reworked operator ------
-    # (dedup/text families stay in-window because the round-2 LSH
-    # rewrite and explode_parallelism change touched their plans;
-    # stable r01-green gallery queries rotated out to make room.)
-    # minhash_signatures rotated out (r01 green; its signature code
-    # path stays covered in-window via dedup_minhash_lsh)
-    "stats_tumbling",
+    # output changed this round (NULL-free lag sentinel):
+    "running_revenue",
+    # never appeared in any driver window yet:
+    "ann_recall_report",
+    "dedup_containment",
+    "pca_project",
+    # new operators this round:
+    "unigram_rarity",
+    "winnowing_fingerprints",
+    "prune_frequent_tokens",
+    # events-reading queries revalidated after the load_events rewrite
+    # (last green row predates the fixture format change):
+    "distinct_users",
+    "json_props",
+    "map_functions",
+    "pivot_event_types",
+    "conditional_pivot",
+    "sliding_window",
+    "session_windows",
+    # family keepers (actively-tuned plans stay driver-visible):
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "cosine_topk_lsh",
     "revenue_by_nation",
+    # stale-green refresh: last green row is r01; rotate back through
+    # before those rows age out of trust:
+    "batch_pages",
+    "envelope_project",
+    "envelope_json_roundtrip",
+    "token_frequencies",
+    "dedup_exact",
+    "dedup_exact_survivors",
+    "minhash_signatures",
+    "dedup_simhash",
+    "cosine_topk",
+    "pricing_summary",
+    "shipping_priority",
+    "top3_orders_per_customer",
+    "global_topk",
+    "segment_totals",
+    "similar_part_names",
+    "price_percentiles",
+    "rollup_pricing",
+    "cube_orders",
+    "grouping_sets_sql",
 )
 
 
@@ -114,6 +116,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """
     from cga_logs_to_kinesis_spark.operators import (  # noqa: F401
         clustering,
+        corpus_quality,
         dedup,
         llm_pipeline,
         multimodal,
