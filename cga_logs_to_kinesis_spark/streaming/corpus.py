@@ -72,3 +72,55 @@ def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum("ntok").alias("total_tokens"),
                  F.sum("n_chars").alias("total_chars")))
+
+
+def streaming_winnow(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprints over a document stream.
+
+    The batch operator (``operators/corpus_quality.py::winnow``) is a
+    pure row-local projection, so it composes with a streaming input
+    unchanged — parity holds by construction, and the streaming plan
+    stays stateless (no watermark, no state store)."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import winnow
+    return winnow(docs)
+
+
+def streaming_prune_frequent_tokens(docs: DataFrame,
+                                    stop_df: DataFrame) -> DataFrame:
+    """Boilerplate pruning over a document stream.
+
+    The document-frequency stop set is corpus-level state that a
+    stream cannot derive from itself (it would change retroactively);
+    the honest streaming decomposition is the one production pipelines
+    use — fit the stop set on the existing corpus (the batch
+    ``prune_frequent_tokens`` front half), then apply it to arriving
+    documents as a stream-static broadcast join + the same row-local
+    rewrite.  ``stop_df`` is a 1-row static DataFrame with a
+    ``stop_list`` array column."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+    kept = F.expr("filter(_toks, t -> NOT array_contains(stop_list, t))")
+    return (docs.withColumn("_toks", norm_tokens())
+            .crossJoin(F.broadcast(stop_df))
+            .withColumn("_kept", kept)
+            .select(
+                "doc_id",
+                F.size("_kept").cast("long").alias("n_kept"),
+                (F.size("_toks") - F.size("_kept")).cast("long")
+                .alias("n_removed"),
+                F.concat_ws(" ", "_kept").alias("pruned_text")))
+
+
+def fit_stop_tokens(docs: DataFrame, df_share: float = 0.5) -> DataFrame:
+    """Batch front half for :func:`streaming_prune_frequent_tokens`:
+    the 1-row stop-set DataFrame fitted on a static corpus."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+    n_docs = docs.count()
+    dtoks = docs.select(
+        "doc_id", F.explode(F.array_distinct(norm_tokens())).alias("tok"))
+    return (dtoks.groupBy("tok").agg(F.count("*").alias("nd"))
+            .filter(F.col("nd") > df_share * n_docs)
+            .agg(F.sort_array(F.collect_list("tok")).alias("stop_list")))

@@ -71,3 +71,35 @@ def test_streaming_stats_match_batch_totals(spark, tmp_path):
                 got[lang].total_chars) == \
                (want[lang].n_docs, want[lang].total_tokens,
                 want[lang].total_chars)
+
+
+def test_streaming_winnow_matches_batch(spark, tmp_path):
+    """Winnowing is row-local, so the streaming fingerprints are
+    exactly the batch fingerprints regardless of arrival batching."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import winnow
+    from cga_logs_to_kinesis_spark.streaming.corpus import streaming_winnow
+
+    docs, stream = _staged_stream(spark, tmp_path)
+    got = _drain(streaming_winnow(stream), tmp_path, "winnowed")
+    want = winnow(docs)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_streaming_prune_matches_batch(spark, tmp_path):
+    """Stop set fitted on the static corpus, applied to the stream:
+    every arriving doc gets the same rewrite the batch operator gives
+    it (stream-static broadcast join, stateless)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        fit_stop_tokens,
+        streaming_prune_frequent_tokens,
+    )
+
+    docs, stream = _staged_stream(spark, tmp_path)
+    stop = fit_stop_tokens(docs)
+    got = _drain(streaming_prune_frequent_tokens(stream, stop),
+                 tmp_path, "pruned")
+    want = all_queries()["prune_frequent_tokens"].fn(spark, SF_SMOKE)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
