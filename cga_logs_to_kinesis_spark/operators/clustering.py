@@ -103,12 +103,70 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb).orderBy("vec_id")
 
 
+def _kmeans_oracle(k: int = K_CLUSTERS, n_iters: int = N_ITERS) -> str:
+    """Fixed-iteration Lloyd's unrolled as chained CTEs.
+
+    Bit-exact against the Spark implementation because every float
+    decision point is order-pinned on both engines: the per-dim
+    squared-distance accumulation is a left fold (numpy's sequential
+    ``d += diff*diff`` == DuckDB's ``list_sum`` left fold, verified),
+    centroid means are DECIMAL(38,6) sums (order-free), ties break on
+    lowest cluster id, and the seed is the k smallest vec_ids.  An
+    iterative algorithm normally escapes SQL oracles; pinning the
+    iteration count turns it into straight-line dataflow.
+    """
+    sqd = ("list_sum(list_transform(range(1, len(e.embedding) + 1), "
+           "d -> (CAST(e.embedding[d] AS DOUBLE) - c.cent[d]) "
+           "* (CAST(e.embedding[d] AS DOUBLE) - c.cent[d])))")
+    parts = [f"""
+        emb AS (SELECT vec_id, embedding FROM embeddings),
+        c1 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS cent
+            FROM (SELECT vec_id, embedding FROM emb
+                  ORDER BY vec_id LIMIT {k})
+        )"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f"""
+        a{i} AS (
+            SELECT vec_id, embedding, cluster, sqdist FROM (
+                SELECT vec_id, embedding, cluster, sqdist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sqdist, cluster) AS rn
+                FROM (SELECT e.vec_id, e.embedding, c.cluster,
+                             {sqd} AS sqdist
+                      FROM emb e, c{i} c)
+            ) WHERE rn = 1
+        )""")
+        if i < n_iters:
+            parts.append(f"""
+        u{i} AS (
+            SELECT cluster, o.d - 1 AS dim,
+                   CAST(SUM(CAST(CAST(embedding[o.d] AS DOUBLE)
+                       AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+            FROM a{i},
+                 UNNEST(range(1, len(embedding) + 1)) AS o(d)
+            GROUP BY cluster, o.d
+        ),
+        cl{i} AS (
+            SELECT cluster, list(m ORDER BY dim) AS cent
+            FROM u{i} GROUP BY cluster
+        ),
+        c{i + 1} AS (
+            SELECT c.cluster, COALESCE(cl.cent, c.cent) AS cent
+            FROM c{i} c LEFT JOIN cl{i} cl USING (cluster)
+        )""")
+    return ("WITH " + ",".join(parts)
+            + f" SELECT vec_id, cluster, sqdist FROM a{n_iters}")
+
+
 register(QuerySpec(
     "kmeans_embeddings", q_kmeans_embeddings,
-    oracle=None,   # multi-iteration Lloyd's: genuinely iterative;
-                   # determinism + convergence pinned in pytest
+    oracle=_kmeans_oracle(),
     doc=f"distributed Lloyd's k-means (k={K_CLUSTERS}, "
-        f"{N_ITERS} iters, exact-decimal centroid updates)",
+        f"{N_ITERS} iters, exact-decimal centroid updates; oracle = "
+        "fixed-iteration unrolled CTE chain, bit-exact)",
     tags=("similarity", "north-star", "iterative", "pandas-udf"),
 ))
 

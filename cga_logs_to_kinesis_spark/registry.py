@@ -65,10 +65,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_recall_report",
     "dedup_containment",
     "pca_project",
-    # new operators this round:
+    # new operators this round (kmeans newly oracle-paired — its prior
+    # driver rows were rows-only):
     "unigram_rarity",
     "winnowing_fingerprints",
     "prune_frequent_tokens",
+    "kmeans_embeddings",
     # events-reading queries revalidated after the load_events rewrite
     # (last green row predates the fixture format change):
     "distinct_users",
@@ -103,7 +105,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "price_percentiles",
     "rollup_pricing",
     "cube_orders",
-    "grouping_sets_sql",
 )
 
 
