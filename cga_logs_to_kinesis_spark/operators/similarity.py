@@ -75,9 +75,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
-register(QuerySpec(
-    "cosine_topk", q_cosine_topk,
-    oracle="""
+# Shared by cosine_topk (JVM fold) and cosine_topk_fast (numpy
+# sequential per-dim fold) — both compute bit-identical scores.
+COSINE_TOPK_ORACLE = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                    FROM embeddings WHERE vec_id < 8),
         c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
@@ -110,7 +110,11 @@ register(QuerySpec(
             JOIN norms nq ON d.query_id = nq.vec_id
             JOIN norms nc ON d.cand_id = nc.vec_id
         ) WHERE rank <= 5
-    """,
+    """
+
+register(QuerySpec(
+    "cosine_topk", q_cosine_topk,
+    oracle=COSINE_TOPK_ORACLE,
     doc="brute-force exact cosine top-k (broadcast query set)",
     tags=("similarity", "north-star"),
 ))
@@ -425,13 +429,17 @@ register(QuerySpec(
 
 
 # ---------------------------------------------------------------------------
-# Arrow-vectorized fast path: numpy matmul over mapInPandas batches.
-# The oracle-exact operators above keep every flop in deterministic
-# JVM expressions; this path trades bit-exactness (BLAS reorders the
-# sums) for throughput - it scores a whole Arrow batch against the
-# broadcast query block in one matmul.  Rows-only in the correctness
-# gate; tests/test_similarity_fast.py pins top-k agreement with the
-# exact operator instead.
+# Arrow-vectorized fast path: numpy over mapInPandas batches.
+# Scoring accumulates SEQUENTIALLY over dimensions (one vectorized
+# numpy op per dim across the whole batch x query block), NOT via BLAS
+# matmul: a left fold from 0.0 is bit-identical to the JVM
+# aggregate() of the exact operator and to DuckDB's list_reduce, so
+# this path shares cosine_topk's oracle.  BLAS would reorder the sums
+# (blocked/SIMD accumulation) for ~2-3x more throughput at large dim,
+# at the cost of run-to-run unverifiable results — reproducibility is
+# the better trade for a correctness-gated engine, and the per-dim
+# loop is still batch-vectorized (64 numpy ops per Arrow batch at
+# dim=64, nothing per-row).
 # ---------------------------------------------------------------------------
 
 # cosine_topk_fast collects the query set to the driver (it is
@@ -459,7 +467,16 @@ def cosine_topk_fast(emb: DataFrame, queries: DataFrame,
             "task. Use cosine_topk_lsh for large query sets.")
     q_ids = [r.vec_id for r in q_rows]
     q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def seq_norm(m):
+        # sqrt of a sequential per-dim sum of squares — same IEEE
+        # order as exact_norm's fold and the oracle's list_reduce
+        sq = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):
+            sq += m[:, i] * m[:, i]
+        return np.sqrt(sq)
+
+    q_norm = seq_norm(q_mat)
 
     out_schema = ("query_id long, cand_id long, cosine double")
 
@@ -467,8 +484,11 @@ def cosine_topk_fast(emb: DataFrame, queries: DataFrame,
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy()
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (q_mat @ c_mat.T) / np.outer(q_norm, c_norm)
+            c_norm = seq_norm(c_mat)
+            dots = np.zeros((q_mat.shape[0], c_mat.shape[0]))
+            for i in range(q_mat.shape[1]):      # sequential over dims
+                dots += q_mat[:, i:i + 1] * c_mat[:, i]
+            sims = dots / np.outer(q_norm, c_norm)
             frames = []
             for qi, qid in enumerate(q_ids):
                 row = sims[qi]
@@ -500,8 +520,11 @@ def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(QuerySpec(
     "cosine_topk_fast", q_cosine_topk_fast,
-    oracle=None,   # BLAS sum order != sequential fold; see docstring
-    doc="Arrow/numpy-vectorized cosine top-k (throughput path)",
+    # Same query shape and bit-exact scoring as the JVM-exact operator
+    # → shares its oracle verbatim.
+    oracle=COSINE_TOPK_ORACLE,
+    doc="Arrow/numpy-vectorized cosine top-k (throughput path, "
+        "sequential per-dim folds — bit-exact vs the JVM operator)",
     tags=("similarity", "north-star", "pandas-udf"),
 ))
 

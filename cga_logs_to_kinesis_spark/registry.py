@@ -71,6 +71,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winnowing_fingerprints",
     "prune_frequent_tokens",
     "kmeans_embeddings",
+    "cosine_topk_fast",
     # events-reading queries revalidated after the load_events rewrite
     # (last green row predates the fixture format change):
     "distinct_users",
@@ -89,7 +90,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # before those rows age out of trust:
     "batch_pages",
     "envelope_project",
-    "envelope_json_roundtrip",
     "token_frequencies",
     "dedup_exact",
     "dedup_exact_survivors",
