@@ -267,3 +267,180 @@ register(QuerySpec(
         "CCNet duplicated-line removal)",
     tags=("text", "north-star", "quality", "corpus-prep"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk
+# ---------------------------------------------------------------------------
+# Keyword retrieval over the corpus — the curation/decontamination
+# companion to embedding search: given benchmark phrases or audit
+# keywords, pull the top-k matching documents.  Scoring is the
+# rational core of BM25 (Robertson/Spärck Jones): tf saturation
+# tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) times the rational idf
+# (N-df+0.5)/(df+0.5) — the log around the idf is omitted for
+# cross-engine exactness (same reasoning as tfidf_top_terms: libm ln
+# rounding differs, and a per-term monotone transform preserves each
+# term's doc ranking; for multi-term queries this makes rare terms
+# count more than log-BM25 would, a documented deviation).
+#
+# 100 TB topology: per-term df and per-(doc, term) tf are the same
+# vocabulary-keyed hash aggs as tfidf; the query-term set is a tiny
+# broadcast; scoring touches only postings of query terms (the join
+# prunes everything else); top-k is a TakeOrderedAndProject-shaped
+# window over scored docs only.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("spark", "stream", "vector")
+BM25_TOPK = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = explode_parallelism(spark)
+    n_docs = docs.count()
+    toks = (docs.repartition(par, "doc_id")
+            .select("doc_id", F.explode(norm_tokens()).alias("tok")))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = float(n_docs and toks.count() / n_docs)
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "tok string")
+    tf = (toks.join(F.broadcast(qterms), "tok")
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) \
+        / (F.col("df") + F.lit(0.5))
+    tf_part = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B
+                                 + BM25_B * F.col("dl") / avgdl))
+    scored = (tf.join(F.broadcast(df_), "tok").join(dl, "doc_id")
+              .withColumn("part", idf * tf_part)
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_terms_hit"),
+                   davg("part", "_avg"))
+              # davg gives the exact decimal mean; score = mean * hits
+              # == order-free exact sum of per-term parts
+              .withColumn("score", F.col("_avg") * F.col("n_terms_hit"))
+              .drop("_avg"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= BM25_TOPK)
+            .select("doc_id", "n_terms_hit", "score", "rank"))
+
+
+register(QuerySpec(
+    "bm25_topk", q_bm25_topk,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM (SELECT doc_id, {NORM_TOKENS_SQL} AS l FROM documents),
+                 UNNEST(l) AS t(tok)
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+            SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks)
+                       / (SELECT COUNT(*) FROM documents) AS avgdl
+        ),
+        q(tok) AS (VALUES {", ".join(f"('{t}')"
+                                     for t in BM25_QUERY_TERMS)}),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM toks JOIN q USING (tok)
+            GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        parts AS (
+            SELECT tf.doc_id,
+                   ((CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+                        / (df.df + 0.5))
+                   * ((tf.tf * ({BM25_K1} + 1.0))
+                        / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                             + {BM25_B} * dl.dl / s.avgdl))) AS part
+            FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, COUNT(*) AS n_terms_hit,
+                   CAST(SUM(CAST(part AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(part) * COUNT(*) AS score
+            FROM parts GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms_hit, score, rank FROM (
+            SELECT doc_id, n_terms_hit, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= {BM25_TOPK}
+    """,
+    doc=f"BM25 keyword retrieval (rational core, log-free; k1={BM25_K1}"
+        f", b={BM25_B}) — curation/decontamination companion to "
+        "embedding search",
+    tags=("text", "north-star", "retrieval", "topk"),
+))
+
+
+# ---------------------------------------------------------------------------
+# char_diversity
+# ---------------------------------------------------------------------------
+# Gini–Simpson character diversity: 1 - sum over chars of
+# (count/total)^2.  A log-free entropy surrogate (it's the collision
+# probability complement) that flags repeated-character junk, ASCII-art
+# and single-token spam — the cheap first-line quality gate before
+# LM-based scoring.  Entirely row-local (per-row char histogram via
+# array ops), scan-bound at any scale; exact rational arithmetic so
+# the oracle matches bit-for-bit.
+
+
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # per-row: chars -> sorted -> group equal runs via aggregate over
+    # the distinct set; sum of squared counts stays in int64
+    chars = F.expr("filter(split(lower(text), ''), c -> c != '')")
+    sum_sq = F.expr("""
+        aggregate(
+            transform(array_distinct(_chars),
+                d -> size(filter(_chars, c -> c = d))),
+            0L, (acc, n) -> acc + cast(n as bigint) * n)
+    """)
+    n = F.size("_chars").cast("long")
+    return (docs
+            .withColumn("_chars", chars)
+            .filter(F.size("_chars") > 0)
+            .withColumn("_ss", sum_sq)
+            .select(
+                "doc_id",
+                n.alias("n_chars_counted"),
+                (F.lit(1.0) - F.col("_ss")
+                 / (n * n).cast("double")).alias("diversity")))
+
+
+register(QuerySpec(
+    "char_diversity", q_char_diversity,
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), ''),
+                               c -> c != '') AS cs
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, len(cs) AS n,
+                   list_sum(list_transform(list_distinct(cs),
+                       d -> CAST(len(list_filter(cs, c -> c = d))
+                                 AS BIGINT)
+                            * len(list_filter(cs, c -> c = d)))) AS ss
+            FROM chars WHERE len(cs) > 0
+        )
+        SELECT doc_id, n AS n_chars_counted,
+               1.0 - ss / (CAST(n AS DOUBLE) * n) AS diversity
+        FROM counted
+    """,
+    doc="Gini-Simpson character diversity (log-free entropy surrogate; "
+        "flags repeated-char junk) — row-local, scan-bound",
+    tags=("text", "north-star", "quality"),
+))

@@ -72,6 +72,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "prune_frequent_tokens",
     "kmeans_embeddings",
     "cosine_topk_fast",
+    "bm25_topk",
+    "char_diversity",
     # events-reading queries revalidated after the load_events rewrite
     # (last green row predates the fixture format change):
     "distinct_users",
@@ -90,11 +92,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # before those rows age out of trust:
     "batch_pages",
     "envelope_project",
-    "token_frequencies",
     "dedup_exact",
     "dedup_exact_survivors",
     "minhash_signatures",
-    "dedup_simhash",
     "cosine_topk",
     "pricing_summary",
     "shipping_priority",
