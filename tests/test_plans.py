@@ -231,3 +231,60 @@ def test_ann_recall_join_moves_ids_not_embeddings(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "hashpartitioning" in line:
             assert "embedding#" not in line, line
+
+
+def test_winnow_is_map_only(spark):
+    """Winnowing must be scan → project → explode, zero exchanges:
+    the whole selection is row-local at any scale."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["winnowing_fingerprints"].fn(
+        spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_char_diversity_is_map_only(spark):
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["char_diversity"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_prune_broadcasts_stop_set_and_keeps_text_out_of_shuffles(spark):
+    """The stop set arrives by broadcast; the only exchanges in the
+    plan belong to the df-fitting agg over exploded tokens — document
+    text itself must never be shuffle input."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    df = SPECS["prune_frequent_tokens"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # every shuffle Exchange row must be token/count-shaped, not text
+    for seg in plan.split("\n"):
+        if seg.strip().startswith("Exchange"):
+            assert "text#" not in seg
+
+
+def test_bm25_broadcasts_query_terms(spark):
+    """BM25 scoring must prune to query-term postings via a broadcast
+    of the tiny term set — never aggregate the full vocabulary tf."""
+    assert uses_broadcast_join(SPECS["bm25_topk"].fn(spark, SF_SMOKE))
+
+
+def test_unigram_rarity_vocab_join_adapts_to_size(spark):
+    """The rarity vocabulary join carries no forced broadcast hint: at
+    tiny SF Catalyst may legitimately auto-broadcast the freq table,
+    but with auto-broadcast off (emulating a web-scale vocabulary that
+    outgrows the threshold) the plan must degrade to a shuffle join —
+    not OOM the driver through a hard-coded F.broadcast()."""
+    from cga_logs_to_kinesis_spark import session as sess
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        # tune_session() inside the query fn re-applies RUNTIME_CONFS,
+        # so the override must go through the dict, not just the conf
+        sess.RUNTIME_CONFS[key] = "-1"
+        spark.conf.set(key, "-1")
+        plan = formatted_plan(SPECS["unigram_rarity"].fn(spark, SF_SMOKE))
+    finally:
+        sess.RUNTIME_CONFS[key] = old
+        spark.conf.set(key, old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
