@@ -853,7 +853,10 @@ def _recall_row(method: str, exact: DataFrame, ann: DataFrame) -> DataFrame:
 
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    exact = q_cosine_topk(spark, sf_dir)
+    # The exact top-k feeds four consumers (two counts + two semi
+    # joins); localCheckpoint materializes its k*|Q| rows once so the
+    # brute-force scan doesn't recompute per consumer.
+    exact = q_cosine_topk(spark, sf_dir).localCheckpoint()
     lsh = q_cosine_topk_lsh(spark, sf_dir)
     ivf = q_cosine_topk_ivf(spark, sf_dir)
     return (_recall_row("lsh", exact, lsh)
