@@ -81,13 +81,18 @@ def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = explode_parallelism(spark)
     toks = (docs.repartition(par, "doc_id")
             .select("doc_id", F.explode(norm_tokens()).alias("tok")))
-    total = toks.count()
     freq = toks.groupBy("tok").agg(F.count("*").alias("occ"))
+    # Corpus total derived from the vocabulary table (sum of occ), not
+    # a driver-side toks.count(): that action would force one extra
+    # full tokenize pass — a whole redundant 100 TB scan.  The 1-row
+    # total rides along as a broadcast.
+    tot = freq.agg(F.sum("occ").cast("double").alias("total"))
     # Plain equi-join (see module docstring): the vocabulary outgrows
     # a broadcast at web scale; Zipf-hot tokens are exactly what AQE
     # skew-join splitting is for.
     return (toks.join(freq, "tok")
-            .withColumn("inv", F.lit(float(total)) / F.col("occ"))
+            .crossJoin(F.broadcast(tot))
+            .withColumn("inv", F.col("total") / F.col("occ"))
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_toks"),
                  davg("inv", "rarity_score")))
@@ -215,13 +220,16 @@ def q_prune_frequent_tokens(spark: SparkSession,
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     par = explode_parallelism(spark)
-    n_docs = docs.count()
     base = docs.withColumn("_toks", norm_tokens())
     dtoks = (base.repartition(par, "doc_id")
              .select("doc_id",
                      F.explode(F.array_distinct("_toks")).alias("tok")))
     dfreq = dtoks.groupBy("tok").agg(F.count("*").alias("nd"))
-    stop = (dfreq.filter(F.col("nd") > DF_SHARE * n_docs)
+    # the corpus size rides along in-plan (1-row broadcast) rather
+    # than via a driver-side count() action
+    nd_total = docs.agg(F.count("*").alias("n_docs"))
+    stop = (dfreq.crossJoin(F.broadcast(nd_total))
+            .filter(F.col("nd") > DF_SHARE * F.col("n_docs"))
             .agg(F.sort_array(F.collect_list("tok")).alias("stop_list")))
     kept = F.expr("filter(_toks, t -> NOT array_contains(stop_list, t))")
     return (base.crossJoin(F.broadcast(stop))
@@ -301,22 +309,31 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     par = explode_parallelism(spark)
-    n_docs = docs.count()
     toks = (docs.repartition(par, "doc_id")
             .select("doc_id", F.explode(norm_tokens()).alias("tok")))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    avgdl = float(n_docs and toks.count() / n_docs)
+    # Corpus scalars (N, avgdl) computed in-plan and broadcast as a
+    # 1-row frame — no driver-side count() actions, so the query stays
+    # a single lazy job.  N comes from documents (token-less docs
+    # count toward avgdl's denominator, matching the oracle); total
+    # tokens from the per-doc length table.
+    stats = (dl.agg(F.sum("dl").cast("double").alias("_total"))
+             .crossJoin(docs.agg(
+                 F.count("*").cast("double").alias("n_docs")))
+             .select("n_docs",
+                     (F.col("_total") / F.col("n_docs")).alias("avgdl")))
     qterms = spark.createDataFrame(
         [(t,) for t in BM25_QUERY_TERMS], "tok string")
     tf = (toks.join(F.broadcast(qterms), "tok")
           .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
     df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) \
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) \
         / (F.col("df") + F.lit(0.5))
     tf_part = (F.col("tf") * (BM25_K1 + 1.0)) / (
         F.col("tf") + BM25_K1 * (1.0 - BM25_B
-                                 + BM25_B * F.col("dl") / avgdl))
+                                 + BM25_B * F.col("dl") / F.col("avgdl")))
     scored = (tf.join(F.broadcast(df_), "tok").join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
               .withColumn("part", idf * tf_part)
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_terms_hit"),
