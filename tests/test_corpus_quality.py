@@ -98,3 +98,78 @@ def test_unigram_rarity_orders_rare_above_common(spark):
     rows = {r.doc_id: r.rarity_score
             for r in q_unigram_rarity(spark, tmp).collect()}
     assert rows[2] > rows[1]         # rare token lifts the mean
+
+
+def _fixture_dir(spark, tmp_path, texts):
+    """Write a minimal documents.parquet shaped like the fixtures."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = {"doc_id": list(range(1, len(texts) + 1)),
+         "text": texts,
+         "lang": ["en"] * len(texts),
+         "source": ["s"] * len(texts),
+         "n_chars": [len(t) for t in texts]}
+    out = tmp_path / "mini"
+    out.mkdir(exist_ok=True)
+    pq.write_table(pa.table(d), str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_bm25_terms_absent_from_corpus(spark, tmp_path):
+    """Query terms that never occur must simply score nothing — no
+    division blowups, no empty-join crashes."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        q_bm25_topk,
+    )
+    sf = _fixture_dir(spark, tmp_path,
+                      ["nothing matches here", "nor here either"])
+    assert q_bm25_topk(spark, sf).count() == 0
+
+
+def test_bm25_partial_term_hits_rank_sanely(spark, tmp_path):
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        q_bm25_topk,
+    )
+    sf = _fixture_dir(spark, tmp_path, [
+        "spark stream vector all three terms",      # hits 3
+        "spark only once",                          # hits 1
+        "unrelated text entirely",                  # hits 0
+    ])
+    rows = {r.doc_id: r for r in q_bm25_topk(spark, sf).collect()}
+    assert set(rows) == {1, 2}                      # doc 3 absent
+    assert rows[1].n_terms_hit == 3 and rows[2].n_terms_hit == 1
+    assert rows[1].score > rows[2].score
+    assert rows[1].rank == 1
+
+
+def test_char_diversity_degenerate_docs(spark, tmp_path):
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        q_char_diversity,
+    )
+    sf = _fixture_dir(spark, tmp_path, [
+        "aaaaaaaa",          # single repeated char -> diversity 0
+        "abcdefgh",          # all distinct -> 1 - 8/64 = 0.875
+    ])
+    rows = {r.doc_id: r for r in q_char_diversity(spark, sf).collect()}
+    assert rows[1].diversity == 0.0
+    assert abs(rows[2].diversity - 0.875) < 1e-12
+
+
+def test_prune_at_total_boilerplate(spark, tmp_path):
+    """A token present in every doc gets pruned everywhere; a doc that
+    was nothing but boilerplate survives as an empty rewrite, not a
+    dropped row."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        q_prune_frequent_tokens,
+    )
+    sf = _fixture_dir(spark, tmp_path, [
+        "footer unique1 words here",
+        "footer unique2 other words",
+        "footer",
+    ])
+    rows = {r.doc_id: r for r in
+            q_prune_frequent_tokens(spark, sf).collect()}
+    assert len(rows) == 3
+    assert rows[3].pruned_text == "" and rows[3].n_kept == 0
+    for r in rows.values():
+        assert "footer" not in r.pruned_text.split()
