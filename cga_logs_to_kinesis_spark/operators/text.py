@@ -479,6 +479,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       r"\s+")).alias("tok"))
             .withColumn("tok", F.regexp_replace("tok", r"[^a-z0-9]", ""))
             .filter(F.length("tok") >= 3))
+    # metadata-only action (parquet count-star reads footers, not
+    # data) — unlike a toks.count(), this costs no extra corpus scan
     n_docs = docs.count()
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_ = toks.select("doc_id", "tok").distinct()         .groupBy("tok").agg(F.count("*").alias("df"))
