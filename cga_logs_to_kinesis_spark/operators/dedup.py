@@ -773,3 +773,62 @@ register(QuerySpec(
         "shared banded-minhash candidates, per-direction overlap verify",
     tags=("dedup", "north-star", "minhash", "join"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate flow: which sources copy from which.
+# ---------------------------------------------------------------------------
+# The curation diagnostic built on the verified near-dup pairs: group
+# confirmed duplicates (jaccard >= threshold) by their (source_a,
+# source_b) and report pair volume + similarity mass.  At 100 TB the
+# verified pair set is tiny relative to the corpus, so attaching
+# sources is two joins of a small pair table against the (doc_id,
+# source) projection of documents — the text/shingles never re-enter a
+# shuffle here.
+
+SOURCE_FLOW_JACCARD = 0.5
+
+
+def q_dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cga_logs_to_kinesis_spark.functions.exact import davg
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= SOURCE_FLOW_JACCARD))
+    meta_a = docs.select(F.col("doc_id").alias("doc_a"),
+                         F.col("source").alias("source_a"))
+    meta_b = docs.select(F.col("doc_id").alias("doc_b"),
+                         F.col("source").alias("source_b"))
+    return (pairs.join(meta_a, "doc_a").join(meta_b, "doc_b")
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n_pairs"),
+                 davg("jaccard", "avg_jaccard")))
+
+
+def _source_flow_oracle() -> str:
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+
+    lsh = _REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+        WITH pairs AS ({lsh})
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(CAST(p.jaccard AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(p.jaccard) AS avg_jaccard
+        FROM pairs p
+        JOIN documents a ON p.doc_a = a.doc_id
+        JOIN documents b ON p.doc_b = b.doc_id
+        WHERE p.jaccard >= {SOURCE_FLOW_JACCARD}
+        GROUP BY 1, 2
+    """
+
+
+register(QuerySpec(
+    "dedup_source_flow", q_dedup_source_flow,
+    oracle=_source_flow_oracle(),
+    doc=f"cross-source duplicate flow (verified near-dup pairs with "
+        f"jaccard >= {SOURCE_FLOW_JACCARD}, grouped by source pair) — "
+        "the who-copies-whom curation diagnostic",
+    tags=("dedup", "north-star", "minhash", "report"),
+))

@@ -74,6 +74,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cosine_topk_fast",
     "bm25_topk",
     "char_diversity",
+    "dedup_source_flow",
     # events-reading queries revalidated after the load_events rewrite
     # (last green row predates the fixture format change):
     "distinct_users",
@@ -103,7 +104,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "segment_totals",
     "similar_part_names",
     "price_percentiles",
-    "rollup_pricing",
     "cube_orders",
 )
 
