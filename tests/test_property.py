@@ -68,3 +68,44 @@ def test_envelope_json_roundtrip_arbitrary_text(spark, text):
     # and the wire is real JSON
     payload = json.loads(wire.collect()[0].w)
     assert payload.get("msg", "") == text or payload == {}
+
+
+# ---------------------------------------------------------------------------
+# Winnowing invariant (Schleimer et al. §3) on random corpora
+# ---------------------------------------------------------------------------
+
+TOKEN = st.sampled_from([f"w{i}" for i in range(12)])
+
+
+def brute_force_winnow(tokens, k, w):
+    """Reference model of operators/corpus_quality.py::winnow, built
+    from the paper's definition rather than the Spark expressions."""
+    import hashlib
+    if len(tokens) < k + w - 1:
+        return set()
+    grams = [" ".join(tokens[i:i + k])
+             for i in range(len(tokens) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+          for g in grams]
+    return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(TOKEN, min_size=0, max_size=30),
+                min_size=1, max_size=6))
+def test_winnow_matches_brute_force(spark, corpora):
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow,
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpora)],
+        "doc_id long, text string")
+    got = {}
+    for r in winnow(docs).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for i, toks in enumerate(corpora):
+        want = brute_force_winnow(toks, WINNOW_K, WINNOW_W)
+        assert got.get(i, set()) == want, f"doc {i}"
