@@ -194,3 +194,43 @@ def test_tailed_pipeline_ships_appends_live(spark, tmp_path):
         query.stop()
         tailer.stop()
     assert sorted(delivered_messages(out)) == ["first", "second", "third"]
+
+
+def test_tailed_pipeline_survives_rotation_live(spark, tmp_path):
+    """Logrotate under a RUNNING pipeline: lines appended to the old
+    inode after the last poll must still be delivered (end-to-end
+    through Spark, not just the tailer unit)."""
+    watch = tmp_path / "logs"
+    watch.mkdir()
+    f = watch / "app.log"
+    f.write_text("before\n")
+    out = tmp_path / "delivered"
+
+    cfg = PipelineConfig(watch_dir=str(watch), glob="*.log",
+                         origin="inst-r",
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         flush_interval_s=1)
+    query, stats, tailer = build_tailed_pipeline(
+        spark, cfg, JsonDirTransport(str(out)),
+        spool_dir=str(tmp_path / "spool"), poll_interval_s=0.2)
+    try:
+        deadline = time.time() + 60
+        while stats.records_sent < 1 and time.time() < deadline:
+            time.sleep(0.2)
+        assert stats.records_sent >= 1
+
+        # rotate: append to the live file, rename, recreate — the
+        # appended line rides the old inode and must be drained
+        with f.open("a") as fh:
+            fh.write("appended-pre-rotate\n")
+        os.rename(f, watch / "app.log.1")
+        f.write_text("after-rotate\n")
+
+        while stats.records_sent < 3 and time.time() < deadline:
+            time.sleep(0.2)
+        assert stats.records_sent == 3, "rotation lost records"
+    finally:
+        query.stop()
+        tailer.stop()
+    assert sorted(delivered_messages(out)) == [
+        "after-rotate", "appended-pre-rotate", "before"]
