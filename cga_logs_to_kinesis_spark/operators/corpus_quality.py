@@ -461,3 +461,71 @@ register(QuerySpec(
         "flags repeated-char junk) — row-local, scan-bound",
     tags=("text", "north-star", "quality"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnow_pairs
+# ---------------------------------------------------------------------------
+# The fingerprints put to their intended use (MOSS): candidate
+# near-dup pairs = documents sharing winnowed fingerprints, ranked by
+# how many they share.  Topology mirrors the minhash-LSH path — a
+# self-equi-join on the fingerprint bucket (never a cross product),
+# with a hot-fingerprint cap so one ubiquitous k-gram (boilerplate)
+# can't emit O(n²) pairs — but the guarantee differs: winnowing
+# catches any shared run of >= K+W-1 tokens regardless of overall
+# document similarity, where banding needs whole-document Jaccard.
+# Local overlap (quotes, shared paragraphs) is exactly what it finds.
+
+WINNOW_MAX_BUCKET = 1000      # same discipline as dedup.MAX_BUCKET
+WINNOW_MIN_SHARED = 2         # pairs must share >= this many prints
+
+
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow(docs)
+    bucket_n = F.count("*").over(Window.partitionBy("fingerprint"))
+    eligible = (fps.withColumn("_bn", bucket_n)
+                .filter((F.col("_bn") > 1)
+                        & (F.col("_bn") <= WINNOW_MAX_BUCKET))
+                .drop("_bn"))
+    a = eligible.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = eligible.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    return (a.join(b, "fingerprint")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= WINNOW_MIN_SHARED))
+
+
+def _winnow_pairs_oracle() -> str:
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+
+    fps = _REGISTRY["winnowing_fingerprints"].oracle
+    return f"""
+        WITH fps AS ({fps}),
+        eligible AS (
+            SELECT doc_id, fingerprint FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY fingerprint) AS bn
+                FROM fps
+            ) WHERE bn > 1 AND bn <= {WINNOW_MAX_BUCKET}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared
+        FROM eligible a JOIN eligible b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """
+
+
+register(QuerySpec(
+    "dedup_winnow_pairs", q_dedup_winnow_pairs,
+    oracle=_winnow_pairs_oracle(),
+    doc=f"winnowing-based near-dup candidates: pairs sharing >= "
+        f"{WINNOW_MIN_SHARED} fingerprints (local-overlap detection — "
+        "catches shared runs banding misses; hot-fingerprint capped)",
+    tags=("dedup", "north-star", "fingerprint", "join"),
+))

@@ -75,6 +75,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bm25_topk",
     "char_diversity",
     "dedup_source_flow",
+    "dedup_winnow_pairs",
     # events-reading queries revalidated after the load_events rewrite
     # (last green row predates the fixture format change):
     "distinct_users",
@@ -104,7 +105,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "segment_totals",
     "similar_part_names",
     "price_percentiles",
-    "cube_orders",
 )
 
 
