@@ -832,3 +832,115 @@ register(QuerySpec(
         "the who-copies-whom curation diagnostic",
     tags=("dedup", "north-star", "minhash", "report"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# SimHash pair generation: block-banded Hamming join.
+# ---------------------------------------------------------------------------
+# The standard simhash search structure (Manku et al., WWW 2007,
+# "Detecting near-duplicates for web crawling"): split the b-bit
+# fingerprint into d+1 blocks; any pair within Hamming distance d
+# shares at least one identical block (pigeonhole), so candidates come
+# from equality joins on (block_id, block_value) — never a cross
+# product — and the exact Hamming check runs on candidates only.
+# 16 bits / 4 blocks → guarantee for d <= 3.  Hot blocks (a common
+# 4-bit pattern) are capped like every other banded path here.
+#
+# Width note: 16 bits keeps every nibble oracle-checkable through the
+# md5-hex vote trick, but it is deliberately coarse — on this
+# narrow-vocabulary fixture a large share of doc pairs land within
+# d=3, so the pair set is big.  Production simhash is 64-bit (Manku
+# use 64 with 4-6 blocks); widening SIMHASH_BITS scales the same
+# topology with ~2^48x more fingerprint space and proportionally
+# selective blocks.
+
+SIMHASH_BLOCKS = 4
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_MAX_BLOCK = 1000
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # (doc_id, simhash) is two-shuffle work reused by the block explode
+    # and both verify sides — materialize the doc-count-sized result.
+    fps = simhash_fingerprints(docs).localCheckpoint()
+    width = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocks = fps.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(0), F.lit(SIMHASH_BLOCKS - 1))).alias("block_id"),
+        "simhash").select(
+        "doc_id", "block_id",
+        F.expr(f"shiftrightunsigned(simhash, block_id * {width}) "
+               f"& {(1 << width) - 1}").alias("block_val"))
+    bn = F.count("*").over(Window.partitionBy("block_id", "block_val"))
+    eligible = (blocks.withColumn("_bn", bn)
+                .filter((F.col("_bn") > 1)
+                        & (F.col("_bn") <= SIMHASH_MAX_BLOCK))
+                .drop("_bn"))
+    a = eligible.select(F.col("doc_id").alias("doc_a"),
+                        "block_id", "block_val")
+    b = eligible.select(F.col("doc_id").alias("doc_b"),
+                        "block_id", "block_val")
+    cand = (a.join(b, ["block_id", "block_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    fa = fps.select(F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"),
+                    F.col("simhash").alias("fp_b"))
+    return (cand.join(fa, "doc_a").join(fb, "doc_b")
+            .withColumn("hamming",
+                        F.expr("bit_count(fp_a ^ fp_b)").cast("long"))
+            .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def _simhash_pairs_oracle() -> str:
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+
+    fps = _REGISTRY["dedup_simhash"].oracle
+    width = SIMHASH_BITS // SIMHASH_BLOCKS
+    return f"""
+        WITH fps AS ({fps}),
+        blocks AS (
+            SELECT doc_id, b.block_id,
+                   (simhash >> (b.block_id * {width}))
+                       & {(1 << width) - 1} AS block_val
+            FROM fps,
+                 (SELECT unnest(range(0, {SIMHASH_BLOCKS}))
+                      AS block_id) b
+        ),
+        eligible AS (
+            SELECT doc_id, block_id, block_val FROM (
+                SELECT *, COUNT(*) OVER (
+                    PARTITION BY block_id, block_val) AS bn
+                FROM blocks
+            ) WHERE bn > 1 AND bn <= {SIMHASH_MAX_BLOCK}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM eligible a JOIN eligible b
+              ON a.block_id = b.block_id AND a.block_val = b.block_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+                   AS hamming
+        FROM cand c
+        JOIN fps x ON c.doc_a = x.doc_id
+        JOIN fps y ON c.doc_b = y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash))
+              <= {SIMHASH_HAMMING_MAX}
+    """
+
+
+register(QuerySpec(
+    "dedup_simhash_pairs", q_dedup_simhash_pairs,
+    oracle=_simhash_pairs_oracle(),
+    doc=f"simhash near-dup pairs via block-banded Hamming join "
+        f"(Manku et al.: {SIMHASH_BLOCKS} blocks guarantee detection "
+        f"at Hamming <= {SIMHASH_HAMMING_MAX}; hot-block capped)",
+    tags=("dedup", "north-star", "simhash", "join"),
+))

@@ -76,6 +76,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "char_diversity",
     "dedup_source_flow",
     "dedup_winnow_pairs",
+    "dedup_simhash_pairs",
     # events-reading queries revalidated after the load_events rewrite
     # (last green row predates the fixture format change):
     "distinct_users",
@@ -102,7 +103,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "shipping_priority",
     "top3_orders_per_customer",
     "global_topk",
-    "segment_totals",
     "similar_part_names",
     "price_percentiles",
 )
