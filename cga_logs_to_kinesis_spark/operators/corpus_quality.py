@@ -79,8 +79,16 @@ def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     par = explode_parallelism(spark)
+    # Tokenize ONCE: without the lineage cut the tokenize/explode
+    # subtree is re-evaluated three times (join probe side, freq
+    # build, tot's aggregation over freq) — at 100 TB that is two
+    # redundant full scans.  Same discipline (and the same disk-sizing
+    # note) as the shingle pass in dedup.minhash_candidates: the
+    # materialization is ~token-count x avg-token bytes on executor-
+    # local disk, bought back three times over.
     toks = (docs.repartition(par, "doc_id")
-            .select("doc_id", F.explode(norm_tokens()).alias("tok")))
+            .select("doc_id", F.explode(norm_tokens()).alias("tok"))
+            .localCheckpoint())
     freq = toks.groupBy("tok").agg(F.count("*").alias("occ"))
     # Corpus total derived from the vocabulary table (sum of occ), not
     # a driver-side toks.count(): that action would force one extra

@@ -245,10 +245,14 @@ def boto3_consumer_client(region: str) -> ConsumerClient:
 # data is opaque bytes (reference kinesis.go:477-489 — the daemon ships
 # Envelope.Marshal() protobuf wire), and a utf-8 text round-trip would
 # corrupt any non-UTF-8 byte.  Same encoding DirStreamTransport uses
-# for its at-rest pages.
+# for its at-rest pages.  The trailing ``wire`` column exists ONLY to
+# catch pre-base64 spool files left behind by an in-place upgrade:
+# reading a legacy row yields its UTF-8 text there, and the stream
+# recovers it loudly (see ``read_consumer_stream``) instead of
+# silently shipping NULL payloads.
 CONSUMER_SPOOL_SCHEMA = ("wire_b64 STRING, partition_key STRING, "
                          "shard_id STRING, sequence_number STRING, "
-                         "approximate_arrival_ts DOUBLE")
+                         "approximate_arrival_ts DOUBLE, wire STRING")
 
 
 @dataclass
@@ -359,14 +363,36 @@ def read_consumer_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
 
     ``wire_bytes`` is the bit-exact record payload (protobuf-safe);
     ``wire`` is its UTF-8 string view for JSON-wire consumers
-    (``decode_envelopes``).  Both derive from the base64 spool column
-    in a codegen'd projection — no Python in the decode path.
+    (``decode_envelopes``) — invalid UTF-8 sequences are substituted
+    with U+FFFD (``make_valid_utf8``), matching Python's
+    ``decode('utf-8', 'replace')`` semantics deterministically rather
+    than letting raw bytes flow into string functions as an invalid
+    UTF8String; binary consumers use ``wire_bytes``.  Everything is a
+    codegen'd projection — no Python in the decode path.
+
+    Legacy spool rows (pre-base64 format: a ``wire`` text field, no
+    ``wire_b64``) are recovered via ``encode(wire, 'utf-8')`` — their
+    payload was UTF-8-decoded text to begin with, so the re-encode is
+    faithful.  A row with NEITHER field is corrupt and fails the
+    stream loudly instead of shipping a NULL payload.
     """
     raw = (spark.readStream.schema(CONSUMER_SPOOL_SCHEMA)
            .option("pathGlobFilter", "*.jsonl")
            .json(spool_dir))
-    return raw.select(
-        F.unbase64("wire_b64").alias("wire_bytes"),
-        F.unbase64("wire_b64").cast("string").alias("wire"),
-        "partition_key", "shard_id", "sequence_number",
-        "approximate_arrival_ts")
+    wire_bytes = (
+        F.when(F.col("wire_b64").isNotNull(), F.unbase64("wire_b64"))
+        .when(F.col("wire").isNotNull(), F.encode(F.col("wire"), "utf-8"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("corrupt consumer spool row (no wire_b64/wire): "
+                  "sequence_number="),
+            F.coalesce(F.col("sequence_number"), F.lit("?"))))
+            .cast("binary")))
+    return (raw
+            .select(wire_bytes.alias("wire_bytes"),
+                    "partition_key", "shard_id", "sequence_number",
+                    "approximate_arrival_ts")
+            .select("wire_bytes",
+                    F.make_valid_utf8(F.col("wire_bytes").cast("string"))
+                    .alias("wire"),
+                    "partition_key", "shard_id", "sequence_number",
+                    "approximate_arrival_ts"))

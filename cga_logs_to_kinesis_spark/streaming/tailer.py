@@ -209,6 +209,18 @@ class TailFollower:
                     chunk = fh.read(self.max_chunk_bytes)
                     if not chunk:
                         break
+                    if len(chunk) == self.max_chunk_bytes:
+                        # More may follow: cut at the last newline so an
+                        # ordinary line never splits across spool files
+                        # (the oversized-line exception applies only to
+                        # a single newline-free max_chunk run); the
+                        # remainder is re-read from the new offset on
+                        # the next pass.  The true EOF read (shorter
+                        # than max_chunk) ships whole, including a
+                        # final unterminated line — tail's EOF flush.
+                        cut = chunk.rfind(b"\n")
+                        if cut >= 0:
+                            chunk = chunk[:cut + 1]
                     st.offset += len(chunk)
                     self._write_spool(path, chunk)
                     spooled += 1

@@ -126,6 +126,66 @@ def test_spool_preserves_arbitrary_bytes(spark, tmp_path):
     assert [bytes(r.wire_bytes) for r in got] == payloads
 
 
+def test_legacy_spool_rows_recovered_not_nulled(spark, tmp_path):
+    """Pre-base64 spool files (a ``wire`` text field, no ``wire_b64``)
+    left behind by an in-place upgrade must surface their payloads via
+    encode(wire, 'utf-8') — not silently read as NULL."""
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    legacy = {"wire": "old-format line", "partition_key": "k0",
+              "shard_id": "shard-0000",
+              "sequence_number": "00000000000000000001.jsonl:000000000",
+              "approximate_arrival_ts": 1.0}
+    modern = {"wire_b64": base64.b64encode(b"new-format line").decode(),
+              "partition_key": "k1", "shard_id": "shard-0000",
+              "sequence_number": "00000000000000000002.jsonl:000000000",
+              "approximate_arrival_ts": 2.0}
+    (spool / "00000000000000000001.jsonl").write_text(
+        json.dumps(legacy) + "\n")
+    (spool / "00000000000000000002.jsonl").write_text(
+        json.dumps(modern) + "\n")
+
+    wire = read_consumer_stream(spark, str(spool))
+    q = (wire.writeStream.format("memory").queryName("legacy_spool")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT wire_bytes, wire FROM legacy_spool "
+        "ORDER BY sequence_number").collect()
+    assert [bytes(r.wire_bytes) for r in got] == [
+        b"old-format line", b"new-format line"]
+    assert [r.wire for r in got] == ["old-format line", "new-format line"]
+
+
+def test_wire_string_view_substitutes_invalid_utf8(spark, tmp_path):
+    """The ``wire`` column is a deterministic UTF-8 view: invalid byte
+    sequences become U+FFFD (Python ``decode('utf-8', 'replace')``
+    semantics), never an invalid UTF8String flowing into string
+    functions."""
+    payload = b"ok \xff\xfe end"
+    tp = DirStreamTransport(str(tmp_path / "stream"), n_shards=1)
+    tp.send("s", [(payload, "k")])
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    poller = ShardPoller(client=DirStreamClient(str(tmp_path / "stream")),
+                         stream="s", spool_dir=str(spool))
+    poller._load_state()
+    assert poller.poll_once() == 1
+
+    wire = read_consumer_stream(spark, str(spool))
+    q = (wire.writeStream.format("memory").queryName("utf8_spool")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    [row] = spark.sql(
+        "SELECT wire_bytes, wire FROM utf8_spool").collect()
+    assert bytes(row.wire_bytes) == payload          # bit-exact binary
+    assert row.wire.startswith("ok ") and row.wire.endswith(" end")
+    assert "�" in row.wire                      # replaced, not raw
+    assert "\xff" not in row.wire
+
+
 def test_consumer_stream_round_trip_with_sink(spark, tmp_path):
     """sink → fake stream → poller → readStream → decode: the consumed
     rows match what the producer pipeline delivered (parity with the

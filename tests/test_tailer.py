@@ -127,6 +127,30 @@ def test_oversized_line_no_livelock(tmp_path):
         fp.read_text() for fp in sorted(spool.glob("*.log")))
 
 
+def test_drain_cuts_chunks_at_newlines(tmp_path):
+    """A rotation drain bigger than max_chunk_bytes must not split
+    ordinary lines at arbitrary byte boundaries: every non-final drain
+    chunk is cut at its last newline (the remainder carries into the
+    next read), and only the true EOF flush ships a partial line."""
+    watch, spool, t = mk(tmp_path)
+    t.max_chunk_bytes = 8
+    f = watch / "rot.log"
+    f.write_text("x\n")
+    t.poll_once()
+    # >2 chunks of undrained data on the old inode, then logrotate
+    with f.open("a") as fh:
+        fh.write("aaaa\nbbbb\ncccc\ndd")
+    os.rename(f, watch / "rot.log.1")
+    f.write_text("new\n")
+    t.poll_once()
+    assert spooled_lines(spool) == ["x", "aaaa", "bbbb", "cccc", "dd",
+                                    "new"]
+    # every spool file but the EOF flush ends on a line boundary
+    bodies = [fp.read_bytes() for fp in sorted(spool.glob("*.log"))]
+    partials = [b for b in bodies if not b.endswith(b"\n")]
+    assert partials == [b"cccc\ndd"]
+
+
 def test_truncation_restarts_from_zero(tmp_path):
     watch, spool, t = mk(tmp_path)
     f = watch / "tr.log"
