@@ -231,9 +231,9 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_long(load_table(spark, sf_dir, "embeddings"))
 
 
-register(QuerySpec(
-    "embedding_covariance", q_embedding_covariance,
-    oracle=f"""
+# Shared by the pca_project oracle below (covariance CTE reuse, the
+# same composition trick as ann_recall_report).
+_COV_ORACLE = f"""
         WITH x AS (
             SELECT vec_id,
                    unnest(range(0, len(embedding))) AS dim,
@@ -256,7 +256,11 @@ register(QuerySpec(
         FROM sums
         JOIN means mi ON mi.dim = i
         JOIN means mj ON mj.dim = j
-    """,
+    """
+
+register(QuerySpec(
+    "embedding_covariance", q_embedding_covariance,
+    oracle=_COV_ORACLE,
     doc="upper-triangle embedding covariance: row-local pair expansion "
         "+ exact-decimal (i,j)-keyed aggregation (d^2 keys, never a "
         "self-join shuffle)",
@@ -271,7 +275,19 @@ PCA_POWER_ITERS = 100
 def _top_eigvecs(cov_rows, dim: int, k: int):
     """Deterministic top-k eigenvectors of the symmetric covariance:
     driver-side deflated power iteration from a fixed start vector,
-    sign-fixed so the largest-magnitude component is positive."""
+    sign-fixed so the largest-magnitude component is positive.
+
+    Every float decision point is a *sequential left fold* (matvec
+    rows, norms, deflation dots) rather than a BLAS call: BLAS is free
+    to reorder/block its accumulations, which is exactly what kept
+    this operator off the DuckDB oracle until round 5.  With the folds
+    pinned, the whole iteration is bit-reproducible and the oracle
+    below replays it as a recursive CTE — the same
+    fixed-iteration-unroll trick that oracle-paired kmeans.  The
+    matrix is d x d (driver-scale); the fold loops cost microseconds.
+    """
+    import math
+
     import numpy as np
     C = np.zeros((dim, dim))
     for r in cov_rows:
@@ -281,12 +297,19 @@ def _top_eigvecs(cov_rows, dim: int, k: int):
         v = np.ones(dim) / np.sqrt(dim)
         for _ in range(PCA_POWER_ITERS):
             for u in vecs:                       # deflate
-                v = v - u * float(u @ v)
-            w = C @ v
-            nrm = float(np.linalg.norm(w))
-            if nrm == 0.0:
-                break
-            v = w / nrm
+                dot = 0.0
+                for j in range(dim):             # sequential fold
+                    dot += u[j] * v[j]
+                v = v - u * dot
+            w = np.zeros(dim)
+            for j in range(dim):                 # sequential fold:
+                w += C[:, j] * v[j]              # w[r] = sum_j C[r,j]v[j]
+            s = 0.0
+            for x in w:                          # sequential fold
+                s += x * x
+            nrm = math.sqrt(s)
+            if nrm != 0.0:                       # nrm==0 → keep v (a
+                v = w / nrm                      # fixpoint: w stays 0)
         lead = int(np.abs(v).argmax())
         if v[lead] < 0:
             v = -v
@@ -329,12 +352,96 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb).orderBy("vec_id")
 
 
+def _pca_oracle(iters: int = PCA_POWER_ITERS) -> str:
+    """The deflated power iteration replayed as recursive CTEs.
+
+    Bit-exact against :func:`_top_eigvecs` + the Arrow projection
+    because both engines execute identical IEEE operation sequences:
+    the covariance CTE is the (already-paired) exact-decimal
+    ``embedding_covariance`` oracle; matvec rows, norms and deflation
+    dots are left folds (``list_sum`` == the numpy per-dim loops);
+    sqrt/divide are correctly-rounded on both engines; sign fix and
+    tie-breaks are order-pinned.  A fixed iteration count turns the
+    "non-SQL-expressible" eigensolve into straight-line dataflow —
+    the kmeans trick, with recursion instead of textual unrolling.
+    ``MATERIALIZED`` on the shared CTEs matters: DuckDB inlines CTEs
+    by default, which would re-evaluate the covariance aggregation
+    inside every recursive step (~200x).
+    """
+    matvec = """
+        SELECT w, sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm
+        FROM (SELECT list_transform(cmat.M, row ->
+                list_sum(list_transform(range(1, len(row) + 1),
+                    j -> row[j] * {v}[j]))) AS w)"""
+
+    def signfix(it: str) -> str:
+        return f"""
+    SELECT CASE WHEN v[lead] < 0 THEN list_transform(v, x -> -x)
+                ELSE v END AS v
+    FROM (SELECT v,
+                 (SELECT i FROM (SELECT unnest(v) AS x,
+                                        unnest(range(1, len(v) + 1)) AS i)
+                  ORDER BY abs(x) DESC, i LIMIT 1) AS lead
+          FROM {it} WHERE n = {iters})"""
+
+    return f"""
+WITH RECURSIVE
+cov AS MATERIALIZED ({_COV_ORACLE}),
+covfull AS MATERIALIZED (
+    SELECT i, j, cov FROM cov
+    UNION ALL
+    SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
+),
+cmat AS MATERIALIZED (
+    SELECT list(row ORDER BY i) AS M FROM (
+        SELECT i, list(cov ORDER BY j) AS row
+        FROM covfull GROUP BY i)
+),
+vinit AS MATERIALIZED (
+    SELECT list_transform(range(1, MAX(i) + 2),
+                          x -> 1.0 / sqrt(CAST(MAX(i) + 1 AS DOUBLE))) AS v0
+    FROM covfull
+),
+it1(n, v) AS (
+    SELECT 0, (SELECT v0 FROM vinit)
+    UNION ALL
+    SELECT it1.n + 1,
+           CASE WHEN q.nrm = 0.0 THEN it1.v
+                ELSE list_transform(q.w, x -> x / q.nrm) END
+    FROM it1, cmat, LATERAL ({matvec.format(v="it1.v")}) q
+    WHERE it1.n < {iters}
+),
+v1 AS MATERIALIZED ({signfix("it1")}),
+it2(n, v) AS (
+    SELECT 0, (SELECT v0 FROM vinit)
+    UNION ALL
+    SELECT it2.n + 1,
+           CASE WHEN q.nrm = 0.0 THEN d.vd
+                ELSE list_transform(q.w, x -> x / q.nrm) END
+    FROM it2, cmat, v1, LATERAL (
+        SELECT list_transform(range(1, len(it2.v) + 1),
+                   j -> it2.v[j] - v1.v[j] * dot) AS vd
+        FROM (SELECT list_sum(list_transform(range(1, len(it2.v) + 1),
+                  j -> v1.v[j] * it2.v[j])) AS dot)
+    ) d, LATERAL ({matvec.format(v="d.vd")}) q
+    WHERE it2.n < {iters}
+),
+v2 AS MATERIALIZED ({signfix("it2")})
+SELECT e.vec_id,
+       list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * v1.v[i])) AS pc1,
+       list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * v2.v[i])) AS pc2
+FROM embeddings e, v1, v2
+"""
+
+
 register(QuerySpec(
     "pca_project", q_pca_project,
-    oracle=None,   # eigensolve is not SQL-expressible; covariance
-                   # input is oracle-paired above, projection pinned
-                   # by pytest (variance ordering + reconstruction)
+    oracle=_pca_oracle(),
     doc=f"PCA projection onto top-{PCA_COMPONENTS} axes (exact-decimal "
-        "covariance, driver-side power iteration, Arrow projection)",
+        "covariance, sequential-fold deflated power iteration, Arrow "
+        "projection; oracle = recursive-CTE replay of the iteration, "
+        "bit-exact)",
     tags=("similarity", "llm-pipeline", "iterative", "pandas-udf"),
 ))
