@@ -944,3 +944,181 @@ register(QuerySpec(
         f"at Hamming <= {SIMHASH_HAMMING_MAX}; hot-block capped)",
     tags=("dedup", "north-star", "simhash", "join"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", 2022 — the suffix-array family)
+# ---------------------------------------------------------------------------
+# Winnowing/minhash find *probabilistic* overlap; training pipelines
+# also remove *exact* duplicated spans >= L tokens (memorization-prone
+# boilerplate, licenses, quoted passages).  The suffix-array algorithm
+# is inherently sequential; the Spark-shaped equivalent is its n-gram
+# formulation: a span of >= L tokens duplicated anywhere in the corpus
+# is exactly a maximal run of L-token grams whose digests occur >= 2
+# times corpus-wide.  Topology:
+#
+#   1. grams: row-local tokenize + slide (scan-bound, like winnowing);
+#      only (digest int64, doc_id, pos int) ever leaves the row — the
+#      digest-only-shuffle discipline of dedup_exact.
+#   2. duplicated grams: ONE exchange keyed by digest (window count).
+#      No self-join, so no pair explosion — a gram shared by n docs
+#      costs n rows, not n², and the hot-digest cap the LSH paths need
+#      is unnecessary here by construction.
+#   3. span assembly: gap-and-island per doc over int positions (ONE
+#      exchange keyed by doc_id).  Two shuffles total, both narrow.
+#
+# At 100 TB the gram table is ~tokens x 28 B; partial aggregation
+# cannot shrink a window count, so size spark.sql.shuffle.partitions
+# for it (or swap the window for groupBy(digest)+join if a deployment
+# prefers combiner-friendly shapes; semantics identical).
+
+SUBSTRING_L = 20      # span threshold in tokens (Lee et al. use 50 BPE
+                      # tokens; this fixture's docs average ~54 words)
+SUBSTRING_MIN_OCC = 2
+
+
+def duplicated_spans(docs: DataFrame, spark: SparkSession,
+                     l: int = SUBSTRING_L) -> DataFrame:
+    """(doc_id, span_start, span_len, n_dup_grams): maximal token
+    spans duplicated (>= SUBSTRING_MIN_OCC occurrences corpus-wide,
+    intra-document repeats included, matching Lee et al.'s any-repeat
+    definition).  span_start is 1-based; overlapping or adjacent
+    duplicated grams merge (pos gap <= l) so each output row is one
+    maximal duplicated region."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import norm_tokens
+
+    par = explode_parallelism(spark)
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {l - 1}), "
+        f"i -> struct(i AS pos, "
+        f"cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {l}))), "
+        f"1, 15), 16, 10) as bigint) AS digest))")
+    g = (docs
+         .repartition(par, "doc_id")
+         .withColumn("_toks", norm_tokens())
+         .filter(F.size("_toks") >= l)
+         .select("doc_id", F.explode(grams).alias("g"))
+         .select("doc_id", "g.pos", "g.digest"))
+    n_occ = F.count("*").over(Window.partitionBy("digest"))
+    dup = (g.withColumn("_n", n_occ)
+           .filter(F.col("_n") >= SUBSTRING_MIN_OCC)
+           .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > l), 1).otherwise(0)
+    return (dup
+            .withColumn("_island", F.sum(brk).over(w))
+            .groupBy("doc_id", "_island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") - F.min("pos") + l).alias("span_len"),
+                 F.count("*").alias("n_dup_grams"))
+            .select("doc_id", "span_start", "span_len", "n_dup_grams"))
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return duplicated_spans(load_table(spark, sf_dir, "documents"), spark)
+
+
+def _substring_spans_sql(l: int = SUBSTRING_L) -> str:
+    """Shared CTE chain ending in `spans` (used by both substring
+    queries; same composition reuse as the simhash/winnow oracles)."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        NORM_TOKENS_SQL,
+    )
+
+    return f"""
+        base AS (SELECT doc_id, {NORM_TOKENS_SQL} AS toks FROM documents),
+        grams AS (
+            SELECT doc_id, t.i AS pos,
+                   CAST(('0x' || substr(md5(array_to_string(
+                       list_slice(toks, t.i, t.i + {l - 1}), ' ')), 1, 15))
+                       AS BIGINT) AS digest
+            FROM base, UNNEST(range(1, len(toks) - {l - 1} + 1)) AS t(i)
+            WHERE len(toks) >= {l}
+        ),
+        dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY digest) AS n
+                FROM grams
+            ) WHERE n >= {SUBSTRING_MIN_OCC}
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   SUM(CASE WHEN prev IS NULL OR pos - prev > {l}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM (SELECT doc_id, pos,
+                         LAG(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS prev
+                  FROM dup)
+        ),
+        spans AS (
+            SELECT doc_id, MIN(pos) AS span_start,
+                   MAX(pos) - MIN(pos) + {l} AS span_len,
+                   COUNT(*) AS n_dup_grams
+            FROM isl GROUP BY doc_id, island
+        )"""
+
+
+register(QuerySpec(
+    "dedup_substring", q_dedup_substring,
+    oracle=f"""
+        WITH {_substring_spans_sql().strip()}
+        SELECT doc_id, span_start, span_len, n_dup_grams FROM spans
+    """,
+    doc=f"exact-substring dedup (Lee et al. n-gram formulation): "
+        f"maximal token spans >= {SUBSTRING_L} duplicated corpus-wide; "
+        "digest-only shuffles, no self-join",
+    tags=("dedup", "north-star", "substring", "window"),
+))
+
+
+def q_dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-content report over ALL docs: how much
+    of each document lies inside an exact duplicated span — the
+    "drop documents that are mostly boilerplate" curation gate (Lee
+    et al. remove one copy of each span; pipelines often instead drop
+    docs above a dup_fraction threshold).  Span rows are tiny, so the
+    join back to per-doc token counts is broadcast-shaped; text still
+    never shuffles."""
+    tune_session(spark)
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import norm_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, spark)
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count("*").alias("n_spans"),
+                    F.sum("span_len").alias("dup_tokens")))
+    return (docs
+            .select("doc_id", F.size(norm_tokens()).alias("n_toks"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_toks",
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+                    (F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                     / F.col("n_toks")).alias("dup_fraction")))
+
+
+register(QuerySpec(
+    "dedup_substring_stats", q_dedup_substring_stats,
+    oracle=f"""
+        WITH {_substring_spans_sql().strip()},
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_spans,
+                   CAST(SUM(span_len) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT b.doc_id, len(b.toks) AS n_toks,
+               COALESCE(p.n_spans, 0) AS n_spans,
+               COALESCE(p.dup_tokens, 0) AS dup_tokens,
+               CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(b.toks)
+                   AS dup_fraction
+        FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="per-document exact-duplicated-content fraction (the drop-"
+        "mostly-boilerplate curation gate over dedup_substring spans)",
+    tags=("dedup", "north-star", "substring", "quality"),
+))
