@@ -6,15 +6,23 @@ metadata struct beside it; decode / feature-extract / resize run as
 Arrow-batched ``mapInPandas`` stages so each task processes a whole
 batch of blobs without row-at-a-time Python overhead.
 
-The actual codec libraries (Pillow/ffmpeg/etc.) are not in this
-container, so the decode step is a clearly marked deterministic fake —
-the Spark-side contract (schema, batch shape, partitioning) is real
-and tested; swap ``_fake_decode`` for a real decoder to productionize.
+Codec strategy (probe-gated, the boto3/spark-protobuf discipline):
+
+* **PNG** decodes everywhere via the stdlib codec in
+  ``functions/png.py`` (zlib + struct — no image libs needed), so the
+  PNG-media operators below do REAL pixel work in any environment;
+* **Pillow**, when importable, is the preferred decoder (every format,
+  C-speed unfiltering); its absence degrades PNG to the stdlib codec
+  and makes any *other* format fail loudly with NotImplementedError —
+  never a fake decode;
+* the **raw-RGB** path further down needs only numpy and is the
+  fallback fixture format for codec-free environments.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
 import zlib
 from collections.abc import Iterator
@@ -30,31 +38,67 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from cga_logs_to_kinesis_spark.functions.png import (
+    PNG_MAGIC,
+    decode_png,
+    encode_png,
+)
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
 from cga_logs_to_kinesis_spark.session import tune_session
 from cga_logs_to_kinesis_spark.sources import load_table
 
-# Output contract of the feature-extraction stage.
+
+def _pillow_decode(blob: bytes):
+    """Decode via Pillow, gated: Pillow isn't in this container."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "Pillow not available; PNG decodes via the stdlib codec, "
+            "other formats need Pillow") from e
+    import numpy as np
+    with Image.open(io.BytesIO(bytes(blob))) as im:  # pragma: no cover
+        return np.asarray(im.convert("RGB"))
+
+
+def decode_image(blob: bytes):
+    """blob → (h, w, >=3) uint8 array.  Pillow when importable (any
+    format it knows); otherwise the stdlib PNG codec for PNG blobs and
+    a loud NotImplementedError for everything else — a format we
+    cannot really decode is an error, never a fake."""
+    try:
+        return _pillow_decode(blob)
+    except NotImplementedError:
+        if bytes(blob[:8]) == PNG_MAGIC:
+            return decode_png(blob)
+        raise
+
+
+def _nn_resize(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resample: source pixel for output (x, y) is
+    (x*w//out_w, y*h//out_h) — pure index arithmetic, deterministic."""
+    import numpy as np
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[np.ix_(ys, xs)]
+
+
+# Output contract of the feature-extraction stage.  Channel means are
+# x1e6 fixed-point ints (exact rationals, same convention as the
+# raw-RGB path) over the first three channels.
 MEDIA_FEATURES = StructType([
     StructField("doc_id", LongType(), False),
     StructField("media_type", StringType(), False),
     StructField("n_bytes", LongType(), False),
     StructField("checksum_crc32", LongType(), False),
     StructField("content_digest", StringType(), False),
-    StructField("width", IntegerType(), True),
-    StructField("height", IntegerType(), True),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("mean_r", LongType(), False),
+    StructField("mean_g", LongType(), False),
+    StructField("mean_b", LongType(), False),
 ])
-
-
-def _fake_decode(blob: bytes) -> tuple[int, int]:
-    """STUB decoder: deterministic pseudo-dimensions from the payload.
-
-    A real implementation would decode the image header here (Pillow,
-    libvips, ...).  Raising NotImplementedError would also satisfy the
-    contract; the fake keeps the pipeline executable end-to-end.
-    """
-    h = hashlib.sha256(blob).digest()
-    return 16 + h[0] % 240, 16 + h[1] % 240
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -66,10 +110,20 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     this stage if blobs are few and large).
     """
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             blobs = pdf["payload"]
-            dims = [_fake_decode(bytes(b)) for b in blobs]
+            dims, means = [], []
+            for b in blobs:
+                arr = decode_image(bytes(b))
+                h, w = arr.shape[0], arr.shape[1]
+                n = w * h
+                sums = arr[..., :3].reshape(-1, 3).sum(
+                    axis=0, dtype=np.int64)
+                dims.append((w, h))
+                means.append([int(s) * 1_000_000 // n for s in sums])
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
@@ -80,38 +134,67 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     lambda b: hashlib.md5(bytes(b)).hexdigest()),
                 "width": pd.Series([d[0] for d in dims], dtype="int32"),
                 "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                "mean_r": pd.Series([m[0] for m in means], dtype="int64"),
+                "mean_g": pd.Series([m[1] for m in means], dtype="int64"),
+                "mean_b": pd.Series([m[2] for m in means], dtype="int64"),
             })
 
     return media.mapInPandas(batches, schema=MEDIA_FEATURES)
 
 
+def make_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG fixture blobs: dimensions and pixels seeded
+    from doc_id (identical seeding to the raw-RGB fixtures, so the two
+    paths decode the SAME pixel arrays — the cross-codec parity hook),
+    encoded with the stdlib PNG writer."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                rng = np.random.default_rng(int(doc_id))
+                w = 8 + int(doc_id) % 25
+                h = 8 + (int(doc_id) // 3) % 25
+                arr = rng.integers(0, 256, size=(h, w, 3),
+                                   dtype=np.uint8)
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return (media_schema_df(docs)
+            .mapInPandas(batches, schema="doc_id long, payload binary"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text re-encoded as a binary payload stands in for media
-    blobs; checksum/digest are real, width/height come from the stub
-    decoder (non-SQL-expressible → rows-only correctness check)."""
+    """PNG media blobs (deterministic, seeded from doc_id) → REAL codec
+    decode → dimensions + exact channel means.  Rows-only in the
+    driver gate (pixel decode is not SQL-expressible); exactness is
+    pinned by tests/test_multimodal.py, including pixel parity with
+    the raw-RGB operators over the identically-seeded arrays."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        "doc_id",
-        F.lit("image/fake").alias("media_type"),
-        F.encode("text", "UTF-8").alias("payload"),
-    )
+    media = make_png_media(docs).select(
+        "doc_id", F.lit("image/png").alias("media_type"), "payload")
     return extract_media_features(media).orderBy("doc_id")
 
 
 register(QuerySpec(
     "multimodal_features", q_multimodal_features,
-    oracle=None,  # stubbed decode: genuinely non-SQL-expressible
-    doc="binary media column + mapInPandas feature extraction (stub decode)",
+    oracle=None,  # pixel decode: genuinely non-SQL-expressible
+    doc="binary media column + mapInPandas feature extraction (REAL "
+        "PNG decode via the stdlib codec; Pillow probe-gated for "
+        "other formats)",
     tags=("multimodal", "north-star", "pandas-udf"),
 ))
 
 
 
 # ---------------------------------------------------------------------------
-# Resize / frame-sample stubs: the remaining media-pipeline stages.
-# Real codecs are absent in this container; the Spark-side contract
-# (schemas, Arrow batching, partition inheritance) is real and tested.
+# Resize / frame-sample: the remaining media-pipeline stages.
+# Resize is a real decode → nearest-neighbor resample → re-encode.
+# The frame sampler keeps video-decode's row-expansion *shape* only —
+# its codec would be ffmpeg, genuinely absent: documented stub.
 # ---------------------------------------------------------------------------
 
 RESIZED = StructType([
@@ -128,22 +211,26 @@ FRAMES = StructType([
 ])
 
 
-def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
-    """STUB resize: deterministic fake downscale preserving aspect
-    ratio; a real implementation decodes + resamples here."""
+def resize_media(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """Real thumbnail stage: decode → aspect-preserving nearest-
+    neighbor resample → re-encode PNG.  Reported dimensions come from
+    RE-DECODING the thumbnail payload (the output is verified media,
+    not an assumption); digest is of the re-encoded bytes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = [_fake_decode(bytes(b)) for b in pdf["payload"]]
             out_w, out_h, digests = [], [], []
-            for (w, h), blob in zip(dims, pdf["payload"]):
+            for blob in pdf["payload"]:
+                arr = decode_image(bytes(blob))
+                h, w = arr.shape[0], arr.shape[1]
                 scale = max_side / max(w, h)
                 nw = max(1, int(w * scale))
                 nh = max(1, int(h * scale))
-                out_w.append(nw)
-                out_h.append(nh)
-                digests.append(hashlib.md5(
-                    bytes(blob) + f"{nw}x{nh}".encode()).hexdigest())
+                thumb = encode_png(_nn_resize(arr, nw, nh))
+                rh, rw = decode_png(thumb).shape[:2]
+                out_w.append(rw)
+                out_h.append(rh)
+                digests.append(hashlib.md5(thumb).hexdigest())
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "width": pd.Series(out_w, dtype="int32"),
@@ -182,16 +269,14 @@ def sample_frames(media: DataFrame, every_nth: int = 10,
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        "doc_id", F.lit("image/fake").alias("media_type"),
-        F.encode("text", "UTF-8").alias("payload"))
-    return resize_media(media).orderBy("doc_id")
+    return resize_media(make_png_media(docs)).orderBy("doc_id")
 
 
 register(QuerySpec(
     "multimodal_resize", q_multimodal_resize,
     oracle=None,
-    doc="media resize stage (stub decode; real Arrow/mapInPandas shape)",
+    doc="media resize stage: REAL PNG decode -> nearest-neighbor "
+        "resample -> re-encode, dims verified by re-decode",
     tags=("multimodal", "north-star", "pandas-udf"),
 ))
 

@@ -4,15 +4,23 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from cga_logs_to_kinesis_spark.functions.png import encode_png
 from cga_logs_to_kinesis_spark.operators.multimodal import (
     MEDIA_FEATURES,
     extract_media_features,
 )
 
 
+def _png_blob(i: int) -> bytes:
+    import numpy as np
+    rng = np.random.default_rng(i)
+    arr = rng.integers(0, 256, size=(4 + i % 5, 3 + i % 7, 3),
+                       dtype=np.uint8)
+    return encode_png(arr)
+
+
 def _media_df(spark, n=10):
-    rows = [(i, "image/fake", f"blob-{i}".encode() * (i + 1))
-            for i in range(n)]
+    rows = [(i, "image/png", bytearray(_png_blob(i))) for i in range(n)]
     return spark.createDataFrame(
         rows, "doc_id long, media_type string, payload binary")
 
@@ -29,13 +37,15 @@ def test_features_deterministic(spark):
     assert a == b
 
 
-def test_checksum_matches_python(spark):
+def test_checksum_and_dims_match_python(spark):
     import zlib
     out = {r.doc_id: r for r in
            extract_media_features(_media_df(spark)).collect()}
-    assert out[0].checksum_crc32 == zlib.crc32(b"blob-0")
-    assert out[0].n_bytes == 6
-    assert 16 <= out[0].width <= 255 and 16 <= out[0].height <= 255
+    blob0 = _png_blob(0)
+    assert out[0].checksum_crc32 == zlib.crc32(blob0)
+    assert out[0].n_bytes == len(blob0)
+    # seeded dims: (h, w) = (4 + 0 % 5, 3 + 0 % 7) — real header decode
+    assert (out[0].width, out[0].height) == (3, 4)
 
 
 def test_partitioning_preserved(spark):
