@@ -268,6 +268,21 @@ def test_bm25_broadcasts_query_terms(spark):
     assert uses_broadcast_join(SPECS["bm25_topk"].fn(spark, SF_SMOKE))
 
 
+def test_bm25_length_table_pruned_to_matching_docs(spark):
+    """The per-doc length table must be semi-join-pruned to
+    query-matching doc ids BEFORE it reaches the score join: the
+    token scan feeding the dl aggregation goes through a broadcast
+    LeftSemi on doc_id, so neither the dl exchange nor the scored-side
+    join ever carries the whole corpus's length table."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["bm25_topk"].fn(spark, SF_SMOKE))
+    semi = [b for b in plan.split("\n\n")
+            if "Join" in b.split("\n")[0] and "LeftSemi" in b]
+    assert semi, "dl must be pruned via a LeftSemi join on doc_id"
+    assert any("doc_id" in b and "Broadcast" in b.split("\n")[0]
+               for b in semi)
+
+
 def test_unigram_rarity_vocab_join_adapts_to_size(spark):
     """The rarity vocabulary join carries no forced broadcast hint: at
     tiny SF Catalyst may legitimately auto-broadcast the freq table,
