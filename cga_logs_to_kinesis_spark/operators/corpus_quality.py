@@ -311,11 +311,10 @@ BM25_QUERY_TERMS = ("spark", "stream", "vector")
 BM25_TOPK = 10
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+def bm25_scored(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, n_terms_hit, score) for every doc matching >= 1 query
+    term — the scored table before top-k; shared with the streaming
+    twin's parity contract (streaming/corpus.py)."""
     par = explode_parallelism(spark)
     # Tokenize ONCE (the unigram_rarity/minhash checkpoint discipline,
     # with its disk-sizing note): the token table feeds the corpus
@@ -353,16 +352,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_part = (F.col("tf") * (BM25_K1 + 1.0)) / (
         F.col("tf") + BM25_K1 * (1.0 - BM25_B
                                  + BM25_B * F.col("dl") / F.col("avgdl")))
-    scored = (tf.join(F.broadcast(df_), "tok").join(dl, "doc_id")
-              .crossJoin(F.broadcast(stats))
-              .withColumn("part", idf * tf_part)
-              .groupBy("doc_id")
-              .agg(F.count("*").alias("n_terms_hit"),
-                   davg("part", "_avg"))
-              # davg gives the exact decimal mean; score = mean * hits
-              # == order-free exact sum of per-term parts
-              .withColumn("score", F.col("_avg") * F.col("n_terms_hit"))
-              .drop("_avg"))
+    return (tf.join(F.broadcast(df_), "tok").join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("part", idf * tf_part)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_terms_hit"),
+                 davg("part", "_avg"))
+            # davg gives the exact decimal mean; score = mean * hits
+            # == order-free exact sum of per-term parts
+            .withColumn("score", F.col("_avg") * F.col("n_terms_hit"))
+            .drop("_avg"))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scored(spark, docs)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= BM25_TOPK)
@@ -433,9 +440,10 @@ register(QuerySpec(
 # the oracle matches bit-for-bit.
 
 
-def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+def char_diversity_frame(docs: DataFrame) -> DataFrame:
+    """Pure row-local projection (no shuffle, no state) — composes
+    unchanged over batch and streaming inputs; the streaming twin in
+    streaming/corpus.py is literally this function."""
     # per-row: chars -> sorted -> group equal runs via aggregate over
     # the distinct set; sum of squared counts stays in int64
     chars = F.expr("filter(split(lower(text), ''), c -> c != '')")
@@ -455,6 +463,11 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n.alias("n_chars_counted"),
                 (F.lit(1.0) - F.col("_ss")
                  / (n * n).cast("double")).alias("diversity")))
+
+
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return char_diversity_frame(load_table(spark, sf_dir, "documents"))
 
 
 register(QuerySpec(

@@ -124,3 +124,90 @@ def fit_stop_tokens(docs: DataFrame, df_share: float = 0.5) -> DataFrame:
     return (dtoks.groupBy("tok").agg(F.count("*").alias("nd"))
             .filter(F.col("nd") > df_share * n_docs)
             .agg(F.sort_array(F.collect_list("tok")).alias("stop_list")))
+
+
+def streaming_char_diversity(docs: DataFrame) -> DataFrame:
+    """Gini–Simpson character diversity over a document stream — the
+    batch operator is a pure row-local projection, so it composes
+    unchanged (stateless, no watermark)."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        char_diversity_frame,
+    )
+    return char_diversity_frame(docs)
+
+
+def fit_bm25_model(spark, docs: DataFrame) -> DataFrame:
+    """Batch front half for :func:`streaming_bm25_score`: the 1-row
+    retrieval model fitted on the existing corpus — corpus scalars
+    (n_docs, avgdl) plus per-query-term document frequencies.  This is
+    the decomposition production retrieval uses: statistics fitted
+    offline, applied to arriving documents online (a stream cannot
+    derive corpus-level df/avgdl from itself without its scores
+    changing retroactively — same honesty note as the stop-set fit)."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        BM25_QUERY_TERMS,
+        norm_tokens,
+    )
+    toks = docs.select(
+        "doc_id", F.explode(norm_tokens()).alias("tok"))
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "tok string")
+    tf = (toks.join(F.broadcast(qterms), "tok")
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    dfs = (tf.groupBy("tok").agg(F.count("*").alias("df"))
+           .agg(F.sort_array(F.collect_list(F.struct("tok", "df")))
+                .alias("terms")))
+    stats = (toks.agg(F.count("*").cast("double").alias("_total"))
+             .crossJoin(docs.agg(
+                 F.count("*").cast("double").alias("n_docs")))
+             .select("n_docs",
+                     (F.col("_total") / F.col("n_docs")).alias("avgdl")))
+    return stats.crossJoin(dfs)
+
+
+def streaming_bm25_score(docs: DataFrame, model_df: DataFrame) -> DataFrame:
+    """BM25 scoring over a document stream: stream-static broadcast of
+    the fitted model, then an entirely row-local score — per-term tf
+    from the token array, the same rational-core formula, and the same
+    decimal-exact accumulation as the batch operator, so batch/stream
+    parity is bit-for-bit (pinned in tests/test_corpus_stream.py).
+    Emits every arriving doc; ``n_terms_hit = 0`` rows score NULL."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        BM25_B,
+        BM25_K1,
+        norm_tokens,
+    )
+    # Literal-folded constants, matching the batch Column arithmetic
+    # ((1.0 - B) folds first there too, so rounding is identical).
+    one_minus_b = repr(1.0 - BM25_B)
+    parts = F.expr(f"""
+        transform(terms, t -> named_struct(
+            'tf', cast(size(filter(_toks, x -> x = t.tok)) as bigint),
+            'df', t.df))
+    """)
+    # part(tf=0) = 0 exactly, so summing over all terms equals the
+    # batch sum over matching postings; hits counts tf>0 only.
+    score_sum = F.expr(f"""
+        cast(aggregate(_tfs, cast(0 as decimal(38,6)), (acc, p) ->
+            acc + cast(
+                (((n_docs - p.df) + 0.5) / (p.df + 0.5))
+                * ((p.tf * {repr(BM25_K1 + 1.0)})
+                   / (p.tf + {repr(BM25_K1)} * ({one_minus_b}
+                      + ({repr(BM25_B)} * size(_toks)) / avgdl)))
+                as decimal(38,6))) as double)
+    """)
+    hits = F.expr("size(filter(_tfs, p -> p.tf > 0))").cast("long")
+    return (docs
+            .withColumn("_toks", norm_tokens())
+            .crossJoin(F.broadcast(model_df))
+            .withColumn("_tfs", parts)
+            .withColumn("n_terms_hit", hits)
+            .withColumn("_sum", score_sum)
+            # replicate the batch davg-then-multiply exactly:
+            # score = (decimal_sum -> double / hits) * hits
+            .withColumn(
+                "score",
+                F.when(F.col("n_terms_hit") > 0,
+                       F.col("_sum") / F.col("n_terms_hit")
+                       * F.col("n_terms_hit")))
+            .select("doc_id", "n_terms_hit", "score"))

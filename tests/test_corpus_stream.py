@@ -103,3 +103,54 @@ def test_streaming_prune_matches_batch(spark, tmp_path):
     want = all_queries()["prune_frequent_tokens"].fn(spark, SF_SMOKE)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_streaming_char_diversity_matches_batch(spark, tmp_path):
+    """Row-local core → parity is bit-for-bit, row-for-row."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        char_diversity_frame,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        streaming_char_diversity,
+    )
+
+    docs, stream = _staged_stream(spark, tmp_path)
+    got = {r.doc_id: r for r in
+           _drain(streaming_char_diversity(stream), tmp_path,
+                  "cdiv").collect()}
+    want = {r.doc_id: r for r in char_diversity_frame(docs).collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert (g.n_chars_counted, g.diversity) == \
+            (w.n_chars_counted, w.diversity)
+
+
+def test_streaming_bm25_matches_batch_scores(spark, tmp_path):
+    """Model fitted on the corpus (batch front half), applied to the
+    arriving stream: every query-matching doc must score EXACTLY the
+    batch operator's value (decimal-exact accumulation on both sides),
+    and non-matching docs must flow through with NULL scores."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        bm25_scored,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        fit_bm25_model,
+        streaming_bm25_score,
+    )
+
+    docs, stream = _staged_stream(spark, tmp_path)
+    model = fit_bm25_model(spark, docs)
+    got = {r.doc_id: r for r in
+           _drain(streaming_bm25_score(stream, model), tmp_path,
+                  "bm25").collect()}
+    want = {r.doc_id: r for r in bm25_scored(spark, docs).collect()}
+    assert len(got) == docs.count()          # every arrival scored
+    assert want and set(want) <= set(got)
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert g.n_terms_hit == w.n_terms_hit
+        assert g.score == w.score, doc_id
+    for doc_id, g in got.items():            # non-matching: NULL score
+        if doc_id not in want:
+            assert g.n_terms_hit == 0 and g.score is None
