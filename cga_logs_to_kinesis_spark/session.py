@@ -5,6 +5,10 @@ The engine never *requires* its own session — every public API takes a
 but ``get_session`` builds one with the configs we want for local runs,
 and ``tune_session`` applies the runtime-settable subset to a session we
 didn't create (e.g. the correctness driver's).
+
+Every value below is sized for local[32] at sf<=0.1; the mapping from
+each knob to its ~1000-executor / 100 TB value — and which operator
+forced it — is documented in ``docs/cluster_profile.md``.
 """
 
 from __future__ import annotations
