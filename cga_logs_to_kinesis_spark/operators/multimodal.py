@@ -446,3 +446,122 @@ register(QuerySpec(
         "resized payloads",
     tags=("multimodal", "north-star", "pandas-udf"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Audio path: REAL 16-bit PCM decode via the stdlib WAV codec
+# (functions/wav.py) — the audio analogue of the PNG operators.
+# Features are integer-exact (no floats anywhere): duration in exact
+# microseconds, peak amplitude, x1e6 fixed-point mean square (the RMS
+# surrogate that avoids sqrt, like char_diversity avoids log), and
+# zero-crossing count on channel 0 — the cheap speech/noise/junk
+# triage gates an audio curation pipeline runs before any model.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("n_samples", LongType(), False),
+    StructField("n_channels", IntegerType(), False),
+    StructField("sample_rate", IntegerType(), False),
+    StructField("duration_us", LongType(), False),
+    StructField("peak", IntegerType(), False),
+    StructField("mean_square_x1e6", LongType(), False),
+    StructField("zero_crossings", LongType(), False),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction over (doc_id, payload) WAV
+    blobs.  Same Arrow topology as the image stages; all outputs are
+    exact integers, so results are partitioning-independent."""
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.functions.wav import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "n_samples", "n_channels",
+                                    "sample_rate", "duration_us", "peak",
+                                    "mean_square_x1e6", "zero_crossings")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                a, rate = decode_wav(bytes(blob))
+                n, nch = a.shape
+                x = a.astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n)
+                rows["n_channels"].append(nch)
+                rows["sample_rate"].append(rate)
+                rows["duration_us"].append(n * 1_000_000 // rate)
+                rows["peak"].append(int(np.abs(x).max()) if n else 0)
+                rows["mean_square_x1e6"].append(
+                    int((x * x).sum()) * 1_000_000 // (n * nch)
+                    if n else 0)
+                ch0 = x[:, 0]
+                rows["zero_crossings"].append(
+                    int((np.signbit(ch0[1:]) !=
+                         np.signbit(ch0[:-1])).sum()) if n > 1 else 0)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                "n_channels": pd.Series(rows["n_channels"],
+                                        dtype="int32"),
+                "sample_rate": pd.Series(rows["sample_rate"],
+                                         dtype="int32"),
+                "duration_us": pd.Series(rows["duration_us"],
+                                         dtype="int64"),
+                "peak": pd.Series(rows["peak"], dtype="int32"),
+                "mean_square_x1e6": pd.Series(rows["mean_square_x1e6"],
+                                              dtype="int64"),
+                "zero_crossings": pd.Series(rows["zero_crossings"],
+                                            dtype="int64"),
+            })
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURES)
+
+
+def make_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV fixture blobs seeded from doc_id: varying
+    length, rate, and channel count, int16 noise samples — so decode
+    under test is a real codec decode with real variety."""
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.functions.wav import encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rng = np.random.default_rng(d)
+                n = 400 + d % 800
+                nch = 1 + d % 2
+                rate = (8000, 16000, 44100)[d % 3]
+                samples = rng.integers(-32768, 32768, size=(n, nch),
+                                       dtype=np.int16)
+                payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return (media_schema_df(docs)
+            .mapInPandas(batches, schema="doc_id long, payload binary"))
+
+
+def q_multimodal_audio_features(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """WAV media blobs → REAL stdlib-codec decode → integer-exact
+    audio triage features.  Rows-only in the driver gate (sample
+    decode is not SQL-expressible); exactness pinned by pytest
+    recomputation from the seeded samples."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(make_wav_media(docs)).orderBy("doc_id")
+
+
+register(QuerySpec(
+    "multimodal_audio_features", q_multimodal_audio_features,
+    oracle=None,  # sample decode: genuinely non-SQL-expressible
+    doc="REAL WAV (16-bit PCM) decode via the stdlib codec + "
+        "integer-exact audio triage features (duration, peak, mean "
+        "square, zero crossings)",
+    tags=("multimodal", "north-star", "pandas-udf", "audio"),
+))

@@ -43,68 +43,71 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-4 curation ------------------------------------------------
-    # r3 ERR (events timestamp[us] regression) or hash-fail (HUGEINT
-    # oracles), all fixed this round — need fresh green driver rows:
-    "stats_tumbling",
-    "asof_last_signup",
-    "range_join_error_after_purchase",
-    "dedup_events_first",
-    "funnel_conversion",
-    "multi_resolution_rollup",
-    "array_functions",
-    "domain_cap",
-    "corpus_stats",
-    "token_length_histogram",
-    "passage_dedup",
-    "mixture_weights",
-    "vocab_coverage",
-    # output changed this round (NULL-free lag sentinel):
-    "running_revenue",
-    # never appeared in any driver window yet:
-    "ann_recall_report",
-    "dedup_containment",
-    "pca_project",
-    # new operators this round (kmeans newly oracle-paired — its prior
-    # driver rows were rows-only):
-    "unigram_rarity",
-    "winnowing_fingerprints",
-    "prune_frequent_tokens",
-    "kmeans_embeddings",
-    "cosine_topk_fast",
-    "bm25_topk",
-    "char_diversity",
-    "dedup_source_flow",
-    "dedup_winnow_pairs",
-    "dedup_simhash_pairs",
-    # events-reading queries revalidated after the load_events rewrite
-    # (last green row predates the fixture format change):
-    "distinct_users",
-    "json_props",
-    "map_functions",
-    "pivot_event_types",
-    "conditional_pivot",
-    "sliding_window",
-    "session_windows",
-    # family keepers (actively-tuned plans stay driver-visible):
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "cosine_topk_lsh",
-    "revenue_by_nation",
-    # stale-green refresh: last green row is r01; rotate back through
-    # before those rows age out of trust:
-    "batch_pages",
-    "envelope_project",
-    "dedup_exact",
-    "dedup_exact_survivors",
-    "minhash_signatures",
-    "cosine_topk",
-    "pricing_summary",
-    "shipping_priority",
-    "top3_orders_per_customer",
-    "global_topk",
-    "similar_part_names",
-    "price_percentiles",
+    # -- round-5 curation ------------------------------------------------
+    # Every r4 window row came back green (49 hash + pca rows-only), so
+    # this round rotates hard: new operators, everything whose code or
+    # oracle changed in r5, then the stalest greens (the 24 queries
+    # whose last driver row is r1), then the oldest half of the r3
+    # cohort.  Left for the r6 window (r3-latest after this round, must
+    # rotate then): multimodal_raw_features/_resize, date_trunc_buckets,
+    # large_volume_customers, priority_count, promo_share,
+    # quality_features, quality_filter_survivors, returned_revenue,
+    # share_of_total, shipmode_priority.
+    #
+    # new this round (never driver-checked):
+    "dedup_substring",
+    "dedup_substring_stats",
+    # changed this round — needs a fresh row:
+    "pca_project",           # newly oracle-paired (was the one no_oracle)
+    "bm25_topk",             # dl semi-join prune + tokenize-once
+    "unigram_rarity",        # tokenize-once localCheckpoint
+    "char_diversity",        # core extracted for the streaming twin
+    "embedding_covariance",  # oracle extracted for pca reuse
+    "multimodal_features",   # real PNG codec (rows-only; last row r1)
+    "multimodal_resize",     # real PNG codec (rows-only; last row r1)
+    # stale-green refresh: last driver row is r1, four rounds old:
+    "above_nation_avg",
+    "anti_join_customers",
+    "approx_distinct_users",
+    "bulk_orders",
+    "cube_orders",
+    "date_gallery",
+    "dedup_simhash",
+    "envelope_json_roundtrip",
+    "filter_project",
+    "grouping_sets_sql",
+    "longest_doc_per_lang",
+    "nation_set_ops",
+    "orders_in_window",
+    "orders_no_bulk_item",
+    "rank_gallery",
+    "rollup_pricing",
+    "scalar_gallery",
+    "segment_totals",
+    "semi_join_customers",
+    "token_frequencies",
+    "union_by_name",
+    "unpivot_metrics",
+    # r3-latest cohort, north-star/heavy plans first:
+    "cosine_topk_ivf",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "semdedup",
+    "text_stats",
+    "tfidf_top_terms",
+    "pack_chunks",
+    "gopher_repetition",
+    "ngram_decontaminate",
+    "pii_scrub",
+    "split_assign",
+    "stratified_sample",
+    "curriculum_deciles",
+    "embedding_centroids",
+    "embedding_quantize",
+    "bpe_token_counts",
+    "doc_fingerprint",
+    "lang_id",
 )
 
 

@@ -136,3 +136,67 @@ def test_raw_decode_rejects_truncated_blob():
 
     with pytest.raises(ValueError, match="expected"):
         decode_raw_image((3).to_bytes(4, "big") * 2 + b"\x00" * 5)
+
+
+# -- Audio path: stdlib WAV codec, integer-exact features ------------------
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    for nch in (1, 2):
+        a = rng.integers(-32768, 32768, size=(100, nch), dtype=np.int16)
+        back, rate = decode_wav(encode_wav(a, 16000))
+        assert rate == 16000
+        assert back.shape == (100, nch)
+        assert (back == a).all()
+
+
+def test_wav_decode_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from cga_logs_to_kinesis_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with pytest.raises(ValueError, match="WAV"):
+        decode_wav(b"RIFFgarbage-not-a-wave-file")
+    good = encode_wav(
+        np.zeros((10, 1), dtype=np.int16), 8000)
+    with pytest.raises(ValueError):
+        decode_wav(good[:30])               # truncated header/data
+
+
+def test_audio_features_query_exact(spark):
+    """End-to-end WAV decode: every feature equals an independent
+    numpy recomputation from the seeded samples."""
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["multimodal_audio_features"].fn(
+        spark, SF_SMOKE).limit(30).collect()
+    assert rows
+    for r in rows[:10]:
+        d = r.doc_id
+        rng = np.random.default_rng(d)
+        n, nch = 400 + d % 800, 1 + d % 2
+        rate = (8000, 16000, 44100)[d % 3]
+        a = rng.integers(-32768, 32768, size=(n, nch),
+                         dtype=np.int16).astype(np.int64)
+        assert (r.n_samples, r.n_channels, r.sample_rate) == (n, nch, rate)
+        assert r.duration_us == n * 1_000_000 // rate
+        assert r.peak == int(np.abs(a).max())
+        assert r.mean_square_x1e6 == int((a * a).sum()) * 1_000_000 \
+            // (n * nch)
+        ch0 = a[:, 0]
+        assert r.zero_crossings == int(
+            (np.signbit(ch0[1:]) != np.signbit(ch0[:-1])).sum())
