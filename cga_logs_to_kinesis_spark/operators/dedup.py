@@ -1122,3 +1122,121 @@ register(QuerySpec(
         "mostly-boilerplate curation gate over dedup_substring spans)",
     tags=("dedup", "north-star", "substring", "quality"),
 ))
+
+
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup: Lee et al. remove
+    all but ONE copy of each duplicated span; the gram-level policy
+    here keeps, for every duplicated gram digest, its first corpus
+    occurrence (min (doc_id, pos)) and drops every token covered by a
+    later occurrence.  Output is the rebuilt text per document.
+
+    Topology: the digest exchange computes BOTH windows (occurrence
+    count and first-occurrence rank) in one pass — same partition key,
+    no extra shuffle over dedup_substring; loser start positions fold
+    to a per-doc int array; the single text-bearing shuffle is the
+    final doc_id join that attaches those arrays for the row-local
+    rebuild (the prune_frequent_tokens analogue, except the per-doc
+    mask genuinely cannot be a broadcast: it is corpus-fraction-sized,
+    so it rides a plain equi-join AQE can promote when small)."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+
+    l = SUBSTRING_L
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = explode_parallelism(spark)
+    base = (docs.repartition(par, "doc_id")
+            .select("doc_id", norm_tokens().alias("_toks")))
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {l - 1}), "
+        f"i -> struct(i AS pos, "
+        f"cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {l}))), "
+        f"1, 15), 16, 10) as bigint) AS digest))")
+    g = (base.filter(F.size("_toks") >= l)
+         .select("doc_id", F.explode(grams).alias("g"))
+         .select("doc_id", "g.pos", "g.digest"))
+    w_count = Window.partitionBy("digest")
+    w_rank = Window.partitionBy("digest").orderBy("doc_id", "pos")
+    losers = (g.withColumn("_n", F.count("*").over(w_count))
+              .withColumn("_rn", F.row_number().over(w_rank))
+              .filter((F.col("_n") >= SUBSTRING_MIN_OCC)
+                      & (F.col("_rn") >= 2))
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list("pos")).alias("starts")))
+    kept = F.expr(f"""
+        filter(transform(_toks, (t, i) -> struct(t AS t, i + 1 AS p)),
+               s -> size(filter(starts,
+                                st -> st between s.p - {l - 1} and s.p))
+                    = 0)
+    """)
+    return (base.join(losers, "doc_id", "left")
+            .withColumn("starts",
+                        F.coalesce("starts", F.expr("array()")))
+            .withColumn("_kept", kept)
+            .select(
+                "doc_id",
+                F.size("_kept").cast("long").alias("n_kept"),
+                (F.size("_toks") - F.size("_kept")).cast("long")
+                .alias("n_removed"),
+                F.expr("concat_ws(' ', transform(_kept, x -> x.t))")
+                .alias("dedup_text")))
+
+
+def _substring_apply_oracle(l: int = SUBSTRING_L) -> str:
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        NORM_TOKENS_SQL,
+    )
+
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {NORM_TOKENS_SQL} AS toks FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, t.i AS pos,
+                   CAST(('0x' || substr(md5(array_to_string(
+                       list_slice(toks, t.i, t.i + {l - 1}), ' ')), 1, 15))
+                       AS BIGINT) AS digest
+            FROM base, UNNEST(range(1, len(toks) - {l - 1} + 1)) AS t(i)
+            WHERE len(toks) >= {l}
+        ),
+        occ AS (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY digest) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY digest
+                                      ORDER BY doc_id, pos) AS rn
+            FROM grams
+        ),
+        losers AS (
+            SELECT doc_id, list(pos ORDER BY pos) AS starts
+            FROM occ WHERE n >= {SUBSTRING_MIN_OCC} AND rn >= 2
+            GROUP BY doc_id
+        )
+        SELECT doc_id,
+               len(kept) AS n_kept,
+               len(toks) - len(kept) AS n_removed,
+               COALESCE(array_to_string(kept, ' '), '') AS dedup_text
+        FROM (
+            SELECT b.doc_id, b.toks,
+                   list_transform(
+                       list_filter(range(1, len(b.toks) + 1),
+                           i -> len(list_filter(
+                                    COALESCE(lo.starts, []),
+                                    st -> st >= i - {l - 1}
+                                          AND st <= i)) = 0),
+                       i -> b.toks[i]) AS kept
+            FROM base b LEFT JOIN losers lo USING (doc_id)
+        )
+    """
+
+
+register(QuerySpec(
+    "dedup_substring_apply", q_dedup_substring_apply,
+    oracle=_substring_apply_oracle(),
+    doc=f"exact-substring dedup, removal half: keep each duplicated "
+        f">= {SUBSTRING_L}-token span's first corpus occurrence, strip "
+        "every later copy, rebuild text (one digest exchange computes "
+        "both windows; row-local rebuild)",
+    tags=("dedup", "north-star", "substring", "window"),
+))

@@ -52,11 +52,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rotate then): multimodal_raw_features/_resize, date_trunc_buckets,
     # large_volume_customers, priority_count, promo_share,
     # quality_features, quality_filter_survivors, returned_revenue,
-    # share_of_total, shipmode_priority.
+    # share_of_total, shipmode_priority, lang_id, plus r5's rows-only
+    # multimodal_audio_features.
     #
     # new this round (never driver-checked):
     "dedup_substring",
     "dedup_substring_stats",
+    "dedup_substring_apply",
     # changed this round — needs a fresh row:
     "pca_project",           # newly oracle-paired (was the one no_oracle)
     "bm25_topk",             # dl semi-join prune + tokenize-once
@@ -107,7 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_quantize",
     "bpe_token_counts",
     "doc_fingerprint",
-    "lang_id",
 )
 
 

@@ -75,6 +75,51 @@ def test_overlapping_shared_regions_merge_into_one_maximal_span(spark):
             spans[2].n_dup_grams) == (6, 40, 21)
 
 
+def test_apply_keeps_first_occurrence_strips_later_copies(spark):
+    """Removal policy (Lee et al.): the first corpus occurrence of a
+    duplicated span survives, every later copy is stripped, unique
+    text is untouched."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        q_dedup_substring_apply,
+    )
+
+    shared = _words("dup", SUBSTRING_L)            # exactly one gram
+    d1 = _words("a", 5) + " " + shared + " " + _words("b", 5)
+    d2 = _words("c", 5) + " " + shared + " " + _words("d", 5)
+    docs = _docs(spark, [(1, d1), (2, d2), (3, _words("e", 40))])
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        # reuse the registered query end-to-end against this corpus
+        out = {r.doc_id: r for r in
+               q_dedup_substring_apply(spark, td).collect()}
+    # doc 1 holds the first occurrence: fully intact
+    assert out[1].n_removed == 0
+    assert out[1].dedup_text == d1
+    # doc 2's copy is stripped, its unique flanks survive
+    assert out[2].n_removed == SUBSTRING_L
+    assert out[2].dedup_text == _words("c", 5) + " " + _words("d", 5)
+    # untouched doc: identical
+    assert out[3].n_removed == 0 and out[3].dedup_text == _words("e", 40)
+
+
+def test_apply_intra_doc_repeat_keeps_first_copy(spark):
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        q_dedup_substring_apply,
+    )
+
+    run = _words("x", SUBSTRING_L)
+    import os
+    import tempfile
+    docs = _docs(spark, [(1, run + " " + _words("mid", 30) + " " + run)])
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        [row] = q_dedup_substring_apply(spark, td).collect()
+    assert row.n_removed == SUBSTRING_L
+    assert row.dedup_text == run + " " + _words("mid", 30)
+
+
 def test_substring_plan_shuffles_digests_not_text(spark):
     """The scale contract: both semantic exchanges (digest window,
     per-doc island window) carry only (doc_id, pos, digest) ints.
