@@ -52,13 +52,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rotate then): multimodal_raw_features/_resize, date_trunc_buckets,
     # large_volume_customers, priority_count, promo_share,
     # quality_features, quality_filter_survivors, returned_revenue,
-    # share_of_total, shipmode_priority, lang_id, plus r5's rows-only
-    # multimodal_audio_features.
+    # share_of_total, shipmode_priority, lang_id, doc_fingerprint,
+    # plus r5's rows-only multimodal_audio_features.
     #
     # new this round (never driver-checked):
     "dedup_substring",
     "dedup_substring_stats",
     "dedup_substring_apply",
+    "bpe_learn_merges",
     # changed this round — needs a fresh row:
     "pca_project",           # newly oracle-paired (was the one no_oracle)
     "bm25_topk",             # dl semi-join prune + tokenize-once
@@ -108,7 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_centroids",
     "embedding_quantize",
     "bpe_token_counts",
-    "doc_fingerprint",
 )
 
 
@@ -120,6 +120,7 @@ def all_queries() -> dict[str, QuerySpec]:
     entries), then every remaining query alphabetically.
     """
     from cga_logs_to_kinesis_spark.operators import (  # noqa: F401
+        bpe,
         clustering,
         corpus_quality,
         dedup,
