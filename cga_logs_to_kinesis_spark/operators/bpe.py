@@ -205,3 +205,99 @@ register(QuerySpec(
         "a run-parity closed form",
     tags=("text", "north-star", "iterative", "tokenizer"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# bpe_tokenize — the inference half: apply the learned merge table.
+# ---------------------------------------------------------------------------
+# Applying merges is vocabulary-shaped too: tokenize each DISTINCT
+# word once (the merge folds run over the vocab table, never the
+# corpus), then join the per-word BPE token counts back to the
+# corpus's exploded words.  At 100 TB the fold work scales with the
+# vocabulary and the join is a vocabulary-keyed shuffle of ints —
+# the same topology as unigram_rarity's frequency join (and like it,
+# deliberately NOT a forced broadcast: a web-scale vocab outgrows
+# one; AQE promotes when small).
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): per-document token counts
+    under the 10-merge BPE tokenizer learned from the same corpus.
+    n_bpe_tokens counts symbols after all merges (each word starts as
+    chars + </w> and loses one symbol per merge hit)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+    merges = [(r.lhs, r.rhs) for r in
+              learn_bpe_merges(spark, docs).collect()]
+    par = explode_parallelism(spark)
+    words = (docs.repartition(par, "doc_id")
+             .select("doc_id", F.explode(norm_tokens()).alias("w")))
+    vocab = words.select("w").distinct().withColumn(
+        "syms",
+        F.expr(f"concat(filter(split(w, ''), c -> c != ''), "
+               f"array('{EOW}'))"))
+    for lhs, rhs in merges:          # 10 chained row-local folds
+        vocab = vocab.withColumn("syms", _apply_merge(lhs, rhs))
+    vocab = vocab.select("w", F.size("syms").alias("n_syms"))
+    return (words.join(vocab, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_syms").alias("n_bpe_tokens")))
+
+
+def _bpe_tokenize_oracle(n_merges: int = BPE_N_MERGES) -> str:
+    """Reuses the learning chain's CTEs but keeps word identity in
+    the state, so the final state IS the word -> symbols map."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        NORM_TOKENS_SQL,
+    )
+    parts = [f"""
+        toks AS (
+            SELECT doc_id, t.tok AS w
+            FROM (SELECT doc_id, {NORM_TOKENS_SQL} AS l FROM documents),
+                 UNNEST(l) AS t(tok)
+        ),
+        wf AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
+        v0 AS MATERIALIZED (
+            SELECT w,
+                   list_append(
+                       list_filter(string_split_regex(w, ''),
+                                   c -> c != ''), '{EOW}') AS s,
+                   freq
+            FROM wf
+        )"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+        p{i} AS (
+            SELECT s[t.i] AS lhs, s[t.i + 1] AS rhs,
+                   CAST(SUM(freq) AS BIGINT) AS pair_freq
+            FROM v{i - 1}, UNNEST(range(1, len(s))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        b{i} AS MATERIALIZED (
+            SELECT lhs, rhs, pair_freq FROM p{i}
+            ORDER BY pair_freq DESC, lhs, rhs LIMIT 1
+        ),
+        v{i} AS MATERIALIZED (
+            SELECT w, {_APPLY_SQL} AS s, freq
+            FROM v{i - 1}, b{i}
+        )""")
+    return ("WITH " + ",".join(parts) + f"""
+        SELECT t.doc_id,
+               COUNT(*) AS n_words,
+               CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe_tokens
+        FROM toks t JOIN v{n_merges} v USING (w)
+        GROUP BY t.doc_id
+    """)
+
+
+register(QuerySpec(
+    "bpe_tokenize", q_bpe_tokenize,
+    oracle=_bpe_tokenize_oracle(),
+    doc="apply the learned BPE merge table: per-document token counts "
+        "under the fitted tokenizer (folds run over the vocabulary, "
+        "counts join back corpus-side — the tokenizer inference half)",
+    tags=("text", "north-star", "tokenizer"),
+))

@@ -90,3 +90,48 @@ def test_bpe_deterministic_across_runs(spark):
     a = learn_bpe_merges(spark, docs).collect()
     b = learn_bpe_merges(spark, docs).collect()
     assert a == b and len(a) == 10
+
+
+def test_bpe_tokenize_matches_reference(spark):
+    """Per-doc BPE token counts equal the textbook pipeline: learn
+    merges on the corpus, apply them left-to-right per word, count."""
+    from cga_logs_to_kinesis_spark.operators.bpe import q_bpe_tokenize
+
+    texts = [
+        "low low lower lowest banana",
+        "newest newest banana bandana",
+        "wide wider widest papa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+               for r in q_bpe_tokenize(spark, td).collect()}
+
+    # reference: learn 10 merges, then tokenize each word
+    wf = Counter(_norm_words(texts))
+    merges = _ref_bpe(dict(wf), 10)
+
+    def tok(w):
+        syms = list(w) + [EOW]
+        for _step, lhs, rhs, _f in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == lhs
+                        and syms[i + 1] == rhs):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for i, t in enumerate(texts):
+        words = _norm_words([t])
+        want = (len(words), sum(tok(w) for w in words))
+        assert got[i] == want, (i, got[i], want)
