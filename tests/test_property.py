@@ -109,3 +109,77 @@ def test_winnow_matches_brute_force(spark, corpora):
     for i, toks in enumerate(corpora):
         want = brute_force_winnow(toks, WINNOW_K, WINNOW_W)
         assert got.get(i, set()) == want, f"doc {i}"
+
+
+# -- BPE merge learning vs the textbook model on random corpora ------------
+
+WORD = st.text(alphabet="ab1", min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(WORD, min_size=1, max_size=25))
+def test_bpe_matches_textbook_on_random_corpora(spark, words):
+    """Tiny alphabet + short words force heavy runs/alternations —
+    exactly where left-to-right pairing is easy to get wrong."""
+    from collections import Counter
+
+    from cga_logs_to_kinesis_spark.operators.bpe import learn_bpe_merges
+    from tests.test_bpe import _ref_bpe
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string")
+    got = [(r.step, r.lhs, r.rhs, r.pair_freq)
+           for r in learn_bpe_merges(spark, docs, n_merges=4)
+           .orderBy("step").collect()]
+    want = _ref_bpe(dict(Counter(words)), 4)
+    assert got == want
+
+
+# -- Exact-substring spans vs a brute-force model --------------------------
+
+def brute_force_spans(doc_tokens: dict[int, list[str]], l: int):
+    """Reference model: duplicated gram positions by direct string
+    comparison, merged into maximal spans (gap > l breaks)."""
+    from collections import Counter
+
+    grams: Counter = Counter()
+    for toks in doc_tokens.values():
+        for i in range(len(toks) - l + 1):
+            grams[tuple(toks[i:i + l])] += 1
+    spans = {}
+    for doc_id, toks in doc_tokens.items():
+        dup = [i + 1 for i in range(len(toks) - l + 1)
+               if grams[tuple(toks[i:i + l])] >= 2]
+        runs = []
+        for p in dup:
+            if runs and p - runs[-1][-1] <= l:
+                runs[-1].append(p)
+            else:
+                runs.append([p])
+        spans[doc_id] = sorted(
+            (r[0], r[-1] - r[0] + l, len(r)) for r in runs)
+    return spans
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(["x1", "y2", "z3"]),
+                         min_size=0, max_size=14),
+                min_size=1, max_size=5))
+def test_substring_spans_match_brute_force(spark, docs_tokens):
+    """3-symbol alphabet at L=4 makes corpus-wide repeats (including
+    intra-doc) common; the digest-window + gap-and-island plan must
+    agree with direct tuple comparison."""
+    from cga_logs_to_kinesis_spark.operators.dedup import duplicated_spans
+
+    L = 4
+    doc_tokens = {i: t for i, t in enumerate(docs_tokens)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in doc_tokens.items()],
+        "doc_id long, text string")
+    got: dict[int, list] = {i: [] for i in doc_tokens}
+    for r in duplicated_spans(df, spark, l=L).collect():
+        got[r.doc_id].append((r.span_start, r.span_len, r.n_dup_grams))
+    want = brute_force_spans(doc_tokens, L)
+    assert {k: sorted(v) for k, v in got.items()} == want
