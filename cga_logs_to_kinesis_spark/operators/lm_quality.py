@@ -1,0 +1,345 @@
+"""Language-model-driven quality scoring (CCNet / DSIR / Gopher).
+
+Three operators a pretraining pipeline runs to *score and select*
+documents, complementing the corpus-statistics family in
+``corpus_quality.py``:
+
+* ``bigram_surprisal`` — conditional bigram-LM scoring, the direct
+  analogue of CCNet's KenLM perplexity split (Wenzek et al., "CCNet",
+  2020) one order up from ``unigram_rarity``'s marginal model.  The LM
+  is add-one (Laplace) smoothed: p(w|prev) = (C(prev,w)+1) /
+  (C(prev)+V).  Real CCNet reports exp(mean -ln p); the engine scores
+  the log-free monotone surrogate mean 1/p(w|prev) = mean
+  (C(prev)+V)/(C(prev,w)+1) — same ordering for fixed document
+  length, and a ratio of exact integers so the score is bit-identical
+  across engines and partitionings (libm ``ln`` rounding differs;
+  same reasoning as ``unigram_rarity`` / ``tfidf_top_terms``).
+* ``dsir_importance`` — Data Selection via Importance Resampling
+  (Xie et al., NeurIPS 2023): weight each raw document by how much
+  its features look drawn from a *target* domain rather than the raw
+  corpus.  Features here are unigrams (DSIR §2 uses hashed n-grams;
+  at web scale the token key would be bucketed by a hash to bound the
+  feature table — documented deviation, the fixture vocabulary is 30
+  types).  The per-token likelihood ratio is Laplace-smoothed
+  p_tgt(t)/p_raw(t); the per-document weight is the log-free mean of
+  ratios rather than DSIR's sum of log-ratios (monotone in the same
+  direction for fixed length, exact across engines).  The target
+  domain is ``lang = 'en'``, the corpus' dominant slice.
+* ``gopher_quality`` — the Gopher rule battery (Rae et al. 2021,
+  Table A1) rows not already covered by ``gopher_repetition`` (its
+  repetition rules) or ``quality_features`` (punct/digit ratios):
+  word-count bounds, mean-word-length window, alphabetic-word ratio,
+  and minimum stop-word hits.  Entirely row-local.
+
+100 TB topology: ``gopher_quality`` is map-only (plan-asserted: zero
+exchanges) — scan-bound at any scale.  The two LM scorers follow the
+``unigram_rarity`` discipline: tokenize ONCE into a
+``localCheckpoint`` (the subtree would otherwise be re-evaluated for
+each count table and again as the join probe — redundant full corpus
+scans at 100 TB), aggregate counts at vocabulary/bigram-vocabulary
+granularity (Zipf-hot keys absorbed by partial aggs + AQE skew
+splits), and join the exploded tokens back with plain equi-joins —
+NOT broadcasts, because web-scale unigram (~1e8) and especially
+bigram (~1e10) vocabularies outgrow a broadcast even though the
+fixture's doesn't.  Corpus scalars (vocabulary size, token totals)
+ride along as 1-row broadcast frames derived in-plan from the count
+tables — never driver-side ``count()`` actions, which would force an
+extra full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.functions.exact import davg, davg_sql
+from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+    NORM_TOKENS_SQL,
+    norm_tokens,
+)
+from cga_logs_to_kinesis_spark.registry import QuerySpec, register
+from cga_logs_to_kinesis_spark.session import (
+    explode_parallelism,
+    tune_session,
+)
+from cga_logs_to_kinesis_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# bigram_surprisal
+# ---------------------------------------------------------------------------
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean inverse conditional bigram probability.
+
+    score(doc) = mean over bigrams (prev,w) of (C(prev)+V)/(C(prev,w)+1)
+    under add-one smoothing: ≥1, small for documents whose word
+    transitions the corpus has seen often, large for unusual
+    transitions.  CCNet keeps the low-perplexity (here: low-score)
+    head for its quality split.
+
+    C(prev) is the *context* count — occurrences of ``prev`` as the
+    left element of a bigram (i.e. token occurrences excluding each
+    document's final token), the standard bigram-LM denominator so the
+    conditional distribution sums to 1 over w.  V is the corpus
+    vocabulary (distinct types over bigram positions).
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = explode_parallelism(spark)
+    # Tokenize + explode bigrams ONCE (module docstring): this subtree
+    # feeds the context counts, the bigram counts, the vocabulary
+    # scalar, and the join probe — four evaluations without the cut.
+    bi = (docs.repartition(par, "doc_id")
+          .withColumn("_toks", norm_tokens())
+          .filter(F.size("_toks") >= 2)
+          .select(
+              "doc_id",
+              F.explode(F.expr(
+                  "transform(sequence(1, size(_toks) - 1), "
+                  "i -> struct(element_at(_toks, i) as prev, "
+                  "element_at(_toks, i + 1) as w))")).alias("bg"))
+          .select("doc_id", "bg.prev", "bg.w")
+          .localCheckpoint())
+    ctx = bi.groupBy("prev").agg(F.count("*").alias("c_prev"))
+    freq2 = bi.groupBy("prev", "w").agg(F.count("*").alias("c_bg"))
+    # Vocabulary over bigram positions; UNION dedups, so the count is
+    # distinct types.  1 row → broadcast scalar.
+    vocab = (bi.select(F.col("prev").alias("t"))
+             .union(bi.select(F.col("w").alias("t")))
+             .distinct()
+             .agg(F.count("*").alias("v")))
+    inv = ((F.col("c_prev") + F.col("v")).cast("double")
+           / (F.col("c_bg") + F.lit(1)).cast("double"))
+    return (bi.join(freq2, ["prev", "w"])
+            .join(ctx, "prev")
+            .crossJoin(F.broadcast(vocab))
+            .withColumn("inv", inv)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 davg("inv", "surprisal_score")))
+
+
+register(QuerySpec(
+    "bigram_surprisal", q_bigram_surprisal,
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, toks FROM
+                (SELECT doc_id, {NORM_TOKENS_SQL} AS toks FROM documents)
+            WHERE len(toks) >= 2
+        ),
+        bi AS (
+            SELECT doc_id, toks[i] AS prev, toks[i + 1] AS w
+            FROM d, UNNEST(range(1, len(toks))) AS r(i)
+        ),
+        ctx AS (SELECT prev, COUNT(*) AS c_prev FROM bi GROUP BY prev),
+        freq2 AS (
+            SELECT prev, w, COUNT(*) AS c_bg FROM bi GROUP BY prev, w
+        ),
+        vocab AS (
+            SELECT COUNT(*) AS v FROM
+                (SELECT prev AS t FROM bi UNION SELECT w FROM bi)
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               {davg_sql('CAST(c_prev + v AS DOUBLE)'
+                         ' / CAST(c_bg + 1 AS DOUBLE)',
+                         'surprisal_score')}
+        FROM bi JOIN freq2 USING (prev, w) JOIN ctx USING (prev)
+             CROSS JOIN vocab
+        GROUP BY doc_id
+    """,
+    doc="CCNet-style conditional bigram-LM quality score "
+        "(mean inverse add-one-smoothed p(w|prev), log-free exact)",
+    tags=("text", "north-star", "quality", "agg"),
+))
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight of every raw document vs the target
+    domain (``lang = 'en'``).
+
+    weight(doc) = mean over tokens t of
+        ((C_tgt(t)+1)/(T_tgt+V)) * ((T_raw+V)/(C_raw(t)+1))
+
+    — the Laplace-smoothed per-token likelihood ratio
+    p_tgt(t)/p_raw(t), averaged.  > its corpus mean ⇒ the document
+    looks more target-like than a random raw document; DSIR then
+    resamples proportionally (the resampling step is
+    ``stratified_sample``'s job — this operator produces the weights).
+    The two divisions and one multiplication are evaluated in the
+    same order on both engines, so the doubles agree bit-for-bit.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = explode_parallelism(spark)
+    # Tokenize ONCE (module docstring): feeds raw counts, target
+    # counts, and the join probe.
+    toks = (docs.repartition(par, "doc_id")
+            .select("doc_id", "lang",
+                    F.explode(norm_tokens()).alias("tok"))
+            .localCheckpoint())
+    raw = toks.groupBy("tok").agg(F.count("*").alias("c_raw"))
+    tgt = (toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+           .groupBy("tok").agg(F.count("*").alias("c_tgt")))
+    # Corpus scalars in-plan from the (vocabulary-sized) count tables.
+    tot = raw.agg(F.sum("c_raw").cast("double").alias("t_raw"),
+                  F.count("*").cast("double").alias("v"))
+    ttot = tgt.agg(F.coalesce(F.sum("c_tgt"), F.lit(0))
+                   .cast("double").alias("t_tgt"))
+    feat = (raw.join(tgt, "tok", "left")
+            .withColumn("c_tgt", F.coalesce("c_tgt", F.lit(0))))
+    ratio = (((F.col("c_tgt") + F.lit(1)).cast("double")
+              / (F.col("t_tgt") + F.col("v")))
+             * ((F.col("t_raw") + F.col("v"))
+                / (F.col("c_raw") + F.lit(1)).cast("double")))
+    return (toks.join(feat, "tok")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(ttot))
+            .withColumn("r", ratio)
+            .groupBy("doc_id", "lang")
+            .agg(F.count("*").alias("n_toks"),
+                 davg("r", "dsir_weight")))
+
+
+register(QuerySpec(
+    "dsir_importance", q_dsir_importance,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, t.tok
+            FROM (SELECT doc_id, lang, {NORM_TOKENS_SQL} AS l
+                  FROM documents),
+                 UNNEST(l) AS t(tok)
+        ),
+        raw AS (SELECT tok, COUNT(*) AS c_raw FROM toks GROUP BY tok),
+        tgt AS (SELECT tok, COUNT(*) AS c_tgt FROM toks
+                WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS t_raw,
+                       CAST(COUNT(*) AS DOUBLE) AS v FROM raw),
+        ttot AS (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS DOUBLE)
+                        AS t_tgt FROM tgt),
+        feat AS (
+            SELECT raw.tok, c_raw, COALESCE(c_tgt, 0) AS c_tgt
+            FROM raw LEFT JOIN tgt USING (tok)
+        )
+        SELECT doc_id, lang, COUNT(*) AS n_toks,
+               {davg_sql('(CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + v))'
+                         ' * ((t_raw + v)'
+                         ' / CAST(c_raw + 1 AS DOUBLE))',
+                         'dsir_weight')}
+        FROM toks JOIN feat USING (tok)
+             CROSS JOIN tot CROSS JOIN ttot
+        GROUP BY doc_id, lang
+    """,
+    doc="DSIR importance weights vs the lang='en' target domain "
+        "(Laplace likelihood-ratio mean, log-free exact)",
+    tags=("text", "north-star", "quality", "agg"),
+))
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality
+# ---------------------------------------------------------------------------
+
+# Rule thresholds, scaled to the fixture corpus (10–99-word docs; the
+# Gopher paper's 50–100 000 window assumes web pages).  The *structure*
+# — bounds on word count and mean word length, an alphabetic-word
+# floor, a stop-word minimum — is Table A1's.
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+# Gopher's stop list is English function words; the fixture corpus is
+# English-token-based in every lang slice.  A per-language table would
+# slot in via the lang_id broadcast-join shape (text.py::_STOPWORDS).
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "that")
+
+
+def gopher_quality_columns() -> dict[str, Column]:
+    """The rule battery as named Column expressions over ``text`` —
+    shared verbatim by the batch query and the streaming twin, so
+    batch/stream parity holds by construction."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    mean_len = (F.expr(
+        "aggregate(transform(split(trim(text), '\\\\s+'), "
+        "w -> length(w)), 0L, (acc, x) -> acc + x)")
+        / n_words.cast("double"))
+    alpha_ratio = (F.size(F.expr(
+        "filter(split(trim(text), '\\\\s+'), "
+        "w -> w rlike '[A-Za-z]')"))
+        / n_words.cast("double"))
+    stop_hits = F.size(F.array_intersect(
+        norm_tokens(),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    return {
+        "n_words": n_words.alias("n_words"),
+        "mean_word_len": mean_len.alias("mean_word_len"),
+        "alpha_word_ratio": alpha_ratio.alias("alpha_word_ratio"),
+        "stop_hits": stop_hits.alias("stop_hits"),
+        "keep": (
+            n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+            & (stop_hits >= GOPHER_MIN_STOP_HITS)).alias("keep"),
+    }
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule features and keep/drop verdict.
+
+    Row-local: every rule is arithmetic over one document's words, so
+    the plan is a single map stage over the scan — no exchange
+    (plan-asserted), scan-bound at 100 TB.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    cols = gopher_quality_columns()
+    return docs.select("doc_id", "lang", *cols.values())
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+
+register(QuerySpec(
+    "gopher_quality", q_gopher_quality,
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(TRIM(text), '\\s+') AS words,
+                   {NORM_TOKENS_SQL} AS toks
+            FROM documents
+        ), feats AS (
+            SELECT doc_id, lang,
+                   len(words) AS n_words,
+                   list_sum(list_transform(words, w -> len(w)))
+                       / CAST(len(words) AS DOUBLE) AS mean_word_len,
+                   len(list_filter(words,
+                       w -> regexp_matches(w, '[A-Za-z]')))
+                       / CAST(len(words) AS DOUBLE)
+                       AS alpha_word_ratio,
+                   len(list_filter({_STOP_SQL}::VARCHAR[],
+                       s -> list_contains(toks, s))) AS stop_hits
+            FROM f
+        )
+        SELECT doc_id, lang, n_words, mean_word_len, alpha_word_ratio,
+               stop_hits,
+               n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                   AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                   AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+                   AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+                   AND stop_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+        FROM feats
+    """,
+    doc="Gopher rule battery: word-count bounds, mean word length, "
+        "alphabetic-word ratio, stop-word minimum",
+    tags=("text", "north-star", "quality"),
+))

@@ -53,13 +53,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # large_volume_customers, priority_count, promo_share,
     # quality_features, quality_filter_survivors, returned_revenue,
     # share_of_total, shipmode_priority, lang_id, doc_fingerprint,
-    # plus r5's rows-only multimodal_audio_features.
+    # plus r5's rows-only multimodal_audio_features and the three
+    # r3-green row-local ops displaced by the r5 LM-quality trio
+    # (pii_scrub, split_assign, stratified_sample).
     #
     # new this round (never driver-checked):
     "dedup_substring",
     "dedup_substring_stats",
     "dedup_substring_apply",
     "bpe_learn_merges",
+    "bigram_surprisal",
+    "dsir_importance",
+    "gopher_quality",
     # changed this round — needs a fresh row:
     "pca_project",           # newly oracle-paired (was the one no_oracle)
     "bm25_topk",             # dl semi-join prune + tokenize-once
@@ -102,9 +107,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pack_chunks",
     "gopher_repetition",
     "ngram_decontaminate",
-    "pii_scrub",
-    "split_assign",
-    "stratified_sample",
     "curriculum_deciles",
     "embedding_centroids",
     "embedding_quantize",
@@ -125,6 +127,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_quality,
         dedup,
         llm_pipeline,
+        lm_quality,
         multimodal,
         pipeline_ops,
         relational,

@@ -136,6 +136,18 @@ def streaming_char_diversity(docs: DataFrame) -> DataFrame:
     return char_diversity_frame(docs)
 
 
+def streaming_gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher rule battery over a document stream — the batch operator
+    (``operators/lm_quality.py::gopher_quality_columns``) is a pure
+    row-local projection, so it composes unchanged (stateless, no
+    watermark) and parity is bit-for-bit by construction."""
+    from cga_logs_to_kinesis_spark.operators.lm_quality import (
+        gopher_quality_columns,
+    )
+    cols = gopher_quality_columns()
+    return docs.select("doc_id", "lang", *cols.values())
+
+
 def fit_bm25_model(spark, docs: DataFrame) -> DataFrame:
     """Batch front half for :func:`streaming_bm25_score`: the 1-row
     retrieval model fitted on the existing corpus — corpus scalars

@@ -303,3 +303,44 @@ def test_unigram_rarity_vocab_join_adapts_to_size(spark):
         sess.RUNTIME_CONFS[key] = old
         spark.conf.set(key, old)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_gopher_quality_is_map_only(spark):
+    """Every Gopher rule is row-local arithmetic: the plan must be a
+    single map stage over the scan — zero exchanges at any scale."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["gopher_quality"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_lm_scorers_tokenize_once(spark):
+    """bigram_surprisal / dsir_importance feed count tables, corpus
+    scalars, and the join probe from ONE materialized tokenize pass
+    (localCheckpoint): without the cut the final plan would re-scan
+    the parquet per consumer."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    for name in ("bigram_surprisal", "dsir_importance"):
+        plan = formatted_plan(SPECS[name].fn(spark, SF_SMOKE))
+        assert "Scan parquet" not in plan, name
+
+
+def test_lm_scorer_count_joins_adapt_to_size(spark):
+    """The bigram/unigram count-table joins carry no forced broadcast
+    hint: a web-scale bigram vocabulary (~1e10 keys) outgrows any
+    broadcast, so with auto-broadcast off the plan must degrade to a
+    shuffle join — not OOM the driver through a hard-coded
+    F.broadcast()."""
+    from cga_logs_to_kinesis_spark import session as sess
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        sess.RUNTIME_CONFS[key] = "-1"
+        spark.conf.set(key, "-1")
+        for name in ("bigram_surprisal", "dsir_importance"):
+            plan = formatted_plan(SPECS[name].fn(spark, SF_SMOKE))
+            assert ("SortMergeJoin" in plan
+                    or "ShuffledHashJoin" in plan), name
+    finally:
+        sess.RUNTIME_CONFS[key] = old
+        spark.conf.set(key, old)
