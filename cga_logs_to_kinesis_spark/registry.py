@@ -58,6 +58,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (pii_scrub, split_assign, stratified_sample).
     #
     # new this round (never driver-checked):
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "top_supplier",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "idle_customers",
     "dedup_substring",
     "dedup_substring_stats",
     "dedup_substring_apply",
@@ -102,16 +110,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_incremental",
     "semdedup",
-    "text_stats",
-    "tfidf_top_terms",
-    "pack_chunks",
-    "gopher_repetition",
-    "ngram_decontaminate",
-    "curriculum_deciles",
-    "embedding_centroids",
-    "embedding_quantize",
     "bpe_token_counts",
 )
+# Displaced to make room for the eight new TPC-H shapes (r3-latest,
+# must rotate into the r6 window): text_stats, tfidf_top_terms,
+# pack_chunks, gopher_repetition, ngram_decontaminate,
+# curriculum_deciles, embedding_centroids, embedding_quantize.
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -137,6 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
         temporal,
         text,
         tpch_shapes,
+        tpch_shapes2,
     )
     ordered: dict[str, QuerySpec] = {}
     for name in DRIVER_WINDOW:
