@@ -344,3 +344,79 @@ def test_lm_scorer_count_joins_adapt_to_size(spark):
     finally:
         sess.RUNTIME_CONFS[key] = old
         spark.conf.set(key, old)
+
+
+# --- round-5 TPC-H shapes (tpch_shapes2.py) -------------------------------
+
+def test_q7_q8_dims_broadcast_no_cartesian(spark):
+    """Q7/Q8: the only shuffle join may be the fact-fact spine; every
+    dimension (nation/customer/supplier/region/part) must broadcast
+    and nothing may degrade to a cartesian/nested-loop join."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    for name in ("volume_shipping", "market_share"):
+        df = SPECS[name].fn(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        # fact-fact join on orderkey is the single sort-merge/shuffle
+        # hash join allowed
+        assert plan.count("SortMergeJoin") + plan.count(
+            "ShuffledHashJoin") <= 1, name
+
+
+def test_q13_join_filter_reaches_orders_scan(spark):
+    """Q13: the o_orderpriority filter lives in the join condition but
+    must still push down to the orders parquet scan."""
+    df = SPECS["customer_distribution"].fn(spark, SF_SMOKE)
+    assert has_pushed_filters(df, "o_orderpriority")
+
+
+def test_q15_scalar_max_is_broadcast(spark):
+    """Q15: the max-revenue scalar joins back via broadcast — the
+    per-supplier aggregate must never shuffle against itself."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["top_supplier"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_two_lineitem_scans_only(spark):
+    """Q17 decorrelation: per-part average + probe = exactly two scans
+    of lineitem, never a nested-loop re-probe per row."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["small_qty_revenue"].fn(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") <= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_single_scan(spark):
+    """Q19: the OR-of-ANDs stays one join filter over one lineitem
+    scan — not a 3-way union of per-arm scans."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["disjunctive_revenue"].fn(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Union" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_shuffles_on_orderkey_no_triple_scan(spark):
+    """Q21 decorrelation: the per-order aggregate joins back on
+    l_orderkey (both heavy exchanges are on that key, AQE-coalescable)
+    and lineitem is scanned at most twice — the EXISTS/NOT-EXISTS pair
+    must not become a third scan."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["waiting_suppliers"].fn(spark, SF_SMOKE))
+    assert "hashpartitioning(l_orderkey" in plan
+    assert plan.count("lineitem.parquet") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_with_broadcast_scalar(spark):
+    """Q22: customers-without-recent-orders is a hash anti join, and
+    the average-balance threshold arrives as a 1-row broadcast, never
+    a recomputation per row."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["idle_customers"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
