@@ -53,7 +53,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # large_volume_customers, priority_count, promo_share,
     # quality_features, quality_filter_survivors, returned_revenue,
     # share_of_total, shipmode_priority, lang_id, doc_fingerprint,
-    # plus r5's rows-only multimodal_audio_features and the three
+    # plus r5's rows-only multimodal_audio_features and
+    # multimodal_video_frames and the three
     # r3-green row-local ops displaced by the r5 LM-quality trio
     # (pii_scrub, split_assign, stratified_sample).
     #

@@ -200,3 +200,58 @@ def test_audio_features_query_exact(spark):
         ch0 = a[:, 0]
         assert r.zero_crossings == int(
             (np.signbit(ch0[1:]) != np.signbit(ch0[:-1])).sum())
+
+
+# --- video (MPNG container) path ------------------------------------------
+
+def test_mpng_container_roundtrip_and_seek():
+    """encode → iter must return exactly the sampled frames' bytes,
+    and the sampler must honor the length index (every_nth skip)."""
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.functions.png import decode_png
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        encode_mpng, iter_mpng_frames)
+
+    frames = [np.random.default_rng(i).integers(
+        0, 256, size=(5, 7, 3), dtype=np.uint8) for i in range(9)]
+    blob = encode_mpng(frames)
+    got = list(iter_mpng_frames(blob, every_nth=4))
+    assert [i for i, _ in got] == [0, 4, 8]
+    for i, png in got:
+        assert (decode_png(png) == frames[i]).all()
+
+
+def test_mpng_rejects_bad_magic():
+    import pytest
+
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        iter_mpng_frames)
+    with pytest.raises(ValueError):
+        list(iter_mpng_frames(b"XXXX\x00\x00\x00\x00"))
+
+
+def test_video_frames_query_exact(spark):
+    """The registered query's output must equal a local recomputation
+    from the same seeds: real decode, exact integer channel sums, and
+    ceil(12/3)=4 frames per document."""
+    import hashlib
+
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    out = (all_queries()["multimodal_video_frames"]
+           .fn(spark, SF_SMOKE).filter(F.col("doc_id") < 6).collect())
+    assert len(out) == 6 * 4
+    for r in out:
+        d, i = r.doc_id, r.frame_index
+        assert i % 3 == 0
+        w, h = 6 + d % 9, 6 + (d // 2) % 9
+        arr = np.random.default_rng(d * 1000 + i).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        s = arr.astype(np.int64).sum(axis=(0, 1))
+        assert (r.width, r.height) == (w, h)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(v) for v in s)
+        assert r.frame_digest == hashlib.md5(arr.tobytes()).hexdigest()
