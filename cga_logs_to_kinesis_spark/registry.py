@@ -67,6 +67,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "disjunctive_revenue",
     "waiting_suppliers",
     "idle_customers",
+    "text_normalize",
+    "quality_weighted_sample",
+    "fertility_by_lang",
     "dedup_substring",
     "dedup_substring_stats",
     "dedup_substring_apply",
@@ -108,15 +111,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r3-latest cohort, north-star/heavy plans first:
     "cosine_topk_ivf",
     "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "semdedup",
     "bpe_token_counts",
 )
-# Displaced to make room for the eight new TPC-H shapes (r3-latest,
-# must rotate into the r6 window): text_stats, tfidf_top_terms,
-# pack_chunks, gopher_repetition, ngram_decontaminate,
-# curriculum_deciles, embedding_centroids, embedding_quantize.
+# Displaced to make room for the eleven new r5 queries (TPC-H shapes +
+# normalization trio); all r3-latest, must rotate into the r6 window:
+# text_stats, tfidf_top_terms, pack_chunks, gopher_repetition,
+# ngram_decontaminate, curriculum_deciles, embedding_centroids,
+# embedding_quantize, dedup_embedding_cosine, dedup_incremental,
+# semdedup.
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -134,6 +136,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_pipeline,
         lm_quality,
         multimodal,
+        normalize,
         pipeline_ops,
         relational,
         relational2,
