@@ -103,10 +103,9 @@ register(QuerySpec(
 _MAX32 = 4294967295
 
 
-def q_quality_weighted_sample(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+def weighted_sample_columns() -> dict[str, F.Column]:
+    """The weight and keep-decision Columns, shared by the batch query
+    and the streaming twin (row-local, so parity is by construction)."""
     w = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 2000.0)
     cap_hex = F.lower(F.lpad(
         F.hex(F.floor(w * F.lit(float(_MAX32))).cast("bigint")),
@@ -114,11 +113,19 @@ def q_quality_weighted_sample(spark: SparkSession,
     draw = F.substring(
         F.md5(F.concat(F.lit("wsample:"),
                        F.col("doc_id").cast("string"))), 1, 8)
+    return {"weight": w, "kept": draw <= cap_hex}
+
+
+def q_quality_weighted_sample(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    c = weighted_sample_columns()
     return docs.select(
         "doc_id",
         "source",
-        w.alias("weight"),
-        (draw <= cap_hex).alias("kept"),
+        c["weight"].alias("weight"),
+        c["kept"].alias("kept"),
     )
 
 

@@ -223,3 +223,34 @@ def streaming_bm25_score(docs: DataFrame, model_df: DataFrame) -> DataFrame:
                        F.col("_sum") / F.col("n_terms_hit")
                        * F.col("n_terms_hit")))
             .select("doc_id", "n_terms_hit", "score"))
+
+
+def streaming_text_normalize(docs: DataFrame) -> DataFrame:
+    """Text canonicalization over a document stream — the batch
+    operator (``operators/normalize.py::normalize_text``) is a pure
+    row-local projection, so it composes unchanged (stateless) and
+    parity is bit-for-bit by construction."""
+    from cga_logs_to_kinesis_spark.operators.normalize import (
+        normalize_text,
+    )
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"))
+
+
+def streaming_weighted_sample(docs: DataFrame) -> DataFrame:
+    """Quality-weighted sampling over a document stream — the keep
+    decision is a salted-md5 draw (row-local, no RNG state), so the
+    same document keeps or drops identically in batch and streaming
+    runs, across retries, and on any cluster layout."""
+    from cga_logs_to_kinesis_spark.operators.normalize import (
+        weighted_sample_columns,
+    )
+    c = weighted_sample_columns()
+    return docs.select(
+        "doc_id", "source",
+        c["weight"].alias("weight"),
+        c["kept"].alias("kept"))

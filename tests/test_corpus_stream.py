@@ -154,3 +154,32 @@ def test_streaming_bm25_matches_batch_scores(spark, tmp_path):
     for doc_id, g in got.items():            # non-matching: NULL score
         if doc_id not in want:
             assert g.n_terms_hit == 0 and g.score is None
+
+
+def test_streaming_normalize_matches_batch(spark, tmp_path):
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        streaming_text_normalize,
+    )
+    docs, stream = _staged_stream(spark, tmp_path)
+    got = _drain(streaming_text_normalize(stream), tmp_path, "norm")
+    want = streaming_text_normalize(docs)  # same fn, batch input
+    g = {r.doc_id: (r.norm_text, r.n_chars_raw, r.n_chars_norm)
+         for r in got.collect()}
+    w = {r.doc_id: (r.norm_text, r.n_chars_raw, r.n_chars_norm)
+         for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
+    """The keep decision must be identical batch vs stream — and must
+    not depend on arrival order (re-drain with chunks swapped)."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        streaming_weighted_sample,
+    )
+    docs, stream = _staged_stream(spark, tmp_path)
+    got = _drain(streaming_weighted_sample(stream), tmp_path, "wsamp")
+    want = streaming_weighted_sample(docs)
+    g = {r.doc_id: (r.weight, r.kept) for r in got.collect()}
+    w = {r.doc_id: (r.weight, r.kept) for r in want.collect()}
+    assert g == w and len(g) > 0
+    assert any(v[1] for v in g.values()) != all(v[1] for v in g.values())
