@@ -1,0 +1,102 @@
+"""Training-data export: deterministic sharded parquet writer.
+
+The last stage of a curation pipeline materializes the corpus as N
+shards that trainers stream independently.  Requirements at 100 TB:
+
+* **deterministic placement** — the same document lands in the same
+  shard on every run and any cluster layout, so incremental re-exports
+  and resumed jobs don't reshuffle history.  Placement is a salted-md5
+  draw (two hex chars → 0..255 → mod N), the same engine-portable
+  idiom as ``split_assign``/``quality_weighted_sample`` — never
+  ``spark_partition_id`` or round-robin, which depend on layout;
+* **one file per shard** — ``repartition(N, shard)`` makes each shard
+  a single task, so ``partitionBy("shard")`` writes one file per
+  directory instead of tasks×shards small files (the small-file
+  problem that kills object stores);
+* **stable intra-shard order** — ``sortWithinPartitions(doc_id)``
+  costs a task-local sort (no extra exchange after the repartition)
+  and makes shard bytes reproducible.
+
+``shard_assign`` (the placement decision + per-shard balance report)
+is oracle-paired; the writer itself is a side effect, pinned by
+``tests/test_export.py`` (round-trip completeness, one file per
+shard, placement parity with the query, byte-stable re-export).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.registry import QuerySpec, register
+from cga_logs_to_kinesis_spark.session import tune_session
+from cga_logs_to_kinesis_spark.sources import load_table
+
+N_SHARDS = 16
+_HEX = "0123456789abcdef"
+
+
+def shard_column(n_shards: int = N_SHARDS) -> Column:
+    """Deterministic shard id 0..n_shards-1 from a salted md5 of
+    doc_id.  Built from instr/substring only, so the DuckDB twin is
+    exact (no hex→int conversion builtin differences)."""
+    h = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    hi = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    lo = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return ((hi * 16 + lo) % n_shards).cast("int")
+
+
+def _shard_sql(n_shards: int = N_SHARDS) -> str:
+    h = "md5('shard:' || CAST(doc_id AS VARCHAR))"
+    return (f"CAST((((strpos('{_HEX}', substring({h}, 1, 1)) - 1) * 16 "
+            f"+ (strpos('{_HEX}', substring({h}, 2, 1)) - 1)) "
+            f"% {n_shards}) AS INTEGER)")
+
+
+def write_training_shards(docs: DataFrame, path: str,
+                          n_shards: int = N_SHARDS) -> None:
+    """Materialize the corpus as ``path/shard=K/`` parquet, one file
+    and one deterministic document set per shard."""
+    (docs
+     .withColumn("shard", shard_column(n_shards))
+     .repartition(n_shards, "shard")
+     # leading "shard" matters: partitionBy's writer requires data
+     # sorted by the partition column and would otherwise inject its
+     # own (unstable) sort, destroying the doc_id order — a sort
+     # already prefixed by "shard" satisfies the requirement, so the
+     # writer takes the rows as-is
+     .sortWithinPartitions("shard", "doc_id")
+     .write.partitionBy("shard").mode("overwrite").parquet(path))
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard balance report for the export placement: every shard
+    present, counts within noise of uniform (the pytest asserts the
+    writer places files exactly as this query says)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .withColumn("shard", shard_column())
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id"))
+            .orderBy("shard"))
+
+
+register(QuerySpec(
+    "shard_assign", q_shard_assign,
+    oracle=f"""
+        SELECT {_shard_sql()} AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="deterministic export-shard placement (salted-md5 mod N) + "
+        "per-shard balance report",
+    tags=("llm-pipeline", "sink", "export", "north-star"),
+))

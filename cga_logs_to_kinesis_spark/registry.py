@@ -70,6 +70,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_normalize",
     "quality_weighted_sample",
     "fertility_by_lang",
+    "shard_assign",
     "dedup_substring",
     "dedup_substring_stats",
     "dedup_substring_apply",
@@ -111,14 +112,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r3-latest cohort, north-star/heavy plans first:
     "cosine_topk_ivf",
     "dedup_components",
-    "bpe_token_counts",
 )
-# Displaced to make room for the eleven new r5 queries (TPC-H shapes +
-# normalization trio); all r3-latest, must rotate into the r6 window:
-# text_stats, tfidf_top_terms, pack_chunks, gopher_repetition,
-# ngram_decontaminate, curriculum_deciles, embedding_centroids,
-# embedding_quantize, dedup_embedding_cosine, dedup_incremental,
-# semdedup.
+# Displaced to make room for the twelve new r5 queries (TPC-H shapes,
+# normalization trio, shard_assign); all r3-latest, must rotate into
+# the r6 window: text_stats, tfidf_top_terms, pack_chunks,
+# gopher_repetition, ngram_decontaminate, curriculum_deciles,
+# embedding_centroids, embedding_quantize, dedup_embedding_cosine,
+# dedup_incremental, semdedup, bpe_token_counts.
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -133,6 +133,7 @@ def all_queries() -> dict[str, QuerySpec]:
         clustering,
         corpus_quality,
         dedup,
+        export,
         llm_pipeline,
         lm_quality,
         multimodal,

@@ -1,0 +1,66 @@
+"""Sharded training-data export: placement, layout, reproducibility."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.operators.export import (
+    N_SHARDS,
+    shard_column,
+    write_training_shards,
+)
+from cga_logs_to_kinesis_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_export_roundtrip_complete_and_placed(spark, tmp_path):
+    """Every document comes back exactly once, in the shard the
+    placement column says."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    mismatch = back.withColumn("expect", shard_column()) \
+        .filter(F.col("shard") != F.col("expect")).count()
+    assert mismatch == 0
+
+
+def test_export_one_file_per_shard(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out)
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    # every shard directory exists and holds exactly one parquet file
+    assert len(dirs) == N_SHARDS
+    for d in dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, d
+
+
+def test_export_is_byte_stable(spark, tmp_path):
+    """Re-exporting the same corpus yields identical shard bytes —
+    deterministic placement + intra-shard sort, no layout dependence."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, a)
+    # different input partitioning must not change output bytes
+    write_training_shards(docs.repartition(7), b)
+    for d in sorted(glob.glob(f"{a}/shard=*")):
+        shard = d.rsplit("=", 1)[1]
+        fa = glob.glob(f"{d}/*.parquet")
+        fb = glob.glob(f"{b}/shard={shard}/*.parquet")
+        assert len(fa) == 1 and len(fb) == 1
+        with open(fa[0], "rb") as f1, open(fb[0], "rb") as f2:
+            assert f1.read() == f2.read(), shard
+
+
+def test_shard_assign_query_covers_all_shards(spark):
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    rows = all_queries()["shard_assign"].fn(spark, SF_SMOKE).collect()
+    assert [r.shard for r in rows] == list(range(N_SHARDS))
+    total = sum(r.n_docs for r in rows)
+    assert total == load_table(spark, SF_SMOKE, "documents").count()
