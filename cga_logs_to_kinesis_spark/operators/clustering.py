@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
-from cga_logs_to_kinesis_spark.session import tune_session
+from cga_logs_to_kinesis_spark.session import (
+    explode_parallelism,
+    tune_session,
+)
 from cga_logs_to_kinesis_spark.sources import load_table
 
 K_CLUSTERS = 8
@@ -203,7 +206,15 @@ def _pair_products():
 
 
 def covariance_long(emb: DataFrame) -> DataFrame:
-    """(i, j, cov, n) for the upper triangle, exact-decimal sums."""
+    """(i, j, cov, n) for the upper triangle, exact-decimal sums.
+
+    The input is spread across the explode-parallelism width first: a
+    single-file embeddings scan is 1 partition, and the d(d+1)/2
+    per-row pair expansion (2080 structs/row at d=64) would otherwise
+    run serial.  The repartition ships raw vectors (d floats/row) —
+    tiny next to the expansion it parallelizes."""
+    par = explode_parallelism(emb.sparkSession)
+    emb = emb.repartition(par)
     n_mean = (emb
               .select(F.posexplode("embedding").alias("dim", "v"))
               .groupBy("dim")

@@ -44,7 +44,10 @@ from cga_logs_to_kinesis_spark.functions.png import (
     encode_png,
 )
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
-from cga_logs_to_kinesis_spark.session import tune_session
+from cga_logs_to_kinesis_spark.session import (
+    explode_parallelism,
+    tune_session,
+)
 from cga_logs_to_kinesis_spark.sources import load_table
 
 
@@ -315,7 +318,13 @@ def make_raw_media(docs: DataFrame) -> DataFrame:
 
 
 def media_schema_df(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id")
+    """Seed frame for every media fixture builder.  Repartitioned by
+    the explode-parallelism knob: the documents fixture is one parquet
+    file → one partition, which would serialize every Python
+    encode/decode stage downstream; the shuffle moved here is doc_ids
+    only (8 bytes/row), bought back 32× over in the codec stages."""
+    par = explode_parallelism(docs.sparkSession)
+    return docs.select("doc_id").repartition(par)
 
 
 def raw_features(media: DataFrame) -> DataFrame:
