@@ -426,6 +426,16 @@ register(QuerySpec(
 CHAR_K = 5
 CHAR_BANDS = 4
 CHAR_ROWS_PER_BAND = 2
+# Char-grams are far less selective than word shingles, so the shared
+# MAX_BUCKET=1000 cap lets candidate volume go superlinear: at sf0.1
+# the b=4/r=2 buckets emitted 1.1M pairs (9% of all n² pairs — the
+# all-pairs degeneracy this module exists to avoid), 45s of verify.
+# A bucket with >100 members at ANY corpus size is a shared template,
+# not a near-dup cluster — boilerplate belongs to dedup_exact /
+# dedup_components, not pairwise Jaccard — so cap char-gram buckets
+# at 100: sf0.01 candidates unchanged, sf0.1 drops 1.1M -> 162k and
+# verify cost returns to ~linear in corpus size.
+CHAR_MAX_BUCKET = 100
 
 
 def char_shingle_docs(docs: DataFrame) -> DataFrame:
@@ -462,7 +472,9 @@ CHAR_SHINGLES_SQL = f"""
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingle_docs(docs)
+    # 3x reuse (band signatures + both sides of the verify join) —
+    # same localCheckpoint discipline as minhash_candidates
+    sh = char_shingle_docs(docs).localCheckpoint()
     band_sig = F.expr(
         "transform(sequence(0, {n}), b -> md5(concat("
         "array_min(transform(shingles, s -> md5(concat(b*2,   ':', s)))), "
@@ -475,13 +487,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (sigs
             .withColumn("_bn", F.count("*").over(
                 Window.partitionBy("band", "sig")))
-            .filter((F.col("_bn") > 1) & (F.col("_bn") <= MAX_BUCKET))
+            .filter((F.col("_bn") > 1) & (F.col("_bn") <= CHAR_MAX_BUCKET))
             .drop("_bn"))
     a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    # The verify stage is CPU-bound (array intersect/union over ~10³-
+    # element shingle sets per pair), but its input BYTES are small —
+    # AQE's size-based coalescing would collapse it to one task.  The
+    # explicit repartition pins the width (user-specified partitioning
+    # is exempt from AQE coalescing).
+    par = explode_parallelism(spark)
     cand = (a.join(b, ["band", "sig"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
+            .select("doc_a", "doc_b").distinct()
+            .repartition(par, "doc_a"))
     sa = sh.select(F.col("doc_id").alias("doc_a"),
                    F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"),
@@ -512,7 +531,7 @@ register(QuerySpec(
             SELECT doc_id, band, sig FROM (
                 SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bn
                 FROM sigs
-            ) WHERE bn > 1 AND bn <= {MAX_BUCKET}
+            ) WHERE bn > 1 AND bn <= {CHAR_MAX_BUCKET}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -128,9 +128,13 @@ def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     small; the distance function runs on candidates only)."""
     tune_session(spark)
     part = load_table(spark, sf_dir, "part")
+    # the block join is row-amplifying (|block|² Levenshtein calls);
+    # spread the probe side across brand blocks first — a single-file
+    # scan would otherwise pin the whole distance fan-out to one task
+    par = explode_parallelism(spark)
     a = part.select(F.col("p_brand").alias("brand"),
                     F.col("p_partkey").alias("key_a"),
-                    F.col("p_name").alias("name_a"))
+                    F.col("p_name").alias("name_a")).repartition(par, "brand")
     b = part.select(F.col("p_brand").alias("brand"),
                     F.col("p_partkey").alias("key_b"),
                     F.col("p_name").alias("name_b"))

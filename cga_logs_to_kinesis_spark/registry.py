@@ -71,6 +71,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_weighted_sample",
     "fertility_by_lang",
     "shard_assign",
+    "pagerank_docs",
     "dedup_substring",
     "dedup_substring_stats",
     "dedup_substring_apply",
@@ -94,7 +95,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cube_orders",
     "date_gallery",
     "dedup_simhash",
-    "envelope_json_roundtrip",
     "filter_project",
     "grouping_sets_sql",
     "longest_doc_per_lang",
@@ -113,12 +113,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cosine_topk_ivf",
     "dedup_components",
 )
-# Displaced to make room for the twelve new r5 queries (TPC-H shapes,
-# normalization trio, shard_assign); all r3-latest, must rotate into
-# the r6 window: text_stats, tfidf_top_terms, pack_chunks,
-# gopher_repetition, ngram_decontaminate, curriculum_deciles,
-# embedding_centroids, embedding_quantize, dedup_embedding_cosine,
-# dedup_incremental, semdedup, bpe_token_counts.
+# Displaced to make room for the thirteen new r5 queries (TPC-H
+# shapes, normalization trio, shard_assign, pagerank_docs); must
+# rotate into the r6 window — r3-latest: text_stats, tfidf_top_terms,
+# pack_chunks, gopher_repetition, ngram_decontaminate,
+# curriculum_deciles, embedding_centroids, embedding_quantize,
+# dedup_embedding_cosine, dedup_incremental, semdedup,
+# bpe_token_counts; r1-latest (now 5 rounds stale, FIRST priority in
+# r6): envelope_json_roundtrip.
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -134,6 +136,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_quality,
         dedup,
         export,
+        graph,
         llm_pipeline,
         lm_quality,
         multimodal,
