@@ -183,3 +183,59 @@ def test_substring_spans_match_brute_force(spark, docs_tokens):
         got[r.doc_id].append((r.span_start, r.span_len, r.n_dup_grams))
     want = brute_force_spans(doc_tokens, L)
     assert {k: sorted(v) for k, v in got.items()} == want
+
+
+# --- pagerank vs a float-identical pure-Python model ----------------------
+
+PAIR = st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+    lambda p: p[0] < p[1])
+
+
+def model_pagerank(pairs, iters=3, d=0.85):
+    """Reference model replaying the operator's float arithmetic
+    exactly: per-edge contribution (d * rank) / outdeg in IEEE
+    doubles, per-target sums quantized to decimal(38,12) (order-free),
+    base (1-d)/N."""
+    from decimal import ROUND_HALF_UP, Decimal
+    edges = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    rank = {v: 1.0 / n for v in deg}
+    q = Decimal(1).scaleb(-12)
+    for _ in range(iters):
+        sums = {}
+        for s, t in edges:
+            c = (d * rank[s]) / deg[s]
+            sums.setdefault(t, Decimal(0))
+            sums[t] += Decimal(c).quantize(q, rounding=ROUND_HALF_UP)
+        rank = {v: (1.0 - d) / n + float(sums[v]) for v in deg}
+    return rank
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(PAIR, min_size=1, max_size=25))
+def test_pagerank_matches_model(spark, pairs):
+    from cga_logs_to_kinesis_spark.operators.graph import pagerank
+
+    pdf = spark.createDataFrame(sorted({tuple(p) for p in pairs}),
+                                "doc_a long, doc_b long")
+    got = {r.doc_id: r.rank for r in pagerank(pdf).collect()}
+    want = model_pagerank(pairs)
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == want[v], (v, got[v], want[v])
+
+
+def test_pagerank_ranks_sum_to_one_ish(spark):
+    """Stochastic sanity: on a symmetric connected graph total rank
+    stays ~1 (no dangling leakage)."""
+    from cga_logs_to_kinesis_spark.operators.graph import pagerank
+
+    pairs = [(i, (i + 1) % 10) for i in range(9)] + [(0, 5), (2, 7)]
+    pdf = spark.createDataFrame([(min(a, b), max(a, b)) for a, b in pairs],
+                                "doc_a long, doc_b long")
+    total = sum(r.rank for r in pagerank(pdf).collect())
+    assert abs(total - 1.0) < 1e-6
