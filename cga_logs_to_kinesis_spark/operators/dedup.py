@@ -1259,3 +1259,158 @@ register(QuerySpec(
         "both windows; row-local rebuild)",
     tags=("dedup", "north-star", "substring", "window"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup survivors: the corpus after component-level dedup
+# ---------------------------------------------------------------------------
+# dedup_components labels clusters; this is the APPLY half users run:
+# keep each component's min-id representative (the min-label IS the
+# component id), drop the other members, pass untouched docs through.
+# Composes the same verified-LSH edge front, so the only work beyond
+# the component computation is one anti join on doc_id.
+
+def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD))
+    comp = connected_components(edges)
+    non_reps = (comp.filter(F.col("doc") != F.col("comp"))
+                .select(F.col("doc").alias("doc_id")))
+    return (docs.join(non_reps, "doc_id", "left_anti")
+            .select("doc_id", "source", "lang", "n_chars"))
+
+
+register(QuerySpec(
+    "dedup_near_survivors", q_dedup_near_survivors,
+    oracle=f"""
+        WITH RECURSIVE lsh AS (
+            {_REGISTRY["dedup_minhash_lsh"].oracle}
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM lsh
+            WHERE jaccard >= {JACCARD_EDGE_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION
+            SELECT doc_b, doc_a FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        )
+        SELECT d.doc_id, d.source, d.lang, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM comp c
+                          WHERE c.doc_id = d.doc_id
+                            AND c.doc_id <> c.component)
+    """,
+    doc="near-dup dedup APPLY: keep each component's min-id "
+        "representative, drop other members, pass singletons through",
+    tags=("dedup", "north-star", "apply"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Dedup recall report: measure the banding S-curve, don't guess it
+# ---------------------------------------------------------------------------
+# The ann_recall_report analog for near-dup: ground truth is exact
+# all-pairs word-shingle Jaccard on a BOUNDED deterministic sample
+# (doc_id < 300 → ≤ 44 850 pairs regardless of corpus size — the
+# bound is the design; never run all-pairs on the corpus), candidates
+# are the production full-corpus LSH path restricted to the sample.
+# Verification makes precision 1.0 by construction, so the report is
+# (n_truth, n_found, recall): how much real similarity the b=8/r=2
+# banding surface actually captures at the component threshold.
+
+DEDUP_RECALL_SAMPLE = 300
+
+
+def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") < DEDUP_RECALL_SAMPLE)
+    sh = shingle_docs(sample).localCheckpoint()
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("shingles").alias("sh_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    # broadcast nested-loop all-pairs: legitimate ONLY because the
+    # sample is a fixed-size diagnostic window
+    truth = (a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+             .filter(jac >= JACCARD_EDGE_THRESHOLD)
+             .select("doc_a", "doc_b"))
+    found = (minhash_candidates(docs)
+             .filter((F.col("jaccard") >= JACCARD_EDGE_THRESHOLD)
+                     & (F.col("doc_a") < DEDUP_RECALL_SAMPLE)
+                     & (F.col("doc_b") < DEDUP_RECALL_SAMPLE))
+             .select("doc_a", "doc_b"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nf = found.agg(F.count("*").alias("n_found"))
+    return (nt.crossJoin(F.broadcast(nf))
+            .select("n_truth", "n_found",
+                    F.when(F.col("n_truth") > 0,
+                           F.col("n_found").cast("double")
+                           / F.col("n_truth")).alias("recall")))
+
+
+register(QuerySpec(
+    "dedup_recall_report", q_dedup_recall_report,
+    oracle=f"""
+        WITH sdocs AS (
+            SELECT * FROM documents WHERE doc_id < {DEDUP_RECALL_SAMPLE}
+        ),
+        stoks AS (
+            SELECT doc_id,
+                   regexp_split_to_array({NORMALIZED_SQL}, ' ') AS t
+            FROM sdocs
+        ),
+        ssh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(t) >= {SHINGLE_K}
+                       THEN list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                            i -> array_to_string(list_slice(t, i,
+                                 i + {SHINGLE_K - 1}), ' '))
+                       ELSE [] END) AS shingles
+            FROM stoks
+        ),
+        ssh_ne AS (SELECT * FROM ssh WHERE len(shingles) > 0),
+        truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ssh_ne a JOIN ssh_ne b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles))
+                       AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles,
+                                                  b.shingles)))
+                  >= {JACCARD_EDGE_THRESHOLD}
+        ),
+        lsh AS (
+            {_REGISTRY["dedup_minhash_lsh"].oracle}
+        ),
+        found AS (
+            SELECT doc_a, doc_b FROM lsh
+            WHERE jaccard >= {JACCARD_EDGE_THRESHOLD}
+              AND doc_a < {DEDUP_RECALL_SAMPLE}
+              AND doc_b < {DEDUP_RECALL_SAMPLE}
+        )
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM found) AS n_found,
+               CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                    THEN CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM truth)
+               END AS recall
+    """,
+    doc="banding recall scorecard: full-corpus LSH candidates vs "
+        "exact all-pairs Jaccard on a bounded deterministic sample "
+        "(precision is 1.0 by verification)",
+    tags=("dedup", "north-star", "evaluation"),
+))

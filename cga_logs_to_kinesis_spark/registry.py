@@ -72,6 +72,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fertility_by_lang",
     "shard_assign",
     "pagerank_docs",
+    "dedup_near_survivors",
+    "dedup_recall_report",
     "dedup_substring",
     "dedup_substring_stats",
     "dedup_substring_apply",
@@ -109,18 +111,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "token_frequencies",
     "union_by_name",
     "unpivot_metrics",
-    # r3-latest cohort, north-star/heavy plans first:
-    "cosine_topk_ivf",
-    "dedup_components",
 )
-# Displaced to make room for the thirteen new r5 queries (TPC-H
-# shapes, normalization trio, shard_assign, pagerank_docs); must
-# rotate into the r6 window — r3-latest: text_stats, tfidf_top_terms,
-# pack_chunks, gopher_repetition, ngram_decontaminate,
-# curriculum_deciles, embedding_centroids, embedding_quantize,
-# dedup_embedding_cosine, dedup_incremental, semdedup,
-# bpe_token_counts; r1-latest (now 5 rounds stale, FIRST priority in
-# r6): envelope_json_roundtrip.
+# Displaced to make room for the fifteen new r5 queries (TPC-H
+# shapes, normalization trio, shard_assign, pagerank_docs, the two
+# dedup compositions); must rotate into the r6 window — r3-latest:
+# text_stats, tfidf_top_terms, pack_chunks, gopher_repetition,
+# ngram_decontaminate, curriculum_deciles, embedding_centroids,
+# embedding_quantize, dedup_embedding_cosine, dedup_incremental,
+# semdedup, bpe_token_counts, cosine_topk_ivf, dedup_components
+# (its recursive-CTE machinery is driver-covered this round via
+# dedup_near_survivors); r1-latest (now 5 rounds stale, FIRST
+# priority in r6): envelope_json_roundtrip.
 
 
 def all_queries() -> dict[str, QuerySpec]:
