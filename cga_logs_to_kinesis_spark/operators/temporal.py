@@ -152,3 +152,172 @@ register(QuerySpec(
     doc="bucketed interval join (equi-join on time block + residual)",
     tags=("join", "range"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week,
+    distinct-active counts per weeks-since, retention vs the cohort's
+    week-0 size.  All bucketing is integer µs arithmetic (epoch
+    weeks), the cohort label comes from a per-user MIN window (one
+    shuffle on user_id, no self-join), and the week-0 denominator is
+    a first_value window over the aggregate — never a join back."""
+    tune_session(spark)
+    ev = load_events(spark, sf_dir)
+    us = F.expr("ts DIV 1000")
+    weeks = (ev
+             .select("user_id", (us / F.lit(_WEEK_US)).cast("long")
+                     .alias("week"))
+             .withColumn("cohort_week",
+                         F.min("week").over(
+                             Window.partitionBy("user_id"))))
+    tri = (weeks
+           .groupBy("cohort_week",
+                    (F.col("week") - F.col("cohort_week"))
+                    .alias("weeks_since"))
+           .agg(F.countDistinct("user_id").alias("active_users")))
+    w0 = (Window.partitionBy("cohort_week")
+          .orderBy("weeks_since")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (tri
+            .withColumn("cohort_size",
+                        F.first("active_users").over(w0))
+            .withColumn("retention",
+                        F.col("active_users").cast("double")
+                        / F.col("cohort_size"))
+            .orderBy("cohort_week", "weeks_since"))
+
+
+register(QuerySpec(
+    "retention_cohorts", q_retention_cohorts,
+    oracle=f"""
+        WITH weeks AS (
+            SELECT user_id,
+                   epoch_us(ts) // {_WEEK_US} AS week,
+                   MIN(epoch_us(ts) // {_WEEK_US})
+                       OVER (PARTITION BY user_id) AS cohort_week
+            FROM events
+        ),
+        tri AS (
+            SELECT cohort_week, week - cohort_week AS weeks_since,
+                   COUNT(DISTINCT user_id) AS active_users
+            FROM weeks GROUP BY 1, 2
+        )
+        SELECT cohort_week, weeks_since, active_users,
+               FIRST(active_users) OVER (
+                   PARTITION BY cohort_week ORDER BY weeks_since
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cohort_size,
+               CAST(active_users AS DOUBLE)
+               / FIRST(active_users) OVER (
+                   PARTITION BY cohort_week ORDER BY weeks_since
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS retention
+        FROM tri
+        ORDER BY cohort_week, weeks_since
+    """,
+    doc="weekly retention triangle: first-seen cohorts x weeks-since, "
+        "distinct actives, retention vs week-0 (integer-week buckets, "
+        "no self-join)",
+    tags=("temporal", "window", "agg", "cohort"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Rate anomaly detection
+# ---------------------------------------------------------------------------
+
+_MIN_US = 60 * 1_000_000
+ANOMALY_TRAIL = 30      # trailing observations per (event_type)
+ANOMALY_MIN_N = 10      # z undefined below this history depth
+ANOMALY_Z = 3.0
+
+
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute event-rate z-scores against a trailing window — the
+    monitoring-side twin of the delivery-stats surface (the reference
+    alerts on Prometheus rates; this is the batch-relational shape).
+    The trailing mean/var use integer-exact SUM/SUMSQ over the frame
+    (counts are ints — no decimal needed), so the doubles that reach
+    sqrt/divide are deterministic and the oracle is hash-exact.
+    Trailing frame is observation-count based (ROWS), not wall-time:
+    sparse minutes don't create phantom zero rows."""
+    tune_session(spark)
+    ev = load_events(spark, sf_dir)
+    per_min = (ev
+               .groupBy("event_type",
+                        (F.expr("ts DIV 1000") / F.lit(_MIN_US))
+                        .cast("long").alias("minute"))
+               .agg(F.count("*").alias("n_events")))
+    trail = (Window.partitionBy("event_type").orderBy("minute")
+             .rowsBetween(-ANOMALY_TRAIL, -1))
+    cnt = F.count("n_events").over(trail)
+    s1 = F.sum("n_events").over(trail)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(trail)
+    mean = s1.cast("double") / cnt
+    var = s2.cast("double") / cnt - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    # Rows without enough trailing history (or zero variance) have no
+    # defined z; they are filtered, not emitted as NULLs — a nullable
+    # double renders NULL in Spark but NaN through the oracle's
+    # pandas materialization, and the report's consumers only want
+    # scored minutes anyway.
+    return (per_min
+            .withColumn("trail_n", cnt)
+            .withColumn("_mean", mean)
+            .withColumn("_std", std)
+            .filter((F.col("trail_n") >= ANOMALY_MIN_N)
+                    & (F.col("_std") > 0.0))
+            .withColumn("z", (F.col("n_events") - F.col("_mean"))
+                        / F.col("_std"))
+            .select("event_type", "minute", "n_events", "trail_n", "z",
+                    (F.abs("z") > ANOMALY_Z).alias("is_anomaly"))
+            .orderBy("event_type", "minute"))
+
+
+register(QuerySpec(
+    "rate_anomaly", q_rate_anomaly,
+    oracle=f"""
+        WITH per_min AS (
+            SELECT event_type,
+                   epoch_us(ts) // {_MIN_US} AS minute,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, minute, n_events,
+                   COUNT(n_events) OVER w AS trail_n,
+                   CAST(SUM(n_events) OVER w AS BIGINT) AS s1,
+                   CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS s2
+            FROM per_min
+            WINDOW w AS (PARTITION BY event_type ORDER BY minute
+                         ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING
+                                  AND 1 PRECEDING)
+        ),
+        scored AS (
+            SELECT event_type, minute, n_events, trail_n,
+                   CAST(s1 AS DOUBLE) / trail_n AS mean,
+                   SQRT(GREATEST(
+                       CAST(s2 AS DOUBLE) / trail_n
+                       - (CAST(s1 AS DOUBLE) / trail_n)
+                         * (CAST(s1 AS DOUBLE) / trail_n), 0.0)) AS std
+            FROM stats
+            WHERE trail_n >= {ANOMALY_MIN_N}
+        )
+        SELECT event_type, minute, n_events, trail_n,
+               (n_events - mean) / std AS z,
+               ABS((n_events - mean) / std) > {ANOMALY_Z} AS is_anomaly
+        FROM scored
+        WHERE std > 0.0
+        ORDER BY event_type, minute
+    """,
+    doc="per-minute event-rate z-score vs a trailing-30 window "
+        "(integer-exact sums; the monitoring twin of delivery stats)",
+    tags=("temporal", "window", "anomaly"),
+))

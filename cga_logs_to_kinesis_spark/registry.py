@@ -74,6 +74,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pagerank_docs",
     "dedup_near_survivors",
     "dedup_recall_report",
+    "retention_cohorts",
+    "rate_anomaly",
     "dedup_substring",
     "dedup_substring_stats",
     "dedup_substring_apply",
@@ -100,7 +102,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_project",
     "grouping_sets_sql",
     "longest_doc_per_lang",
-    "nation_set_ops",
     "orders_in_window",
     "orders_no_bulk_item",
     "rank_gallery",
@@ -109,12 +110,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "segment_totals",
     "semi_join_customers",
     "token_frequencies",
-    "union_by_name",
     "unpivot_metrics",
 )
-# Displaced to make room for the fifteen new r5 queries (TPC-H
+# Displaced to make room for the seventeen new r5 queries (TPC-H
 # shapes, normalization trio, shard_assign, pagerank_docs, the two
-# dedup compositions); must rotate into the r6 window — r3-latest:
+# dedup compositions, retention_cohorts, rate_anomaly); must rotate
+# into the r6 window — r1-latest (5 rounds stale, FIRST priority):
+# nation_set_ops, union_by_name; r3-latest:
 # text_stats, tfidf_top_terms, pack_chunks, gopher_repetition,
 # ngram_decontaminate, curriculum_deciles, embedding_centroids,
 # embedding_quantize, dedup_embedding_cosine, dedup_incremental,
