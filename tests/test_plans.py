@@ -420,3 +420,43 @@ def test_q22_anti_join_with_broadcast_scalar(spark):
     plan = formatted_plan(SPECS["idle_customers"].fn(spark, SF_SMOKE))
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# --- round-5 additions: graph / export / event analytics ------------------
+
+def test_pagerank_iteration_state_is_narrow(spark):
+    """The iteration shuffles rank rows (id, double) and edges (two
+    ids) only — document text must never appear in the plan, and no
+    stage may degrade to a cartesian product (the n_nodes scalar is a
+    1-row broadcast)."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["pagerank_docs"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_shard_assign_single_agg_no_join(spark):
+    """Placement + balance report is one hash aggregate over the scan
+    — no join, no window."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["shard_assign"].fn(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_retention_shuffles_on_user_then_cohort(spark):
+    """Cohort label comes from a window over user_id (one exchange),
+    never a self-join of events against first-events."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["retention_cohorts"].fn(spark, SF_SMOKE))
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan.split("Window")[0]
+
+
+def test_rate_anomaly_single_event_scan(spark):
+    """Trailing stats are window aggregates over the per-minute
+    rollup — events scanned once, no self-join."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["rate_anomaly"].fn(spark, SF_SMOKE))
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
