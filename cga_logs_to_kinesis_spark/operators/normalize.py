@@ -129,16 +129,19 @@ def q_quality_weighted_sample(spark: SparkSession,
     )
 
 
+# Reused by the composed curation-pipeline oracle.
+WEIGHTED_KEEP_SQL = (
+    "substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "<= lower(lpad(hex(CAST(FLOOR("
+    f"LEAST(1.0, n_chars / 2000.0) * {_MAX32}.0) "
+    "AS BIGINT)), 8, '0'))")
+
 register(QuerySpec(
     "quality_weighted_sample", q_quality_weighted_sample,
     oracle=f"""
         SELECT doc_id, source,
                LEAST(1.0, n_chars / 2000.0) AS weight,
-               substring(md5('wsample:' || CAST(doc_id AS VARCHAR)),
-                         1, 8)
-                 <= lower(lpad(hex(CAST(FLOOR(
-                        LEAST(1.0, n_chars / 2000.0) * {_MAX32}.0)
-                        AS BIGINT)), 8, '0')) AS kept
+               {WEIGHTED_KEEP_SQL} AS kept
         FROM documents
     """,
     doc="deterministic quality-weighted sampling: P(keep) ∝ length "

@@ -76,6 +76,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_recall_report",
     "retention_cohorts",
     "rate_anomaly",
+    "curation_manifest",
+    "curation_funnel",
     "dedup_substring",
     "dedup_substring_stats",
     "dedup_substring_apply",
@@ -93,7 +95,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_resize",     # real PNG codec (rows-only; last row r1)
     # stale-green refresh: last driver row is r1, four rounds old:
     "above_nation_avg",
-    "anti_join_customers",
     "approx_distinct_users",
     "bulk_orders",
     "cube_orders",
@@ -108,13 +109,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rollup_pricing",
     "scalar_gallery",
     "segment_totals",
-    "semi_join_customers",
     "token_frequencies",
     "unpivot_metrics",
 )
-# Displaced to make room for the seventeen new r5 queries (TPC-H
+# Displaced to make room for the nineteen new r5 queries (TPC-H
 # shapes, normalization trio, shard_assign, pagerank_docs, the two
-# dedup compositions, retention_cohorts, rate_anomaly); must rotate
+# dedup compositions, retention_cohorts, rate_anomaly, the composed
+# curation_manifest/funnel); must rotate
 # into the r6 window — r1-latest (5 rounds stale, FIRST priority):
 # nation_set_ops, union_by_name; r3-latest:
 # text_stats, tfidf_top_terms, pack_chunks, gopher_repetition,
@@ -145,6 +146,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         normalize,
         pipeline_ops,
+        pipelines,
         relational,
         relational2,
         relational3,
