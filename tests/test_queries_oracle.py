@@ -81,7 +81,13 @@ def test_query_matches_oracle(spark, oracle, name):
 def test_every_query_has_nonempty_result_at_sf001(spark):
     """Queries that legitimately return 0 rows at tiny SF are listed;
     everything else must produce rows so the hash check has teeth."""
-    may_be_empty = {"anti_join_customers"}
+    may_be_empty = {
+        "anti_join_customers",
+        # sf0.001 events are ~1/minute, so every trailing window has
+        # zero variance and no minute is scoreable; the driver gate at
+        # sf0.01 checks 4500+ scored rows
+        "rate_anomaly",
+    }
     for name, spec in SPECS.items():
         if name in may_be_empty:
             continue
