@@ -255,6 +255,14 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.expr("ts DIV 1000") / F.lit(_MIN_US))
                         .cast("long").alias("minute"))
                .agg(F.count("*").alias("n_events")))
+    return score_per_minute(per_min)
+
+
+def score_per_minute(per_min: DataFrame) -> DataFrame:
+    """Trailing z-scores over a (event_type, minute, n_events) frame —
+    shared by the registered batch query and the streaming-twin parity
+    test (the stateful streaming operator replays this exact float
+    arithmetic)."""
     trail = (Window.partitionBy("event_type").orderBy("minute")
              .rowsBetween(-ANOMALY_TRAIL, -1))
     cnt = F.count("n_events").over(trail)

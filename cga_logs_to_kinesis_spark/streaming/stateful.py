@@ -112,3 +112,87 @@ def streaming_running_counters(records: DataFrame,
             .applyInPandasWithState(
                 _counter_fn, COUNTER_OUTPUT, _COUNTER_STATE,
                 "update", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming rate anomaly: trailing z-scores as explicit keyed state
+# ---------------------------------------------------------------------------
+# The streaming twin of operators/temporal.py::score_per_minute.  A
+# trailing-N window over an unbounded stream is exactly what the
+# built-in windowed aggregations can't express (they bucket by time,
+# not by observation count), so the ring of the last N counts lives in
+# applyInPandasWithState per event_type.  The float arithmetic
+# replays the batch operator step for step (integer sums, one double
+# division each for mean and var, IEEE sqrt), so batch/stream parity
+# is bit-for-bit on in-order input — the contract: rows arrive in
+# minute order per key (true for the delivery-stats rollup that feeds
+# it; late data would need a watermarked upstream sort).
+# State is N longs per event_type: bounded by construction.
+
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    BooleanType,
+    DoubleType,
+)
+
+ANOM_TRAIL = 30
+ANOM_MIN_N = 10
+ANOM_Z = 3.0
+
+ANOMALY_OUTPUT = StructType([
+    StructField("event_type", StringType(), False),
+    StructField("minute", LongType(), False),
+    StructField("n_events", LongType(), False),
+    StructField("trail_n", LongType(), False),
+    StructField("z", DoubleType(), False),
+    StructField("is_anomaly", BooleanType(), False),
+])
+
+_ANOMALY_STATE = StructType([
+    StructField("counts", ArrayType(LongType()), False),
+])
+
+
+def _anomaly_fn(key, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    import math
+
+    counts = list(state.get[0]) if state.exists else []
+    out = {k: [] for k in ("minute", "n_events", "trail_n", "z")}
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values("minute")
+    for minute, n in zip(rows["minute"], rows["n_events"]):
+        n = int(n)
+        tn = len(counts)
+        if tn >= ANOM_MIN_N:
+            s1 = sum(counts)
+            s2 = sum(c * c for c in counts)
+            mean = s1 / tn
+            var = s2 / tn - mean * mean
+            std = math.sqrt(max(var, 0.0))
+            if std > 0.0:
+                out["minute"].append(int(minute))
+                out["n_events"].append(n)
+                out["trail_n"].append(tn)
+                out["z"].append((n - mean) / std)
+        counts = (counts + [n])[-ANOM_TRAIL:]
+    state.update((counts,))
+    if out["minute"]:
+        yield pd.DataFrame({
+            "event_type": [key[0]] * len(out["minute"]),
+            "minute": pd.Series(out["minute"], dtype="int64"),
+            "n_events": pd.Series(out["n_events"], dtype="int64"),
+            "trail_n": pd.Series(out["trail_n"], dtype="int64"),
+            "z": pd.Series(out["z"], dtype="float64"),
+            "is_anomaly": [abs(z) > ANOM_Z for z in out["z"]],
+        })
+
+
+def streaming_rate_anomaly(per_min: DataFrame) -> DataFrame:
+    """Trailing z-scores over a per-minute count stream
+    (event_type, minute, n_events), keyed state = the last 30 counts."""
+    return (per_min
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _anomaly_fn, ANOMALY_OUTPUT, _ANOMALY_STATE,
+                "append", GroupStateTimeout.NoTimeout))

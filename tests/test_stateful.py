@@ -120,3 +120,47 @@ def test_parse_dirs_to_watch():
     got = parse_dirs_to_watch("/var/vcap/sys/log/**/*.log:/tmp/logs")
     assert got == [DirWatch("/var/vcap/sys/log", "*.log"),
                    DirWatch("/tmp/logs", "*")]
+
+
+def test_streaming_rate_anomaly_matches_batch(spark, tmp_path):
+    """The stateful trailing z-score must equal the batch window
+    operator bit-for-bit when rows arrive in order — including across
+    a micro-batch boundary that splits a key's history."""
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.operators.temporal import (
+        score_per_minute,
+    )
+    from cga_logs_to_kinesis_spark.streaming.stateful import (
+        streaming_rate_anomaly,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(et, m, int(5 + rng.integers(0, 10) + (50 if m == 60 else 0)))
+            for et in ("click", "error") for m in range(80)]
+    pdf = spark.createDataFrame(
+        rows, "event_type string, minute long, n_events long")
+
+    src = tmp_path / "mins"
+    pdf.filter("minute < 40").coalesce(1).write.parquet(
+        str(src / "chunk=0"))
+    pdf.filter("minute >= 40").coalesce(1).write.parquet(
+        str(src / "chunk=1"))
+    stream = (spark.readStream
+              .schema("event_type string, minute long, n_events long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    q = (streaming_rate_anomaly(stream)
+         .writeStream.format("memory").queryName("anom")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_type, r.minute): (r.trail_n, r.z, r.is_anomaly)
+           for r in spark.sql("SELECT * FROM anom").collect()}
+    want = {(r.event_type, r.minute): (r.trail_n, r.z, r.is_anomaly)
+            for r in score_per_minute(pdf).collect()}
+    assert got == want
+    assert len(got) > 100
+    # the planted spike at minute 60 must be flagged
+    assert got[("click", 60)][2] and got[("error", 60)][2]
