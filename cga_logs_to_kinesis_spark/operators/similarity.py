@@ -892,3 +892,93 @@ register(QuerySpec(
         "brute-force top-k (deterministic, oracle-paired)",
     tags=("similarity", "llm-pipeline", "report"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal agreement: do text near-dups look alike in embedding
+# space?
+# ---------------------------------------------------------------------------
+# A curation diagnostic neither modality gives alone: pairs the
+# verified MinHash near-dups (text view) with their embedding cosine
+# (vector view).  Disagreement in either direction is actionable —
+# text-similar / embedding-far flags a drifted or broken embedding
+# model (semdedup would MISS these duplicates); the report keys
+# dashboards that decide whether embedding-based dedup can be
+# trusted on a new corpus snapshot.  Topology: the pair table is tiny
+# (verified near-dups), so the embedding attach is two broadcast-able
+# joins on ids; embeddings never self-join.
+
+MODAL_TEXT_SIM = 0.5       # the near-dup edge threshold (dedup.py)
+MODAL_COS_AGREE = 0.8      # embedding-agreement threshold
+
+
+def q_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        minhash_candidates,
+    )
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= MODAL_TEXT_SIM)
+             .select("doc_a", "doc_b", "jaccard"))
+    ea = emb.select(F.col("vec_id").alias("doc_a"),
+                    F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"),
+                    F.col("embedding").alias("eb"))
+    cosine = (exact_dot("ea", "eb")
+              / (exact_norm("ea") * exact_norm("eb")))
+    return (pairs.join(ea, "doc_a").join(eb, "doc_b")
+            .select("doc_a", "doc_b", "jaccard",
+                    cosine.alias("cosine"),
+                    (cosine >= MODAL_COS_AGREE)
+                    .alias("embedding_agrees"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _modal_agreement_oracle() -> str:
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+
+    lsh = _REGISTRY["dedup_minhash_lsh"].oracle
+    cos = """
+        (0.0 + list_reduce(
+             list_transform(list_zip(ea, eb),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+             (acc, x) -> acc + x))
+        / (SQRT(0.0 + list_reduce(
+               list_transform(ea, x -> CAST(x AS DOUBLE)
+                                       * CAST(x AS DOUBLE)),
+               (acc, x) -> acc + x))
+           * SQRT(0.0 + list_reduce(
+               list_transform(eb, x -> CAST(x AS DOUBLE)
+                                       * CAST(x AS DOUBLE)),
+               (acc, x) -> acc + x)))"""
+    return f"""
+        WITH lsh AS ({lsh}),
+        pairs AS (
+            SELECT doc_a, doc_b, jaccard FROM lsh
+            WHERE jaccard >= {MODAL_TEXT_SIM}
+        ),
+        attached AS (
+            SELECT p.doc_a, p.doc_b, p.jaccard,
+                   a.embedding AS ea, b.embedding AS eb
+            FROM pairs p
+            JOIN embeddings a ON p.doc_a = a.vec_id
+            JOIN embeddings b ON p.doc_b = b.vec_id
+        )
+        SELECT doc_a, doc_b, jaccard,
+               {cos} AS cosine,
+               {cos} >= {MODAL_COS_AGREE} AS embedding_agrees
+        FROM attached
+        ORDER BY doc_a, doc_b
+    """
+
+
+register(QuerySpec(
+    "modal_agreement", q_modal_agreement,
+    oracle=_modal_agreement_oracle(),
+    doc="cross-modal consistency: verified text near-dup pairs scored "
+        "by embedding cosine — text-similar/embedding-far pairs flag "
+        "a drifted embedding model that semantic dedup would trust",
+    tags=("similarity", "dedup", "north-star", "evaluation"),
+))

@@ -78,6 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rate_anomaly",
     "curation_manifest",
     "curation_funnel",
+    "modal_agreement",
     "dedup_substring",
     "dedup_substring_stats",
     "dedup_substring_apply",
@@ -96,7 +97,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stale-green refresh: last driver row is r1, four rounds old:
     "above_nation_avg",
     "approx_distinct_users",
-    "bulk_orders",
     "cube_orders",
     "date_gallery",
     "dedup_simhash",
@@ -112,19 +112,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "token_frequencies",
     "unpivot_metrics",
 )
-# Displaced to make room for the nineteen new r5 queries (TPC-H
-# shapes, normalization trio, shard_assign, pagerank_docs, the two
-# dedup compositions, retention_cohorts, rate_anomaly, the composed
-# curation_manifest/funnel); must rotate
-# into the r6 window — r1-latest (5 rounds stale, FIRST priority):
-# nation_set_ops, union_by_name; r3-latest:
-# text_stats, tfidf_top_terms, pack_chunks, gopher_repetition,
-# ngram_decontaminate, curriculum_deciles, embedding_centroids,
-# embedding_quantize, dedup_embedding_cosine, dedup_incremental,
-# semdedup, bpe_token_counts, cosine_topk_ivf, dedup_components
-# (its recursive-CTE machinery is driver-covered this round via
-# dedup_near_survivors); r1-latest (now 5 rounds stale, FIRST
-# priority in r6): envelope_json_roundtrip.
+# Displaced to make room for the twenty new r5 queries (TPC-H shapes,
+# normalization trio, shard_assign, pagerank_docs, the two dedup
+# compositions, retention_cohorts, rate_anomaly, the composed
+# curation_manifest/funnel, modal_agreement); must rotate into the r6
+# window —
+# r1-latest (will be 5 rounds stale, FIRST priority in r6):
+#   envelope_json_roundtrip, nation_set_ops, union_by_name,
+#   anti_join_customers, semi_join_customers, bulk_orders (the
+#   semi/anti/subquery shapes stay driver-covered this round via
+#   idle_customers / waiting_suppliers / priority_count /
+#   above_nation_avg);
+# r3-latest: text_stats, tfidf_top_terms, pack_chunks,
+#   gopher_repetition, ngram_decontaminate, curriculum_deciles,
+#   embedding_centroids, embedding_quantize, dedup_embedding_cosine,
+#   dedup_incremental, semdedup, bpe_token_counts, cosine_topk_ivf,
+#   dedup_components (its recursive-CTE machinery is driver-covered
+#   this round via dedup_near_survivors).
 
 
 def all_queries() -> dict[str, QuerySpec]:
