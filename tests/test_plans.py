@@ -460,3 +460,31 @@ def test_rate_anomaly_single_event_scan(spark):
     plan = formatted_plan(SPECS["rate_anomaly"].fn(spark, SF_SMOKE))
     assert plan.count("events.parquet") == 1
     assert "Join" not in plan
+
+
+def test_substring_dedup_single_scan_no_cartesian(spark):
+    """Exact-substring dedup: one documents scan feeds both windows
+    (gap-and-islands over gram digests), never a self-join."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["dedup_substring"].fn(spark, SF_SMOKE))
+    assert plan.count("documents.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_block_join_no_cartesian(spark):
+    """Manku block-banded Hamming join: candidates come from block
+    equi-joins, never an all-pairs comparison."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["dedup_simhash_pairs"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_modal_agreement_embeddings_never_self_join(spark):
+    """The embedding attach is two id-keyed joins of the tiny verified
+    pair table — embeddings are scanned exactly twice and never
+    all-pairs compared."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["modal_agreement"].fn(spark, SF_SMOKE))
+    assert plan.count("embeddings.parquet") == 2
+    assert "CartesianProduct" not in plan
