@@ -28,12 +28,13 @@ PROBED = [
 @pytest.fixture(scope="module")
 def dirty_dir(spark, tmp_path_factory):
     pdf = pd.DataFrame({
-        "doc_id": [0, 1, 2, 3, 4],
+        "doc_id": [0, 1, 2, 3, 4, 5],
         "text": ["normal words here for all the tests to chew on",
-                 "", "   ", None, "x"],
-        "lang": ["en"] * 5,
-        "source": ["s"] * 5,
-        "n_chars": [46, 0, 3, 0, 1],
+                 "", "   ", None, "x",
+                 "unicode café 中文 🎉 naïve мир text"],
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
+        "n_chars": [46, 0, 3, 0, 1, 33],
     })
     d = tmp_path_factory.mktemp("dirty")
     spark.createDataFrame(pdf).write.parquet(
@@ -50,4 +51,4 @@ def test_operator_survives_dirty_corpus(spark, dirty_dir, name):
     if name in {"text_normalize", "gopher_quality",
                 "quality_weighted_sample", "bpe_token_counts",
                 "lang_id"}:
-        assert n == 5
+        assert n == 6
