@@ -151,3 +151,83 @@ register(QuerySpec(
         "pipeline (single-pass conditional aggregates)",
     tags=("llm-pipeline", "north-star", "composition", "agg"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation: what changed between two corpus versions
+# ---------------------------------------------------------------------------
+# The incremental-refresh shape dedup_incremental doesn't cover: a new
+# crawl snapshot arrives and ops needs the added / deleted / changed /
+# unchanged breakdown before promoting it.  Topology: ONE full outer
+# join on doc_id (both sides shuffle on the key — the unavoidable
+# exchange), change detection via md5 digests computed scan-side so
+# the join carries (id, 16-byte digest), never text.  The fixture has
+# one snapshot, so the two versions are derived deterministically
+# (drops at doc_id%7==3 in old, at %9==4 in new, edits at %5==0) —
+# the derivation IS part of the verified query, so the oracle checks
+# the whole reconciliation.
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(status, n_docs, min/max doc_id) between two (doc_id, text)
+    snapshots; digests join, text never shuffles."""
+    o = old.select("doc_id", F.md5("text").alias("dig_old"))
+    n = new.select("doc_id", F.md5("text").alias("dig_new"))
+    status = (F.when(F.col("dig_old").isNull(), "added")
+              .when(F.col("dig_new").isNull(), "deleted")
+              .when(F.col("dig_old") != F.col("dig_new"), "changed")
+              .otherwise("unchanged"))
+    return (o.join(n, "doc_id", "full_outer")
+            .withColumn("status", status)
+            .groupBy("status")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id"))
+            .orderBy("status"))
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    old = (docs.filter(F.col("doc_id") % 7 != 3)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 5 == 0,
+                          F.concat(F.col("text"), F.lit(" EDITED")))
+                   .otherwise(F.col("text")).alias("text")))
+    new = docs.filter(F.col("doc_id") % 9 != 4).select("doc_id", "text")
+    return snapshot_diff(old, new)
+
+
+register(QuerySpec(
+    "snapshot_diff", q_snapshot_diff,
+    oracle="""
+        WITH old AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' EDITED'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 3
+        ),
+        new AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 4
+        ),
+        j AS (
+            SELECT doc_id,
+                   o.dig AS dig_old, n.dig AS dig_new
+            FROM (SELECT doc_id, md5(text) AS dig FROM old) o
+            FULL JOIN (SELECT doc_id, md5(text) AS dig FROM new) n
+            USING (doc_id)
+        )
+        SELECT CASE WHEN dig_old IS NULL THEN 'added'
+                    WHEN dig_new IS NULL THEN 'deleted'
+                    WHEN dig_old <> dig_new THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id
+        FROM j
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="corpus snapshot reconciliation: added/deleted/changed/"
+        "unchanged via one full outer join of text digests (the "
+        "promote-or-rollback gate for a new crawl)",
+    tags=("llm-pipeline", "join", "outer", "diff"),
+))

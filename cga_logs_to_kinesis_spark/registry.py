@@ -117,7 +117,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # compositions, retention_cohorts, rate_anomaly, the composed
 # curation_manifest/funnel, modal_agreement); must rotate into the r6
 # window —
-# r1-latest (will be 5 rounds stale, FIRST priority in r6):
+# never driver-checked (FIRST priority in r6): snapshot_diff (added
+#   after the r5 window was full; green in the pytest sweeps);
+# r1-latest (will be 5 rounds stale, also first priority in r6):
 #   envelope_json_roundtrip, nation_set_ops, union_by_name,
 #   anti_join_customers, semi_join_customers, bulk_orders (the
 #   semi/anti/subquery shapes stay driver-covered this round via
