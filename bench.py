@@ -50,6 +50,8 @@ HEADLINE = (
     "sliding_window",        # hopping-window agg
     "session_windows",       # session_window stateless-batch agg
     "shipping_priority",     # TPC-H Q3: filters + 3-way join + topk
+    "dedup_substring",       # digest-window exact-substring dedup
+    "pagerank_docs",         # iterative power-iteration join loop
 )
 
 

@@ -51,13 +51,13 @@ def norm_tokens(col: str = "text") -> Column:
     empties dropped.  Same normalization as ``tfidf_top_terms`` minus
     its length floor."""
     return F.expr(
-        f"filter(transform(split(lower(trim({col})), '\\\\s+'), "
+        f"filter(transform(split(lower(trim({col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         "t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '')")
 
 
 NORM_TOKENS_SQL = (
     "list_filter(list_transform("
-    "regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), "
     "t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t != '')"
 )
 

@@ -25,12 +25,19 @@ from cga_logs_to_kinesis_spark.session import explode_parallelism, tune_session
 from cga_logs_to_kinesis_spark.sources import load_table
 
 
+from cga_logs_to_kinesis_spark.operators.text import WS_PLUS
+
+
 def normalized_text(col: str = "text") -> Column:
-    """Whitespace-collapsed, lowercased text: the dedup canonical form."""
-    return F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+    """Whitespace-collapsed, lowercased text: the dedup canonical form.
+
+    Explicit whitespace class (WS_PLUS), not \\s — Java and RE2
+    disagree on U+000B, and a divergent canonical form here poisons
+    every dedup digest downstream."""
+    return F.lower(F.regexp_replace(F.trim(F.col(col)), WS_PLUS, " "))
 
 
-NORMALIZED_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+NORMALIZED_SQL = f"lower(regexp_replace(trim(text), '{WS_PLUS}', ' ', 'g'))"
 
 
 # ---------------------------------------------------------------------------

@@ -140,7 +140,7 @@ CHUNK_TOKENS = 512
 
 
 def _ntok() -> F.Column:
-    return F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
 
 
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +167,7 @@ register(QuerySpec(
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, source,
-                   len(regexp_split_to_array(TRIM(text), '\\s+'))
+                   len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'))
                        AS n_tokens
             FROM documents
         ), cums AS (
@@ -210,7 +210,7 @@ DUP_2GRAM_MAX_RATIO = 0.60
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")
     grams = F.expr(
         "transform(sequence(1, size(_toks) - 1), "
         "i -> concat_ws(' ', slice(_toks, i, 2)))")
@@ -246,7 +246,7 @@ register(QuerySpec(
     oracle=f"""
         WITH t AS (
             SELECT doc_id, lang,
-                   regexp_split_to_array(TRIM(text), '\\s+') AS toks
+                   regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
             FROM documents
         ), feats AS (
             SELECT doc_id, lang,
@@ -300,7 +300,7 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 31 == 0),
                F.lit(_CANARY)).otherwise(F.lit("")))
     docs = docs.withColumn("text", seeded)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")
     grams = F.expr(
         f"transform(sequence(1, size(_toks) - {DECON_K - 1}), "
         f"i -> md5(concat_ws(' ', slice(_toks, i, {DECON_K}))))")
@@ -332,7 +332,7 @@ register(QuerySpec(
                                                'string_agg', ' ')))))
                        AS gram
             FROM (SELECT doc_id,
-                         regexp_split_to_array(TRIM(text), '\\s+') AS toks
+                         regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
                   FROM seeded)
             WHERE len(toks) >= {DECON_K}
         ), bench AS (
@@ -490,14 +490,14 @@ register(QuerySpec(
     "corpus_stats", q_corpus_stats,
     oracle="""
         SELECT lang, COUNT(*) AS n_docs,
-               CAST(SUM(len(regexp_split_to_array(TRIM(text), '\\s+')))
+               CAST(SUM(len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')))
                    AS BIGINT) AS total_tokens,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                COUNT(DISTINCT md5(text)) AS distinct_texts,
                1.0 - COUNT(DISTINCT md5(text))
                    / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
                CAST(SUM(CASE WHEN len(regexp_split_to_array(TRIM(text),
-                   '\\s+')) < 20 THEN 1 ELSE 0 END) AS BIGINT)
+                   '[ \\t\\n\\x0B\\f\\r]+')) < 20 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_short
         FROM documents
         GROUP BY lang
@@ -584,11 +584,11 @@ register(QuerySpec(
     "token_length_histogram", q_token_length_histogram,
     oracle=f"""
         SELECT lang,
-               LEAST(len(regexp_split_to_array(TRIM(text), '\\s+'))
+               LEAST(len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'))
                      // {HIST_BUCKET_TOKENS}, {HIST_MAX_BUCKET})
                    AS len_bucket,
                COUNT(*) AS n_docs,
-               CAST(SUM(len(regexp_split_to_array(TRIM(text), '\\s+')))
+               CAST(SUM(len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')))
                    AS BIGINT) AS bucket_tokens
         FROM documents
         GROUP BY 1, 2
@@ -672,7 +672,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("t"))
     # Full passages only; the CASE guards sequence(1, 0), which would
     # otherwise step backwards.  Docs shorter than one passage drop out.
     passages = toks.select(
@@ -703,7 +703,7 @@ register(QuerySpec(
     "passage_dedup", q_passage_dedup,
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+            SELECT doc_id, regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
             FROM documents
         ), p AS (
             SELECT doc_id,
@@ -778,7 +778,7 @@ register(QuerySpec(
         WITH s AS (
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(len(regexp_split_to_array(TRIM(text),
-                       '\\s+'))) AS BIGINT) AS n_tokens
+                       '[ \\t\\n\\x0B\\f\\r]+'))) AS BIGINT) AS n_tokens
             FROM documents GROUP BY source
         ), q AS (
             SELECT source, n_docs, n_tokens,
@@ -865,7 +865,7 @@ register(QuerySpec(
             SELECT t.tok AS token, COUNT(*) AS n
             FROM documents,
                  UNNEST(regexp_split_to_array(
-                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                     lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
                      ' ')) AS t(tok)
             WHERE t.tok != ''
             GROUP BY 1

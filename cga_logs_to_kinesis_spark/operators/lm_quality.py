@@ -267,19 +267,24 @@ def gopher_quality_columns() -> dict[str, Column]:
     """The rule battery as named Column expressions over ``text`` —
     shared verbatim by the batch query and the streaming twin, so
     batch/stream parity holds by construction."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    words = F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")
     n_words = F.size(words)
     mean_len = (F.expr(
-        "aggregate(transform(split(trim(text), '\\\\s+'), "
+        "aggregate(transform(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         "w -> length(w)), 0L, (acc, x) -> acc + x)")
         / n_words.cast("double"))
     alpha_ratio = (F.size(F.expr(
-        "filter(split(trim(text), '\\\\s+'), "
+        "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         "w -> w rlike '[A-Za-z]')"))
         / n_words.cast("double"))
-    stop_hits = F.size(F.array_intersect(
-        norm_tokens(),
-        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    # coalesce: on NULL text the intersect is NULL, but the oracle's
+    # list_filter-over-NULL yields 0 hits (and keep=false via the
+    # NULL-AND-FALSE conjunction) — 0 is the agreed value.
+    stop_hits = F.coalesce(
+        F.size(F.array_intersect(
+            norm_tokens(),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))),
+        F.lit(0))
     return {
         "n_words": n_words.alias("n_words"),
         "mean_word_len": mean_len.alias("mean_word_len"),
@@ -314,7 +319,7 @@ register(QuerySpec(
     oracle=f"""
         WITH f AS (
             SELECT doc_id, lang,
-                   regexp_split_to_array(TRIM(text), '\\s+') AS words,
+                   regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS words,
                    {NORM_TOKENS_SQL} AS toks
             FROM documents
         ), feats AS (

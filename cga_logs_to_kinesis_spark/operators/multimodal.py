@@ -145,22 +145,62 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=MEDIA_FEATURES)
 
 
+# Deterministic fixture content: every pixel/sample value comes from
+# an integer hash that is exactly reproducible in BOTH numpy and ANSI
+# SQL — so the raw-RGB and WAV feature queries can be oracle-paired
+# end-to-end (DuckDB recomputes the decoded values from first
+# principles, the same "rescue" applied to pca_project in r5).  The
+# three incommensurate multipliers give full value-range coverage
+# without visible banding; (doc_id % PIX_M) bounds every product
+# inside int64 for any doc_id in either engine.
+PIX_A, PIX_B, PIX_C, PIX_M = 2654435761, 40503, 65521, 1000003
+PCM_A, PCM_B, PCM_C = 48271, 16807, 32749
+
+
+def hash_pixel_bytes(doc_id: int, n: int):
+    """n deterministic uint8s for doc_id — numpy twin of _pix_sql."""
+    import numpy as np
+    i = np.arange(n, dtype=np.int64)
+    d = int(doc_id) % PIX_M
+    return ((d * PIX_A + i * PIX_B + (i * i) % PIX_C) % 256) \
+        .astype(np.uint8)
+
+
+def hash_pcm_samples(doc_id: int, n: int, nch: int):
+    """(n, nch) deterministic int16 PCM — numpy twin of _pcm_sql."""
+    import numpy as np
+    j = np.arange(n * nch, dtype=np.int64)
+    d = int(doc_id) % PIX_M
+    v = (d * PCM_A + j * PCM_B + (j * j) % PCM_C) % 65536 - 32768
+    return v.astype(np.int16).reshape(n, nch)
+
+
+def _pix_sql(i_expr: str) -> str:
+    """DuckDB expression for pixel byte i_expr of doc_id's image."""
+    return (f"(((doc_id % {PIX_M}) * {PIX_A} + ({i_expr}) * {PIX_B} "
+            f"+ (({i_expr}) * ({i_expr})) % {PIX_C}) % 256)")
+
+
+def _pcm_sql(j_expr: str) -> str:
+    """DuckDB expression for interleaved PCM sample j_expr."""
+    return (f"(((doc_id % {PIX_M}) * {PCM_A} + ({j_expr}) * {PCM_B} "
+            f"+ (({j_expr}) * ({j_expr})) % {PCM_C}) % 65536 - 32768)")
+
+
 def make_png_media(docs: DataFrame) -> DataFrame:
-    """Deterministic PNG fixture blobs: dimensions and pixels seeded
-    from doc_id (identical seeding to the raw-RGB fixtures, so the two
+    """Deterministic PNG fixture blobs: dimensions and pixels hashed
+    from doc_id (identical content to the raw-RGB fixtures, so the two
     paths decode the SAME pixel arrays — the cross-codec parity hook),
     encoded with the stdlib PNG writer."""
-    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                rng = np.random.default_rng(int(doc_id))
                 w = 8 + int(doc_id) % 25
                 h = 8 + (int(doc_id) // 3) % 25
-                arr = rng.integers(0, 256, size=(h, w, 3),
-                                   dtype=np.uint8)
+                arr = hash_pixel_bytes(doc_id, w * h * 3) \
+                    .reshape(h, w, 3)
                 payloads.append(encode_png(arr))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
@@ -296,19 +336,18 @@ def decode_raw_image(blob: bytes):
 
 def make_raw_media(docs: DataFrame) -> DataFrame:
     """Deterministic raw-RGB fixture blobs: dimensions and pixels are
-    seeded from doc_id, so every run (and both sides of any
-    comparison) sees identical payloads."""
-    import numpy as np
+    hashed from doc_id (hash_pixel_bytes), so every run — and the
+    DuckDB oracle recomputing from _pix_sql — sees identical
+    payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                rng = np.random.default_rng(int(doc_id))
                 w = 8 + int(doc_id) % 25
                 h = 8 + (int(doc_id) // 3) % 25
-                arr = rng.integers(0, 256, size=(h, w, 3),
-                                   dtype=np.uint8)
+                arr = hash_pixel_bytes(doc_id, w * h * 3) \
+                    .reshape(h, w, 3)
                 payloads.append(encode_raw_image(arr))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
@@ -391,19 +430,45 @@ def resize_raw(media: DataFrame, out_w: int = 16,
 
 
 def q_multimodal_raw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generate raw blobs → decode → channel stats.  Rows-only in the
-    driver gate (pixel data is not SQL-reproducible); exactness is
-    pinned by tests/test_multimodal.py against hand-computed pixels."""
+    """Generate raw blobs → decode → channel stats.  Oracle-paired:
+    the pixel content is hash-generated (hash_pixel_bytes), so DuckDB
+    recomputes every decoded byte from _pix_sql and the channel means
+    are hash-exact — the decode itself is still a real mapInPandas
+    binary parse, exactness double-pinned by tests/test_multimodal.py."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     return raw_features(make_raw_media(docs)).orderBy("doc_id")
 
 
+def _raw_mean_sql(channel: int) -> str:
+    """Channel mean over w*h hashed pixels, x1e6 fixed-point.
+    CAST: list_sum yields HUGEINT, which the driver's pandas
+    canonicalizer renders as float64 and hash-fails."""
+    return (f"CAST(list_sum(list_transform(range(0, w*h), "
+            f"k -> {_pix_sql(f'k*3+{channel}')})) * 1000000 // (w*h) "
+            f"AS BIGINT)")
+
+
 register(QuerySpec(
     "multimodal_raw_features", q_multimodal_raw_features,
-    oracle=None,
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 25 AS w,
+                   8 + (doc_id // 3) % 25 AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               {_raw_mean_sql(0)} AS mean_r,
+               {_raw_mean_sql(1)} AS mean_g,
+               {_raw_mean_sql(2)} AS mean_b
+        FROM dims
+        ORDER BY doc_id
+    """,
     doc="REAL raw-RGB decode + exact channel means (numpy, no codec "
-        "libs needed)",
+        "libs needed); oracle recomputes the hashed pixels in SQL",
     tags=("multimodal", "north-star", "pandas-udf"),
 ))
 
@@ -416,11 +481,34 @@ def q_multimodal_raw_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _resized_mean_sql(channel: int) -> str:
+    """Channel mean over the 16x16 nearest-neighbor-sampled pixels:
+    output (x, y) takes source pixel (x*w//16, y*h//16)."""
+    src = f"(((k // 16) * h // 16) * w + ((k % 16) * w // 16)) * 3 + {channel}"
+    return (f"CAST(list_sum(list_transform(range(0, 256), "
+            f"k -> {_pix_sql(src)})) * 1000000 // 256 AS BIGINT)")
+
+
 register(QuerySpec(
     "multimodal_raw_resize", q_multimodal_raw_resize,
-    oracle=None,
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 25 AS w,
+                   8 + (doc_id // 3) % 25 AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(16 AS INT) AS width,
+               CAST(16 AS INT) AS height,
+               {_resized_mean_sql(0)} AS mean_r,
+               {_resized_mean_sql(1)} AS mean_g,
+               {_resized_mean_sql(2)} AS mean_b
+        FROM dims
+        ORDER BY doc_id
+    """,
     doc="REAL nearest-neighbor resize, verified by re-decoding the "
-        "resized payloads",
+        "resized payloads; oracle replays the index arithmetic in SQL",
     tags=("multimodal", "north-star", "pandas-udf"),
 ))
 
@@ -497,11 +585,10 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def make_wav_media(docs: DataFrame) -> DataFrame:
-    """Deterministic WAV fixture blobs seeded from doc_id: varying
-    length, rate, and channel count, int16 noise samples — so decode
-    under test is a real codec decode with real variety."""
-    import numpy as np
-
+    """Deterministic WAV fixture blobs hashed from doc_id: varying
+    length, rate, and channel count, int16 hash-noise samples
+    (hash_pcm_samples, recomputable by the _pcm_sql oracle) — so
+    decode under test is a real codec decode with real variety."""
     from cga_logs_to_kinesis_spark.functions.wav import encode_wav
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -509,13 +596,11 @@ def make_wav_media(docs: DataFrame) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                rng = np.random.default_rng(d)
                 n = 400 + d % 800
                 nch = 1 + d % 2
                 rate = (8000, 16000, 44100)[d % 3]
-                samples = rng.integers(-32768, 32768, size=(n, nch),
-                                       dtype=np.int16)
-                payloads.append(encode_wav(samples, rate))
+                payloads.append(
+                    encode_wav(hash_pcm_samples(d, n, nch), rate))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
@@ -526,9 +611,10 @@ def make_wav_media(docs: DataFrame) -> DataFrame:
 def q_multimodal_audio_features(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """WAV media blobs → REAL stdlib-codec decode → integer-exact
-    audio triage features.  Rows-only in the driver gate (sample
-    decode is not SQL-expressible); exactness pinned by pytest
-    recomputation from the seeded samples."""
+    audio triage features.  Oracle-paired: samples are hash-generated
+    (hash_pcm_samples), so DuckDB replays every decoded int16 from
+    _pcm_sql; the decode itself is still the real stdlib WAV parser,
+    double-pinned by pytest recomputation."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     return audio_features(make_wav_media(docs)).orderBy("doc_id")
@@ -536,10 +622,42 @@ def q_multimodal_audio_features(spark: SparkSession,
 
 register(QuerySpec(
     "multimodal_audio_features", q_multimodal_audio_features,
-    oracle=None,  # sample decode: genuinely non-SQL-expressible
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   400 + doc_id % 800 AS n,
+                   1 + doc_id % 2 AS nch,
+                   CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END AS rate
+            FROM documents
+        ), s AS (
+            SELECT doc_id, n, nch, rate,
+                   list_transform(range(0, n*nch),
+                                  j -> {_pcm_sql('j')}) AS v,
+                   -- channel 0 of the interleaved frame: j = t*nch
+                   list_transform(range(0, n),
+                                  t -> {_pcm_sql('t*nch')}) AS ch0
+            FROM p
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(nch AS INT) AS n_channels,
+               CAST(rate AS INT) AS sample_rate,
+               n * 1000000 // rate AS duration_us,
+               CAST(list_max(list_transform(v, x -> abs(x))) AS INT)
+                   AS peak,
+               CAST(list_sum(list_transform(v, x -> x*x)) * 1000000
+                   // (n*nch) AS BIGINT) AS mean_square_x1e6,
+               -- 1-indexed lists: ch0[t+1] is 0-based sample t
+               CAST(len(list_filter(range(1, n),
+                        t -> (ch0[t+1] < 0) != (ch0[t] < 0)))
+                    AS BIGINT) AS zero_crossings
+        FROM s
+        ORDER BY doc_id
+    """,
     doc="REAL WAV (16-bit PCM) decode via the stdlib codec + "
         "integer-exact audio triage features (duration, peak, mean "
-        "square, zero crossings)",
+        "square, zero crossings); oracle replays the hashed PCM in SQL",
     tags=("multimodal", "north-star", "pandas-udf", "audio"),
 ))
 

@@ -38,18 +38,27 @@ from cga_logs_to_kinesis_spark.sources import load_table
 def normalize_text(col: F.Column) -> F.Column:
     """lowercase → non-alphanumerics to spaces → collapse runs → trim.
 
-    Both regexes use classes (`[^a-z0-9\\s]`, `\\s+`) that mean the
-    same thing in Java regex (Spark) and RE2 (DuckDB), so the oracle
-    twin below is exact.
+    The whitespace class is spelled out as ``[ \\t\\n\\x0B\\f\\r]``
+    rather than ``\\s`` because Java's ``\\s`` includes U+000B
+    (vertical tab) while RE2's does not — with ``\\s`` a document
+    containing \\x0B would normalize differently in Spark vs the
+    DuckDB oracle and poison any dedup key built on norm_text.  With
+    the explicit class both engines see the identical character set,
+    so the oracle twin below is exact (pinned by the \\x0B row in
+    tests/test_null_robustness.py's nasty corpus).
     """
     c = F.lower(col)
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[^a-z0-9 \t\n\x0B\f\r]", " ")
+    c = F.regexp_replace(c, r"[ \t\n\x0B\f\r]+", " ")
     return F.trim(c)
 
 
+# Backslash escapes pass through DuckDB's plain string literals to
+# RE2, which interprets \t \n \x0B \f \r itself — same bytes as the
+# Java class above.
 NORMALIZE_SQL = ("TRIM(regexp_replace(regexp_replace(lower(text), "
-                 "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+                 "'[^a-z0-9 \\t\\n\\x0B\\f\\r]', ' ', 'g'), "
+                 "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))")
 
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +166,10 @@ def q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is deterministic across engines and partitionings."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+    # NULL guard: non-ANSI size(NULL array) is -1, which would silently
+    # subtract from the sum while the oracle's NULL is skipped by SUM.
+    n_bpe = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)))
     return (
         docs
         .groupBy("lang")
@@ -175,12 +187,14 @@ register(QuerySpec(
     "fertility_by_lang", q_fertility_by_lang,
     oracle=f"""
         SELECT lang,
-               CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}')))
+               CAST(SUM(COALESCE(
+                    len(regexp_extract_all(text, '{BPE_PATTERN}')), 0))
                     AS BIGINT) AS total_bpe_tokens,
                CAST(SUM({TOKEN_COUNT_SQL}) AS BIGINT)
                     AS total_ws_tokens,
                COUNT(*) AS n_docs,
-               CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}')))
+               CAST(SUM(COALESCE(
+                    len(regexp_extract_all(text, '{BPE_PATTERN}')), 0))
                     AS DOUBLE)
                  / CAST(SUM({TOKEN_COUNT_SQL}) AS BIGINT) AS fertility
         FROM documents

@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.functions.exact import dsum
-from cga_logs_to_kinesis_spark.operators.dedup import exact_dedup_groups
+from cga_logs_to_kinesis_spark.operators.dedup import (
+    NORMALIZED_SQL,
+    exact_dedup_groups,
+)
 from cga_logs_to_kinesis_spark.operators.export import (
     shard_column,
     _shard_sql,
@@ -72,8 +75,7 @@ _GQ_KEEP = """
             WHERE gq.keep
         ),
         groups AS (
-            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ',
-                                            'g'))) AS digest,
+            SELECT md5({norm}) AS digest,
                    MIN(doc_id) AS rep
             FROM kept GROUP BY 1
         ),
@@ -88,7 +90,8 @@ _GQ_KEEP = """
 
 def _pipeline_ctes() -> str:
     return _GQ_KEEP.format(gq=_REGISTRY["gopher_quality"].oracle,
-                           keep=WEIGHTED_KEEP_SQL)
+                           keep=WEIGHTED_KEEP_SQL,
+                           norm=NORMALIZED_SQL)
 
 
 register(QuerySpec(
@@ -143,9 +146,12 @@ register(QuerySpec(
                (SELECT COUNT(*) FROM kept) AS n_quality,
                (SELECT COUNT(*) FROM survivors) AS n_deduped,
                (SELECT COUNT(*) FROM sampled) AS n_sampled,
-               (SELECT CAST(SUM(CAST(n_chars AS DECIMAL(38,6)))
-                            AS DOUBLE)
-                FROM sampled) AS sampled_chars
+               -- COALESCE: an empty sampled stage must agree with the
+               -- Spark side's 0.0-padded conditional sum, not NULL.
+               COALESCE(
+                 (SELECT CAST(SUM(CAST(n_chars AS DECIMAL(38,6)))
+                              AS DOUBLE)
+                  FROM sampled), 0.0) AS sampled_chars
     """,
     doc="curation funnel: per-stage survivor counts for the composed "
         "pipeline (single-pass conditional aggregates)",

@@ -188,10 +188,18 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # customer is deliberately NOT broadcast-hinted: it grows with SF
+    # (150k x sf rows), so at the 100 TB north star a forced broadcast
+    # is an executor OOM that AQE cannot rescue (hints win over the
+    # size threshold).  nation/region are constant-size (25/5 rows) —
+    # those hints are always safe.  Below the 32 MiB threshold AQE
+    # still picks a broadcast join for customer on its own; the
+    # degradation is pinned by
+    # tests/test_plans.py::test_customer_join_adapts_to_size.
     return (
         li
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -222,9 +230,11 @@ def q_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    # No broadcast hint on customer (scale-proportional table) — see
+    # q_revenue_by_nation.  The size threshold / AQE decides.
     return (
         orders
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"),
              dsum("o_totalprice", "total_price"))

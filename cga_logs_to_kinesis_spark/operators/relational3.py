@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cga_logs_to_kinesis_spark.functions.exact import dsum, dsum_sql
-from cga_logs_to_kinesis_spark.operators.dedup import normalized_text
+from cga_logs_to_kinesis_spark.operators.dedup import (
+    NORMALIZED_SQL,
+    normalized_text,
+)
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
 from cga_logs_to_kinesis_spark.session import explode_parallelism, tune_session
 from cga_logs_to_kinesis_spark.sources import load_events, load_table
@@ -186,8 +189,7 @@ register(QuerySpec(
     oracle=f"""
         SELECT t.tok AS token, COUNT(*) AS n
         FROM documents,
-             UNNEST(regexp_split_to_array(
-                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))
+             UNNEST(regexp_split_to_array({NORMALIZED_SQL}, ' '))
                  AS t(tok)
         WHERE t.tok != ''
         GROUP BY 1
@@ -232,17 +234,25 @@ register(QuerySpec(
 
 
 
+# The documented error contract: HLL++ relative standard deviation.
+# tests/test_consumer_and_approx.py verifies every group's estimate
+# lands within APPROX_BOUND_SIGMA x this of the exact countDistinct,
+# so "approx" ships with a tested bound, not just a row count.
+APPROX_RSD = 0.02
+APPROX_BOUND_SIGMA = 4          # P(|err| > 4 sigma) ~ 6e-5 per group
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts: the scale-path twin
     of distinct_users (single pass, constant memory per group, no
     distinct-expand shuffle).  Sketch internals differ per engine, so
     there is no value oracle; the local test bounds relative error
-    against the exact count instead (rsd=0.02 here)."""
+    against the exact count instead (APPROX_RSD above)."""
     tune_session(spark)
     ev = load_events(spark, sf_dir)
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02)
+        .agg(F.approx_count_distinct("user_id", rsd=APPROX_RSD)
              .alias("approx_users"),
              F.count("*").alias("n_events"))
     )

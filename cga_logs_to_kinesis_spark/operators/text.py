@@ -16,14 +16,38 @@ from cga_logs_to_kinesis_spark.session import explode_parallelism, tune_session
 from cga_logs_to_kinesis_spark.sources import load_events, load_table
 
 
+# Explicit whitespace class for EVERY cross-engine regex: Java's \s
+# includes U+000B (vertical tab) but RE2's does not, so a bare \s can
+# silently tokenize/normalize differently in Spark vs the DuckDB
+# oracle (and poison dedup keys built on the result).  Three renderings
+# of the same character set:
+#   WS_PLUS      — Java pattern for F.split/F.regexp_replace, and ALSO
+#                  valid inside a DuckDB plain string literal (which
+#                  passes backslashes through to RE2 unchanged);
+#   WS_PLUS_EXPR — for Spark SQL string literals inside F.expr, which
+#                  unescape one level of backslashes.
+# Pinned by the \x0B row in tests/test_null_robustness.py.
+WS_PLUS = r"[ \t\n\x0B\f\r]+"
+WS_PLUS_EXPR = WS_PLUS.replace("\\", "\\\\")
+
+
 def token_count(col: str = "text") -> Column:
-    """Whitespace token count; 0 for empty/blank text."""
-    return F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(F.col(col)), r"\s+"))).cast("long")
+    """Whitespace token count; 0 for NULL/empty/blank text.
+
+    The NULL arm matters: in Spark's default (non-ANSI) mode
+    ``size(split(NULL, ...))`` is -1, which would silently subtract
+    from any SUM over a dirty corpus while the DuckDB oracle's NULL is
+    skipped — a cross-engine divergence, not just a wrong number.
+    """
+    c = F.col(col)
+    return F.when(c.isNull() | (F.length(F.trim(c)) == 0),
+                  F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), WS_PLUS))).cast("long")
 
 
-TOKEN_COUNT_SQL = ("CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
-                   "ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) "
+TOKEN_COUNT_SQL = ("CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 "
+                   "THEN 0 "
+                   f"ELSE len(regexp_split_to_array(TRIM(text), '{WS_PLUS}')) "
                    "END")
 
 
@@ -74,13 +98,17 @@ def quality_feature_columns() -> dict[str, F.Column]:
     n_space = (F.length("text")
                - F.length(F.regexp_replace("text", r" ", "")))
     toks = token_count()
+    # try_divide, not /: ANSI mode throws on the zero-length documents
+    # of a dirty corpus, while the DuckDB oracle yields NULL — NULL is
+    # the agreed cross-engine value for an undefined ratio.
     return {
         "len_chars": F.length("text"),
         "n_tokens": toks,
-        "punct_ratio": n_punct / n_chars,
-        "digit_ratio": n_digit / n_chars,
-        "space_ratio": n_space / n_chars,
-        "mean_token_len": (n_chars - n_space) / toks.cast("double"),
+        "punct_ratio": F.try_divide(n_punct, n_chars),
+        "digit_ratio": F.try_divide(n_digit, n_chars),
+        "space_ratio": F.try_divide(n_space, n_chars),
+        "mean_token_len": F.try_divide(n_chars - n_space,
+                                       toks.cast("double")),
     }
 
 
@@ -141,7 +169,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sw_lang string, sw_word string")
     toks = docs.select(
         "doc_id", "lang",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), WS_PLUS))
         .alias("tok"))
     toks = toks.withColumn("tok", F.regexp_replace("tok", r"[^a-z]", ""))
     hits = (
@@ -178,7 +206,7 @@ register(QuerySpec(
             SELECT doc_id, lang,
                    regexp_replace(t.tok, '[^a-z]', '', 'g') AS tok
             FROM documents,
-                 UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                 UNNEST(regexp_split_to_array(lower(trim(text)), '{WS_PLUS}'))
                      AS t(tok)
         ),
         hits AS (
@@ -210,7 +238,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     digest = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
-                                            r"\s+", " ")))
+                                            WS_PLUS, " ")))
     return docs.select(
         "doc_id",
         digest.alias("fingerprint"),
@@ -221,12 +249,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(QuerySpec(
     "doc_fingerprint", q_doc_fingerprint,
-    oracle="""
+    oracle=f"""
         SELECT doc_id,
-               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               md5(lower(regexp_replace(trim(text), '{WS_PLUS}', ' ', 'g')))
                    AS fingerprint,
-               SUBSTRING(md5(lower(regexp_replace(trim(text), '\\s+', ' ',
-                   'g'))), 1, 8) AS fp_bucket,
+               SUBSTRING(md5(lower(regexp_replace(trim(text), '{WS_PLUS}',
+                   ' ', 'g'))), 1, 8) AS fp_bucket,
                LENGTH(text) AS len_chars
         FROM documents
     """,
@@ -285,7 +313,10 @@ register(QuerySpec(
 # token-count proxy than whitespace splitting, still pure codegen.
 # ---------------------------------------------------------------------------
 
-BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+# Explicit whitespace set (not \s): see WS_PLUS.  One string serves
+# both engines — Java interprets the escapes in the pattern, DuckDB
+# passes them through its plain literal to RE2, which agrees.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]+"
 
 
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,7 +327,9 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_bpe_tokens"),
         token_count().alias("n_ws_tokens"),
-        (F.size(toks).cast("double") / token_count())
+        # try_divide: empty docs have 0 ws-tokens; ANSI would throw
+        # where the oracle yields NULL.
+        F.try_divide(F.size(toks).cast("double"), token_count())
         .alias("bpe_per_word"),
     )
 
@@ -476,7 +509,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(par, "doc_id")
             .select("doc_id",
                     F.explode(F.split(F.lower(F.trim(F.col("text"))),
-                                      r"\s+")).alias("tok"))
+                                      r"[ \t\n\x0B\f\r]+")).alias("tok"))
             .withColumn("tok", F.regexp_replace("tok", r"[^a-z0-9]", ""))
             .filter(F.length("tok") >= 3))
     # metadata-only action (parquet count-star reads footers, not

@@ -43,94 +43,80 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-5 curation ------------------------------------------------
-    # Every r4 window row came back green (49 hash + pca rows-only), so
-    # this round rotates hard: new operators, everything whose code or
-    # oracle changed in r5, then the stalest greens (the 24 queries
-    # whose last driver row is r1), then the oldest half of the r3
-    # cohort.  Left for the r6 window (r3-latest after this round, must
-    # rotate then): multimodal_raw_features/_resize, date_trunc_buckets,
-    # large_volume_customers, priority_count, promo_share,
-    # quality_features, quality_filter_survivors, returned_revenue,
-    # share_of_total, shipmode_priority, lang_id, doc_fingerprint,
-    # plus r5's rows-only multimodal_audio_features and
-    # multimodal_video_frames and the three
-    # r3-green row-local ops displaced by the r5 LM-quality trio
-    # (pii_scrub, split_assign, stratified_sample).
+    # -- round-6 curation ------------------------------------------------
+    # Every r5 window row came back green (47 hash + 3 rows-only), so
+    # this round executes the rotation planned in the r5 comment:
+    # never-checked first, then the r1-stale six, then everything whose
+    # code or oracle changed in r6 (the WS_PLUS explicit-whitespace
+    # class, the null-safe token counts, the un-hinted customer
+    # broadcasts, the newly oracle-paired multimodal raw/audio trio),
+    # then the two r3 cohorts.  Left for the r7 window (r5-latest after
+    # this round): volume_shipping..idle_customers (the r5 TPC-H
+    # shapes), shard_assign, pagerank_docs, dedup_near_survivors,
+    # dedup_recall_report, retention_cohorts, rate_anomaly,
+    # modal_agreement, the dedup_substring trio, bpe_learn_merges,
+    # bigram_surprisal, dsir_importance, pca_project, bm25_topk,
+    # unigram_rarity, char_diversity, embedding_covariance,
+    # quality_weighted_sample, plus rows-only multimodal_features /
+    # multimodal_resize / multimodal_video_frames.
     #
-    # new this round (never driver-checked):
-    "volume_shipping",
-    "market_share",
-    "customer_distribution",
-    "top_supplier",
-    "small_qty_revenue",
-    "disjunctive_revenue",
-    "waiting_suppliers",
-    "idle_customers",
-    "text_normalize",
-    "quality_weighted_sample",
-    "fertility_by_lang",
-    "shard_assign",
-    "pagerank_docs",
-    "dedup_near_survivors",
-    "dedup_recall_report",
-    "retention_cohorts",
-    "rate_anomaly",
-    "curation_manifest",
-    "curation_funnel",
-    "modal_agreement",
-    "dedup_substring",
-    "dedup_substring_stats",
-    "dedup_substring_apply",
-    "bpe_learn_merges",
-    "bigram_surprisal",
-    "dsir_importance",
-    "gopher_quality",
-    # changed this round — needs a fresh row:
-    "pca_project",           # newly oracle-paired (was the one no_oracle)
-    "bm25_topk",             # dl semi-join prune + tokenize-once
-    "unigram_rarity",        # tokenize-once localCheckpoint
-    "char_diversity",        # core extracted for the streaming twin
-    "embedding_covariance",  # oracle extracted for pca reuse
-    "multimodal_features",   # real PNG codec (rows-only; last row r1)
-    "multimodal_resize",     # real PNG codec (rows-only; last row r1)
-    # stale-green refresh: last driver row is r1, four rounds old:
-    "above_nation_avg",
-    "approx_distinct_users",
-    "cube_orders",
-    "date_gallery",
-    "dedup_simhash",
-    "filter_project",
-    "grouping_sets_sql",
-    "longest_doc_per_lang",
-    "orders_in_window",
-    "orders_no_bulk_item",
-    "rank_gallery",
-    "rollup_pricing",
-    "scalar_gallery",
-    "segment_totals",
-    "token_frequencies",
-    "unpivot_metrics",
+    # never driver-checked:
+    "snapshot_diff",
+    # r1-latest, five rounds stale:
+    "envelope_json_roundtrip",
+    "nation_set_ops",
+    "union_by_name",
+    "anti_join_customers",
+    "semi_join_customers",
+    "bulk_orders",
+    # newly oracle-paired this round (no_oracle -> hash rows):
+    "multimodal_raw_features",
+    "multimodal_raw_resize",
+    "multimodal_audio_features",
+    # code/oracle changed this round — needs a fresh row:
+    "revenue_by_nation",     # customer broadcast un-hinted
+    "segment_totals",        # customer broadcast un-hinted
+    "gopher_quality",        # stop_hits NULL-coalesce
+    "fertility_by_lang",     # null-safe BPE token count
+    "text_normalize",        # explicit whitespace class
+    "token_frequencies",     # NORMALIZED_SQL explicit class
+    "curation_funnel",       # empty-funnel COALESCE + norm class
+    "curation_manifest",     # NORMALIZED_SQL via shared constant
+    "vocab_coverage",        # NORMALIZED_SQL explicit class
+    "dedup_exact",           # normalized_text explicit class
+    "dedup_minhash_lsh",     # shingles over normalized_text
+    "winnowing_fingerprints",# fingerprints over normalized tokens
+    # r3-latest cohort (displaced by the r5 window):
+    "text_stats",
+    "tfidf_top_terms",
+    "pack_chunks",
+    "gopher_repetition",
+    "ngram_decontaminate",
+    "curriculum_deciles",
+    "embedding_centroids",
+    "embedding_quantize",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "semdedup",
+    "bpe_token_counts",      # also changed: try_divide on bpe_per_word
+    "cosine_topk_ivf",
+    "dedup_components",
+    # r3-latest cohort (planned for r6 in the r5 comment):
+    "date_trunc_buckets",
+    "large_volume_customers",
+    "priority_count",
+    "promo_share",
+    "quality_features",      # also changed: try_divide on the ratios
+    "quality_filter_survivors",
+    "returned_revenue",
+    "share_of_total",
+    "shipmode_priority",
+    "lang_id",               # also changed: WS_PLUS tokenizer split
+    "doc_fingerprint",       # also changed: WS_PLUS digest normalize
+    "pii_scrub",
+    "split_assign",
+    "stratified_sample",
 )
-# Displaced to make room for the twenty new r5 queries (TPC-H shapes,
-# normalization trio, shard_assign, pagerank_docs, the two dedup
-# compositions, retention_cohorts, rate_anomaly, the composed
-# curation_manifest/funnel, modal_agreement); must rotate into the r6
-# window —
-# never driver-checked (FIRST priority in r6): snapshot_diff (added
-#   after the r5 window was full; green in the pytest sweeps);
-# r1-latest (will be 5 rounds stale, also first priority in r6):
-#   envelope_json_roundtrip, nation_set_ops, union_by_name,
-#   anti_join_customers, semi_join_customers, bulk_orders (the
-#   semi/anti/subquery shapes stay driver-covered this round via
-#   idle_customers / waiting_suppliers / priority_count /
-#   above_nation_avg);
-# r3-latest: text_stats, tfidf_top_terms, pack_chunks,
-#   gopher_repetition, ngram_decontaminate, curriculum_deciles,
-#   embedding_centroids, embedding_quantize, dedup_embedding_cosine,
-#   dedup_incremental, semdedup, bpe_token_counts, cosine_topk_ivf,
-#   dedup_components (its recursive-CTE machinery is driver-covered
-#   this round via dedup_near_survivors).
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -67,7 +67,7 @@ def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
     """Per-language running totals — streaming twin of the batch
     ``corpus_stats`` report (works in update/complete output modes)."""
     return (docs
-            .withColumn("ntok", F.size(F.split(F.trim("text"), r"\s+")))
+            .withColumn("ntok", F.size(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")))
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("ntok").alias("total_tokens"),

@@ -135,9 +135,13 @@ from pyspark.sql.types import (  # noqa: E402
     DoubleType,
 )
 
-ANOM_TRAIL = 30
-ANOM_MIN_N = 10
-ANOM_Z = 3.0
+# Shared with the batch operator so the documented bit-for-bit
+# batch/stream parity cannot drift when the constants are tuned.
+from cga_logs_to_kinesis_spark.operators.temporal import (  # noqa: E402
+    ANOMALY_MIN_N as ANOM_MIN_N,
+    ANOMALY_TRAIL as ANOM_TRAIL,
+    ANOMALY_Z as ANOM_Z,
+)
 
 ANOMALY_OUTPUT = StructType([
     StructField("event_type", StringType(), False),

@@ -74,6 +74,15 @@ def test_protobuf_codec_gated(spark, tmp_path):
 
 
 def test_approx_distinct_error_bound(spark):
+    """The operator's error CONTRACT: every group's HLL++ estimate
+    must land within APPROX_BOUND_SIGMA x APPROX_RSD of the exact
+    countDistinct (deterministic given the data — no flake window).
+    This is what makes the rows-only driver row trustworthy: 'approx'
+    has a verified bound, not just a stable row count."""
+    from cga_logs_to_kinesis_spark.operators.relational3 import (
+        APPROX_BOUND_SIGMA,
+        APPROX_RSD,
+    )
     q = all_queries()["approx_distinct_users"]
     approx = {r.event_type: r.approx_users
               for r in q.fn(spark, SF_SMOKE).collect()}
@@ -81,6 +90,10 @@ def test_approx_distinct_error_bound(spark):
              load_events(spark, SF_SMOKE)
              .groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    bound = APPROX_BOUND_SIGMA * APPROX_RSD
     for et, n in exact.items():
         rel_err = abs(approx[et] - n) / n
-        assert rel_err < 0.10, f"{et}: approx {approx[et]} vs exact {n}"
+        assert rel_err <= bound, (
+            f"{et}: approx {approx[et]} vs exact {n} "
+            f"(rel err {rel_err:.4f} > {bound})")

@@ -94,9 +94,12 @@ def test_raw_features_query_exact(spark):
     for doc_id, r in list(rows.items())[:10]:
         assert r.width == 8 + doc_id % 25
         assert r.height == 8 + (doc_id // 3) % 25
-        rng = np.random.default_rng(int(doc_id))
-        arr = rng.integers(0, 256, size=(r.height, r.width, 3),
-                           dtype=np.uint8)
+        # independent recomputation: the pixel-hash formula inlined,
+        # not imported, so a generator regression can't self-confirm
+        i = np.arange(r.width * r.height * 3, dtype=np.int64)
+        d = int(doc_id) % 1000003
+        px = (d * 2654435761 + i * 40503 + (i * i) % 65521) % 256
+        arr = px.astype(np.uint8).reshape(r.height, r.width, 3)
         sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
         n = r.width * r.height
         assert r.mean_r == int(sums[0]) * 1_000_000 // n
@@ -187,11 +190,13 @@ def test_audio_features_query_exact(spark):
     assert rows
     for r in rows[:10]:
         d = r.doc_id
-        rng = np.random.default_rng(d)
         n, nch = 400 + d % 800, 1 + d % 2
         rate = (8000, 16000, 44100)[d % 3]
-        a = rng.integers(-32768, 32768, size=(n, nch),
-                         dtype=np.int16).astype(np.int64)
+        # independent recomputation: the PCM-hash formula inlined
+        j = np.arange(n * nch, dtype=np.int64)
+        dd = int(d) % 1000003
+        v = (dd * 48271 + j * 16807 + (j * j) % 32749) % 65536 - 32768
+        a = v.astype(np.int16).reshape(n, nch).astype(np.int64)
         assert (r.n_samples, r.n_channels, r.sample_rate) == (n, nch, rate)
         assert r.duration_us == n * 1_000_000 // rate
         assert r.peak == int(np.abs(a).max())

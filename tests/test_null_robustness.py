@@ -1,19 +1,23 @@
-"""Dirty-corpus robustness: NULL / empty / whitespace-only / 1-char
-documents must not crash any text-family operator.
+"""Dirty-corpus robustness: NULL / empty / whitespace-only / 1-char /
+vertical-tab documents must not crash any text-family operator — and
+for oracle-paired operators, Spark and DuckDB must still agree on the
+dirty corpus, not just the clean fixtures.
 
-Real crawled corpora contain all four; the fixtures contain none, so
-without this test a null-unsafe regexp or size() would only surface
-in production.  Row counts are pinned loosely (crash-freedom and
-sane filtering are the contract, not exact values — those are the
-oracle sweep's job on the clean fixtures).
+Real crawled corpora contain all of these; the fixtures contain none,
+so without the cross-engine comparison a null-unsafe size() (-1 in
+Spark's non-ANSI mode vs NULL-skipped in DuckDB) or a \\s-class
+divergence (Java \\s includes U+000B, RE2's does not) would only
+surface in production.
 """
 
 from __future__ import annotations
 
+import duckdb
 import pandas as pd
 import pytest
 
 from cga_logs_to_kinesis_spark.registry import all_queries
+from tests.test_queries_oracle import table_hash
 
 PROBED = [
     "text_stats", "text_normalize", "gopher_quality", "dedup_exact",
@@ -24,31 +28,58 @@ PROBED = [
     "doc_fingerprint", "gopher_repetition", "pii_scrub",
 ]
 
+_DOCS = pd.DataFrame({
+    "doc_id": [0, 1, 2, 3, 4, 5, 6],
+    "text": ["normal words here for all the tests to chew on",
+             "", "   ", None, "x",
+             "unicode café 中文 🎉 naïve мир text",
+             # U+000B vertical tab: in Java's \s but not RE2's — the
+             # row that pins the explicit whitespace class in
+             # normalize_text (operators/normalize.py).
+             "vertical\x0btab\x0bseparated words\x0b"],
+    "lang": ["en"] * 7,
+    "source": ["s"] * 7,
+    "n_chars": [46, 0, 3, 0, 1, 33, 32],
+})
+
 
 @pytest.fixture(scope="module")
 def dirty_dir(spark, tmp_path_factory):
-    pdf = pd.DataFrame({
-        "doc_id": [0, 1, 2, 3, 4, 5],
-        "text": ["normal words here for all the tests to chew on",
-                 "", "   ", None, "x",
-                 "unicode café 中文 🎉 naïve мир text"],
-        "lang": ["en"] * 6,
-        "source": ["s"] * 6,
-        "n_chars": [46, 0, 3, 0, 1, 33],
-    })
     d = tmp_path_factory.mktemp("dirty")
-    spark.createDataFrame(pdf).write.parquet(
+    spark.createDataFrame(_DOCS).write.parquet(
         str(d / "documents.parquet"))
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def dirty_oracle(dirty_dir):
+    con = duckdb.connect()
+    # Spark writes a directory of part files; DuckDB needs the glob.
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{dirty_dir}/documents.parquet/*.parquet')")
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", PROBED)
-def test_operator_survives_dirty_corpus(spark, dirty_dir, name):
-    df = all_queries()[name].fn(spark, dirty_dir)
-    n = df.count()          # forces full evaluation
-    assert n >= 0
+def test_operator_matches_oracle_on_dirty_corpus(spark, dirty_dir,
+                                                 dirty_oracle, name):
+    spec = all_queries()[name]
+    sdf = spec.fn(spark, dirty_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) >= 0
     # per-doc operators must not fabricate rows beyond the corpus
     if name in {"text_normalize", "gopher_quality",
                 "quality_weighted_sample", "bpe_token_counts",
                 "lang_id"}:
-        assert n == 6
+        assert len(srows) == len(_DOCS)
+    if spec.oracle is None:
+        return
+    cur = dirty_oracle.execute(spec.oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows), "row count mismatch on dirty corpus"
+    assert sorted(sdf.columns) == sorted(ocols), "schema mismatch"
+    assert table_hash(srows, list(sdf.columns)) == \
+        table_hash(orows, ocols), \
+        f"{name}: cross-engine divergence on the dirty corpus"

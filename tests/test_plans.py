@@ -5,6 +5,8 @@ even though its rows are right."""
 
 from __future__ import annotations
 
+import pytest
+
 from cga_logs_to_kinesis_spark.plans import (
     has_pushed_filters,
     scan_read_schema_columns,
@@ -303,6 +305,31 @@ def test_unigram_rarity_vocab_join_adapts_to_size(spark):
         sess.RUNTIME_CONFS[key] = old
         spark.conf.set(key, old)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["revenue_by_nation", "segment_totals"])
+def test_customer_join_adapts_to_size(spark, name):
+    """customer is scale-proportional (150k x sf rows), so its join
+    carries no forced broadcast hint: with auto-broadcast off
+    (emulating the 100 TB corpus where customer outgrows the
+    threshold) the customer join must degrade to a shuffle join — not
+    OOM executors through a hard-coded F.broadcast().  The constant-
+    size nation/region dims stay broadcast via their explicit hints."""
+    from cga_logs_to_kinesis_spark import session as sess
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        sess.RUNTIME_CONFS[key] = "-1"
+        spark.conf.set(key, "-1")
+        plan = formatted_plan(SPECS[name].fn(spark, SF_SMOKE))
+    finally:
+        sess.RUNTIME_CONFS[key] = old
+        spark.conf.set(key, old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    if name == "revenue_by_nation":
+        # the hinted constant-size dims must still broadcast
+        assert "BroadcastHashJoin" in plan, name
 
 
 def test_gopher_quality_is_map_only(spark):
