@@ -1,0 +1,305 @@
+"""TPC-H partsupp plan topologies: Q2 / Q11 / Q16 / Q20.
+
+The driver testdata carries no partsupp fixture (TESTDATA.md), so
+these four specs are kept OUT of the live registry — the driver would
+crash loading a missing table.  They are the full QuerySpec shape
+regardless: tests/test_partsupp_shapes.py assembles a scale-dir with a
+deterministic generated partsupp (``generate_partsupp``) next to the
+real fixtures and verifies every query hash-exact against its DuckDB
+oracle, plus plan assertions.  If a future testdata drop adds
+partsupp.parquet, looping PARTSUPP_SPECS through ``register`` wires
+them into the driver gate unchanged.
+
+Topologies covered (the four TPC-H shapes the main registry lacks,
+SURVEY §8.2):
+
+* Q2  — correlated scalar subquery over an aggregate (min supplycost
+        per part within a region), decorrelated into agg + re-join;
+* Q11 — HAVING against a global-scalar aggregate (share-of-total
+        stock value), realized as agg + broadcast of one scalar row;
+* Q16 — NOT-IN anti join + multi-column COUNT(DISTINCT);
+* Q20 — agg-filtered semi join chain (availqty > ½ of the supplier's
+        shipped quantity for that part).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.functions.exact import dsum, dsum_sql
+from cga_logs_to_kinesis_spark.registry import QuerySpec
+from cga_logs_to_kinesis_spark.session import tune_session
+from cga_logs_to_kinesis_spark.sources import load_table
+
+# The fixture's nation names are synthetic (NATION_0..24), not the
+# TPC-H country names; NATION_15 is one that actually has suppliers
+# at every fixture SF (supplier nationkeys are hash-spread).
+Q11_NATION = "NATION_15"
+
+# 1/1024: exactly representable in binary, so the Q11 threshold
+# total * FRACTION is the identical IEEE double in Spark and DuckDB.
+Q11_FRACTION = 1.0 / 1024.0
+
+# Deterministic partsupp generation: 4 supplier rows per part (the
+# TPC-H cardinality), integer-hash availqty, exact-decimal supplycost
+# in cents.  Kept here (not in the test) so a future fixture generator
+# and the oracle-backed tests share one definition.
+PS_PER_PART = 4
+
+
+def generate_partsupp(part_keys, n_suppliers: int):
+    """[(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents)]."""
+    rows = []
+    for pk in part_keys:
+        for i in range(PS_PER_PART):
+            rows.append((
+                pk,
+                (pk + i * 7 + i) % n_suppliers,
+                1 + (pk * 7 + i * 13) % 5000,
+                1 + (pk * 31 + i * 17) % 100000,
+            ))
+    return rows
+
+
+def _cost(col: str = "ps_supplycost_cents") -> F.Column:
+    """Supplycost as exact decimal dollars from the cents column."""
+    return (F.col(col).cast("decimal(14,2)") / 100).cast("decimal(12,2)")
+
+
+_COST_SQL = "CAST(CAST(ps_supplycost_cents AS DECIMAL(14,2)) / 100 AS DECIMAL(12,2))"
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for ECONOMY parts, the EUROPE supplier(s) matching the
+    minimum supplycost of that part within the region.
+
+    The correlated scalar subquery (min cost per part, correlated on
+    partkey AND restricted to the same region) decorrelates into one
+    groupBy over the region-filtered partsupp and an equi-join back on
+    (partkey, cost) — two shuffles on ps_partkey which AQE can plan as
+    one exchange reuse; all dims broadcast."""
+    tune_session(spark)
+    ps = load_table(spark, sf_dir, "partsupp")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    europe = (ps
+              .join(F.broadcast(supplier),
+                    F.col("ps_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .withColumn("cost", _cost()))
+    min_cost = (europe.groupBy(F.col("ps_partkey").alias("mc_partkey"))
+                .agg(F.min("cost").alias("min_cost")))
+    return (europe
+            .join(min_cost,
+                  (F.col("ps_partkey") == F.col("mc_partkey"))
+                  & (F.col("cost") == F.col("min_cost")))
+            .join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                  F.col("ps_partkey") == F.col("p_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    F.col("cost").cast("double").alias("supplycost"))
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey"))
+
+
+_Q2_ORACLE = f"""
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           CAST({_COST_SQL} AS DOUBLE) AS supplycost
+    FROM partsupp
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN part     ON ps_partkey = p_partkey
+    WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      AND {_COST_SQL} = (
+          SELECT MIN({_COST_SQL})
+          FROM partsupp, supplier, nation, region
+          WHERE ps_partkey = p_partkey
+            AND ps_suppkey = s_suppkey
+            AND s_nationkey = n_nationkey
+            AND n_regionkey = r_regionkey
+            AND r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-part stock value in one nation, kept only when it
+    exceeds FRACTION of the nation's total — HAVING against a global
+    scalar.  The scalar total is one row: computed once and
+    broadcast-joined (crossJoin of a 1-row frame), never recomputed
+    per group and never a driver round-trip."""
+    tune_session(spark)
+    ps = load_table(spark, sf_dir, "partsupp")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    nat = (ps
+           .join(F.broadcast(supplier),
+                 F.col("ps_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(nation.filter(F.col("n_name") == Q11_NATION)),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .withColumn("value", _cost() * F.col("ps_availqty")))
+    per_part = (nat.groupBy("ps_partkey")
+                .agg(dsum("value", "stock_value")))
+    total = nat.agg(dsum("value", "total_value"))
+    return (per_part
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("stock_value")
+                    > F.col("total_value") * F.lit(Q11_FRACTION))
+            .select("ps_partkey", "stock_value")
+            .orderBy(F.col("stock_value").desc(), "ps_partkey"))
+
+
+_Q11_ORACLE = f"""
+    SELECT ps_partkey,
+           {dsum_sql(f"{_COST_SQL} * ps_availqty", "stock_value")}
+    FROM partsupp
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = '{Q11_NATION}'
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(CAST(({_COST_SQL} * ps_availqty)
+                         AS DECIMAL(38,6))) AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(({_COST_SQL} * ps_availqty)
+                             AS DECIMAL(38,6))) AS DOUBLE)
+               * {Q11_FRACTION!r}
+        FROM partsupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey
+          AND n_name = '{Q11_NATION}')
+    ORDER BY stock_value DESC, ps_partkey
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct suppliers per (brand, type, size) for parts
+    outside an excluded brand/type, minus "complaint" suppliers — a
+    NOT-IN anti join feeding a multi-column COUNT(DISTINCT).  The
+    anti side (low-acctbal suppliers, standing in for the comment
+    LIKE of real Q16) is tiny → broadcast anti join; the distinct
+    lands in one partial-aggregated exchange on the group key."""
+    tune_session(spark)
+    ps = load_table(spark, sf_dir, "partsupp")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    complaints = supplier.filter(F.col("s_acctbal") < 1000) \
+        .select("s_suppkey")
+    wanted = part.filter((F.col("p_brand") != "Brand#13")
+                         & (F.col("p_type") != "PROMO")
+                         & (F.col("p_size") <= 25))
+    return (ps
+            .join(F.broadcast(complaints),
+                  F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(wanted),
+                  F.col("ps_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+_Q16_ORACLE = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size <= 25
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers of widget parts whose availqty exceeds half
+    of what they shipped for that part in 1997 — an agg-filtered semi
+    join chain.  lineitem aggregates once on its natural
+    (partkey, suppkey) key; partsupp joins that aggregate and the
+    surviving (suppkey) set semi-filters supplier.  The fact table
+    shuffles once, on the same key the join needs."""
+    tune_session(spark)
+    ps = load_table(spark, sf_dir, "partsupp")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    shipped = (li
+               .filter((F.col("l_shipdate") >= F.lit("1997-01-01")
+                        .cast("timestamp"))
+                       & (F.col("l_shipdate") < F.lit("1998-01-01")
+                          .cast("timestamp")))
+               .groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum(F.col("l_quantity")
+                          .cast("decimal(38,6)")).alias("qty")))
+    widgets = part.filter(F.col("p_name").endswith("widget")) \
+        .select("p_partkey")
+    excess = (ps
+              .join(F.broadcast(widgets),
+                    F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+              .join(shipped,
+                    (F.col("ps_partkey") == F.col("l_partkey"))
+                    & (F.col("ps_suppkey") == F.col("l_suppkey")))
+              .filter(F.col("ps_availqty").cast("decimal(38,6)")
+                      > F.col("qty") * F.lit(0.5).cast("decimal(2,1)"))
+              .select("ps_suppkey"))
+    return (supplier
+            .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"),
+                  "left_semi")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", "n_name")
+            .orderBy("s_name"))
+
+
+_Q20_ORACLE = """
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%widget')
+          AND CAST(ps_availqty AS DECIMAL(38,6)) > (
+              SELECT SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                     * CAST(0.5 AS DECIMAL(2,1))
+              FROM lineitem
+              WHERE l_partkey = ps_partkey
+                AND l_suppkey = ps_suppkey
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'))
+    ORDER BY s_name
+"""
+
+
+PARTSUPP_SPECS: dict[str, QuerySpec] = {
+    spec.name: spec for spec in (
+        QuerySpec("min_cost_supplier", q_min_cost_supplier, _Q2_ORACLE,
+                  doc="TPC-H Q2 shape: correlated scalar-min subquery "
+                      "decorrelated to agg + re-join",
+                  tags=("join", "subquery", "agg")),
+        QuerySpec("important_stock", q_important_stock, _Q11_ORACLE,
+                  doc="TPC-H Q11 shape: HAVING vs global scalar via "
+                      "broadcast 1-row cross join",
+                  tags=("agg", "subquery", "broadcast")),
+        QuerySpec("supplier_part_counts", q_supplier_part_counts,
+                  _Q16_ORACLE,
+                  doc="TPC-H Q16 shape: NOT-IN anti join + "
+                      "multi-column COUNT(DISTINCT)",
+                  tags=("join", "anti", "distinct")),
+        QuerySpec("excess_stock_suppliers", q_excess_stock_suppliers,
+                  _Q20_ORACLE,
+                  doc="TPC-H Q20 shape: agg-filtered nested semi "
+                      "join chain",
+                  tags=("join", "semi", "agg", "subquery")),
+    )
+}
