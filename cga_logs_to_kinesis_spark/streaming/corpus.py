@@ -63,6 +63,47 @@ def streaming_dedup_exact(docs: DataFrame) -> DataFrame:
             .dropDuplicates(["digest"]))
 
 
+def incremental_dedup_sink(store_dir: str, out_dir: str):
+    """foreachBatch twin of ``operators/dedup.py::dedup_incremental``:
+    each arriving micro-batch is digested, anti-joined against the
+    PERSISTED digest store (a parquet table that outlives the query —
+    the cross-run state dropDuplicates can't give), deduped keep-first
+    within the batch via the SAME ``incremental_dedup`` core as the
+    batch operator (parity by construction), then survivors are
+    appended to ``out_dir`` and their digests merged into the store.
+
+    Only digests (16 B/doc) ever hit the store or the anti-join —
+    text never leaves the batch scan.  At 100 TB the store is a
+    digest-bucketed table and the anti-join shuffles digests only.
+    Note the append pair is at-least-once on crash-mid-batch (same
+    contract as the delivery sink); exactly-once output needs the
+    appends keyed by batch_id (e.g. partitionBy("batch_id") +
+    overwrite), which the parity test doesn't require.
+    """
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        incremental_dedup,
+        normalized_text,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        digests = batch_df.select(
+            "doc_id", F.md5(normalized_text()).alias("text_digest"))
+        try:
+            seen = spark.read.parquet(store_dir).select("text_digest")
+        except Exception:       # first batch: store not created yet
+            seen = spark.createDataFrame([], "text_digest string")
+        # localCheckpoint: the survivor set feeds TWO writes (output +
+        # store merge); without the cut the second write would
+        # recompute the anti-join.
+        survivors = incremental_dedup(seen, digests).localCheckpoint()
+        survivors.write.mode("append").parquet(out_dir)
+        survivors.select("text_digest").write.mode("append") \
+            .parquet(store_dir)
+
+    return process
+
+
 def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
     """Per-language running totals — streaming twin of the batch
     ``corpus_stats`` report (works in update/complete output modes)."""

@@ -13,7 +13,10 @@ from __future__ import annotations
 
 import json
 
-from cga_logs_to_kinesis_spark.streaming.sink import Transport
+from cga_logs_to_kinesis_spark.streaming.sink import (
+    FatalDeliveryError,
+    Transport,
+)
 
 
 class PartialFailTransport(Transport):
@@ -67,3 +70,31 @@ class JsonDirTransport(Transport):
             json.dump([[d.decode("utf-8", "replace"), k]
                        for d, k in page], f)
         return []
+
+
+class DieAfterPagesTransport(JsonDirTransport):
+    """Crash-mid-batch harness: delivers pages durably like
+    JsonDirTransport, but once ``pages_before_crash`` pages exist it
+    raises FatalDeliveryError and drops a fuse file — so the FIRST run
+    dies with real side effects already committed, and any restart
+    (fuse present) delivers everything.  This is the executor-process-
+    kill scenario the exactly-once restart test replays; state lives
+    on the shared filesystem because the transport is re-pickled per
+    task and per run."""
+
+    def __init__(self, out_dir: str, pages_before_crash: int):
+        super().__init__(out_dir)
+        self.pages_before_crash = pages_before_crash
+
+    def send(self, stream, page):
+        import os
+        fuse = os.path.join(self.out_dir, "_crashed")
+        if not os.path.exists(fuse):
+            os.makedirs(self.out_dir, exist_ok=True)
+            delivered = len([f for f in os.listdir(self.out_dir)
+                             if f.startswith("page-")])
+            if delivered >= self.pages_before_crash:
+                open(fuse, "w").close()
+                raise FatalDeliveryError(
+                    f"injected crash after {delivered} pages")
+        return super().send(stream, page)

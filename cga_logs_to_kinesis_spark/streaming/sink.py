@@ -64,10 +64,22 @@ PAGE_STATS = StructType([
 ])
 
 
+class FatalDeliveryError(Exception):
+    """Non-retryable delivery failure — the AccessDenied /
+    ResourceNotFound class of PutRecords errors, where retrying cannot
+    succeed.  The sink re-raises it instead of entering the backoff
+    loop, so the micro-batch FAILS and Spark's checkpoint replays it
+    on restart (at-least-once, no silent drop) — the reference instead
+    burns its backoff budget and loses the buffer on crash
+    (batchproducer.go:284-311)."""
+
+
 class Transport:
     """Where pages go.  ``send`` returns indices of failed records —
     the shape of a Kinesis PutRecords response (per-record ErrorCode,
-    reference kinesis.go:463-474).  Raising = whole-request error."""
+    reference kinesis.go:463-474).  Raising = whole-request error
+    (retried with backoff); raising FatalDeliveryError fails the
+    batch for checkpoint replay."""
 
     def send(self, stream: str,
              page: list[tuple[bytes, str]]) -> list[int]:
@@ -206,6 +218,8 @@ def deliver_pages(df: DataFrame, transport: Transport,
                     failed = tp.send(cfg.stream_name,
                                      [(d, k) for d, k, _ in work])
                     consecutive_errors = 0
+                except FatalDeliveryError:
+                    raise          # fail the batch; checkpoint replays
                 except Exception:
                     req_errors += 1
                     consecutive_errors += 1

@@ -53,6 +53,53 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     assert got.select("digest").distinct().count() == got.count()
 
 
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """The foreachBatch incremental-dedup twin must reproduce the
+    batch operator exactly: stage the corpus as two arrivals (75%
+    "already-ingested", then the 25% doc_id%4==3 batch the registry
+    query processes), drain each with the persisted digest store in
+    between, and compare the second arrival's survivors row-for-row
+    with q_dedup_incremental."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        incremental_dedup_sink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "arrivals"
+    store = str(tmp_path / "digest_store")
+    out = str(tmp_path / "survivors")
+    sink = incremental_dedup_sink(store, out)
+
+    def drain(name):
+        q = (stream_documents(spark, str(src) + "/*")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    docs.filter(F.col("doc_id") % 4 < 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    drain("first")
+    batch1_new = {r.text_digest for r in
+                  spark.read.parquet(out).collect()}
+
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    drain("second")
+
+    got = {r.text_digest: (r.doc_id, r.n_batch_dups)
+           for r in spark.read.parquet(out).collect()
+           if r.text_digest not in batch1_new}
+    want = {r.text_digest: (r.doc_id, r.n_batch_dups)
+            for r in all_queries()["dedup_incremental"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert got == want and len(want) > 0
+    # the store now holds every distinct digest exactly once per merge
+    n_store = spark.read.parquet(store).count()
+    assert n_store == len(batch1_new) + len(got)
+
+
 def test_streaming_stats_match_batch_totals(spark, tmp_path):
     docs, stream = _staged_stream(spark, tmp_path)
     got = {r.lang: r for r in

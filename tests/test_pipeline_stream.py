@@ -76,6 +76,72 @@ def test_pipeline_checkpoint_no_reprocess(spark, tmp_path):
     assert s2.records_sent == 2        # only the new file
 
 
+def test_crash_mid_batch_restart_loses_nothing(spark, tmp_path):
+    """Chaos test for the sink's restart story: the transport dies
+    with FatalDeliveryError after ONE page of a 3-page batch (1200
+    records, one partition key, pages of 500) — real side effects
+    already committed.  Restarting from the same checkpoint must
+    replay the failed batch so that
+
+    * every input record is delivered at least once (no loss — the
+      reference instead loses its in-memory buffer on crash,
+      batchproducer.go:284-311);
+    * the only duplicates are the replayed pre-crash page (bounded
+      at-least-once, not unbounded re-delivery);
+    * counters never count the failed attempt (run-1 stats stay 0,
+      run-2 stats equal the full batch) — counter consistency.
+    """
+    from cga_logs_to_kinesis_spark.streaming.faults import (
+        DieAfterPagesTransport,
+    )
+
+    n_lines = 1200
+    watch = tmp_path / "logs"
+    watch.mkdir()
+    (watch / "a.log").write_text(
+        "".join(f"line-{i:05d}\n" for i in range(n_lines)))
+    out = tmp_path / "delivered"
+    cfg = PipelineConfig(watch_dir=str(watch), glob="*.log",
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         available_now=True)
+
+    q1, s1 = build_pipeline(spark, cfg,
+                            DieAfterPagesTransport(str(out), 1))
+    crashed = False
+    try:
+        q1.awaitTermination(120)
+    except Exception:
+        crashed = True
+    assert crashed, "the injected FatalDeliveryError must fail the query"
+    pre_crash = list(out.glob("page-*.json"))
+    assert len(pre_crash) == 1          # one page committed, then death
+    assert s1.records_sent == 0         # failed batch never hits counters
+
+    q2, s2 = build_pipeline(spark, cfg,
+                            DieAfterPagesTransport(str(out), 1))
+    q2.awaitTermination(120)
+    assert s2.records_sent == n_lines   # full replayed batch counted once
+
+    import base64
+    from collections import Counter
+
+    def msg(data: str) -> str:
+        # log_message.message is binary → base64 in the JSON wire form
+        return base64.b64decode(
+            json.loads(data)["log_message"]["message"]).decode()
+
+    seen: Counter[str] = Counter()
+    for f in out.glob("page-*.json"):
+        for data, _key in json.loads(f.read_text()):
+            seen[msg(data)] += 1
+    expect = {f"line-{i:05d}" for i in range(n_lines)}
+    assert set(seen) == expect, "records lost across crash+restart"
+    dupes = {m for m, n in seen.items() if n > 1}
+    pre_crash_msgs = {msg(data) for data, _key
+                      in json.loads(pre_crash[0].read_text())}
+    assert dupes == pre_crash_msgs      # replay bounds the duplicates
+
+
 def test_tumbling_stats_batch_equivalence(spark):
     """A1 stats on the events fixture: the streaming aggregation and
     its batch expression agree (same code path, window() built-in)."""
