@@ -175,9 +175,10 @@ def hash_pcm_samples(doc_id: int, n: int, nch: int):
     return v.astype(np.int16).reshape(n, nch)
 
 
-def _pix_sql(i_expr: str) -> str:
-    """DuckDB expression for pixel byte i_expr of doc_id's image."""
-    return (f"(((doc_id % {PIX_M}) * {PIX_A} + ({i_expr}) * {PIX_B} "
+def _pix_sql(i_expr: str, seed_expr: str = "doc_id") -> str:
+    """DuckDB expression for pixel byte i_expr of seed_expr's image."""
+    return (f"(((({seed_expr}) % {PIX_M}) * {PIX_A} "
+            f"+ ({i_expr}) * {PIX_B} "
             f"+ (({i_expr}) * ({i_expr})) % {PIX_C}) % 256)")
 
 
@@ -743,8 +744,12 @@ def video_frame_features(media: DataFrame,
                     rows["sum_r"].append(int(s[0]))
                     rows["sum_g"].append(int(s[1]))
                     rows["sum_b"].append(int(s[2]))
-                    rows["frame_digest"].append(
-                        hashlib.md5(arr.tobytes()).hexdigest())
+                    # fingerprint = md5 of the LOWERCASE HEX encoding
+                    # of the raw pixel buffer: same identity power as
+                    # md5(bytes), but reproducible in SQL (DuckDB md5
+                    # only takes VARCHAR) so the oracle can replay it
+                    rows["frame_digest"].append(hashlib.md5(
+                        arr.tobytes().hex().encode()).hexdigest())
             yield pd.DataFrame({
                 "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
                 "frame_index": pd.Series(rows["frame_index"],
@@ -762,9 +767,9 @@ def video_frame_features(media: DataFrame,
 
 def make_mpng_media(docs: DataFrame, n_frames: int = 12) -> DataFrame:
     """Deterministic MPNG fixture blobs: per doc, ``n_frames`` small
-    RGB frames with per-frame seeded pixels (constant dims within a
+    RGB frames with per-frame hashed pixels (seed = doc_id*1000 +
+    frame_index, recomputable by the oracle; constant dims within a
     blob, like real video)."""
-    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -773,8 +778,8 @@ def make_mpng_media(docs: DataFrame, n_frames: int = 12) -> DataFrame:
                 d = int(doc_id)
                 w, h = 6 + d % 9, 6 + (d // 2) % 9
                 frames = [
-                    np.random.default_rng(d * 1000 + i)
-                    .integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    hash_pixel_bytes(d * 1000 + i, w * h * 3)
+                    .reshape(h, w, 3)
                     for i in range(n_frames)
                 ]
                 payloads.append(encode_mpng(frames))
@@ -789,20 +794,53 @@ def q_multimodal_video_frames(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """MPNG 'video' blobs (12 deterministic frames) → sample every 3rd
     frame → REAL PNG decode → integer-exact per-frame features.
-    Rows-only in the driver gate (frame decode is not
-    SQL-expressible); exactness pinned by pytest recomputation from
-    the seeded frames."""
+    Oracle-paired: frame pixels are hash-generated, so DuckDB replays
+    the decoded bytes per (doc, frame) — container parse + PNG decode
+    stay real, double-pinned by pytest recomputation."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     return (video_frame_features(make_mpng_media(docs), every_nth=3)
             .orderBy("doc_id", "frame_index"))
 
 
+def _frame_sum_sql(channel: int) -> str:
+    seed = "doc_id * 1000 + frame_index"
+    return (f"CAST(list_sum(list_transform(range(0, w*h), "
+            f"k -> {_pix_sql(f'k*3+{channel}', seed)})) AS BIGINT)")
+
+
+# md5 of the lowercase-hex pixel buffer (to_hex is uppercase: lower()).
+_FRAME_DIGEST_SQL = (
+    "md5(list_aggregate(list_transform(range(0, w*h*3), "
+    "j -> lpad(lower(to_hex(" + _pix_sql("j", "doc_id * 1000 + frame_index")
+    + ")), 2, '0')), 'string_agg', ''))")
+
 register(QuerySpec(
     "multimodal_video_frames", q_multimodal_video_frames,
-    oracle=None,  # frame decode: genuinely non-SQL-expressible
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   6 + doc_id % 9 AS w,
+                   6 + (doc_id // 2) % 9 AS h
+            FROM documents
+        ), frames AS (
+            SELECT doc_id, w, h, f.i AS frame_index
+            FROM dims, (VALUES (0), (3), (6), (9)) f(i)
+        )
+        SELECT doc_id,
+               CAST(frame_index AS INT) AS frame_index,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               {_frame_sum_sql(0)} AS sum_r,
+               {_frame_sum_sql(1)} AS sum_g,
+               {_frame_sum_sql(2)} AS sum_b,
+               {_FRAME_DIGEST_SQL} AS frame_digest
+        FROM frames
+        ORDER BY doc_id, frame_index
+    """,
     doc="video-shaped frame sampling: length-indexed MPNG container, "
         "seek-skip to every Nth frame, REAL PNG decode, integer-exact "
-        "channel sums (1 blob -> many rows, executor-side)",
+        "channel sums (1 blob -> many rows, executor-side); oracle "
+        "replays the hashed frames in SQL",
     tags=("multimodal", "north-star", "pandas-udf", "video"),
 ))

@@ -57,8 +57,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # modal_agreement, the dedup_substring trio, bpe_learn_merges,
     # bigram_surprisal, dsir_importance, pca_project, bm25_topk,
     # unigram_rarity, char_diversity, embedding_covariance,
-    # quality_weighted_sample, plus rows-only multimodal_features /
-    # multimodal_resize / multimodal_video_frames.
+    # quality_weighted_sample, stratified_sample, plus rows-only
+    # multimodal_features / multimodal_resize (PNG zlib: genuinely
+    # non-SQL) and approx_distinct_users (sketch: error-bound-tested
+    # instead, tests/test_consumer_and_approx.py).
     #
     # never driver-checked:
     "snapshot_diff",
@@ -73,6 +75,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_raw_features",
     "multimodal_raw_resize",
     "multimodal_audio_features",
+    "multimodal_video_frames",
     # code/oracle changed this round — needs a fresh row:
     "revenue_by_nation",     # customer broadcast un-hinted
     "segment_totals",        # customer broadcast un-hinted
@@ -115,7 +118,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_fingerprint",       # also changed: WS_PLUS digest normalize
     "pii_scrub",
     "split_assign",
-    "stratified_sample",
+    # stratified_sample displaced by multimodal_video_frames (newly
+    # oracle-paired beats a row-local op pinned by pytest); rotate it
+    # into r7.
 )
 
 

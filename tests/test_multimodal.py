@@ -254,9 +254,13 @@ def test_video_frames_query_exact(spark):
         d, i = r.doc_id, r.frame_index
         assert i % 3 == 0
         w, h = 6 + d % 9, 6 + (d // 2) % 9
-        arr = np.random.default_rng(d * 1000 + i).integers(
-            0, 256, size=(h, w, 3), dtype=np.uint8)
+        # independent recomputation: pixel-hash formula inlined
+        j = np.arange(w * h * 3, dtype=np.int64)
+        seed = (d * 1000 + i) % 1000003
+        px = (seed * 2654435761 + j * 40503 + (j * j) % 65521) % 256
+        arr = px.astype(np.uint8).reshape(h, w, 3)
         s = arr.astype(np.int64).sum(axis=(0, 1))
         assert (r.width, r.height) == (w, h)
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(v) for v in s)
-        assert r.frame_digest == hashlib.md5(arr.tobytes()).hexdigest()
+        assert r.frame_digest == hashlib.md5(
+            arr.tobytes().hex().encode()).hexdigest()
