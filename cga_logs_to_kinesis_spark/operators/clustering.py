@@ -30,7 +30,7 @@ from cga_logs_to_kinesis_spark.session import (
     explode_parallelism,
     tune_session,
 )
-from cga_logs_to_kinesis_spark.sources import load_table
+from cga_logs_to_kinesis_spark.sources import load_embeddings, load_table
 
 K_CLUSTERS = 8
 N_ITERS = 3
@@ -102,7 +102,7 @@ def kmeans(emb: DataFrame, k: int = K_CLUSTERS,
 
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return kmeans(emb).orderBy("vec_id")
 
 
@@ -239,7 +239,7 @@ def covariance_long(emb: DataFrame) -> DataFrame:
 
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    return covariance_long(load_table(spark, sf_dir, "embeddings"))
+    return covariance_long(load_embeddings(spark, sf_dir))
 
 
 # Shared by the pca_project oracle below (covariance CTE reuse, the
@@ -359,7 +359,7 @@ def pca_project(emb: DataFrame, k: int = PCA_COMPONENTS) -> DataFrame:
 
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return pca_project(emb).orderBy("vec_id")
 
 

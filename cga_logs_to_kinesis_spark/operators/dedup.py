@@ -1124,8 +1124,11 @@ def q_dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_toks",
                     F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
                     F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-                    (F.coalesce("dup_tokens", F.lit(0)).cast("double")
-                     / F.col("n_toks")).alias("dup_fraction")))
+                    # try_divide: token-less docs have n_toks=0; ANSI
+                    # would throw where the oracle yields NULL
+                    F.try_divide(
+                        F.coalesce("dup_tokens", F.lit(0)).cast("double"),
+                        F.col("n_toks")).alias("dup_fraction")))
 
 
 register(QuerySpec(

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from cga_logs_to_kinesis_spark.functions.exact import davg, davg_sql
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
 from cga_logs_to_kinesis_spark.session import tune_session
-from cga_logs_to_kinesis_spark.sources import load_table
+from cga_logs_to_kinesis_spark.sources import load_embeddings, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -526,7 +526,7 @@ _CDEC = "decimal(38,6)"
 
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return (emb
             .select("label", F.posexplode("embedding")
                     .alias("dim", "v"))

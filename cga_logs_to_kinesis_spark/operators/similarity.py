@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
 from cga_logs_to_kinesis_spark.session import tune_session
-from cga_logs_to_kinesis_spark.sources import load_table
+from cga_logs_to_kinesis_spark.sources import load_embeddings, load_table
 
 # Summation order contract: Spark's `aggregate` and DuckDB's
 # `list_reduce` both fold strictly left-to-right, so a plain double
@@ -48,6 +48,71 @@ def exact_norm(a: str) -> Column:
     return F.sqrt(_seq_sum(sq))
 
 
+def q_embedding_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine report for the embedding ingest gate: every vector
+    classed as missing / wrong_dim / corrupt_values / zero_norm /
+    valid (mutually exclusive, priority-ordered).  This is the audit
+    counterpart of ``load_embeddings``'s filter — the gate that keeps
+    NULL, mis-shaped, non-finite, overlarge, and zero-norm vectors out
+    of the cosine/decimal paths, where ANSI mode would otherwise throw
+    mid-job (div-by-zero on a zero norm, DECIMAL overflow on ~1e30
+    magnitudes).  Reads the RAW table on purpose: the report must see
+    what the gate removes."""
+    from cga_logs_to_kinesis_spark.schema import (
+        EMBEDDING_DIM,
+        EMBEDDING_MAX_ABS,
+    )
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    bad_elem = F.size(F.filter(
+        c, lambda x: x.isNull() | F.isnan(x)
+        | (F.abs(x) > F.lit(EMBEDDING_MAX_ABS))))
+    nonzero = F.size(F.filter(c, lambda x: x != 0))
+    cls = (F.when(c.isNull(), "missing")
+           .when(F.size(c) != EMBEDDING_DIM, "wrong_dim")
+           .when(bad_elem > 0, "corrupt_values")
+           .when(nonzero == 0, "zero_norm")
+           .otherwise("valid"))
+    return (emb.groupBy(cls.alias("validity"))
+            .agg(F.count("*").alias("n_vectors"),
+                 F.min("vec_id").alias("min_vec_id"),
+                 F.max("vec_id").alias("max_vec_id"))
+            .orderBy("validity"))
+
+
+from cga_logs_to_kinesis_spark.schema import (  # noqa: E402
+    EMBEDDING_DIM as _EMB_DIM,
+    EMBEDDING_MAX_ABS as _EMB_MAX,
+)
+
+register(QuerySpec(
+    "embedding_validity", q_embedding_validity,
+    oracle=f"""
+        SELECT CASE
+                 WHEN embedding IS NULL THEN 'missing'
+                 WHEN len(embedding) != {_EMB_DIM} THEN 'wrong_dim'
+                 WHEN len(list_filter(embedding,
+                      x -> x IS NULL OR isnan(x)
+                           OR abs(x) > {_EMB_MAX!r})) > 0
+                      THEN 'corrupt_values'
+                 WHEN len(list_filter(embedding, x -> x != 0)) = 0
+                      THEN 'zero_norm'
+                 ELSE 'valid'
+               END AS validity,
+               COUNT(*) AS n_vectors,
+               MIN(vec_id) AS min_vec_id,
+               MAX(vec_id) AS max_vec_id
+        FROM embeddings
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="embedding ingest-gate audit: per-failure-class vector counts "
+        "(missing / wrong_dim / corrupt_values / zero_norm / valid)",
+    tags=("similarity", "llm-pipeline", "quality", "north-star"),
+))
+
+
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     """Exact cosine top-k of `queries` (vec_id, embedding) vs `emb`."""
     q = queries.select(F.col("vec_id").alias("query_id"),
@@ -70,7 +135,7 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8)
     return cosine_topk(emb, queries, k=5)
 
@@ -317,7 +382,7 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame,
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
@@ -367,7 +432,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored within a bucket, so the pair count is sum(bucket_size^2/2),
     not corpus^2/2."""
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     # Candidate union dedups 16-byte id pairs, never embedding arrays
     # (a distinct over (id, id, array, array) rows shuffles the whole
     # corpus' vectors; over ids it shuffles ~nothing).  Arrays join
@@ -514,7 +579,7 @@ def cosine_topk_fast(emb: DataFrame, queries: DataFrame,
 
 def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return cosine_topk_fast(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
@@ -547,7 +612,7 @@ register(QuerySpec(
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     df = emb.select("vec_id", "label", x.alias("x"))
     maxabs = F.array_max(F.transform(F.col("x"), F.abs))
@@ -653,7 +718,7 @@ _COS_SQL = (
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     cents = (emb.filter(F.col("vec_id") < SEMDEDUP_K)
              .select(F.col("vec_id").alias("centroid_id"),
                      F.col("embedding").alias("cent")))
@@ -738,7 +803,7 @@ IVF_TOPK = 5
 
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < SEMDEDUP_K)
     cents = (emb.filter(F.col("vec_id") < SEMDEDUP_K)
              .select(F.col("vec_id").alias("centroid_id"),
@@ -918,7 +983,7 @@ def q_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     pairs = (minhash_candidates(docs)
              .filter(F.col("jaccard") >= MODAL_TEXT_SIM)
              .select("doc_a", "doc_b", "jaccard"))

@@ -538,8 +538,8 @@ register(QuerySpec(
             SELECT doc_id,
                    regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS tok
             FROM documents,
-                 UNNEST(regexp_split_to_array(lower(trim(text)), '\s+'))
-                     AS t(tok)
+                 UNNEST(regexp_split_to_array(lower(trim(text)),
+                        '[ \t\n\x0B\f\r]+')) AS t(tok)
         ),
         toks_f AS (SELECT * FROM toks WHERE LENGTH(tok) >= 3),
         tf AS (SELECT doc_id, tok, COUNT(*) AS tf

@@ -163,6 +163,15 @@ EMBEDDINGS = StructType([
     StructField("label", IntegerType(), True),
 ])
 
+# The embeddings fixture contract: 64-dim float vectors.  The validity
+# gate (sources/tables.py::embedding_valid) quarantines rows that
+# violate it before any similarity/clustering math.
+EMBEDDING_DIM = 64
+# Magnitude bound for the gate: |x| beyond this is corrupt data, and
+# squared products would overflow the exact-decimal aggregation paths
+# (DECIMAL(38,6) holds ~1e32; 1e15² = 1e30 stays inside).
+EMBEDDING_MAX_ABS = 1.0e15
+
 DOCUMENTS = StructType([
     StructField("doc_id", LongType(), True),
     StructField("text", StringType(), True),

@@ -45,6 +45,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def embedding_valid(col: str = "embedding") -> F.Column:
+    """True iff the vector is usable by similarity/clustering math:
+    non-NULL, exactly EMBEDDING_DIM wide, every element non-NULL /
+    finite / within ±EMBEDDING_MAX_ABS, and non-zero norm (cosine
+    against a zero vector is undefined; in ANSI mode it would throw
+    mid-job instead of at ingest).  On well-formed fixtures this is
+    identically true, so oracle hashes are unchanged; on dirty data it
+    quarantines the rows a real ingest gate would."""
+    from cga_logs_to_kinesis_spark.schema import (
+        EMBEDDING_DIM,
+        EMBEDDING_MAX_ABS,
+    )
+    c = F.col(col)
+    bad_elem = F.size(F.filter(
+        c, lambda x: x.isNull() | F.isnan(x)
+        | (F.abs(x) > F.lit(EMBEDDING_MAX_ABS))))
+    nonzero = F.size(F.filter(c, lambda x: x != 0))
+    return (c.isNotNull()
+            & (F.size(c) == EMBEDDING_DIM)
+            & (bad_elem == 0)
+            & (nonzero > 0))
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the validity gate applied — the loader every
+    similarity/clustering operator uses, so malformed vectors can
+    never reach a cosine/decimal path.  The quarantine report is the
+    ``embedding_validity`` query."""
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(embedding_valid()))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with exact `ts` (int64 ns) plus derived `event_time`.
 

@@ -19,13 +19,34 @@ import pytest
 from cga_logs_to_kinesis_spark.registry import all_queries
 from tests.test_queries_oracle import table_hash
 
+# Every registered query that reads ONLY the documents table (the
+# other fixtures have no dirty twin yet).  Queries whose oracle is
+# None get the crash-freedom check only; the rest are hash-compared.
 PROBED = [
-    "text_stats", "text_normalize", "gopher_quality", "dedup_exact",
-    "winnowing_fingerprints", "quality_weighted_sample",
-    "char_diversity", "dedup_substring", "bpe_token_counts",
-    "unigram_rarity", "fertility_by_lang", "curation_funnel",
-    "token_frequencies", "lang_id", "quality_features",
-    "doc_fingerprint", "gopher_repetition", "pii_scrub",
+    "bigram_surprisal", "bm25_topk", "bpe_learn_merges",
+    "bpe_token_counts", "bpe_tokenize", "char_diversity",
+    "corpus_stats", "curation_funnel", "curation_manifest",
+    "curriculum_deciles", "dedup_components", "dedup_containment",
+    "dedup_exact", "dedup_exact_survivors", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_near_survivors",
+    "dedup_ngram_jaccard", "dedup_recall_report", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_source_flow", "dedup_substring",
+    "dedup_substring_apply", "dedup_substring_stats",
+    "dedup_winnow_pairs", "doc_fingerprint", "domain_cap",
+    "dsir_importance", "envelope_json_roundtrip", "envelope_project",
+    "fertility_by_lang", "gopher_quality", "gopher_repetition",
+    "lang_id", "longest_doc_per_lang", "minhash_signatures",
+    "mixture_weights", "multimodal_audio_features",
+    "multimodal_features", "multimodal_raw_features",
+    "multimodal_raw_resize", "multimodal_resize",
+    "multimodal_video_frames", "ngram_decontaminate", "pack_chunks",
+    "pagerank_docs", "passage_dedup", "pii_scrub",
+    "prune_frequent_tokens", "quality_features",
+    "quality_filter_survivors", "quality_weighted_sample",
+    "shard_assign", "snapshot_diff", "split_assign",
+    "stratified_sample", "text_normalize", "text_stats",
+    "tfidf_top_terms", "token_frequencies", "token_length_histogram",
+    "unigram_rarity", "vocab_coverage", "winnowing_fingerprints",
 ]
 
 _DOCS = pd.DataFrame({
