@@ -633,8 +633,11 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(QuerySpec(
     "json_props", q_json_props,
     oracle="""
-        SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)
-                   AS k_bucket,
+        -- json_valid guard: Spark's get_json_object yields NULL on
+        -- malformed JSON while DuckDB's json_extract_string errors
+        SELECT (CASE WHEN json_valid(props)
+                     THEN CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) END % 10) AS k_bucket,
                COUNT(*) AS n,
                {sum_value}
         FROM events

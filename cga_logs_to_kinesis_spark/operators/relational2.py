@@ -47,9 +47,12 @@ register(QuerySpec(
     "sliding_window", q_sliding_window,
     oracle="""
         WITH g AS (
+            -- ts IS NOT NULL: Spark's window() emits no row for a
+            -- NULL timestamp; the oracle must skip them too
             SELECT event_type, value,
                    (epoch_us(ts) // 5000000) AS grid
             FROM events
+            WHERE ts IS NOT NULL
         ),
         assigned AS (
             SELECT event_type, value,
@@ -69,9 +72,11 @@ register(QuerySpec(
 
 # ---------------------------------------------------------------------------
 # Session windows: 5-minute inactivity gap per user.  Spark's native
-# session_window() merges events < gap apart; the oracle reproduces it
-# with the standard gaps-and-islands construction (lag + cumulative
-# sum).  Both operate in µs.
+# session_window() merges events <= gap apart (an event exactly AT the
+# previous event + gap still extends the session — pinned on dirty
+# 5-min-spaced events in tests/test_event_robustness.py); the oracle
+# reproduces it with the standard gaps-and-islands construction
+# (lag + cumulative sum, new session strictly > gap).  Both in µs.
 # ---------------------------------------------------------------------------
 
 GAP_S = 300
@@ -98,11 +103,13 @@ register(QuerySpec(
     "session_windows", q_session_windows,
     oracle=f"""
         WITH e AS (
+            -- ts IS NOT NULL: session_window() drops NULL timestamps
             SELECT user_id, epoch_us(ts) AS us, value FROM events
+            WHERE ts IS NOT NULL
         ),
         marked AS (
             SELECT user_id, us, value,
-                   CASE WHEN us - LAG(us) OVER w >= {GAP_S * 1_000_000}
+                   CASE WHEN us - LAG(us) OVER w > {GAP_S * 1_000_000}
                         THEN 1 ELSE 0 END AS new_session
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY us)
@@ -333,8 +340,11 @@ register(QuerySpec(
                MIN(k) AS k_min,
                MAX(k) AS k_max
         FROM (
+            -- json_valid guard: from_json yields NULL on junk JSON
             SELECT event_type,
-                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+                   CASE WHEN json_valid(props)
+                        THEN CAST(json_extract_string(props, '$.k')
+                                  AS INT) END AS k
             FROM events
         )
         GROUP BY event_type

@@ -298,11 +298,14 @@ register(QuerySpec(
                cardinality(tags) AS n_tags,
                array_to_string(list_sort(map_keys(tags)), ',') AS key_list
         FROM (
+            -- json_valid guard: from_json yields NULL on junk JSON
             SELECT event_id,
                    MAP(['type', 'k'],
                        [event_type,
-                        CAST(CAST(json_extract_string(props, '$.k') AS INT)
-                             AS VARCHAR)]) AS tags
+                        CASE WHEN json_valid(props)
+                             THEN CAST(CAST(json_extract_string(
+                                      props, '$.k') AS INT)
+                                  AS VARCHAR) END]) AS tags
             FROM events
         )
     """,

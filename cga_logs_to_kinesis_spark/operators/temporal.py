@@ -188,9 +188,12 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tri
             .withColumn("cohort_size",
                         F.first("active_users").over(w0))
+            # try_divide: an all-NULL-user cohort has countDistinct 0
+            # — ANSI would throw where the oracle yields NULL
             .withColumn("retention",
-                        F.col("active_users").cast("double")
-                        / F.col("cohort_size"))
+                        F.try_divide(
+                            F.col("active_users").cast("double"),
+                            F.col("cohort_size")))
             .orderBy("cohort_week", "weeks_since"))
 
 
