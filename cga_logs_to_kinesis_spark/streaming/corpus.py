@@ -63,27 +63,42 @@ def streaming_dedup_exact(docs: DataFrame) -> DataFrame:
             .dropDuplicates(["digest"]))
 
 
-def incremental_dedup_sink(store_dir: str, out_dir: str):
+def incremental_dedup_sink(store_dir: str, out_dir: str,
+                           fail_after_output_for: tuple[int, ...] = ()):
     """foreachBatch twin of ``operators/dedup.py::dedup_incremental``:
     each arriving micro-batch is digested, anti-joined against the
     PERSISTED digest store (a parquet table that outlives the query —
     the cross-run state dropDuplicates can't give), deduped keep-first
     within the batch via the SAME ``incremental_dedup`` core as the
-    batch operator (parity by construction), then survivors are
-    appended to ``out_dir`` and their digests merged into the store.
+    batch operator (parity by construction), then survivors land in
+    ``out_dir`` and their digests merge into the store.
 
     Only digests (16 B/doc) ever hit the store or the anti-join —
     text never leaves the batch scan.  At 100 TB the store is a
     digest-bucketed table and the anti-join shuffles digests only.
-    Note the append pair is at-least-once on crash-mid-batch (same
-    contract as the delivery sink); exactly-once output needs the
-    appends keyed by batch_id (e.g. partitionBy("batch_id") +
-    overwrite), which the parity test doesn't require.
+
+    EXACTLY-ONCE output: both writes are keyed by ``batch_id`` with
+    dynamic partition overwrite, so a replayed batch overwrites its
+    own partition instead of appending a duplicate.  A crash BETWEEN
+    the two writes is also safe: the replay recomputes the anti-join
+    against the store state that excludes this batch's digests, gets
+    the identical survivor set, and overwrites both partitions.
+    Pinned by tests/test_corpus_stream.py::
+    test_incremental_dedup_crash_between_writes_is_exactly_once.
+
+    ``fail_after_output_for`` is the fault-injection hook for that
+    test (same philosophy as streaming/faults.py): the listed batch
+    ids raise FatalDeliveryError after the output write, once each.
     """
     from cga_logs_to_kinesis_spark.operators.dedup import (
         incremental_dedup,
         normalized_text,
     )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -97,9 +112,19 @@ def incremental_dedup_sink(store_dir: str, out_dir: str):
         # store merge); without the cut the second write would
         # recompute the anti-join.
         survivors = incremental_dedup(seen, digests).localCheckpoint()
-        survivors.write.mode("append").parquet(out_dir)
-        survivors.select("text_digest").write.mode("append") \
-            .parquet(store_dir)
+        writer_conf = {"partitionOverwriteMode": "dynamic"}
+        (survivors.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**writer_conf)
+         .partitionBy("batch_id").parquet(out_dir))
+        if (batch_id in fail_after_output_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash between writes, batch {batch_id}")
+        (survivors.select("text_digest")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**writer_conf)
+         .partitionBy("batch_id").parquet(store_dir))
 
     return process
 

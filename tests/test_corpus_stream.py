@@ -100,6 +100,63 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     assert n_store == len(batch1_new) + len(got)
 
 
+def test_incremental_dedup_crash_between_writes_is_exactly_once(
+        spark, tmp_path):
+    """The worst crash point: survivors written, digest-store merge
+    NOT — the replayed batch must overwrite its own output partition
+    (no duplicates) and converge to the same final state.  This is
+    the exactly-once upgrade over the delivery sink's documented
+    at-least-once replay."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        incremental_dedup_sink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "arrivals"
+    store = str(tmp_path / "digest_store")
+    out = str(tmp_path / "survivors")
+
+    def drain(sink):
+        q = (stream_documents(spark, str(src) + "/*")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    docs.filter(F.col("doc_id") % 4 < 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    drain(incremental_dedup_sink(store, out))
+
+    # batch 1 crashes AFTER its output write, BEFORE the store merge
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    crashing = incremental_dedup_sink(store, out,
+                                      fail_after_output_for=(1,))
+    crashed = False
+    try:
+        drain(crashing)
+    except Exception:
+        crashed = True
+    assert crashed
+    partial = spark.read.parquet(out).filter("batch_id = 1").count()
+    assert partial > 0          # real side effects before the crash
+
+    drain(incremental_dedup_sink(store, out))   # replay batch 1
+
+    got = spark.read.parquet(out).filter("batch_id = 1")
+    # exactly-once: the replay overwrote, never duplicated
+    assert got.count() == got.select("text_digest").distinct().count()
+    want = {r.text_digest: (r.doc_id, r.n_batch_dups)
+            for r in all_queries()["dedup_incremental"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert {r.text_digest: (r.doc_id, r.n_batch_dups)
+            for r in got.collect()} == want
+    # store converged: one partition per batch, digests exactly once
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == store_df.distinct().count()
+
+
 def test_streaming_stats_match_batch_totals(spark, tmp_path):
     docs, stream = _staged_stream(spark, tmp_path)
     got = {r.lang: r for r in
