@@ -261,17 +261,24 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
                  / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard")))
 
 
+def banded_buckets(sh: DataFrame) -> DataFrame:
+    """(doc_id, band2, sig2): the 16 raw minhashes paired into 8
+    r=2 bands — the bucket key every minhash-family candidate
+    generator joins on (self-join for corpus dedup, batch-vs-store
+    join for incremental dedup)."""
+    return (signatures_from_shingles(sh)
+            .withColumn("band2", F.expr("band DIV 2"))
+            .groupBy("doc_id", "band2")
+            .agg(F.md5(F.concat_ws("", F.sort_array(
+                F.collect_list(F.concat_ws(":", "band", "sig")))))
+                 .alias("sig2")))
+
+
 def lsh_candidate_ids(sh: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_common_bands) candidate pairs from banded
     minhash buckets over pre-shingled docs — the shared front half of
     every minhash-family verifier (Jaccard, containment)."""
-    sigs = signatures_from_shingles(sh)
-    banded = (sigs
-              .withColumn("band2", F.expr("band DIV 2"))
-              .groupBy("doc_id", "band2")
-              .agg(F.md5(F.concat_ws("", F.sort_array(
-                  F.collect_list(F.concat_ws(":", "band", "sig")))))
-                   .alias("sig2")))
+    banded = banded_buckets(sh)
     # Candidate pairs via a SELF-EQUI-JOIN on the bucket key, not a
     # per-bucket collect_list + double explode: the join streams a hot
     # bucket's pairs through normal shuffle machinery (AQE skew-join can
@@ -715,6 +722,145 @@ register(QuerySpec(
         "persisted seen-corpus digest table, then keep-first within "
         "the batch",
     tags=("dedup", "north-star", "anti-join"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup: new batch vs the banded index of the seen
+# corpus — the per-crawl-drop workflow production pipelines actually
+# run (re-banding 100 TB per drop is a non-starter; the band table is
+# the persisted index).  Topology: batch-side buckets equi-join the
+# seen-side bucket store (hot seen buckets capped at MAX_BUCKET, so
+# per-batch-doc fan-out is bounded by 8 bands x MAX_BUCKET), exact
+# Jaccard verified on candidates only, then one row per batch doc:
+# its nearest seen neighbor and the near-dup verdict.  Intra-batch
+# near-dups are deliberately out of scope here (that is
+# dedup_minhash_lsh's self-join); this operator answers "which NEW
+# docs duplicate the EXISTING corpus".
+# ---------------------------------------------------------------------------
+
+INCR_NEAR_MIN = JACCARD_EDGE_THRESHOLD      # same edge rule as components
+
+
+def minhash_incremental(seen_sh: DataFrame,
+                        batch_sh: DataFrame) -> DataFrame:
+    """One row per batch doc with >=1 candidate: nearest seen doc by
+    exact Jaccard, candidate count, and the near-dup verdict.  Both
+    inputs are pre-shingled (shingle_docs) frames."""
+    return minhash_incremental_from_index(
+        banded_buckets(seen_sh), seen_sh, batch_sh)
+
+
+def minhash_incremental_from_index(seen_b: DataFrame,
+                                   seen_sh: DataFrame,
+                                   batch_sh: DataFrame) -> DataFrame:
+    """Index-level form: ``seen_b`` is the PERSISTED (doc_id, band2,
+    sig2) bucket table — what the streaming twin stores between
+    crawl drops so the seen corpus is never re-banded."""
+    bn = F.count("*").over(Window.partitionBy("band2", "sig2"))
+    seen_idx = (seen_b.withColumn("_bn", bn)
+                .filter(F.col("_bn") <= MAX_BUCKET).drop("_bn")
+                .select(F.col("doc_id").alias("seen_doc"),
+                        "band2", "sig2"))
+    batch_b = banded_buckets(batch_sh).select(
+        F.col("doc_id").alias("batch_doc"), "band2", "sig2")
+    cand = (batch_b.join(seen_idx, ["band2", "sig2"])
+            .groupBy("batch_doc", "seen_doc")
+            .agg(F.count("*").alias("n_common_bands")))
+    sa = batch_sh.select(F.col("doc_id").alias("batch_doc"),
+                         F.col("shingles").alias("sh_a"))
+    sb = seen_sh.select(F.col("doc_id").alias("seen_doc"),
+                        F.col("shingles").alias("sh_b"))
+    scored = (cand.join(sa, "batch_doc").join(sb, "seen_doc")
+              .select("batch_doc", "seen_doc", "n_common_bands",
+                      (F.size(F.array_intersect("sh_a", "sh_b"))
+                       .cast("double")
+                       / F.size(F.array_union("sh_a", "sh_b")))
+                      .alias("jaccard")))
+    w = Window.partitionBy("batch_doc")
+    best = Window.partitionBy("batch_doc").orderBy(
+        F.col("jaccard").desc(), F.col("seen_doc"))
+    return (scored
+            .withColumn("n_candidates", F.count("*").over(w))
+            .withColumn("_rn", F.row_number().over(best))
+            .filter(F.col("_rn") == 1)
+            .select("batch_doc",
+                    F.col("seen_doc").alias("nearest_seen"),
+                    "n_candidates",
+                    F.col("jaccard").alias("best_jaccard"),
+                    (F.col("jaccard") >= INCR_NEAR_MIN)
+                    .alias("is_near_dup")))
+
+
+def q_dedup_minhash_incremental(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(docs).localCheckpoint()
+    return minhash_incremental(
+        sh.filter(F.col("doc_id") % 4 < 3),
+        sh.filter(F.col("doc_id") % 4 == 3))
+
+
+register(QuerySpec(
+    "dedup_minhash_incremental", q_dedup_minhash_incremental,
+    oracle=f"""
+        WITH {SHINGLES_SQL.strip()},
+        sigs AS (
+            SELECT doc_id, b.band,
+                   list_min(list_transform(shingles,
+                            s -> md5(b.band || ':' || s))) AS sig
+            FROM shingled_ne,
+                 (SELECT unnest(range(0, {N_BANDS})) AS band) b
+        ),
+        banded AS (
+            SELECT doc_id, band // 2 AS band2,
+                   md5(array_to_string(
+                       list_sort(list(band || ':' || sig)), '')) AS sig2
+            FROM sigs
+            GROUP BY doc_id, band // 2
+        ),
+        seen_idx AS (
+            SELECT doc_id AS seen_doc, band2, sig2 FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band2, sig2) AS bn
+                FROM banded WHERE doc_id % 4 < 3
+            ) WHERE bn <= {MAX_BUCKET}
+        ),
+        batch_b AS (
+            SELECT doc_id AS batch_doc, band2, sig2
+            FROM banded WHERE doc_id % 4 = 3
+        ),
+        cand AS (
+            SELECT batch_doc, seen_doc, COUNT(*) AS n_common_bands
+            FROM batch_b JOIN seen_idx USING (band2, sig2)
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT c.batch_doc, c.seen_doc, c.n_common_bands,
+                   CAST(len(list_intersect(x.shingles, y.shingles))
+                        AS DOUBLE)
+                   / len(list_distinct(
+                         list_concat(x.shingles, y.shingles))) AS jaccard
+            FROM cand c
+            JOIN shingled_ne x ON c.batch_doc = x.doc_id
+            JOIN shingled_ne y ON c.seen_doc = y.doc_id
+        )
+        SELECT batch_doc, seen_doc AS nearest_seen, n_candidates,
+               jaccard AS best_jaccard,
+               jaccard >= {INCR_NEAR_MIN} AS is_near_dup
+        FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY batch_doc)
+                          AS n_candidates,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY batch_doc
+                       ORDER BY jaccard DESC, seen_doc) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    doc="incremental near-dup: new batch banded against the PERSISTED "
+        "seen-corpus bucket index (capped fan-out), exact-Jaccard "
+        "verified, nearest seen neighbor + verdict per new doc",
+    tags=("dedup", "north-star", "minhash", "incremental"),
 ))
 
 

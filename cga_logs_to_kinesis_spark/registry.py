@@ -61,6 +61,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multimodal_features / multimodal_resize (PNG zlib: genuinely
     # non-SQL) and approx_distinct_users (sketch: error-bound-tested
     # instead, tests/test_consumer_and_approx.py).
+    # Never driver-checked yet (FIRST priority in r7): the r6-late
+    # additions embedding_validity and dedup_minhash_incremental.
     #
     # never driver-checked:
     "snapshot_diff",

@@ -129,6 +129,56 @@ def incremental_dedup_sink(store_dir: str, out_dir: str,
     return process
 
 
+def minhash_incremental_sink(index_dir: str, shingle_dir: str,
+                             out_dir: str):
+    """foreachBatch twin of ``dedup_minhash_incremental``: each crawl
+    drop is shingled ONCE, scored against the PERSISTED band-bucket
+    index (never re-banding the seen corpus — the property that makes
+    per-drop near-dedup feasible at 100 TB), then merged into the
+    index and the shingle store.  All three writes are batch_id-keyed
+    dynamic-overwrite partitions, so replays are exactly-once (same
+    argument as incremental_dedup_sink; a crash between writes replays
+    against the pre-batch store state and overwrites identically).
+
+    Store sizing: the band index is 8 rows x ~50 B per doc; the
+    shingle store is ~1x the text volume (needed only for the exact
+    Jaccard verify — drop it and accept band-level candidates if
+    verify-free operation is acceptable)."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        banded_buckets,
+        minhash_incremental_from_index,
+        shingle_docs,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh = shingle_docs(batch_df).localCheckpoint()
+        try:
+            idx = spark.read.parquet(index_dir) \
+                .select("doc_id", "band2", "sig2")
+            seen_sh = spark.read.parquet(shingle_dir) \
+                .select("doc_id", "shingles")
+        except Exception:       # first batch: stores not created yet
+            idx = spark.createDataFrame(
+                [], "doc_id long, band2 int, sig2 string")
+            seen_sh = spark.createDataFrame(
+                [], "doc_id long, shingles array<string>")
+        report = minhash_incremental_from_index(idx, seen_sh, sh) \
+            .localCheckpoint()
+        conf = {"partitionOverwriteMode": "dynamic"}
+        (report.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(out_dir))
+        (banded_buckets(sh).withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(index_dir))
+        (sh.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(shingle_dir))
+
+    return process
+
+
 def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
     """Per-language running totals — streaming twin of the batch
     ``corpus_stats`` report (works in update/complete output modes)."""

@@ -157,6 +157,49 @@ def test_incremental_dedup_crash_between_writes_is_exactly_once(
     assert store_df.count() == store_df.distinct().count()
 
 
+def test_streaming_minhash_incremental_matches_batch(spark, tmp_path):
+    """The near-dup twin of the exact-dedup parity test: chunk A (the
+    75% 'already-crawled' corpus) builds the persisted band index +
+    shingle store; chunk B (the doc_id%4==3 drop) is scored against
+    it.  Batch-B report rows must equal the registry query
+    row-for-row — proving the persisted-index path computes exactly
+    what re-banding the whole corpus would."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        minhash_incremental_sink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "arrivals"
+    sink = minhash_incremental_sink(str(tmp_path / "band_index"),
+                                    str(tmp_path / "shingle_store"),
+                                    str(tmp_path / "reports"))
+
+    def drain():
+        q = (stream_documents(spark, str(src) + "/*")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    docs.filter(F.col("doc_id") % 4 < 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    drain()
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    drain()
+
+    got = {r.batch_doc: (r.nearest_seen, r.n_candidates,
+                         r.best_jaccard, r.is_near_dup)
+           for r in spark.read.parquet(str(tmp_path / "reports"))
+           .filter("batch_id = 1").collect()}
+    want = {r.batch_doc: (r.nearest_seen, r.n_candidates,
+                          r.best_jaccard, r.is_near_dup)
+            for r in all_queries()["dedup_minhash_incremental"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_streaming_stats_match_batch_totals(spark, tmp_path):
     docs, stream = _staged_stream(spark, tmp_path)
     got = {r.lang: r for r in
