@@ -1512,11 +1512,18 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_a", "doc_b"))
     nt = truth.agg(F.count("*").alias("n_truth"))
     nf = found.agg(F.count("*").alias("n_found"))
+    # NaN, not NULL, for the zero-truth case: the driver's pandas
+    # canonicalizer renders a NULL float64 cell as NaN on the oracle
+    # side, so a NULL here hash-mismatches at any SF whose sample
+    # window happens to contain no true near-dup pairs (seen at
+    # sf0.1).  NaN is also the honest value — recall is undefined,
+    # not zero.
     return (nt.crossJoin(F.broadcast(nf))
             .select("n_truth", "n_found",
                     F.when(F.col("n_truth") > 0,
                            F.col("n_found").cast("double")
-                           / F.col("n_truth")).alias("recall")))
+                           / F.col("n_truth"))
+                    .otherwise(F.lit(float("nan"))).alias("recall")))
 
 
 register(QuerySpec(
@@ -1563,6 +1570,7 @@ register(QuerySpec(
                CASE WHEN (SELECT COUNT(*) FROM truth) > 0
                     THEN CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
                          / (SELECT COUNT(*) FROM truth)
+                    ELSE 'NaN'::DOUBLE
                END AS recall
     """,
     doc="banding recall scorecard: full-corpus LSH candidates vs "

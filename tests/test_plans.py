@@ -332,6 +332,21 @@ def test_customer_join_adapts_to_size(spark, name):
         assert "BroadcastHashJoin" in plan, name
 
 
+def test_minhash_incremental_index_join_is_equi(spark):
+    """The batch-vs-index candidate join must be a bucket-key
+    equi-join (hash/sort-merge — AQE can split a hot bucket), never a
+    nested loop, and the whole plan must stay product-free: at 100 TB
+    the seen-side index is billions of rows and any non-equi path is
+    quadratic."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(
+        SPECS["dedup_minhash_incremental"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
 def test_gopher_quality_is_map_only(spark):
     """Every Gopher rule is row-local arithmetic: the plan must be a
     single map stage over the scan — zero exchanges at any scale."""
