@@ -52,6 +52,7 @@ HEADLINE = (
     "shipping_priority",     # TPC-H Q3: filters + 3-way join + topk
     "dedup_substring",       # digest-window exact-substring dedup
     "pagerank_docs",         # iterative power-iteration join loop
+    "dedup_minhash_incremental",  # batch-vs-band-index near-dup
 )
 
 
