@@ -19,16 +19,13 @@ from cga_logs_to_kinesis_spark.sources import load_events, load_table
 # Explicit whitespace class for EVERY cross-engine regex: Java's \s
 # includes U+000B (vertical tab) but RE2's does not, so a bare \s can
 # silently tokenize/normalize differently in Spark vs the DuckDB
-# oracle (and poison dedup keys built on the result).  Three renderings
-# of the same character set:
-#   WS_PLUS      — Java pattern for F.split/F.regexp_replace, and ALSO
-#                  valid inside a DuckDB plain string literal (which
-#                  passes backslashes through to RE2 unchanged);
-#   WS_PLUS_EXPR — for Spark SQL string literals inside F.expr, which
-#                  unescape one level of backslashes.
+# oracle (and poison dedup keys built on the result).  WS_PLUS is the
+# Java pattern for F.split/F.regexp_replace, and is ALSO valid inside
+# a DuckDB plain string literal (which passes backslashes through to
+# RE2 unchanged); F.expr sites double the backslashes inline because
+# Spark SQL literals unescape one level.
 # Pinned by the \x0B row in tests/test_null_robustness.py.
 WS_PLUS = r"[ \t\n\x0B\f\r]+"
-WS_PLUS_EXPR = WS_PLUS.replace("\\", "\\\\")
 
 
 def token_count(col: str = "text") -> Column:

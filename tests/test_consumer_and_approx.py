@@ -73,21 +73,23 @@ def test_protobuf_codec_gated(spark, tmp_path):
     assert wire.count() == 1
 
 
-def test_approx_distinct_error_bound(spark):
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, "/root/testdata/sf0.01"])
+def test_approx_distinct_error_bound(spark, sf_dir):
     """The operator's error CONTRACT: every group's HLL++ estimate
     must land within APPROX_BOUND_SIGMA x APPROX_RSD of the exact
-    countDistinct (deterministic given the data — no flake window).
-    This is what makes the rows-only driver row trustworthy: 'approx'
-    has a verified bound, not just a stable row count."""
+    countDistinct (deterministic given the data — no flake window),
+    checked at BOTH the local and the driver-gate scale.  This is
+    what makes the rows-only driver row trustworthy: 'approx' has a
+    verified bound, not just a stable row count."""
     from cga_logs_to_kinesis_spark.operators.relational3 import (
         APPROX_BOUND_SIGMA,
         APPROX_RSD,
     )
     q = all_queries()["approx_distinct_users"]
     approx = {r.event_type: r.approx_users
-              for r in q.fn(spark, SF_SMOKE).collect()}
+              for r in q.fn(spark, sf_dir).collect()}
     exact = {r.event_type: r.n for r in
-             load_events(spark, SF_SMOKE)
+             load_events(spark, sf_dir)
              .groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert set(approx) == set(exact)
