@@ -281,12 +281,75 @@ _Q20_ORACLE = """
 """
 
 
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: the largest TPC-H join tree — lineitem joins BOTH
+    orders (fact-fact, for the year) AND partsupp (fact-fact, for the
+    supplycost) plus three broadcast dims, then profit by nation and
+    year.  The two fact-fact joins key on different columns
+    (l_orderkey vs l_partkey+l_suppkey), so two shuffles of the spine
+    are unavoidable — the plan's job is to make everything else
+    broadcast and aggregate map-side."""
+    tune_session(spark)
+    ps = load_table(spark, sf_dir, "partsupp")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    widget = part.filter(F.col("p_name").contains("widget")) \
+        .select("p_partkey")
+    # double arithmetic with the identical expression tree as the
+    # oracle (deterministic IEEE), exactness via dsum's final decimal
+    # cast — the repo's standard cross-engine aggregation pattern
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - _cost().cast("double") * F.col("l_quantity"))
+    return (li
+            .join(F.broadcast(widget),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+                  & (F.col("l_suppkey") == F.col("ps_suppkey")))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supplier),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(dsum(amount, "sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+_Q9_ORACLE = f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           {dsum_sql(
+               "l_extendedprice * (1 - l_discount)"
+               f" - CAST({_COST_SQL} AS DOUBLE) * l_quantity",
+               "sum_profit")}
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+"""
+
+
 PARTSUPP_SPECS: dict[str, QuerySpec] = {
     spec.name: spec for spec in (
         QuerySpec("min_cost_supplier", q_min_cost_supplier, _Q2_ORACLE,
                   doc="TPC-H Q2 shape: correlated scalar-min subquery "
                       "decorrelated to agg + re-join",
                   tags=("join", "subquery", "agg")),
+        QuerySpec("product_profit", q_product_profit, _Q9_ORACLE,
+                  doc="TPC-H Q9 shape: double fact-fact join "
+                      "(orders + partsupp on different keys) + "
+                      "broadcast dims, profit by nation x year",
+                  tags=("join", "agg")),
         QuerySpec("important_stock", q_important_stock, _Q11_ORACLE,
                   doc="TPC-H Q11 shape: HAVING vs global scalar via "
                       "broadcast 1-row cross join",

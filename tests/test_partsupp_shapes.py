@@ -22,7 +22,7 @@ from cga_logs_to_kinesis_spark.plans import formatted_plan, has_pushed_filters
 from tests.conftest import SF_SMOKE
 from tests.test_queries_oracle import table_hash
 
-_TABLES = ("part", "supplier", "nation", "region", "lineitem")
+_TABLES = ("part", "supplier", "nation", "region", "lineitem", "orders")
 
 
 @pytest.fixture(scope="module")
@@ -96,6 +96,18 @@ def test_q16_anti_join_is_broadcast(spark, ps_dir):
         PARTSUPP_SPECS["supplier_part_counts"].fn(spark, ps_dir))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_double_fact_join_is_product_free(spark, ps_dir):
+    """Q9's two fact-fact joins (orders on l_orderkey, partsupp on
+    l_partkey+l_suppkey) key differently, so the plan pays exactly
+    those shuffles — everything else must broadcast, nothing may
+    nested-loop."""
+    plan = formatted_plan(
+        PARTSUPP_SPECS["product_profit"].fn(spark, ps_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_q20_semi_chain(spark, ps_dir):
