@@ -69,6 +69,24 @@ def write_training_shards(docs: DataFrame, path: str,
      .write.partitionBy("shard").mode("overwrite").parquet(path))
 
 
+def write_training_shards_jsonl(docs: DataFrame, path: str,
+                                n_shards: int = N_SHARDS) -> None:
+    """JSONL variant of :func:`write_training_shards` — one document
+    per line, the format most training loaders stream without a
+    parquet reader.  Identical deterministic placement and intra-shard
+    doc_id order, one ``shard=K/part-*.txt`` file per shard; to_json
+    keeps the serialization JVM-side (no Python in the write path)."""
+    cols = docs.columns
+    (docs
+     .withColumn("shard", shard_column(n_shards))
+     .repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "doc_id")
+     .select("shard",
+             F.to_json(F.struct(*[F.col(c) for c in cols]))
+             .alias("value"))
+     .write.partitionBy("shard").mode("overwrite").text(path))
+
+
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard balance report for the export placement: every shard
     present, counts within noise of uniform (the pytest asserts the

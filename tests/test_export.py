@@ -58,6 +58,43 @@ def test_export_is_byte_stable(spark, tmp_path):
             assert f1.read() == f2.read(), shard
 
 
+def test_jsonl_export_roundtrip_placement_and_stability(spark, tmp_path):
+    """The JSONL variant must match the parquet export doc-for-doc:
+    every document exactly once, in the placement shard, one text
+    file per shard, and byte-identical across re-exports with
+    different input partitioning."""
+    import json
+
+    from cga_logs_to_kinesis_spark.operators.export import (
+        write_training_shards_jsonl,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards_jsonl(docs, a)
+    write_training_shards_jsonl(docs.repartition(7), b)
+
+    dirs = sorted(glob.glob(f"{a}/shard=*"))
+    assert len(dirs) == N_SHARDS
+    seen = {}
+    for d in dirs:
+        shard = int(d.rsplit("=", 1)[1])
+        files = glob.glob(f"{d}/*.txt")
+        assert len(files) == 1, d
+        with open(files[0]) as f:
+            for line in f:
+                rec = json.loads(line)
+                seen[rec["doc_id"]] = shard
+        fb = glob.glob(f"{b}/shard={shard}/*.txt")
+        assert len(fb) == 1
+        with open(files[0], "rb") as f1, open(fb[0], "rb") as f2:
+            assert f1.read() == f2.read(), shard
+    expect = {r.doc_id: r.shard for r in
+              docs.withColumn("shard", shard_column())
+              .select("doc_id", "shard").collect()}
+    assert seen == expect
+
+
 def test_shard_assign_query_covers_all_shards(spark):
     from cga_logs_to_kinesis_spark.registry import all_queries
     rows = all_queries()["shard_assign"].fn(spark, SF_SMOKE).collect()
