@@ -68,6 +68,19 @@ def embedding_valid(col: str = "embedding") -> F.Column:
             & (nonzero > 0))
 
 
+def load_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL documents ingest — the read half of
+    ``export.write_training_shards_jsonl`` and the format crawls/dumps
+    usually arrive in.  The schema is EXPLICIT (schema inference is a
+    full extra scan at 100 TB and lets types drift per file); a
+    ``shard=K/`` partitioned layout surfaces ``shard`` as an extra
+    partition column, corrupt lines yield NULL rows rather than
+    failures (Spark's default PERMISSIVE mode — count them via a
+    ``text IS NULL`` gate, the dirty-corpus contract)."""
+    from cga_logs_to_kinesis_spark.schema import DOCUMENTS
+    return spark.read.schema(DOCUMENTS).json(path)
+
+
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings with the validity gate applied — the loader every
     similarity/clustering operator uses, so malformed vectors can

@@ -95,6 +95,24 @@ def test_jsonl_export_roundtrip_placement_and_stability(spark, tmp_path):
     assert seen == expect
 
 
+def test_jsonl_export_ingest_roundtrip(spark, tmp_path):
+    """export -> load_documents_jsonl closes the loop: the re-ingested
+    corpus equals the original row-for-row (schema-explicit read, no
+    inference scan)."""
+    from cga_logs_to_kinesis_spark.operators.export import (
+        write_training_shards_jsonl,
+    )
+    from cga_logs_to_kinesis_spark.sources import load_documents_jsonl
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards_jsonl(docs, out)
+    back = load_documents_jsonl(spark, out).select(*docs.columns)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
+
+
 def test_shard_assign_query_covers_all_shards(spark):
     from cga_logs_to_kinesis_spark.registry import all_queries
     rows = all_queries()["shard_assign"].fn(spark, SF_SMOKE).collect()
