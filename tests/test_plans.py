@@ -332,6 +332,37 @@ def test_customer_join_adapts_to_size(spark, name):
         assert "BroadcastHashJoin" in plan, name
 
 
+def test_retention_cohorts_has_no_self_join(spark):
+    """The cohort label comes from a per-user MIN window, the week-0
+    denominator from a first_value window — the docstring's no-self-
+    join claim, as a plan fact: zero join nodes, one events scan."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["retention_cohorts"].fn(spark, SF_SMOKE))
+    tree = plan.split("(1) ")[0]
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 1
+
+
+def test_snapshot_diff_single_full_outer_on_digests(spark):
+    """Corpus reconciliation pays exactly one full-outer shuffle join;
+    each side projects (doc_id, md5 digest) BEFORE its exchange, so
+    text bytes never shuffle."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["snapshot_diff"].fn(spark, SF_SMOKE))
+    tree = plan.split("(1) ")[0]
+    assert tree.count("FullOuter") == 1
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_fertility_is_single_scan_no_join(spark):
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["fertility_by_lang"].fn(spark, SF_SMOKE))
+    tree = plan.split("(1) ")[0]
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 1
+
+
 def test_minhash_incremental_index_join_is_equi(spark):
     """The batch-vs-index candidate join must be a bucket-key
     equi-join (hash/sort-merge — AQE can split a hot bucket), never a
