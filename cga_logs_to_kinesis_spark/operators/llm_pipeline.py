@@ -75,6 +75,96 @@ register(QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# Split leakage: near-dup contamination ACROSS train/val/test
+# ---------------------------------------------------------------------------
+# The reason split_assign hashes doc_id is reproducibility — but
+# hash-random splitting sends near-duplicate documents to different
+# splits, quietly leaking test/val signal into training (the
+# benchmark-contamination failure mode, via duplicates instead of
+# verbatim benchmark text).  This report classifies every VERIFIED
+# near-dup pair (the dedup_minhash_lsh front, jaccard >= the component
+# threshold) by its members' split pair: is_leak rows are the pairs a
+# curation run must collapse (dedup before splitting) or re-split.
+# Topology: the pair table is tiny (verified near-dups), the split is
+# a row-local hash — two narrow joins on doc ids, one final agg.
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        JACCARD_EDGE_THRESHOLD,
+        minhash_candidates,
+    )
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD)
+             .select("doc_a", "doc_b"))
+    b = _split_bucket()
+    split = F.when(b < "cc", "train").when(b < "e6", "val") \
+        .otherwise("test")
+    sa = docs.select(F.col("doc_id").alias("doc_a"),
+                     split.alias("split_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"),
+                     split.alias("split_b"))
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.min("doc_a").alias("example_doc_a"))
+            .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+            .orderBy("split_lo", "split_hi"))
+
+
+_SPLIT_SQL = ("CASE WHEN substring(md5('split:' || "
+              "CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' "
+              "WHEN substring(md5('split:' || "
+              "CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
+              "ELSE 'test' END")
+
+
+def _split_leakage_oracle() -> str:
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        JACCARD_EDGE_THRESHOLD,
+    )
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+
+    lsh = _REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+        WITH lsh AS ({lsh}),
+        pairs AS (
+            SELECT doc_a, doc_b FROM lsh
+            WHERE jaccard >= {JACCARD_EDGE_THRESHOLD}
+        ),
+        splits AS (
+            SELECT doc_id, {_SPLIT_SQL} AS split FROM documents
+        )
+        SELECT LEAST(a.split, b.split) AS split_lo,
+               GREATEST(a.split, b.split) AS split_hi,
+               COUNT(*) AS n_pairs,
+               MIN(p.doc_a) AS example_doc_a,
+               LEAST(a.split, b.split) <> GREATEST(a.split, b.split)
+                   AS is_leak
+        FROM pairs p
+        JOIN splits a ON p.doc_a = a.doc_id
+        JOIN splits b ON p.doc_b = b.doc_id
+        GROUP BY 1, 2
+        ORDER BY split_lo, split_hi
+    """
+
+
+register(QuerySpec(
+    "split_leakage", q_split_leakage,
+    oracle=_split_leakage_oracle(),
+    doc="near-dup contamination across train/val/test splits: every "
+        "verified near-dup pair classed by its members' splits — "
+        "is_leak pairs bleed eval signal into training (dedup before "
+        "splitting, or collapse these)",
+    tags=("llm-pipeline", "dedup", "split", "north-star", "evaluation"),
+))
+
+
+# ---------------------------------------------------------------------------
 # Stratified (per-language) deterministic sampling
 # ---------------------------------------------------------------------------
 
