@@ -116,11 +116,23 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split_lo", "split_hi"))
 
 
-_SPLIT_SQL = ("CASE WHEN substring(md5('split:' || "
-              "CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' "
-              "WHEN substring(md5('split:' || "
-              "CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
-              "ELSE 'test' END")
+def _split_of(col: F.Column) -> F.Column:
+    """The hash split of an arbitrary id Column (same rule as
+    split_assign)."""
+    b = F.substring(
+        F.md5(F.concat(F.lit("split:"), col.cast("string"))), 1, 2)
+    return F.when(b < "cc", "train").when(b < "e6", "val") \
+        .otherwise("test")
+
+
+def _split_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_split_of` over a SQL expression."""
+    b = f"substring(md5('split:' || CAST(({expr}) AS VARCHAR)), 1, 2)"
+    return (f"CASE WHEN {b} < 'cc' THEN 'train' "
+            f"WHEN {b} < 'e6' THEN 'val' ELSE 'test' END")
+
+
+_SPLIT_SQL = _split_sql("doc_id")
 
 
 def _split_leakage_oracle() -> str:
@@ -161,6 +173,90 @@ register(QuerySpec(
         "is_leak pairs bleed eval signal into training (dedup before "
         "splitting, or collapse these)",
     tags=("llm-pipeline", "dedup", "split", "north-star", "evaluation"),
+))
+
+
+def q_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for split_leakage: reassign every near-dup COMPONENT
+    whole to its representative's split (the hash split of the min-id
+    member — which is the component label itself), so no component
+    straddles train/val/test.  Singletons keep their hash split, so
+    the output is the complete post-repair assignment table, with the
+    original split and a changed flag for auditing.  Topology: the
+    component table is tiny (docs appearing in verified near-dup
+    pairs), so the corpus-side join is broadcast-shaped; everything
+    else is the row-local split hash."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        JACCARD_EDGE_THRESHOLD,
+        connected_components,
+        minhash_candidates,
+    )
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD))
+    comp = connected_components(edges).select(
+        F.col("doc").alias("doc_id"), F.col("comp").alias("component"))
+    return (docs.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .withColumn("component",
+                        F.coalesce("component", F.col("doc_id")))
+            .select("doc_id", "component",
+                    _split_of(F.col("doc_id")).alias("original_split"),
+                    _split_of(F.col("component"))
+                    .alias("repaired_split"))
+            .withColumn("changed",
+                        F.col("original_split")
+                        != F.col("repaired_split")))
+
+
+def _split_repair_oracle() -> str:
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        JACCARD_EDGE_THRESHOLD,
+    )
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+
+    lsh = _REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+        WITH RECURSIVE lsh AS ({lsh}),
+        edges AS (
+            SELECT doc_a, doc_b FROM lsh
+            WHERE jaccard >= {JACCARD_EDGE_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION
+            SELECT doc_b, doc_a FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        )
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component,
+               {_split_sql("d.doc_id")} AS original_split,
+               {_split_sql("COALESCE(c.component, d.doc_id)")}
+                   AS repaired_split,
+               {_split_sql("d.doc_id")}
+                   <> {_split_sql("COALESCE(c.component, d.doc_id)")}
+                   AS changed
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
+register(QuerySpec(
+    "split_repair", q_split_repair,
+    oracle=_split_repair_oracle(),
+    doc="split-leakage repair: every near-dup component reassigned "
+        "whole to its representative's split (complete post-repair "
+        "assignment table with audit flags)",
+    tags=("llm-pipeline", "dedup", "split", "north-star", "apply"),
 ))
 
 

@@ -62,9 +62,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # non-SQL) and approx_distinct_users (sketch: error-bound-tested
     # instead, tests/test_consumer_and_approx.py).
     # Never driver-checked yet (FIRST priority in r7): the r6-late
-    # additions embedding_validity, dedup_minhash_incremental, and
-    # split_leakage (all hash-green in tools/check.py at sf0.01 AND
-    # sf0.1 this round).
+    # additions embedding_validity, dedup_minhash_incremental,
+    # split_leakage, and split_repair (all hash-green in
+    # tools/check.py at sf0.01 AND sf0.1 this round).
     #
     # never driver-checked:
     "snapshot_diff",
