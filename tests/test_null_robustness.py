@@ -28,7 +28,8 @@ PROBED = [
     "corpus_stats", "curation_funnel", "curation_manifest",
     "curriculum_deciles", "dedup_components", "dedup_containment",
     "dedup_exact", "dedup_exact_survivors", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_near_survivors",
+    "dedup_minhash_incremental", "dedup_minhash_lsh",
+    "dedup_near_survivors",
     "dedup_ngram_jaccard", "dedup_recall_report", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_source_flow", "dedup_substring",
     "dedup_substring_apply", "dedup_substring_stats",
@@ -44,6 +45,7 @@ PROBED = [
     "prune_frequent_tokens", "quality_features",
     "quality_filter_survivors", "quality_weighted_sample",
     "shard_assign", "snapshot_diff", "split_assign",
+    "split_leakage", "split_repair",
     "stratified_sample", "text_normalize", "text_stats",
     "tfidf_top_terms", "token_frequencies", "token_length_histogram",
     "unigram_rarity", "vocab_coverage", "winnowing_fingerprints",
