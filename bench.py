@@ -53,6 +53,8 @@ HEADLINE = (
     "dedup_substring",       # digest-window exact-substring dedup
     "pagerank_docs",         # iterative power-iteration join loop
     "dedup_minhash_incremental",  # batch-vs-band-index near-dup
+    "dedup_components",      # iterative pointer-doubling components
+    "dedup_near_survivors",  # composes components + survivor pick
 )
 
 

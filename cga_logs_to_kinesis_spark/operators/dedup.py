@@ -574,13 +574,18 @@ register(QuerySpec(
 # A dedup pipeline ends with *clusters*, not pairs: A~B and B~C must
 # collapse into one group even when A~C was never emitted.  That's
 # connected components — an inherently iterative algorithm, expressed
-# as distributed min-label propagation: each round every node takes
-# the minimum component id among itself and its neighbors; fixpoint in
-# O(diameter) rounds (near-dup clusters are shallow, so a handful).
-# Each round is one join + one agg over the (small) edge set —
-# localCheckpoint cuts the growing lineage.  The DuckDB oracle reaches
-# the same fixpoint with a recursive transitive-closure CTE, making
-# this a hash-checked *iterative* operator.
+# as min-label propagation WITH POINTER DOUBLING: each round every
+# node takes the minimum label among itself and its neighbors (one
+# hop), then jumps to its label's own label (path halving).  The jump
+# makes label chains collapse geometrically, so the fixpoint arrives
+# in O(log diameter) rounds instead of O(diameter) — the difference
+# between 6 rounds and 10^4 on a templated-spam chain at 100 TB.
+# Each round is two joins + one agg over the (small) label table —
+# localCheckpoint cuts the growing lineage.  Exhausting ``max_iters``
+# without a fixpoint RAISES rather than returning silently-wrong
+# labels.  The DuckDB oracle reaches the same fixpoint with a
+# recursive transitive-closure CTE, making this a hash-checked
+# *iterative* operator.
 
 JACCARD_EDGE_THRESHOLD = 0.5
 
@@ -588,31 +593,54 @@ JACCARD_EDGE_THRESHOLD = 0.5
 def connected_components(pairs: DataFrame,
                          max_iters: int = 25) -> DataFrame:
     """(doc_a, doc_b) edges → (doc, comp) labels, comp = min doc_id
-    reachable.  Nodes are docs appearing in at least one edge."""
+    reachable.  Nodes are docs appearing in at least one edge.
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds don't reach the
+    fixpoint — with pointer doubling that takes ~log2(diameter)+2
+    rounds, so 25 covers any graph that physically fits anywhere.
+    """
     # The label graph is docs-in-pairs, orders of magnitude smaller
-    # than the corpus — collapse it to a few partitions so each
+    # than the corpus — collapse it to a narrow width so each
     # propagation round is a handful of tasks, not a full-width
-    # shuffle.  (At 100 TB the edge set of verified near-dup pairs is
-    # still corpus-fraction-sized; scale the coalesce width with it.)
+    # shuffle.  Width follows the engine's explode-parallelism knob
+    # (the edge set is corpus-fraction-sized at 100 TB, so the same
+    # submit-time conf that scales the shingle explodes scales this).
+    width = max(4, explode_parallelism(pairs.sparkSession) // 8)
     sym = (pairs.select("doc_a", "doc_b")
            .union(pairs.select(F.col("doc_b").alias("doc_a"),
                                F.col("doc_a").alias("doc_b")))
-           .coalesce(4)
+           .coalesce(width)
            .localCheckpoint())
     labels = (sym.select(F.col("doc_a").alias("doc")).distinct()
-              .withColumn("comp", F.col("doc")))
+              .withColumn("comp", F.col("doc"))
+              .localCheckpoint())
     for _ in range(max_iters):
+        # one-hop min propagation over the (symmetric) edge set
         nbr = (sym.join(labels.withColumnRenamed("doc", "doc_b"),
                         "doc_b")
                .select(F.col("doc_a").alias("doc"), "comp"))
-        new = (labels.union(nbr)
-               .groupBy("doc").agg(F.min("comp").alias("comp"))
+        prop = (labels.union(nbr)
+                .groupBy("doc").agg(F.min("comp").alias("comp")))
+        # pointer doubling: jump to the label of my label.  Labels are
+        # min-monotone, so label(comp) <= comp; a chain of length d
+        # halves every round.  comp is always itself a node (labels
+        # start at comp=doc and only node ids propagate), so the left
+        # join misses only when prop hasn't materialized it this round
+        # — coalesce keeps the un-jumped label then.
+        hop = prop.select(F.col("doc").alias("comp"),
+                          F.col("comp").alias("comp_hop"))
+        new = (prop.join(hop, "comp", "left")
+               .select("doc",
+                       F.coalesce("comp_hop", "comp").alias("comp"))
                .localCheckpoint())
         changed = new.join(labels, ["doc", "comp"], "left_anti").count()
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds; "
+        "the near-dup graph is deeper than expected — raise max_iters "
+        "(pointer doubling needs ~log2(diameter)+2 rounds)")
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,7 +792,13 @@ def minhash_incremental_from_index(seen_b: DataFrame,
                         "band2", "sig2"))
     batch_b = banded_buckets(batch_sh).select(
         F.col("doc_id").alias("batch_doc"), "band2", "sig2")
+    # batch_doc != seen_doc: a doc can never be its own near-dup.  In
+    # the batch operator the sides are disjoint so this never fires;
+    # it exists for the streaming twin, where an at-least-once replay
+    # may present an index that already contains the batch's own docs
+    # (belt to the sink's batch_id < current read filter).
     cand = (batch_b.join(seen_idx, ["band2", "sig2"])
+            .filter(F.col("batch_doc") != F.col("seen_doc"))
             .groupBy("batch_doc", "seen_doc")
             .agg(F.count("*").alias("n_common_bands")))
     sa = batch_sh.select(F.col("doc_id").alias("batch_doc"),

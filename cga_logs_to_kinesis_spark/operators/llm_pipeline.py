@@ -260,6 +260,122 @@ register(QuerySpec(
 ))
 
 
+def q_split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed leak-report → repair → proof, paying LSH ONCE.
+
+    ``split_leakage`` and ``split_repair`` each recompute the
+    minhash candidate front when run separately; a real curation run
+    does report-then-fix in one session, so this pipeline
+    localCheckpoints the verified-pair table once and derives BOTH the
+    leak classification and the component repair from it.  The output
+    is the audit a curation run actually wants: every (split_lo,
+    split_hi) class of near-dup pairs with its pre-repair count and
+    its post-repair cross-split count — provably 0 for every class,
+    because components move whole (pinned by the oracle too, which
+    recomputes the repair independently).
+
+    Scale: one LSH front (the expensive stage) instead of two; the
+    pair/component tables are corpus-fraction-sized; everything after
+    the checkpoint is narrow joins on doc ids plus the row-local hash
+    split."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        JACCARD_EDGE_THRESHOLD,
+        connected_components,
+        minhash_candidates,
+    )
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # the ONE candidate front both stages share
+    edges = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD)
+             .select("doc_a", "doc_b")
+             .localCheckpoint())
+    comp = connected_components(edges)          # (doc, comp)
+    repaired = comp.select(
+        F.col("doc").alias("doc_id"),
+        _split_of(F.col("comp")).alias("repaired"))
+    orig_a = F.col("doc_a")
+    orig_b = F.col("doc_b")
+    classified = (
+        edges
+        .withColumn("split_a", _split_of(orig_a))
+        .withColumn("split_b", _split_of(orig_b))
+        .join(repaired.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("repaired", "rep_a"), "doc_a")
+        .join(repaired.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("repaired", "rep_b"), "doc_b"))
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (classified
+            .groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum((F.col("rep_a") != F.col("rep_b"))
+                       .cast("bigint")).alias("n_cross_after"))
+            .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+            .orderBy("split_lo", "split_hi"))
+
+
+def _split_leakage_repair_oracle() -> str:
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        JACCARD_EDGE_THRESHOLD,
+    )
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+
+    lsh = _REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+        WITH RECURSIVE lsh AS ({lsh}),
+        edges AS (
+            SELECT doc_a, doc_b FROM lsh
+            WHERE jaccard >= {JACCARD_EDGE_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION
+            SELECT doc_b, doc_a FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        ),
+        rep AS (
+            SELECT doc_id,
+                   {_split_sql("component")} AS repaired
+            FROM comp
+        )
+        SELECT LEAST({_split_sql("e.doc_a")}, {_split_sql("e.doc_b")})
+                   AS split_lo,
+               GREATEST({_split_sql("e.doc_a")}, {_split_sql("e.doc_b")})
+                   AS split_hi,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN ra.repaired <> rb.repaired
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_after,
+               LEAST({_split_sql("e.doc_a")}, {_split_sql("e.doc_b")})
+                   <> GREATEST({_split_sql("e.doc_a")},
+                               {_split_sql("e.doc_b")}) AS is_leak
+        FROM edges e
+        JOIN rep ra ON e.doc_a = ra.doc_id
+        JOIN rep rb ON e.doc_b = rb.doc_id
+        GROUP BY 1, 2
+        ORDER BY split_lo, split_hi
+    """
+
+
+register(QuerySpec(
+    "split_leakage_repair", q_split_leakage_repair,
+    oracle=_split_leakage_repair_oracle(),
+    doc="composed leak-report -> component repair -> proof in one "
+        "plan: each cross-split near-dup pair class with its "
+        "post-repair cross count (always 0 — components move whole), "
+        "paying the LSH candidate front once",
+    tags=("llm-pipeline", "dedup", "split", "north-star", "composed"),
+))
+
+
 # ---------------------------------------------------------------------------
 # Stratified (per-language) deterministic sampling
 # ---------------------------------------------------------------------------

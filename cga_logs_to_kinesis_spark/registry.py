@@ -43,88 +43,87 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-6 curation ------------------------------------------------
-    # Every r5 window row came back green (47 hash + 3 rows-only), so
-    # this round executes the rotation planned in the r5 comment:
-    # never-checked first, then the r1-stale six, then everything whose
-    # code or oracle changed in r6 (the WS_PLUS explicit-whitespace
-    # class, the null-safe token counts, the un-hinted customer
-    # broadcasts, the newly oracle-paired multimodal raw/audio trio),
-    # then the two r3 cohorts.  Left for the r7 window (r5-latest after
-    # this round): volume_shipping..idle_customers (the r5 TPC-H
-    # shapes), shard_assign, pagerank_docs, dedup_near_survivors,
-    # dedup_recall_report, retention_cohorts, rate_anomaly,
-    # modal_agreement, the dedup_substring trio, bpe_learn_merges,
-    # bigram_surprisal, dsir_importance, pca_project, bm25_topk,
-    # unigram_rarity, char_diversity, embedding_covariance,
-    # quality_weighted_sample, stratified_sample, plus rows-only
-    # multimodal_features / multimodal_resize (PNG zlib: genuinely
-    # non-SQL) and approx_distinct_users (sketch: error-bound-tested
-    # instead, tests/test_consumer_and_approx.py).
-    # Never driver-checked yet (FIRST priority in r7): the r6-late
-    # additions embedding_validity, dedup_minhash_incremental,
-    # split_leakage, and split_repair (all hash-green in
-    # tools/check.py at sf0.01 AND sf0.1 this round).
+    # -- round-7 curation ------------------------------------------------
+    # Every r6 window row came back green (all 50 hash-matched), so this
+    # round executes the rotation planned in the r6 comment:
+    # never-driver-checked first (the r6-late quartet plus bpe_tokenize,
+    # which had slipped through every earlier window, plus the queries
+    # new in r7), then the r3-stale straggler, then the full r5-stale
+    # cohort, then code-changed queries, then the oldest r4-stale
+    # representatives.  Left for the r8 window (r4-latest after this
+    # round): array_functions, asof_last_signup, conditional_pivot,
+    # corpus_stats, dedup_containment, dedup_events_first,
+    # dedup_exact_survivors, dedup_ngram_jaccard, dedup_simhash_pairs,
+    # dedup_source_flow, dedup_winnow_pairs, distinct_users, domain_cap,
+    # envelope_project, funnel_conversion, global_topk, json_props,
+    # map_functions, mixture_weights, multi_resolution_rollup,
+    # pivot_event_types, price_percentiles, prune_frequent_tokens,
+    # range_join_error_after_purchase, shipping_priority,
+    # similar_part_names, token_length_histogram; then the r5-latest
+    # leftovers (above_nation_avg, cube_orders, date_gallery,
+    # dedup_simhash, filter_project, grouping_sets_sql,
+    # longest_doc_per_lang, orders_in_window, orders_no_bulk_item,
+    # rank_gallery, rollup_pricing, scalar_gallery, unpivot_metrics)
+    # plus rows-only multimodal_features / multimodal_resize (PNG zlib:
+    # genuinely non-SQL) and approx_distinct_users (sketch:
+    # error-bound-tested instead, tests/test_consumer_and_approx.py).
     #
-    # never driver-checked:
-    "snapshot_diff",
-    # r1-latest, five rounds stale:
-    "envelope_json_roundtrip",
-    "nation_set_ops",
-    "union_by_name",
-    "anti_join_customers",
-    "semi_join_customers",
-    "bulk_orders",
-    # newly oracle-paired this round (no_oracle -> hash rows):
-    "multimodal_raw_features",
-    "multimodal_raw_resize",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
-    # code/oracle changed this round — needs a fresh row:
-    "revenue_by_nation",     # customer broadcast un-hinted
-    "segment_totals",        # customer broadcast un-hinted
-    "gopher_quality",        # stop_hits NULL-coalesce
-    "fertility_by_lang",     # null-safe BPE token count
-    "text_normalize",        # explicit whitespace class
-    "token_frequencies",     # NORMALIZED_SQL explicit class
-    "curation_funnel",       # empty-funnel COALESCE + norm class
-    "curation_manifest",     # NORMALIZED_SQL via shared constant
-    "vocab_coverage",        # NORMALIZED_SQL explicit class
-    "dedup_exact",           # normalized_text explicit class
-    "dedup_minhash_lsh",     # shingles over normalized_text
-    "winnowing_fingerprints",# fingerprints over normalized tokens
-    # r3-latest cohort (displaced by the r5 window):
-    "text_stats",
-    "tfidf_top_terms",
-    "pack_chunks",
-    "gopher_repetition",
-    "ngram_decontaminate",
-    "curriculum_deciles",
-    "embedding_centroids",
-    "embedding_quantize",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "semdedup",
-    "bpe_token_counts",      # also changed: try_divide on bpe_per_word
-    "cosine_topk_ivf",
-    "dedup_components",
-    # r3-latest cohort (planned for r6 in the r5 comment):
-    "date_trunc_buckets",
-    "large_volume_customers",
-    "priority_count",
-    "promo_share",
-    "quality_features",      # also changed: try_divide on the ratios
-    "quality_filter_survivors",
-    "returned_revenue",
-    "share_of_total",
-    "shipmode_priority",
-    "lang_id",               # also changed: WS_PLUS tokenizer split
-    "doc_fingerprint",       # also changed: WS_PLUS digest normalize
-    "pii_scrub",
-    "split_assign",
-    # stratified_sample displaced by multimodal_video_frames (newly
-    # oracle-paired beats a row-local op pinned by pytest); rotate it
-    # into r7.
+    # never driver-checked (r6-late additions + r7-new):
+    "embedding_validity",
+    "dedup_minhash_incremental",
+    "split_leakage",
+    "split_repair",
+    "bpe_tokenize",
+    "jsonl_ingest_report",       # new in r7
+    "split_leakage_repair",      # new in r7 (composed leak->repair)
+    # r3-latest straggler:
+    "stratified_sample",
+    # r5-latest cohort (the rotation promised in the r6 comment):
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "top_supplier",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "idle_customers",
+    "shard_assign",
+    "pagerank_docs",
+    "dedup_near_survivors",      # also composes the r7 components rewrite
+    "dedup_recall_report",
+    "retention_cohorts",
+    "rate_anomaly",
+    "modal_agreement",
+    "dedup_substring",
+    "dedup_substring_stats",
+    "dedup_substring_apply",
+    "bpe_learn_merges",
+    "bigram_surprisal",
+    "dsir_importance",
+    "pca_project",
+    "bm25_topk",
+    "unigram_rarity",
+    "char_diversity",
+    "embedding_covariance",
+    "quality_weighted_sample",
+    # code changed in r7 — needs a fresh row:
+    "dedup_components",          # pointer-doubling components rewrite
+    # r4-latest cohort, oldest first (embedding oracles also gained the
+    # VALID_EMBEDDING_SQL gate twin in r7 — fresh rows for that family):
+    "ann_recall_report",
+    "cosine_topk",
+    "cosine_topk_fast",
+    "cosine_topk_lsh",
+    "kmeans_embeddings",
+    "minhash_signatures",
+    "passage_dedup",
+    "batch_pages",
+    "stats_tumbling",
+    "sliding_window",
+    "session_windows",
+    "running_revenue",
+    "top3_orders_per_customer",
+    "pricing_summary",
 )
 
 
@@ -142,6 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         export,
         graph,
+        ingest_audit,
         llm_pipeline,
         lm_quality,
         multimodal,
@@ -157,6 +157,8 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch_shapes,
         tpch_shapes2,
     )
+    from cga_logs_to_kinesis_spark.operators import tpch_partsupp
+    tpch_partsupp.register_when_fixture_ships()
     ordered: dict[str, QuerySpec] = {}
     for name in DRIVER_WINDOW:
         ordered[name] = _REGISTRY[name]

@@ -64,7 +64,9 @@ def streaming_dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def incremental_dedup_sink(store_dir: str, out_dir: str,
-                           fail_after_output_for: tuple[int, ...] = ()):
+                           fail_after_output_for: tuple[int, ...] = (),
+                           fail_after_all_writes_for:
+                           tuple[int, ...] = ()):
     """foreachBatch twin of ``operators/dedup.py::dedup_incremental``:
     each arriving micro-batch is digested, anti-joined against the
     PERSISTED digest store (a parquet table that outlives the query —
@@ -80,15 +82,20 @@ def incremental_dedup_sink(store_dir: str, out_dir: str,
     EXACTLY-ONCE output: both writes are keyed by ``batch_id`` with
     dynamic partition overwrite, so a replayed batch overwrites its
     own partition instead of appending a duplicate.  A crash BETWEEN
-    the two writes is also safe: the replay recomputes the anti-join
-    against the store state that excludes this batch's digests, gets
-    the identical survivor set, and overwrites both partitions.
-    Pinned by tests/test_corpus_stream.py::
-    test_incremental_dedup_crash_between_writes_is_exactly_once.
+    the two writes is safe — the replay recomputes the anti-join
+    against pre-batch store state and overwrites identically — and so
+    is a crash AFTER the last write but BEFORE the checkpoint commit
+    (foreachBatch's at-least-once window): the store read filters
+    ``batch_id < current``, so a replay can never anti-join the
+    batch's own digests (which would wrongly drop every batch doc as
+    already-seen).  Pinned by tests/test_corpus_stream.py::
+    test_incremental_dedup_crash_between_writes_is_exactly_once and
+    ..._crash_after_last_write_is_exactly_once.
 
-    ``fail_after_output_for`` is the fault-injection hook for that
-    test (same philosophy as streaming/faults.py): the listed batch
-    ids raise FatalDeliveryError after the output write, once each.
+    ``fail_after_output_for`` / ``fail_after_all_writes_for`` are the
+    fault-injection hooks for those tests (same philosophy as
+    streaming/faults.py): the listed batch ids raise
+    FatalDeliveryError at that point, once each.
     """
     from cga_logs_to_kinesis_spark.operators.dedup import (
         incremental_dedup,
@@ -105,7 +112,13 @@ def incremental_dedup_sink(store_dir: str, out_dir: str,
         digests = batch_df.select(
             "doc_id", F.md5(normalized_text()).alias("text_digest"))
         try:
-            seen = spark.read.parquet(store_dir).select("text_digest")
+            # batch_id < current: a replayed batch (crash after the
+            # store write, before the checkpoint commit) must see
+            # PRE-batch state, never its own digests — partition
+            # pruning makes the filter a directory skip, not a scan.
+            seen = (spark.read.parquet(store_dir)
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select("text_digest"))
         except Exception:       # first batch: store not created yet
             seen = spark.createDataFrame([], "text_digest string")
         # localCheckpoint: the survivor set feeds TWO writes (output +
@@ -125,20 +138,35 @@ def incremental_dedup_sink(store_dir: str, out_dir: str,
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite").options(**writer_conf)
          .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_all_writes_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after last write, batch {batch_id}")
 
     return process
 
 
 def minhash_incremental_sink(index_dir: str, shingle_dir: str,
-                             out_dir: str):
+                             out_dir: str,
+                             fail_after_all_writes_for:
+                             tuple[int, ...] = ()):
     """foreachBatch twin of ``dedup_minhash_incremental``: each crawl
     drop is shingled ONCE, scored against the PERSISTED band-bucket
     index (never re-banding the seen corpus — the property that makes
     per-drop near-dedup feasible at 100 TB), then merged into the
     index and the shingle store.  All three writes are batch_id-keyed
-    dynamic-overwrite partitions, so replays are exactly-once (same
-    argument as incremental_dedup_sink; a crash between writes replays
-    against the pre-batch store state and overwrites identically).
+    dynamic-overwrite partitions, so replays are exactly-once: a crash
+    between writes replays against pre-batch store state and
+    overwrites identically, and a crash AFTER the last write but
+    BEFORE the checkpoint commit (foreachBatch's at-least-once window)
+    is covered by the ``batch_id < current`` read filter — without it
+    a replay would score the batch against an index containing its own
+    docs and flag the entire drop as self-duplicate (8 common bands,
+    jaccard 1.0).  ``minhash_incremental_from_index`` additionally
+    drops ``batch_doc == seen_doc`` pairs as defense in depth.  Pinned
+    by tests/test_corpus_stream.py::
+    test_minhash_incremental_crash_after_last_write_is_exactly_once.
 
     Store sizing: the band index is 8 rows x ~50 B per doc; the
     shingle store is ~1x the text volume (needed only for the exact
@@ -149,15 +177,22 @@ def minhash_incremental_sink(index_dir: str, shingle_dir: str,
         minhash_incremental_from_index,
         shingle_docs,
     )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sh = shingle_docs(batch_df).localCheckpoint()
         try:
-            idx = spark.read.parquet(index_dir) \
-                .select("doc_id", "band2", "sig2")
-            seen_sh = spark.read.parquet(shingle_dir) \
-                .select("doc_id", "shingles")
+            idx = (spark.read.parquet(index_dir)
+                   .filter(F.col("batch_id") < F.lit(batch_id))
+                   .select("doc_id", "band2", "sig2"))
+            seen_sh = (spark.read.parquet(shingle_dir)
+                       .filter(F.col("batch_id") < F.lit(batch_id))
+                       .select("doc_id", "shingles"))
         except Exception:       # first batch: stores not created yet
             idx = spark.createDataFrame(
                 [], "doc_id long, band2 int, sig2 string")
@@ -175,6 +210,11 @@ def minhash_incremental_sink(index_dir: str, shingle_dir: str,
         (sh.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite").options(**conf)
          .partitionBy("batch_id").parquet(shingle_dir))
+        if (batch_id in fail_after_all_writes_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after last write, batch {batch_id}")
 
     return process
 

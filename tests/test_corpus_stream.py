@@ -330,3 +330,116 @@ def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
     w = {r.doc_id: (r.weight, r.kept) for r in want.collect()}
     assert g == w and len(g) > 0
     assert any(v[1] for v in g.values()) != all(v[1] for v in g.values())
+
+
+def test_incremental_dedup_crash_after_last_write_is_exactly_once(
+        spark, tmp_path):
+    """The at-least-once window foreachBatch can't close: ALL writes
+    landed but the checkpoint never committed, so the batch replays
+    against a store that already contains its own digests.  The
+    `batch_id < current` read filter must make the replay see
+    pre-batch state — without it every batch doc anti-joins itself
+    and the replay overwrites the output with an EMPTY survivor set
+    (silent total data loss for the drop)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        incremental_dedup_sink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "arrivals"
+    store = str(tmp_path / "digest_store")
+    out = str(tmp_path / "survivors")
+
+    def drain(sink):
+        q = (stream_documents(spark, str(src) + "/*")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    docs.filter(F.col("doc_id") % 4 < 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    drain(incremental_dedup_sink(store, out))
+
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    crashing = incremental_dedup_sink(store, out,
+                                      fail_after_all_writes_for=(1,))
+    crashed = False
+    try:
+        drain(crashing)
+    except Exception:
+        crashed = True
+    assert crashed
+    # both writes really landed before the crash
+    assert spark.read.parquet(out).filter("batch_id = 1").count() > 0
+    assert spark.read.parquet(store).filter("batch_id = 1").count() > 0
+
+    drain(incremental_dedup_sink(store, out))   # replay batch 1
+
+    got = spark.read.parquet(out).filter("batch_id = 1")
+    want = {r.text_digest: (r.doc_id, r.n_batch_dups)
+            for r in all_queries()["dedup_incremental"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert {r.text_digest: (r.doc_id, r.n_batch_dups)
+            for r in got.collect()} == want
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == store_df.distinct().count()
+
+
+def test_minhash_incremental_crash_after_last_write_is_exactly_once(
+        spark, tmp_path):
+    """Same at-least-once window for the near-dup sink: after a crash
+    past all three writes, the replayed batch scores against an index
+    + shingle store already containing its own docs.  Un-filtered,
+    every batch doc would match ITSELF (8 common bands, jaccard 1.0)
+    and the whole drop would be flagged near-dup — the report must
+    instead converge to exactly the batch operator's output."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        minhash_incremental_sink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "arrivals"
+    args = (str(tmp_path / "band_index"),
+            str(tmp_path / "shingle_store"),
+            str(tmp_path / "reports"))
+
+    def drain(sink):
+        q = (stream_documents(spark, str(src) + "/*")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    docs.filter(F.col("doc_id") % 4 < 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    drain(minhash_incremental_sink(*args))
+
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    crashed = False
+    try:
+        drain(minhash_incremental_sink(
+            *args, fail_after_all_writes_for=(1,)))
+    except Exception:
+        crashed = True
+    assert crashed
+    assert spark.read.parquet(args[0]).filter("batch_id = 1").count() > 0
+    assert spark.read.parquet(args[1]).filter("batch_id = 1").count() > 0
+
+    drain(minhash_incremental_sink(*args))      # replay batch 1
+
+    got = {r.batch_doc: (r.nearest_seen, r.n_candidates,
+                         r.best_jaccard, r.is_near_dup)
+           for r in spark.read.parquet(args[2])
+           .filter("batch_id = 1").collect()}
+    want = {r.batch_doc: (r.nearest_seen, r.n_candidates,
+                          r.best_jaccard, r.is_near_dup)
+            for r in all_queries()["dedup_minhash_incremental"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert got == want and len(want) > 0
+    # and in particular: nothing matched itself
+    assert all(r[0] != doc for doc, r in got.items())
