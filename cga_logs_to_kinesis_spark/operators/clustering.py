@@ -456,3 +456,12 @@ register(QuerySpec(
         "bit-exact)",
     tags=("similarity", "llm-pipeline", "iterative", "pandas-udf"),
 ))
+
+
+# Oracle twins of the gated load_embeddings reads above (see
+# sources/tables.py::gate_registered_oracles).
+from cga_logs_to_kinesis_spark.sources.tables import (  # noqa: E402
+    gate_registered_oracles as _gate_oracles,
+)
+
+_gate_oracles("kmeans_embeddings", "embedding_covariance", "pca_project")

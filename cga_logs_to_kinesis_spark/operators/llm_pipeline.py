@@ -1197,3 +1197,12 @@ register(QuerySpec(
         f"{VOCAB_SIZES} (one-pass conditional rollup over the type table)",
     tags=("llm-pipeline", "text", "agg"),
 ))
+
+
+# Oracle twin of the gated load_embeddings read in embedding_centroids
+# (see sources/tables.py::gate_registered_oracles).
+from cga_logs_to_kinesis_spark.sources.tables import (  # noqa: E402
+    gate_registered_oracles as _gate_oracles,
+)
+
+_gate_oracles("embedding_centroids")

@@ -1047,3 +1047,19 @@ register(QuerySpec(
         "a drifted embedding model that semantic dedup would trust",
     tags=("similarity", "dedup", "north-star", "evaluation"),
 ))
+
+
+# Every query above whose Spark side reads the gated load_embeddings
+# gets the oracle twin of that gate (sources/tables.py::
+# VALID_EMBEDDING_SQL) — on clean fixtures a no-op, on dirty data the
+# pair stays hash-identical instead of silently diverging.
+# embedding_validity is deliberately absent: it audits the RAW table.
+from cga_logs_to_kinesis_spark.sources.tables import (  # noqa: E402
+    gate_registered_oracles as _gate_oracles,
+)
+
+_gate_oracles(
+    "cosine_topk", "cosine_topk_fast", "cosine_topk_lsh",
+    "cosine_topk_ivf", "dedup_embedding_cosine", "embedding_quantize",
+    "semdedup", "ann_recall_report", "modal_agreement",
+)

@@ -45,6 +45,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _valid_embedding_sql() -> str:
+    from cga_logs_to_kinesis_spark.schema import (
+        EMBEDDING_DIM,
+        EMBEDDING_MAX_ABS,
+    )
+    return (
+        f"embedding IS NOT NULL AND len(embedding) = {EMBEDDING_DIM}"
+        " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x)"
+        f" OR abs(x) > {EMBEDDING_MAX_ABS!r})) = 0"
+        " AND len(list_filter(embedding, x -> x <> 0)) > 0")
+
+
+# DuckDB WHERE-clause twin of :func:`embedding_valid` — the shared
+# constant every embedding oracle routes through (the NORMALIZED_SQL /
+# WS_PLUS convention), so Spark's gated ``load_embeddings`` and the
+# oracles agree even on fixtures containing invalid vectors.
+VALID_EMBEDDING_SQL: str = _valid_embedding_sql()
+
+
+def gate_embeddings_sql(sql: str) -> str:
+    """Rewrite an oracle so every read of the raw ``embeddings`` view
+    goes through the validity gate — the SQL twin of the Spark side's
+    ``load_embeddings``.  Queries auditing the raw table
+    (``embedding_validity``) must NOT route through this."""
+    import re
+    gated = f"(SELECT * FROM embeddings WHERE {VALID_EMBEDDING_SQL})"
+    return re.sub(r"\b(FROM|JOIN) embeddings\b", rf"\1 {gated}", sql)
+
+
+def gate_registered_oracles(*names: str) -> None:
+    """Route the named registered queries' oracles through
+    :func:`gate_embeddings_sql`.  Called at the end of each operator
+    module for exactly the queries whose Spark side reads the gated
+    ``load_embeddings`` — keeping the pairing explicit and auditable
+    (every gated load ↔ a gated oracle)."""
+    from dataclasses import replace
+
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+    for n in names:
+        spec = _REGISTRY[n]
+        if spec.oracle:
+            _REGISTRY[n] = replace(
+                spec, oracle=gate_embeddings_sql(spec.oracle))
+
+
 def embedding_valid(col: str = "embedding") -> F.Column:
     """True iff the vector is usable by similarity/clustering math:
     non-NULL, exactly EMBEDDING_DIM wide, every element non-NULL /

@@ -119,3 +119,37 @@ def test_validity_all_valid_on_clean_fixture(spark):
         .collect()
     assert len(rows) == 1
     assert rows[0].validity == "valid"
+
+
+# With the oracles routed through VALID_EMBEDDING_SQL (the gate's SQL
+# twin), every gated query must stay HASH-IDENTICAL to its oracle on a
+# fixture containing invalid vectors — the upgrade from crash-freedom
+# to hash-comparison that caught nine divergences when applied to the
+# documents net.  embedding_validity is covered separately above (it
+# reads the raw table by design); parquet-path views stand in for the
+# driver's fixture views.
+GATED_HASH_QUERIES = [q for q in EMB_QUERIES if q != "embedding_validity"]
+
+
+@pytest.fixture(scope="module")
+def dirty_oracle(dirty_dir):
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{dirty_dir}/{t}.parquet/*.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", GATED_HASH_QUERIES)
+def test_gated_query_matches_oracle_on_dirty(spark, dirty_dir,
+                                             dirty_oracle, name):
+    spec = all_queries()[name]
+    sdf = spec.fn(spark, dirty_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = dirty_oracle.execute(spec.oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows), "row count mismatch"
+    assert sorted(sdf.columns) == sorted(ocols), "schema mismatch"
+    assert table_hash(srows, list(sdf.columns)) == table_hash(orows, ocols)
