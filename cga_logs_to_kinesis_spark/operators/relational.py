@@ -569,7 +569,12 @@ register(QuerySpec(
                UPPER(p_name) AS name_upper,
                LENGTH(p_name) AS name_len,
                SUBSTRING(p_brand, 1, 5) AS brand_prefix,
-               COALESCE(regexp_extract(p_type, '([A-Z]+)', 1), '') AS type_word,
+               -- DuckDB regexp_extract: NULL on no-match (Spark: '')
+               -- but also NULL on NULL input (Spark: NULL) — coalesce
+               -- only the no-match case
+               CASE WHEN p_type IS NULL THEN NULL
+                    ELSE COALESCE(regexp_extract(p_type, '([A-Z]+)', 1),
+                                  '') END AS type_word,
                CONCAT_WS('|', p_brand, p_type) AS brand_type,
                p_size % 7 AS size_mod,
                CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)

@@ -325,11 +325,16 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
                  .cast("double").alias("total_balance"),
                  F.max("c_acctbal").alias("max_balance")))
-    return wide.unpivot(
+    return (wide.unpivot(
         ids=["c_nationkey"],
         values=["n_customers", "total_balance", "max_balance"],
         variableColumnName="metric",
         valueColumnName="value")
+        # SQL UNPIVOT defaults to EXCLUDE NULLS; Spark's melt keeps
+        # NULL cells.  Pin the ANSI semantics explicitly — on clean
+        # fixtures a no-op, on an all-NULL group (dirty net) the
+        # difference is two phantom rows.
+        .filter(F.col("value").isNotNull()))
 
 
 register(QuerySpec(

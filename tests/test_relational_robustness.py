@@ -1,9 +1,11 @@
 """Dirty-TPC-H robustness: NULL-riddled rows injected into every
-relational fixture table must not crash the join/agg surface (a full
-138-query probe found zero crashes when this net was added — equi
-joins drop NULL keys, aggregates skip NULLs; this keeps it that way).
-Scoped to the division/outer-join-bearing queries where an ANSI
-divide-by-zero or NULL-key regression would first appear."""
+relational fixture table must keep the join/agg/window surface not
+just crash-free but HASH-IDENTICAL to the DuckDB oracle (the upgrade
+that caught nine real divergences when applied to the documents net —
+NULL keys in joins/aggs and NULL sort keys are exactly where
+Spark-vs-DuckDB semantics can drift).  Scoped to the
+division/outer-join-bearing queries where an ANSI divide-by-zero or
+NULL-key regression would first appear."""
 
 from __future__ import annotations
 
@@ -14,6 +16,7 @@ import pytest
 
 from cga_logs_to_kinesis_spark.registry import all_queries
 from tests.conftest import SF_SMOKE
+from tests.test_queries_oracle import table_hash
 
 PROBED = [
     "market_share", "promo_share", "share_of_total",
@@ -24,6 +27,12 @@ PROBED = [
     "waiting_suppliers", "idle_customers", "large_volume_customers",
     "bulk_orders", "orders_no_bulk_item", "unpivot_metrics",
     "conditional_pivot", "similar_part_names", "global_topk",
+    # r7 widening: the rest of the join/agg/window/set-op families
+    "date_trunc_buckets", "priority_count", "rollup_pricing",
+    "cube_orders", "grouping_sets_sql", "date_gallery", "rank_gallery",
+    "scalar_gallery", "top_supplier", "disjunctive_revenue",
+    "nation_set_ops", "union_by_name", "semi_join_customers",
+    "anti_join_customers", "filter_project", "orders_in_window",
 ]
 
 _MODS = {
@@ -58,7 +67,32 @@ def dirty_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def dirty_oracle(dirty_dir):
+    con = duckdb.connect()
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents",
+                 "embeddings"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{dirty_dir}/{name}.parquet')")
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", PROBED)
-def test_relational_query_survives_null_rows(spark, dirty_dir, name):
-    n = all_queries()[name].fn(spark, dirty_dir).count()
-    assert n >= 0
+def test_relational_query_matches_oracle_on_dirty(spark, dirty_dir,
+                                                  dirty_oracle, name):
+    spec = all_queries()[name]
+    sdf = spec.fn(spark, dirty_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) >= 0
+    if spec.oracle is None:
+        return
+    cur = dirty_oracle.execute(spec.oracle)
+    ocols = [c[0] for c in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows), "row count mismatch on dirty rows"
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert table_hash(srows, list(sdf.columns)) == \
+        table_hash(orows, ocols), \
+        f"{name}: cross-engine divergence on dirty relational rows"
