@@ -563,3 +563,95 @@ register(QuerySpec(
         "catches shared runs banding misses; hot-fingerprint capped)",
     tags=("dedup", "north-star", "fingerprint", "join"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Robust length outliers: per-language median/MAD gate
+# ---------------------------------------------------------------------------
+# Mean/stddev length gates break on crawl data because the length
+# distribution is heavy-tailed (one concatenated mega-document drags
+# the mean); production curation uses the median/MAD (median absolute
+# deviation) robust pair instead.  This is the length analogue of the
+# Gopher word-count bounds: flag documents further than K·MAD from
+# their language's median.
+#
+# 100 TB note: `percentile` here is Spark's EXACT interpolated
+# percentile (it buffers each group's values), which is the right
+# choice for an oracle-paired fixture query but NOT for a 100 TB
+# corpus — at scale swap `percentile` for `approx_percentile` (same
+# plan shape, t-digest-style sketch, map-side mergeable); the
+# `approx_quantiles` registry query carries the error-bound contract
+# for that path.  Two passes over a 2-column pruned projection are
+# inherent to median-of-deviations.
+
+MAD_K = 5
+
+
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("n_chars").isNotNull())
+            .select("doc_id", "lang", "n_chars"))
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"))
+    dev = (docs.join(F.broadcast(med), "lang")
+           .withColumn("absdev",
+                       F.abs(F.col("n_chars") - F.col("median_chars"))))
+    mad = dev.groupBy("lang").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad_chars"))
+    flagged = (dev.join(F.broadcast(mad), "lang")
+               .withColumn("is_outlier",
+                           F.col("absdev")
+                           > F.lit(MAD_K) * F.col("mad_chars")))
+    return (flagged.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("median_chars").alias("median_chars"),
+                 F.min("mad_chars").alias("mad_chars"),
+                 F.sum(F.col("is_outlier").cast("bigint"))
+                 .alias("n_outliers"),
+                 # -1, not NULL: the driver canonicalizer renders a
+                 # nullable int column as NaN on the DuckDB side but
+                 # NULL on the Spark side (memory'd r6 trap)
+                 F.coalesce(
+                     F.min(F.when(F.col("is_outlier"), F.col("doc_id"))),
+                     F.lit(-1)).alias("example_outlier"))
+            .orderBy("lang"))
+
+
+register(QuerySpec(
+    "length_outliers", q_length_outliers,
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars IS NOT NULL
+        ),
+        med AS (
+            SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars
+            FROM docs GROUP BY lang
+        ),
+        dev AS (
+            SELECT d.doc_id, d.lang, med.median_chars,
+                   ABS(d.n_chars - med.median_chars) AS absdev
+            FROM docs d JOIN med USING (lang)
+        ),
+        mad AS (
+            SELECT lang, quantile_cont(absdev, 0.5) AS mad_chars
+            FROM dev GROUP BY lang
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               MIN(d.median_chars) AS median_chars,
+               MIN(m.mad_chars) AS mad_chars,
+               CAST(SUM(CASE WHEN d.absdev > {MAD_K} * m.mad_chars
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               COALESCE(MIN(CASE WHEN d.absdev > {MAD_K} * m.mad_chars
+                                 THEN d.doc_id END), -1) AS example_outlier
+        FROM dev d JOIN mad m USING (lang)
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc=f"robust per-language length gate: median/MAD of n_chars, "
+        f"outliers beyond {MAD_K}*MAD flagged (heavy-tail-safe, the "
+        "robust twin of mean/stddev gates)",
+    tags=("text", "north-star", "quality", "robust"),
+))

@@ -1206,3 +1206,95 @@ from cga_logs_to_kinesis_spark.sources.tables import (  # noqa: E402
 )
 
 _gate_oracles("embedding_centroids")
+
+
+# ---------------------------------------------------------------------------
+# RAG-style sliding-window chunking (within-doc, with overlap)
+# ---------------------------------------------------------------------------
+# pack_chunks above is PRETRAINING packing: the corpus concatenated
+# and cut every CHUNK_TOKENS, documents may straddle cuts.  Retrieval
+# indexing needs the other shape: each document split into
+# fixed-width windows with OVERLAP (stride < width), so no passage
+# loses its context at a boundary.  nchunks = max(1,
+# ceil((n - W) / S) + 1) — the standard formula that always covers
+# the tail.  Entirely row-local (tokenize + bounded explode); the
+# fan-out is ~n_tokens/STRIDE per doc, spread across the
+# explode-parallelism width like every other row-amplifying stage.
+
+CHUNK_WIDTH = 64
+CHUNK_STRIDE = 48              # 16-token overlap between neighbors
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cga_logs_to_kinesis_spark.session import explode_parallelism
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    par = explode_parallelism(spark)
+    W, S = CHUNK_WIDTH, CHUNK_STRIDE
+    toks = F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")
+    # integer ceil((n-W)/S)+1; the greatest(1, _) also absorbs the
+    # Spark-DIV-truncates vs DuckDB-//-floors difference on the
+    # negative numerator of short docs (both land at >= 1)
+    nchunks = F.greatest(
+        F.lit(1),
+        F.expr(f"((size(_toks) - {W} + {S} - 1) DIV {S}) + 1"))
+    return (docs.repartition(par)
+            .select("doc_id", toks.alias("_toks"))
+            .withColumn("_nc", nchunks)
+            .select("doc_id", "_toks",
+                    F.posexplode(F.expr("sequence(0, _nc - 1)"))
+                    .alias("chunk_idx", "_i"))
+            .select(
+                "doc_id", "chunk_idx",
+                (F.col("chunk_idx") * S + 1).alias("start_token"),
+                F.expr(f"slice(_toks, chunk_idx * {S} + 1, {W})")
+                .alias("_chunk"))
+            .select("doc_id", "chunk_idx", "start_token",
+                    F.size("_chunk").cast("long").alias("chunk_tokens"),
+                    F.md5(F.concat_ws(" ", "_chunk"))
+                    .alias("chunk_digest"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+register(QuerySpec(
+    "chunk_overlap", q_chunk_overlap,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(TRIM(text),
+                       '[ \\t\\n\\x0B\\f\\r]+') AS t
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        sized AS (
+            SELECT doc_id, t,
+                   GREATEST(1, ((len(t) - {CHUNK_WIDTH} + {CHUNK_STRIDE}
+                                 - 1) // {CHUNK_STRIDE}) + 1) AS nc
+            FROM toks
+        ),
+        chunks AS (
+            SELECT doc_id, t,
+                   unnest(range(0, nc)) AS chunk_idx
+            FROM sized
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT)
+                   AS start_token,
+               CAST(len(t[(chunk_idx * {CHUNK_STRIDE} + 1):
+                          (chunk_idx * {CHUNK_STRIDE} + {CHUNK_WIDTH})])
+                    AS BIGINT) AS chunk_tokens,
+               md5(array_to_string(
+                   t[(chunk_idx * {CHUNK_STRIDE} + 1):
+                     (chunk_idx * {CHUNK_STRIDE} + {CHUNK_WIDTH})], ' '))
+                   AS chunk_digest
+        FROM chunks
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"RAG sliding-window chunking: {CHUNK_WIDTH}-token windows at "
+        f"stride {CHUNK_STRIDE} (overlap "
+        f"{CHUNK_WIDTH - CHUNK_STRIDE}) per document, tail always "
+        "covered — the retrieval-indexing twin of pack_chunks",
+    tags=("llm-pipeline", "north-star", "chunking", "rag"),
+))

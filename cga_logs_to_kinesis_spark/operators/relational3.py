@@ -266,6 +266,45 @@ register(QuerySpec(
 ))
 
 
+# Rank-error contract for the quantile sketch, mirroring APPROX_RSD:
+# approx_percentile(acc) guarantees rank error <= n/acc;
+# tests/test_consumer_and_approx.py verifies each returned value's
+# EXACT rank lands within that window of the target rank.
+QUANTILE_ACCURACY = 10_000
+QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate order-statistics sketch: per-priority totalprice
+    quantiles via ``approx_percentile`` (Greenwald–Khanna style,
+    single pass, map-side-mergeable, constant memory per group) — the
+    scale path wherever ``percentile`` / ``quantile_cont`` would
+    buffer a 100 TB group's values (see ``length_outliers``' scale
+    note).  Sketch outputs are engine-specific, so no value oracle;
+    the local test bounds each value's exact RANK error instead."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    probs = ", ".join(repr(p) for p in QUANTILE_PROBS)
+    qs = F.expr(f"approx_percentile(o_totalprice, array({probs}), "
+                f"{QUANTILE_ACCURACY})")
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"), qs.alias("_qs"))
+            .select("o_orderpriority", "n_orders",
+                    *[F.col("_qs")[i].alias(f"p{int(p * 100)}")
+                      for i, p in enumerate(QUANTILE_PROBS)])
+            .orderBy("o_orderpriority"))
+
+
+register(QuerySpec(
+    "approx_quantiles", q_approx_quantiles,
+    oracle=None,   # sketch values are engine-specific by construction
+    doc="approx_percentile quantile sketch per group (GK-style, "
+        "mergeable), rank-error-bounded by test — the scale path for "
+        "order statistics",
+    tags=("agg", "approx", "quantile"),
+))
+
+
 
 def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: build, extract, keys/size — the Envelope

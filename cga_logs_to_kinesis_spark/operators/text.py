@@ -229,6 +229,63 @@ register(QuerySpec(
 ))
 
 
+def q_lang_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: the declared ``lang`` column vs the stopword
+    language heuristic, as a (lang, pred_lang) confusion table with
+    per-label shares.  At crawl scale the lang field is
+    producer-supplied metadata and routinely wrong — a curation run
+    uses this to decide which source×lang slices need re-detection
+    before per-language sampling (``stratified_sample``) trusts the
+    label.  ``unknown`` predictions (no stopword hits — CJK text
+    against a Latin stopword table) are reported but not counted as
+    mismatches.  Topology: composes ``lang_id`` (one corpus scan +
+    broadcast stopword vote); the confusion table is |langs|² rows, so
+    the share window is trivial."""
+    tune_session(spark)
+    from pyspark.sql.window import Window
+    pred = q_lang_id(spark, sf_dir)
+    per_label = Window.partitionBy("lang")
+    return (pred.groupBy("lang", "pred_lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("example_doc"))
+            .withColumn("is_mismatch",
+                        (F.col("pred_lang") != F.col("lang"))
+                        & (F.col("pred_lang") != "unknown"))
+            .withColumn("label_share",
+                        F.col("n_docs").cast("double")
+                        / F.sum("n_docs").over(per_label))
+            .orderBy("lang", "pred_lang"))
+
+
+def _lang_mismatch_oracle() -> str:
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+    lang_id = _REGISTRY["lang_id"].oracle
+    return f"""
+        WITH pred AS ({lang_id})
+        SELECT lang, pred_lang,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS example_doc,
+               pred_lang <> lang AND pred_lang <> 'unknown'
+                   AS is_mismatch,
+               CAST(COUNT(*) AS DOUBLE)
+                   / SUM(COUNT(*)) OVER (PARTITION BY lang)
+                   AS label_share
+        FROM pred
+        GROUP BY lang, pred_lang
+        ORDER BY lang, pred_lang
+    """
+
+
+register(QuerySpec(
+    "lang_mismatch_report", q_lang_mismatch_report,
+    oracle=_lang_mismatch_oracle(),
+    doc="label-noise audit: declared lang vs stopword-heuristic "
+        "prediction as a confusion table with per-label shares — the "
+        "gate before per-language sampling trusts producer metadata",
+    tags=("text", "north-star", "quality", "audit"),
+))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full digest + first-8-hex-chars prefix
     bucket (the shard key a fingerprint index would partition on)."""

@@ -76,6 +76,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_tokenize",
     "jsonl_ingest_report",       # new in r7
     "split_leakage_repair",      # new in r7 (composed leak->repair)
+    "lang_mismatch_report",      # new in r7 (label-noise audit)
+    "length_outliers",           # new in r7 (median/MAD robust gate)
+    "approx_quantiles",          # new in r7 (rows-only, rank-bounded)
+    "chunk_overlap",             # new in r7 (RAG sliding windows)
     # r3-latest straggler:
     "stratified_sample",
     # r5-latest cohort (the rotation promised in the r6 comment):
@@ -109,21 +113,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # code changed in r7 — needs a fresh row:
     "dedup_components",          # pointer-doubling components rewrite
     # r4-latest cohort, oldest first (embedding oracles also gained the
-    # VALID_EMBEDDING_SQL gate twin in r7 — fresh rows for that family):
+    # VALID_EMBEDDING_SQL gate twin in r7 — fresh rows for that family).
+    # Displaced to r8 by the four r7-new queries above:
+    # cosine_topk_fast (bit-exact twin of cosine_topk, which stays),
+    # passage_dedup, running_revenue, pricing_summary (headline-benched
+    # and plan-pinned every round).
     "ann_recall_report",
     "cosine_topk",
-    "cosine_topk_fast",
     "cosine_topk_lsh",
     "kmeans_embeddings",
     "minhash_signatures",
-    "passage_dedup",
     "batch_pages",
     "stats_tumbling",
     "sliding_window",
     "session_windows",
-    "running_revenue",
     "top3_orders_per_customer",
-    "pricing_summary",
 )
 
 

@@ -99,3 +99,43 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         assert rel_err <= bound, (
             f"{et}: approx {approx[et]} vs exact {n} "
             f"(rel err {rel_err:.4f} > {bound})")
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, "/root/testdata/sf0.01"])
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    """The quantile sketch's error CONTRACT: approx_percentile(acc)
+    guarantees each returned value sits within n/acc RANK positions of
+    the target rank.  Verified per (group, quantile) against the
+    exact sorted ranks — deterministic given the data, checked at
+    both the local and driver-gate scale (same philosophy as the HLL
+    bound above)."""
+    from cga_logs_to_kinesis_spark.operators.relational3 import (
+        QUANTILE_ACCURACY,
+        QUANTILE_PROBS,
+    )
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    q = all_queries()["approx_quantiles"]
+    rows = {r.o_orderpriority: r for r in q.fn(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    by_prio = {
+        r.o_orderpriority: sorted(v for v in r.vals if v is not None)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.collect_list("o_totalprice").alias("vals")).collect()}
+    assert set(rows) == set(by_prio)
+    for prio, vals in by_prio.items():
+        n = len(vals)
+        slack = max(1.0, n / QUANTILE_ACCURACY)
+        for p in QUANTILE_PROBS:
+            got = getattr(rows[prio], f"p{int(p * 100)}")
+            # exact rank window of the returned value (bisect bounds)
+            import bisect
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got) - 1
+            target = p * (n - 1)
+            dist = 0.0 if lo <= target <= hi else \
+                min(abs(lo - target), abs(hi - target))
+            assert dist <= slack, (
+                f"{prio} p{int(p*100)}: value {got} rank window "
+                f"[{lo},{hi}] vs target {target:.1f} (err {dist} > "
+                f"{slack})")

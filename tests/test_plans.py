@@ -561,3 +561,18 @@ def test_modal_agreement_embeddings_never_self_join(spark):
     plan = formatted_plan(SPECS["modal_agreement"].fn(spark, SF_SMOKE))
     assert plan.count("embeddings.parquet") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_repair_pays_lsh_once(spark):
+    """The composed leak-report -> repair query localCheckpoints ONE
+    verified-pair front; the final plan must read that materialized
+    RDD (plus the row-local split hashes) and never re-run the
+    shingle/banding pipeline — zero documents scans downstream of the
+    checkpoint, no cartesian anywhere."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(
+        SPECS["split_leakage_repair"].fn(spark, SF_SMOKE))
+    assert "documents.parquet" not in plan       # LSH already paid
+    assert "Scan ExistingRDD" in plan            # the checkpointed front
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
