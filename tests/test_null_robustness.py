@@ -36,7 +36,9 @@ PROBED = [
     "dedup_winnow_pairs", "doc_fingerprint", "domain_cap",
     "dsir_importance", "envelope_json_roundtrip", "envelope_project",
     "fertility_by_lang", "gopher_quality", "gopher_repetition",
-    "lang_id", "longest_doc_per_lang", "minhash_signatures",
+    "lang_id", "lang_mismatch_report", "length_outliers",
+    "chunk_overlap", "split_leakage_repair",
+    "longest_doc_per_lang", "minhash_signatures",
     "mixture_weights", "multimodal_audio_features",
     "multimodal_features", "multimodal_raw_features",
     "multimodal_raw_resize", "multimodal_resize",
