@@ -594,9 +594,13 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_chars"))
     med = docs.groupBy("lang").agg(
         F.expr("percentile(n_chars, 0.5)").alias("median_chars"))
+    # localCheckpoint: dev feeds BOTH the MAD aggregate and the final
+    # flagging pass — without the cut the scan+join subtree runs twice
+    # (the q_important_stock lesson, same shingle-once discipline)
     dev = (docs.join(F.broadcast(med), "lang")
            .withColumn("absdev",
-                       F.abs(F.col("n_chars") - F.col("median_chars"))))
+                       F.abs(F.col("n_chars") - F.col("median_chars")))
+           .localCheckpoint())
     mad = dev.groupBy("lang").agg(
         F.expr("percentile(absdev, 0.5)").alias("mad_chars"))
     flagged = (dev.join(F.broadcast(mad), "lang")

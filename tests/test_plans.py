@@ -576,3 +576,25 @@ def test_split_leakage_repair_pays_lsh_once(spark):
     assert "Scan ExistingRDD" in plan            # the checkpointed front
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_overlap_single_pruned_scan(spark):
+    """Sliding-window chunking is one pass: a single documents scan
+    pruned to (doc_id, text) with the NULL-text filter pushed down,
+    and no join anywhere (the explode is bounded fan-out)."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["chunk_overlap"].fn(spark, SF_SMOKE))
+    assert plan.count("documents.parquet") == 1
+    assert "PushedFilters: [IsNotNull(text)]" in plan
+    assert "Join" not in plan
+
+
+def test_length_outliers_dev_subtree_evaluated_once(spark):
+    """The deviation table feeds BOTH the MAD aggregate and the final
+    flagging pass; the localCheckpoint must cut the lineage so the
+    scan+join subtree never runs twice (the q_important_stock
+    lesson)."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(SPECS["length_outliers"].fn(spark, SF_SMOKE))
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("documents.parquet") == 0
