@@ -1225,12 +1225,11 @@ CHUNK_WIDTH = 64
 CHUNK_STRIDE = 48              # 16-token overlap between neighbors
 
 
-def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cga_logs_to_kinesis_spark.session import explode_parallelism
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents") \
-        .filter(F.col("text").isNotNull())
-    par = explode_parallelism(spark)
+def chunk_windows(docs: DataFrame) -> DataFrame:
+    """The row-local chunking core — pure projections + a bounded
+    explode, so it composes unchanged over batch AND streaming inputs
+    (streaming twin: ``streaming/corpus.py::streaming_chunk_overlap``,
+    parity bit-for-bit by construction)."""
     W, S = CHUNK_WIDTH, CHUNK_STRIDE
     toks = F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")
     # integer ceil((n-W)/S)+1; the greatest(1, _) also absorbs the
@@ -1239,7 +1238,7 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     nchunks = F.greatest(
         F.lit(1),
         F.expr(f"((size(_toks) - {W} + {S} - 1) DIV {S}) + 1"))
-    return (docs.repartition(par)
+    return (docs.filter(F.col("text").isNotNull())
             .select("doc_id", toks.alias("_toks"))
             .withColumn("_nc", nchunks)
             .select("doc_id", "_toks",
@@ -1253,7 +1252,15 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "chunk_idx", "start_token",
                     F.size("_chunk").cast("long").alias("chunk_tokens"),
                     F.md5(F.concat_ws(" ", "_chunk"))
-                    .alias("chunk_digest"))
+                    .alias("chunk_digest")))
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cga_logs_to_kinesis_spark.session import explode_parallelism
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    par = explode_parallelism(spark)
+    return (chunk_windows(docs.repartition(par))
             .orderBy("doc_id", "chunk_idx"))
 
 

@@ -410,3 +410,16 @@ def streaming_weighted_sample(docs: DataFrame) -> DataFrame:
         "doc_id", "source",
         c["weight"].alias("weight"),
         c["kept"].alias("kept"))
+
+
+def streaming_chunk_overlap(docs: DataFrame) -> DataFrame:
+    """RAG sliding-window chunking over a document stream — the batch
+    core (``operators/llm_pipeline.py::chunk_windows``) is pure
+    projections plus a bounded explode, so it composes unchanged
+    (stateless, no watermark) and parity is bit-for-bit by
+    construction: a retrieval index can be built incrementally as
+    documents arrive."""
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        chunk_windows,
+    )
+    return chunk_windows(docs)

@@ -443,3 +443,23 @@ def test_minhash_incremental_crash_after_last_write_is_exactly_once(
     assert got == want and len(want) > 0
     # and in particular: nothing matched itself
     assert all(r[0] != doc for doc, r in got.items())
+
+
+def test_streaming_chunk_overlap_matches_batch(spark, tmp_path):
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        streaming_chunk_overlap,
+    )
+
+    docs, stream = _staged_stream(spark, tmp_path)
+    got = {(r.doc_id, r.chunk_idx): (r.start_token, r.chunk_tokens,
+                                     r.chunk_digest)
+           for r in _drain(streaming_chunk_overlap(stream), tmp_path,
+                           "chunks").collect()}
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        chunk_windows,
+    )
+    want = {(r.doc_id, r.chunk_idx): (r.start_token, r.chunk_tokens,
+                                      r.chunk_digest)
+            for r in chunk_windows(docs).collect()}
+    assert got == want and len(want) > len(
+        {k[0] for k in want})  # real multi-chunk docs exist
