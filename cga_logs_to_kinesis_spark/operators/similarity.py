@@ -1063,3 +1063,117 @@ _gate_oracles(
     "cosine_topk_ivf", "dedup_embedding_cosine", "embedding_quantize",
     "semdedup", "ann_recall_report", "modal_agreement",
 )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation fidelity: recall of truncated-dim retrieval
+# ---------------------------------------------------------------------------
+# MRL-style embedding models are trained so a PREFIX of the vector is
+# itself a usable embedding; serving then stores/searches 16 or 32 of
+# the 64 dims and pays 2-4x less memory and bandwidth.  Whether that
+# trade is safe for a given corpus is an empirical question — this
+# report answers it the same way ann_recall_report scores the ANN
+# paths: brute-force top-k under each truncated width vs the full-dim
+# exact top-k, as recall@k.  Vectors whose truncated prefix is
+# all-zero are excluded on both sides (cosine undefined; IEEE NaN
+# ranks differently per engine).
+# 100 TB topology: identical to cosine_topk per width (broadcast query
+# set, one corpus scan each — a real deployment scores ONE width).
+
+TRUNC_DIMS = (16, 32)
+
+
+def q_ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_embeddings(spark, sf_dir)
+    exact = q_cosine_topk(spark, sf_dir).localCheckpoint()
+    out = None
+    for k_dim in TRUNC_DIMS:
+        trunc = (emb.select(
+            "vec_id",
+            F.expr(f"slice(embedding, 1, {k_dim})").alias("embedding"))
+            .filter(F.expr("size(filter(embedding, x -> x != 0)) > 0")))
+        ann = cosine_topk(trunc, trunc.filter(F.col("vec_id") < 8), k=5)
+        row = _recall_row(f"trunc{k_dim}", exact, ann)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method")
+
+
+def _trunc_topk_sql(k_dim: int) -> str:
+    """Truncated-dim twin of COSINE_TOPK_ORACLE (first k_dim dims,
+    zero-prefix vectors excluded)."""
+    return f"""
+        WITH t AS (
+            SELECT vec_id, embedding[1:{k_dim}] AS e FROM embeddings
+            WHERE len(list_filter(embedding[1:{k_dim}], x -> x <> 0)) > 0
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM t
+              WHERE vec_id < 8),
+        c AS (SELECT vec_id AS cand_id, e AS ce FROM t),
+        dots AS (
+            SELECT query_id, cand_id,
+                   0.0 + list_reduce(
+                       list_transform(list_zip(qe, ce),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                       (acc, x) -> acc + x) AS dot
+            FROM q CROSS JOIN c
+            WHERE cand_id != query_id
+        ),
+        norms AS (
+            SELECT vec_id,
+                   SQRT(list_reduce(
+                       list_transform(e,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (acc, x) -> acc + x)) AS nrm
+            FROM t
+        )
+        SELECT query_id, cand_id FROM (
+            SELECT d.query_id, d.cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.query_id
+                       ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.cand_id
+                   ) AS rank
+            FROM dots d
+            JOIN norms nq ON d.query_id = nq.vec_id
+            JOIN norms nc ON d.cand_id = nc.vec_id
+        ) WHERE rank <= 5
+    """
+
+
+def _ann_truncation_oracle() -> str:
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+    exact = _REGISTRY["cosine_topk"].oracle   # already gate-rewritten
+    method = """
+        SELECT 'trunc{k}' AS method,
+               (SELECT COUNT(*) FROM exact) AS truth_pairs,
+               (SELECT COUNT(*) FROM exact e
+                WHERE EXISTS (SELECT 1 FROM t{k} a
+                              WHERE a.query_id = e.query_id
+                                AND a.cand_id = e.cand_id)) AS hits,
+               (SELECT COUNT(*) FROM exact e
+                WHERE EXISTS (SELECT 1 FROM t{k} a
+                              WHERE a.query_id = e.query_id
+                                AND a.cand_id = e.cand_id))
+               / (SELECT COUNT(*) FROM exact) AS recall
+    """
+    withs = ", ".join(
+        [f"exact AS ({exact})"]
+        + [f"t{k} AS ({_trunc_topk_sql(k)})" for k in TRUNC_DIMS])
+    body = " UNION ALL ".join(
+        method.format(k=k) for k in TRUNC_DIMS)
+    return (f"WITH {withs} SELECT * FROM ({body}) ORDER BY method")
+
+
+register(QuerySpec(
+    "ann_truncation_recall", q_ann_truncation_recall,
+    oracle=_ann_truncation_oracle(),
+    doc="Matryoshka truncation fidelity: recall@k of 16- and 32-dim "
+        "prefix retrieval vs full-dim exact top-k — the measurement "
+        "behind a 2-4x serving memory cut",
+    tags=("similarity", "llm-pipeline", "report", "evaluation"),
+))
+
+# the truncated reads must mirror the gated Spark load, like every
+# other embedding oracle (cosine_topk's CTE arrives pre-gated via
+# _REGISTRY, so only the t-CTEs need the rewrite)
+_gate_oracles("ann_truncation_recall")

@@ -80,6 +80,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "length_outliers",           # new in r7 (median/MAD robust gate)
     "approx_quantiles",          # new in r7 (rows-only, rank-bounded)
     "chunk_overlap",             # new in r7 (RAG sliding windows)
+    "ann_truncation_recall",     # new in r7 (MRL prefix fidelity)
     # r3-latest straggler:
     "stratified_sample",
     # r5-latest cohort (the rotation promised in the r6 comment):
@@ -117,12 +118,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Displaced to r8 by the four r7-new queries above:
     # cosine_topk_fast (bit-exact twin of cosine_topk, which stays),
     # passage_dedup, running_revenue, pricing_summary (headline-benched
-    # and plan-pinned every round).
+    # and plan-pinned every round), minhash_signatures (the LSH family
+    # keeps dedup_minhash_lsh r6-green + cosine_topk_lsh in-window).
     "ann_recall_report",
     "cosine_topk",
     "cosine_topk_lsh",
     "kmeans_embeddings",
-    "minhash_signatures",
     "batch_pages",
     "stats_tumbling",
     "sliding_window",
