@@ -1002,6 +1002,10 @@ def q_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _modal_agreement_oracle() -> str:
+    # importing for the registration side effect: this module can be
+    # imported standalone (e.g. via streaming/corpus.py's ANN sink)
+    # before registry.all_queries() has pulled in dedup
+    from cga_logs_to_kinesis_spark.operators import dedup  # noqa: F401
     from cga_logs_to_kinesis_spark.registry import _REGISTRY
 
     lsh = _REGISTRY["dedup_minhash_lsh"].oracle
@@ -1177,3 +1181,120 @@ register(QuerySpec(
 # other embedding oracle (cosine_topk's CTE arrives pre-gated via
 # _REGISTRY, so only the t-CTEs need the rewrite)
 _gate_oracles("ann_truncation_recall")
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN: new vectors vs the PERSISTED bucket index
+# ---------------------------------------------------------------------------
+# The serving shape of embedding search at 100 TB mirrors
+# dedup_minhash_incremental: the corpus's LSH buckets are computed
+# ONCE and persisted; each arriving batch is bucketed, equi-joins the
+# index for candidates, and scores exact cosine only on those — never
+# re-bucketing the corpus and never a full scan per batch.  The
+# simulated split is the same %4 convention as the incremental dedup
+# family (75% "already indexed", 25% "arriving").  With 4 tables x
+# 2^4 buckets the candidate fan-out is corpus/16 per table; at real
+# scale raise N_PLANES so bucket size stays bounded (same knob
+# discussion as cosine_topk_lsh).  batch != seen filtering is replay
+# defense for the streaming twin (ann_index_sink), exactly like
+# minhash_incremental_from_index.
+
+ANN_INCR_K = 3
+
+
+def ann_incremental_from_index(seen_b: DataFrame, seen_vecs: DataFrame,
+                               batch: DataFrame) -> DataFrame:
+    """``seen_b``: persisted (vec_id, bucket) index; ``seen_vecs``:
+    persisted (vec_id, embedding); ``batch``: arriving vectors.
+    Returns per batch vector its top-ANN_INCR_K indexed neighbors."""
+    b_ids = batch.select(
+        F.col("vec_id").alias("batch_vec"),
+        F.explode(lsh_table_buckets_vec("embedding")).alias("bucket"))
+    cand = (b_ids.join(
+                seen_b.select(F.col("vec_id").alias("seen_vec"),
+                              "bucket"),
+                "bucket")
+            .filter(F.col("batch_vec") != F.col("seen_vec"))
+            .select("batch_vec", "seen_vec").distinct())
+    q_arr = batch.select(F.col("vec_id").alias("batch_vec"),
+                         F.col("embedding").alias("qe"))
+    c_arr = seen_vecs.select(F.col("vec_id").alias("seen_vec"),
+                             F.col("embedding").alias("ce"))
+    w = Window.partitionBy("batch_vec")
+    best = Window.partitionBy("batch_vec").orderBy(
+        F.col("cosine").desc(), F.col("seen_vec"))
+    return (cand
+            .join(q_arr, "batch_vec")
+            .join(c_arr, "seen_vec")
+            .select("batch_vec", "seen_vec",
+                    cosine_vec("qe", "ce").alias("cosine"))
+            .withColumn("n_candidates", F.count("*").over(w))
+            .withColumn("rank", F.row_number().over(best))
+            .filter(F.col("rank") <= ANN_INCR_K)
+            .select("batch_vec", "rank",
+                    F.col("seen_vec").alias("nearest_seen"),
+                    "cosine", "n_candidates"))
+
+
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_embeddings(spark, sf_dir)
+    seen = emb.filter(F.col("vec_id") % 4 < 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    seen_b = seen.select(
+        "vec_id",
+        F.explode(lsh_table_buckets_vec("embedding")).alias("bucket"))
+    return ann_incremental_from_index(
+        seen_b, seen.select("vec_id", "embedding"), batch)
+
+
+register(QuerySpec(
+    "ann_incremental", q_ann_incremental,
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   unnest({_table_buckets_sql("embedding")}) AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS batch_vec, embedding AS qe, bucket
+              FROM b WHERE vec_id % 4 = 3),
+        s AS (SELECT vec_id AS seen_vec, embedding AS ce, bucket
+              FROM b WHERE vec_id % 4 < 3),
+        pairs AS (
+            SELECT DISTINCT batch_vec, seen_vec, qe, ce
+            FROM q JOIN s ON q.bucket = s.bucket
+            WHERE seen_vec != batch_vec
+        ),
+        scored AS (
+            SELECT batch_vec, seen_vec,
+                   list_reduce(list_transform(list_zip(qe, ce),
+                       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+                       (a, x) -> a + x)
+                   / (SQRT(list_reduce(list_transform(qe,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (a, x) -> a + x))
+                      * SQRT(list_reduce(list_transform(ce,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (a, x) -> a + x))) AS cosine
+            FROM pairs
+        )
+        SELECT batch_vec, rank, seen_vec AS nearest_seen, cosine,
+               n_candidates
+        FROM (
+            SELECT batch_vec, seen_vec, cosine,
+                   COUNT(*) OVER (PARTITION BY batch_vec)
+                       AS n_candidates,
+                   ROW_NUMBER() OVER (PARTITION BY batch_vec
+                       ORDER BY cosine DESC, seen_vec) AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_INCR_K}
+    """,
+    doc=f"incremental ANN: arriving vectors bucketed and scored "
+        f"against the PERSISTED LSH index (top-{ANN_INCR_K} indexed "
+        "neighbors each, exact cosine on candidates only) — the "
+        "serving twin of dedup_minhash_incremental",
+    tags=("similarity", "llm-pipeline", "north-star", "incremental",
+          "lsh"),
+))
+
+_gate_oracles("ann_incremental")

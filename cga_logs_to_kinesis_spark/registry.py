@@ -81,6 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "approx_quantiles",          # new in r7 (rows-only, rank-bounded)
     "chunk_overlap",             # new in r7 (RAG sliding windows)
     "ann_truncation_recall",     # new in r7 (MRL prefix fidelity)
+    "ann_incremental",           # new in r7 (persisted-index ANN)
     # r3-latest straggler:
     "stratified_sample",
     # r5-latest cohort (the rotation promised in the r6 comment):
@@ -119,7 +120,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # cosine_topk_fast (bit-exact twin of cosine_topk, which stays),
     # passage_dedup, running_revenue, pricing_summary (headline-benched
     # and plan-pinned every round), minhash_signatures (the LSH family
-    # keeps dedup_minhash_lsh r6-green + cosine_topk_lsh in-window).
+    # keeps dedup_minhash_lsh r6-green + cosine_topk_lsh in-window),
+    # session_windows (the window family keeps sliding_window +
+    # stats_tumbling in-window).
     "ann_recall_report",
     "cosine_topk",
     "cosine_topk_lsh",
@@ -127,7 +130,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "batch_pages",
     "stats_tumbling",
     "sliding_window",
-    "session_windows",
     "top3_orders_per_customer",
 )
 

@@ -423,3 +423,75 @@ def streaming_chunk_overlap(docs: DataFrame) -> DataFrame:
         chunk_windows,
     )
     return chunk_windows(docs)
+
+
+def stream_embeddings(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File stream over an embeddings-shaped parquet directory."""
+    return spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int").parquet(src_dir)
+
+
+def ann_index_sink(index_dir: str, vector_dir: str, out_dir: str,
+                   fail_after_all_writes_for: tuple[int, ...] = ()):
+    """foreachBatch twin of ``ann_incremental``: each arriving vector
+    batch is bucketed ONCE, its top neighbors scored against the
+    PERSISTED LSH bucket index + vector store (never re-bucketing the
+    corpus), then merged into both stores.  Same exactly-once
+    discipline as the dedup sinks: all three writes are
+    batch_id-keyed dynamic-overwrite partitions, store reads filter
+    ``batch_id < current`` so a replay after the last write sees
+    pre-batch state (and ``ann_incremental_from_index`` drops
+    self-pairs as defense in depth).  Pinned by
+    tests/test_corpus_stream.py::
+    test_ann_index_crash_after_last_write_is_exactly_once.
+
+    Store sizing: the bucket index is N_TABLES rows x ~12 B per
+    vector; the vector store is the embedding column itself (needed
+    for the exact-cosine scoring — a product quantization stage would
+    shrink it, see embedding_quantize)."""
+    from cga_logs_to_kinesis_spark.operators.similarity import (
+        ann_incremental_from_index,
+        lsh_table_buckets_vec,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint()
+        try:
+            idx = (spark.read.parquet(index_dir)
+                   .filter(F.col("batch_id") < F.lit(batch_id))
+                   .select("vec_id", "bucket"))
+            vecs = (spark.read.parquet(vector_dir)
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select("vec_id", "embedding"))
+        except Exception:       # first batch: stores not created yet
+            idx = spark.createDataFrame([], "vec_id long, bucket int")
+            vecs = spark.createDataFrame(
+                [], "vec_id long, embedding array<float>")
+        report = ann_incremental_from_index(idx, vecs, batch) \
+            .localCheckpoint()
+        conf = {"partitionOverwriteMode": "dynamic"}
+        (report.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(out_dir))
+        (batch.select(
+            "vec_id",
+            F.explode(lsh_table_buckets_vec("embedding")).alias("bucket"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(index_dir))
+        (batch.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(vector_dir))
+        if (batch_id in fail_after_all_writes_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after last write, batch {batch_id}")
+
+    return process

@@ -463,3 +463,60 @@ def test_streaming_chunk_overlap_matches_batch(spark, tmp_path):
             for r in chunk_windows(docs).collect()}
     assert got == want and len(want) > len(
         {k[0] for k in want})  # real multi-chunk docs exist
+
+
+def test_ann_index_sink_matches_batch_and_survives_replay(spark, tmp_path):
+    """The ANN serving twin: chunk A (75%) builds the persisted LSH
+    bucket index + vector store; chunk B is scored against it, with an
+    injected crash AFTER all three writes (the at-least-once window).
+    After the replay the batch-1 report must equal the registry
+    query's output exactly — and in particular nothing may match
+    itself (the failure mode the batch_id < current read filter
+    prevents)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.sources import load_embeddings
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        ann_index_sink,
+        stream_embeddings,
+    )
+
+    emb = load_embeddings(spark, SF_SMOKE)
+    src = tmp_path / "arrivals"
+    args = (str(tmp_path / "bucket_index"),
+            str(tmp_path / "vector_store"),
+            str(tmp_path / "reports"))
+
+    def drain(sink):
+        q = (stream_embeddings(spark, str(src) + "/*")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    emb.filter(F.col("vec_id") % 4 < 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    drain(ann_index_sink(*args))
+
+    emb.filter(F.col("vec_id") % 4 == 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    crashed = False
+    try:
+        drain(ann_index_sink(*args, fail_after_all_writes_for=(1,)))
+    except Exception:
+        crashed = True
+    assert crashed
+    assert spark.read.parquet(args[0]).filter("batch_id = 1").count() > 0
+    assert spark.read.parquet(args[1]).filter("batch_id = 1").count() > 0
+
+    drain(ann_index_sink(*args))                # replay batch 1
+
+    got = {(r.batch_vec, r.rank): (r.nearest_seen, r.cosine,
+                                   r.n_candidates)
+           for r in spark.read.parquet(args[2])
+           .filter("batch_id = 1").collect()}
+    want = {(r.batch_vec, r.rank): (r.nearest_seen, r.cosine,
+                                    r.n_candidates)
+            for r in all_queries()["ann_incremental"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert got == want and len(want) > 0
+    assert all(v[0] != k[0] for k, v in got.items())

@@ -20,7 +20,7 @@ from tests.test_queries_oracle import table_hash
 
 # Every registered query that reads the embeddings table.
 EMB_QUERIES = [
-    "ann_recall_report", "ann_truncation_recall",
+    "ann_recall_report", "ann_truncation_recall", "ann_incremental",
     "cosine_topk", "cosine_topk_fast",
     "cosine_topk_lsh", "cosine_topk_ivf", "semdedup",
     "dedup_embedding_cosine", "kmeans_embeddings",
