@@ -115,3 +115,17 @@ def test_q20_semi_chain(spark, ps_dir):
         PARTSUPP_SPECS["excess_stock_suppliers"].fn(spark, ps_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_probe_does_not_register_without_fixture(monkeypatch):
+    """The auto-registration hook must stay quiet while the driver
+    testdata ships no partsupp.parquet — a false registration would
+    put five crashing queries into the driver gate."""
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    from cga_logs_to_kinesis_spark.operators import tpch_partsupp
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+    if "min_cost_supplier" in _REGISTRY:     # a prior test registered it
+        import pytest
+        pytest.skip("suite registered partsupp via a real fixture")
+    assert tpch_partsupp.register_when_fixture_ships() is False
+    assert "min_cost_supplier" not in _REGISTRY
