@@ -495,3 +495,59 @@ def ann_index_sink(index_dir: str, vector_dir: str, out_dir: str,
                 f"injected crash after last write, batch {batch_id}")
 
     return process
+
+
+def compact_digest_store(spark: SparkSession, store_dir: str,
+                         upto_batch_id: int,
+                         files_per_partition: int = 1) -> int:
+    """Fold the digest store's per-batch partitions at or below
+    ``upto_batch_id`` into one distinct base partition (batch_id =
+    -1), returning the number of batch partitions folded.
+
+    After thousands of crawl drops the store is thousands of tiny
+    batch_id directories — the small-files problem.  Compaction is
+    SAFE here specifically because of the exact-dedup algebra:
+
+    * ``-1 < current`` always, so the base partition passes every
+      sink read's ``batch_id < current`` replay filter;
+    * the consumer is a left-anti join on ``text_digest``, which is
+      idempotent under duplicates — a crash BETWEEN the base write
+      and the old-partition cleanup leaves digests present twice, and
+      the anti-join result is unchanged (re-run compaction to finish
+      the cleanup).
+
+    The band-bucket/shingle stores of the minhash sink do NOT get this
+    helper: their consumer counts rows per key (n_common_bands), so
+    duplicate rows change results — compacting those safely needs a
+    transactional table format (or a full-store rewrite into a fresh
+    directory swapped in while the stream is stopped).
+    """
+    import shutil
+
+    df = spark.read.parquet(store_dir)
+    old = (df.filter((F.col("batch_id") >= 0)
+                     & (F.col("batch_id") <= upto_batch_id))
+           .select("text_digest"))
+    base = spark.read.parquet(store_dir) \
+        .filter(F.col("batch_id") == -1).select("text_digest")
+    n_folded = (df.filter((F.col("batch_id") >= 0)
+                          & (F.col("batch_id") <= upto_batch_id))
+                .select("batch_id").distinct().count())
+    if n_folded == 0:
+        return 0
+    (base.unionByName(old).distinct()
+     .coalesce(files_per_partition)
+     .withColumn("batch_id", F.lit(-1))
+     .write.mode("overwrite")
+     .options(partitionOverwriteMode="dynamic")
+     .partitionBy("batch_id").parquet(store_dir))
+    # cleanup AFTER the base partition is durable; a crash here only
+    # leaves harmless duplicates (see docstring)
+    import os
+    for name in os.listdir(store_dir):
+        if not name.startswith("batch_id="):
+            continue
+        bid = name.split("=", 1)[1]
+        if bid != "-1" and 0 <= int(bid) <= upto_batch_id:
+            shutil.rmtree(os.path.join(store_dir, name))
+    return n_folded

@@ -520,3 +520,58 @@ def test_ann_index_sink_matches_batch_and_survives_replay(spark, tmp_path):
             .fn(spark, SF_SMOKE).collect()}
     assert got == want and len(want) > 0
     assert all(v[0] != k[0] for k, v in got.items())
+
+
+def test_digest_store_compaction_preserves_dedup(spark, tmp_path):
+    """Folding batch partitions into the -1 base partition must leave
+    the incremental dedup result identical (anti-join is idempotent
+    under the duplicates a mid-compaction crash can leave), and the
+    store must shrink to one base directory plus post-compaction
+    batches."""
+    import os
+
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_digest_store,
+        incremental_dedup_sink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "arrivals"
+    store = str(tmp_path / "digest_store")
+    out = str(tmp_path / "survivors")
+
+    def drain():
+        q = (stream_documents(spark, str(src) + "/*")
+             .writeStream.foreachBatch(incremental_dedup_sink(store, out))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # two pre-compaction drops, then compact, then the final drop
+    docs.filter(F.col("doc_id") % 4 == 0).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    drain()
+    docs.filter(F.col("doc_id") % 4 == 1).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    docs.filter(F.col("doc_id") % 4 == 2).coalesce(1) \
+        .write.parquet(str(src / "chunk=2"))
+    drain()
+
+    folded = compact_digest_store(spark, store, upto_batch_id=1)
+    assert folded == 2
+    dirs = sorted(d for d in os.listdir(store)
+                  if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-1"]
+
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=3"))
+    drain()
+
+    got = {r.text_digest: (r.doc_id, r.n_batch_dups)
+           for r in spark.read.parquet(out)
+           .filter("batch_id = 2").collect()}
+    want = {r.text_digest: (r.doc_id, r.n_batch_dups)
+            for r in all_queries()["dedup_incremental"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert got == want and len(want) > 0
