@@ -614,7 +614,7 @@ def connected_components(pairs: DataFrame,
     labels = (sym.select(F.col("doc_a").alias("doc")).distinct()
               .withColumn("comp", F.col("doc"))
               .localCheckpoint())
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # one-hop min propagation over the (symmetric) edge set
         nbr = (sym.join(labels.withColumnRenamed("doc", "doc_b"),
                         "doc_b")
@@ -631,12 +631,21 @@ def connected_components(pairs: DataFrame,
                           F.col("comp").alias("comp_hop"))
         new = (prop.join(hop, "comp", "left")
                .select("doc",
-                       F.coalesce("comp_hop", "comp").alias("comp"))
-               .localCheckpoint())
-        changed = new.join(labels, ["doc", "comp"], "left_anti").count()
+                       F.coalesce("comp_hop", "comp").alias("comp")))
+        # Amortized convergence check: each driver round-trip (the
+        # eager localCheckpoint job + the count job) is sequential
+        # latency, so pay it every SECOND round — labels are
+        # min-monotone, so a fixpoint at round 2k was also a fixpoint
+        # at 2k-1 if it arrived there, and the worst case is one extra
+        # (cheap, lineage-bounded) propagation round.  Odd rounds
+        # chain lazily; lineage never exceeds two rounds of joins.
+        if it % 2 == 1 or it == max_iters - 1:
+            new = new.localCheckpoint()
+            changed = new.join(labels, ["doc", "comp"],
+                               "left_anti").count()
+            if changed == 0:
+                return new
         labels = new
-        if changed == 0:
-            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds; "
         "the near-dup graph is deeper than expected — raise max_iters "

@@ -1201,19 +1201,33 @@ _gate_oracles("ann_truncation_recall")
 
 ANN_INCR_K = 3
 
+# Structural bound on the index join: a degenerate embedding region
+# (near-duplicate mass, many vectors sharing hyperplane signs) makes
+# one bucket O(corpus) and the candidate join superlinear.  The cap is
+# the same count-over-window filter the incremental minhash index
+# applies (dedup.py::minhash_incremental_from_index) — a hot seen
+# bucket is dropped wholesale, bounding per-batch-vector fan-out at
+# N_TABLES x ANN_MAX_BUCKET regardless of corpus shape.  Recall on a
+# capped bucket degrades gracefully (other tables still vote); the
+# durable fix at scale is raising N_PLANES, but the cap is what makes
+# a skewed drop survivable *tonight*.
+ANN_MAX_BUCKET = 1000
+
 
 def ann_incremental_from_index(seen_b: DataFrame, seen_vecs: DataFrame,
                                batch: DataFrame) -> DataFrame:
     """``seen_b``: persisted (vec_id, bucket) index; ``seen_vecs``:
     persisted (vec_id, embedding); ``batch``: arriving vectors.
     Returns per batch vector its top-ANN_INCR_K indexed neighbors."""
+    bn = F.count("*").over(Window.partitionBy("bucket"))
+    seen_idx = (seen_b.select(F.col("vec_id").alias("seen_vec"),
+                              "bucket")
+                .withColumn("_bn", bn)
+                .filter(F.col("_bn") <= ANN_MAX_BUCKET).drop("_bn"))
     b_ids = batch.select(
         F.col("vec_id").alias("batch_vec"),
         F.explode(lsh_table_buckets_vec("embedding")).alias("bucket"))
-    cand = (b_ids.join(
-                seen_b.select(F.col("vec_id").alias("seen_vec"),
-                              "bucket"),
-                "bucket")
+    cand = (b_ids.join(seen_idx, "bucket")
             .filter(F.col("batch_vec") != F.col("seen_vec"))
             .select("batch_vec", "seen_vec").distinct())
     q_arr = batch.select(F.col("vec_id").alias("batch_vec"),
@@ -1258,8 +1272,11 @@ register(QuerySpec(
         ),
         q AS (SELECT vec_id AS batch_vec, embedding AS qe, bucket
               FROM b WHERE vec_id % 4 = 3),
-        s AS (SELECT vec_id AS seen_vec, embedding AS ce, bucket
-              FROM b WHERE vec_id % 4 < 3),
+        s AS (SELECT seen_vec, ce, bucket FROM (
+                  SELECT vec_id AS seen_vec, embedding AS ce, bucket,
+                         COUNT(*) OVER (PARTITION BY bucket) AS bn
+                  FROM b WHERE vec_id % 4 < 3
+              ) WHERE bn <= {ANN_MAX_BUCKET}),
         pairs AS (
             SELECT DISTINCT batch_vec, seen_vec, qe, ce
             FROM q JOIN s ON q.bucket = s.bucket

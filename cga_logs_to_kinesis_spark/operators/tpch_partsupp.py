@@ -367,11 +367,19 @@ def register_when_fixture_ships() -> bool:
 
     if "min_cost_supplier" in _REGISTRY:
         return True
+    # The driver exercises SEVERAL scale dirs in one round (smoke at
+    # sf0.001, correctness at sf0.01, bench at $SPARK_GRAFT_SF_DIR), so
+    # a fixture present in only one of them must NOT flip the suite
+    # live — that turns a latent probe into missing-table crashes at
+    # the other scales.  Require partsupp.parquet in EVERY candidate
+    # dir that exists (and at least one hit).
     candidates = [os.environ.get("SPARK_GRAFT_SF_DIR", "")]
     candidates += [f"/root/testdata/sf{s}" for s in
                    ("0.001", "0.01", "0.1")]
-    if not any(c and os.path.exists(os.path.join(c, "partsupp.parquet"))
-               for c in candidates):
+    live_dirs = [c for c in candidates if c and os.path.isdir(c)]
+    hits = [os.path.exists(os.path.join(c, "partsupp.parquet"))
+            for c in live_dirs]
+    if not (hits and all(hits)):
         return False
     for spec in PARTSUPP_SPECS.values():
         register(spec)

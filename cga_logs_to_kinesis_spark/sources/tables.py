@@ -68,10 +68,26 @@ def gate_embeddings_sql(sql: str) -> str:
     """Rewrite an oracle so every read of the raw ``embeddings`` view
     goes through the validity gate — the SQL twin of the Spark side's
     ``load_embeddings``.  Queries auditing the raw table
-    (``embedding_validity``) must NOT route through this."""
+    (``embedding_validity``) must NOT route through this.
+
+    Idempotent and loud: an already-gated read (its text is exactly
+    ``FROM embeddings WHERE embedding IS NOT NULL ...``) is left
+    alone, so re-gating an oracle that embeds a pre-gated CTE
+    (``ann_truncation_recall``) can't double-wrap; any mention of the
+    view the regex can't rewrite (comma join, quoted identifier)
+    raises instead of silently shipping an ungated oracle."""
     import re
     gated = f"(SELECT * FROM embeddings WHERE {VALID_EMBEDDING_SQL})"
-    return re.sub(r"\b(FROM|JOIN) embeddings\b", rf"\1 {gated}", sql)
+    marker = r"(?! WHERE embedding IS NOT NULL)"
+    out = re.sub(r"\b(FROM|JOIN) embeddings\b" + marker,
+                 rf"\1 {gated}", sql, flags=re.IGNORECASE)
+    stray = re.search(r"\bembeddings\b" + marker, out, re.IGNORECASE)
+    if stray:
+        ctx = out[max(0, stray.start() - 40):stray.end() + 40]
+        raise ValueError(
+            "gate_embeddings_sql: raw 'embeddings' read survived the "
+            f"rewrite (comma join or quoted identifier?): ...{ctx}...")
+    return out
 
 
 def gate_registered_oracles(*names: str) -> None:

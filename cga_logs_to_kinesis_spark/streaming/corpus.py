@@ -535,10 +535,20 @@ def compact_digest_store(spark: SparkSession, store_dir: str,
                 .select("batch_id").distinct().count())
     if n_folded == 0:
         return 0
-    (base.unionByName(old).distinct()
-     .coalesce(files_per_partition)
-     .withColumn("batch_id", F.lit(-1))
-     .write.mode("overwrite")
+    # Materialize the merged digest set BEFORE the overwrite: the
+    # batch_id=-1 base partition is both an input (``base``) and the
+    # replaced output, and a lazy plan that scans the partition while
+    # dynamic-overwrite replaces it can lose the base on object stores
+    # (rename-less commit) or under a concurrently-reading sink.
+    # localCheckpoint pins the union to executor storage so the write
+    # job reads blocks, never the parquet being rewritten.  Compaction
+    # still requires the stream to be STOPPED (see docstring) — the
+    # checkpoint closes the self-read hazard, not concurrent appends.
+    merged = (base.unionByName(old).distinct()
+              .coalesce(files_per_partition)
+              .withColumn("batch_id", F.lit(-1))
+              .localCheckpoint())
+    (merged.write.mode("overwrite")
      .options(partitionOverwriteMode="dynamic")
      .partitionBy("batch_id").parquet(store_dir))
     # cleanup AFTER the base partition is durable; a crash here only

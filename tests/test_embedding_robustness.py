@@ -154,3 +154,33 @@ def test_gated_query_matches_oracle_on_dirty(spark, dirty_dir,
     assert len(srows) == len(orows), "row count mismatch"
     assert sorted(sdf.columns) == sorted(ocols), "schema mismatch"
     assert table_hash(srows, list(sdf.columns)) == table_hash(orows, ocols)
+
+
+# ---------------------------------------------------------------------------
+# gate_embeddings_sql rewrite hygiene (the oracle twin of the gate)
+# ---------------------------------------------------------------------------
+
+def test_gate_rewrite_is_idempotent_and_case_insensitive():
+    from cga_logs_to_kinesis_spark.sources.tables import (
+        VALID_EMBEDDING_SQL,
+        gate_embeddings_sql,
+    )
+    once = gate_embeddings_sql("SELECT * FROM embeddings WHERE vec_id < 8")
+    assert VALID_EMBEDDING_SQL in once
+    # re-gating (an oracle embedding an already-gated CTE) is a no-op
+    assert gate_embeddings_sql(once) == once
+    # lowercase reads are gated too, not silently skipped
+    lower = gate_embeddings_sql("select vec_id from embeddings")
+    assert VALID_EMBEDDING_SQL in lower
+    join = gate_embeddings_sql("SELECT * FROM documents JOIN embeddings "
+                               "ON doc_id = vec_id")
+    assert VALID_EMBEDDING_SQL in join
+
+
+def test_gate_rewrite_raises_on_unrecognized_read():
+    """A comma join (or quoted identifier) the regex can't rewrite must
+    raise — an ungated oracle would silently hash-diverge on dirty
+    fixtures, which is exactly the failure mode the gate closes."""
+    from cga_logs_to_kinesis_spark.sources.tables import gate_embeddings_sql
+    with pytest.raises(ValueError, match="survived the rewrite"):
+        gate_embeddings_sql("SELECT * FROM documents, embeddings")

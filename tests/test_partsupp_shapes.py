@@ -129,3 +129,18 @@ def test_probe_does_not_register_without_fixture(monkeypatch):
         pytest.skip("suite registered partsupp via a real fixture")
     assert tpch_partsupp.register_when_fixture_ships() is False
     assert "min_cost_supplier" not in _REGISTRY
+
+
+def test_probe_requires_fixture_at_every_scale(monkeypatch, tmp_path):
+    """A partsupp fixture in only ONE scale dir must not flip the
+    suite live: the driver exercises several dirs per round (smoke
+    sf0.001, correctness sf0.01, bench $SPARK_GRAFT_SF_DIR), and a
+    partial fixture would crash the gate at the scales lacking it."""
+    from cga_logs_to_kinesis_spark.operators import tpch_partsupp
+    from cga_logs_to_kinesis_spark.registry import _REGISTRY
+    if "min_cost_supplier" in _REGISTRY:
+        pytest.skip("suite registered partsupp via a real fixture")
+    (tmp_path / "partsupp.parquet").write_bytes(b"")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    assert tpch_partsupp.register_when_fixture_ships() is False
+    assert "min_cost_supplier" not in _REGISTRY

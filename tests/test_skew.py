@@ -80,3 +80,49 @@ def test_minhash_hot_bucket_is_bounded(spark):
     assert len(rows) < 100
     assert not any(r.doc_a < 100000 and r.doc_b < 100000 for r in rows)
     assert any({r.doc_a, r.doc_b} == {100001, 100002} for r in rows)
+
+
+def test_ann_incremental_hot_bucket_is_bounded(spark):
+    """Behavioral guard for ANN_MAX_BUCKET: a degenerate embedding
+    region (here: thousands of IDENTICAL vectors, so every LSH table
+    puts them in one bucket) must not make the persisted-index join
+    superlinear — the hot seen buckets are dropped wholesale, while a
+    batch vector matching a small healthy cluster still retrieves its
+    neighbors."""
+    from cga_logs_to_kinesis_spark.operators.similarity import (
+        ANN_MAX_BUCKET,
+        ann_incremental_from_index,
+        lsh_table_buckets_vec,
+    )
+    from cga_logs_to_kinesis_spark.schema import EMBEDDING_DIM
+
+    n_flood = ANN_MAX_BUCKET + 200
+    flood_vec = [1.0] * EMBEDDING_DIM
+    cluster = [float(1 if i % 2 == 0 else -1) + 0.01 * i
+               for i in range(EMBEDDING_DIM)]
+    seen = (spark.range(n_flood)
+            .select(F.col("id").alias("vec_id"),
+                    F.array(*[F.lit(x) for x in flood_vec])
+                    .cast("array<float>").alias("embedding"))
+            .unionByName(spark.createDataFrame(
+                [(200001, cluster), (200002, cluster)],
+                "vec_id long, embedding array<float>")))
+    # batch: one vector inside the flood region, one matching the
+    # healthy cluster
+    batch = spark.createDataFrame(
+        [(300001, flood_vec), (300002, cluster)],
+        "vec_id long, embedding array<float>")
+    seen_b = seen.select(
+        "vec_id",
+        F.explode(lsh_table_buckets_vec("embedding")).alias("bucket"))
+    out = ann_incremental_from_index(seen_b, seen, batch).collect()
+    # the flood bucket (> ANN_MAX_BUCKET members in every table) is
+    # dropped: the flood-region batch vector gets ZERO candidates
+    # instead of n_flood, so no row references it
+    assert not any(r.batch_vec == 300001 for r in out)
+    # the healthy cluster still retrieves — and its candidate count is
+    # the cluster, not the corpus
+    cluster_rows = [r for r in out if r.batch_vec == 300002]
+    assert cluster_rows, "healthy cluster lost its neighbors"
+    assert all(r.n_candidates <= 10 for r in cluster_rows)
+    assert {r.nearest_seen for r in cluster_rows} == {200001, 200002}
