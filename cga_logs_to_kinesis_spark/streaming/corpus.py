@@ -561,3 +561,95 @@ def compact_digest_store(spark: SparkSession, store_dir: str,
         if bid != "-1" and 0 <= int(bid) <= upto_batch_id:
             shutil.rmtree(os.path.join(store_dir, name))
     return n_folded
+
+
+def stream_documents_jsonl_audit(spark: SparkSession, path: str,
+                                 max_files_per_trigger: int | None = None,
+                                 ) -> DataFrame:
+    """Streaming twin of ``operators/ingest_audit.py::
+    load_documents_jsonl_audit``: a PERMISSIVE JSONL file stream with
+    ``_corrupt_record`` surfaced and the ``shard=K/`` layout exposed as
+    a partition column — the continuously-arriving form of a crawl
+    drop directory."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cga_logs_to_kinesis_spark.schema import DOCUMENTS
+    schema = StructType(
+        list(DOCUMENTS.fields)
+        + [StructField("_corrupt_record", StringType(), True)])
+    reader = (spark.readStream.schema(schema)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record"))
+    if max_files_per_trigger is not None:
+        # a SOURCE option (backpressure knob): bounds each micro-batch
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    return reader.json(path)
+
+
+def ingest_audit_sink(store_dir: str,
+                      fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch twin of ``q_jsonl_ingest_report``: each arriving
+    micro-batch folds to per-shard PARTIAL audit rows (the same
+    ``shard_audit_aggs`` expressions as the batch report — parity by
+    construction) appended to a ``batch_id``-keyed parquet store.
+
+    Every aggregate is mergeable, so
+    :func:`ingest_audit_report_from_store` re-folds the partials into
+    the exact whole-corpus report no matter how files were split into
+    micro-batches.  EXACTLY-ONCE: the single write is a batch_id
+    dynamic-overwrite partition, so a replay (crash after the write,
+    before the checkpoint commit — foreachBatch's at-least-once
+    window) overwrites its own partition identically; the fold sums
+    each batch_id partition once.  No cross-batch read exists here at
+    all (unlike the dedup sinks), so no ``batch_id < current`` filter
+    is needed.  Pinned by tests/test_corpus_stream.py::
+    test_ingest_audit_crash_after_write_is_exactly_once.
+
+    100 TB shape: the audit never joins and never holds state beyond
+    one micro-batch — counts fold map-side, the store grows one tiny
+    row-group per (batch, shard), and a hot producer is visible in the
+    fold as soon as its batch lands."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        shard_audit_aggs,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        report = (batch_df
+                  .groupBy(F.col("shard").cast("bigint").alias("shard"))
+                  .agg(*shard_audit_aggs()))
+        (report.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def ingest_audit_report_from_store(spark: SparkSession,
+                                   store_dir: str) -> DataFrame:
+    """Fold the per-batch partial audit rows into the whole-corpus
+    per-shard report — bit-identical to ``q_jsonl_ingest_report`` over
+    the same files (counts/sums add, min/max fold)."""
+    s = spark.read.parquet(store_dir)
+    return (s.groupBy("shard")
+            .agg(F.sum("n_lines").alias("n_lines"),
+                 F.sum("n_corrupt").alias("n_corrupt"),
+                 F.sum("n_valid").alias("n_valid"),
+                 F.sum("n_null_text").alias("n_null_text"),
+                 F.sum("n_missing_id").alias("n_missing_id"),
+                 F.sum("n_chars_liars").alias("n_chars_liars"),
+                 F.min("min_doc_id").alias("min_doc_id"),
+                 F.max("max_doc_id").alias("max_doc_id"),
+                 F.sum("total_chars").alias("total_chars"))
+            .orderBy("shard"))

@@ -575,3 +575,76 @@ def test_digest_store_compaction_preserves_dedup(spark, tmp_path):
             for r in all_queries()["dedup_incremental"]
             .fn(spark, SF_SMOKE).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_ingest_audit_matches_batch(spark, tmp_path):
+    """The foreachBatch ingest-audit twin must fold to the exact batch
+    report: stream the dirty JSONL fixture one FILE per micro-batch
+    (4 batches), store per-batch partials, and compare the fold
+    row-for-row with q_jsonl_ingest_report."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        dirty_jsonl_fixture,
+        q_jsonl_ingest_report,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        ingest_audit_report_from_store,
+        ingest_audit_sink,
+        stream_documents_jsonl_audit,
+    )
+
+    base = dirty_jsonl_fixture()
+    store = str(tmp_path / "audit_store")
+    q = (stream_documents_jsonl_audit(spark, base,
+                                      max_files_per_trigger=1)
+         .writeStream.foreachBatch(ingest_audit_sink(store))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # one partial row-group per (batch, shard): genuinely incremental
+    n_batches = (spark.read.parquet(store)
+                 .select("batch_id").distinct().count())
+    assert n_batches > 1, "fixture should split into several batches"
+    got = [tuple(r) for r in
+           ingest_audit_report_from_store(spark, store).collect()]
+    want = [tuple(r) for r in
+            q_jsonl_ingest_report(spark, base).collect()]
+    assert got == want and len(want) > 0
+
+
+def test_ingest_audit_crash_after_write_is_exactly_once(spark, tmp_path):
+    """foreachBatch's at-least-once window: a crash AFTER the store
+    write but BEFORE the checkpoint commit replays the batch — the
+    dynamic-overwrite batch_id partition must absorb the replay so the
+    fold never double-counts a shard."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        dirty_jsonl_fixture,
+        q_jsonl_ingest_report,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        ingest_audit_report_from_store,
+        ingest_audit_sink,
+        stream_documents_jsonl_audit,
+    )
+
+    base = dirty_jsonl_fixture()
+    store = str(tmp_path / "audit_store")
+    sink = ingest_audit_sink(store, fail_after_write_for=(1,))
+
+    def drain():
+        q = (stream_documents_jsonl_audit(spark, base,
+                                          max_files_per_trigger=1)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass                         # injected crash surfaces here
+
+    drain()          # dies mid-stream on batch 1, after its write
+    drain()          # restart: batch 1 replays over its own partition
+    got = [tuple(r) for r in
+           ingest_audit_report_from_store(spark, store).collect()]
+    want = [tuple(r) for r in
+            q_jsonl_ingest_report(spark, base).collect()]
+    assert got == want and len(want) > 0
