@@ -55,6 +55,12 @@ HEADLINE = (
     "dedup_minhash_incremental",  # batch-vs-band-index near-dup
     "dedup_components",      # iterative pointer-doubling components
     "dedup_near_survivors",  # composes components + survivor pick
+    # the slow tail (r7 verdict: an untracked slowest query is where a
+    # regression hides) + the r8 flagship composition:
+    "dedup_ngram_jaccard",   # char-5-gram Jaccard (slowest registry query)
+    "ann_incremental",       # persisted-index ANN (now bucket-capped)
+    "dedup_recall_report",   # LSH recall scorecard vs brute force
+    "curation_export_manifest",  # flagship #2: curation through export
 )
 
 

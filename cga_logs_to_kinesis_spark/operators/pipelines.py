@@ -237,3 +237,229 @@ register(QuerySpec(
         "promote-or-rollback gate for a new crawl)",
     tags=("llm-pipeline", "join", "outer", "diff"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition #2: the COMPLETE training-data path through export
+# ---------------------------------------------------------------------------
+# ingest → Gopher quality gate → exact dedup → NEAR-dup dedup (the
+# full LSH + connected-components front) → hash split → sequence
+# packing → export-shard placement, ending in the per (split, source,
+# shard) manifest a trainer consumes.  ``curation_manifest`` covers
+# the exact-dedup chain; this composition adds the expensive stage a
+# real pretraining pipeline cannot skip — near-duplicate collapse —
+# and proves the whole path pays each heavy front ONCE:
+#
+# * the corpus is scanned and quality-gated a single time
+#   (localCheckpoint — in production, the staging table a curation run
+#   materializes anyway; provision executor-local storage ~1x the
+#   gated text volume, same budget note as minhash_candidates);
+# * the LSH candidate front (shingle → band → bucket join → exact
+#   Jaccard verify) runs once, feeding connected components;
+# * everything downstream of the checkpoints is narrow hash math
+#   (split/shard assignment) plus ONE window (packing) and ONE final
+#   aggregate — tests/test_plans.py asserts the final plan contains no
+#   parquet re-scan and no recomputed shingle/minhash expressions.
+#
+# Near-dups collapse to the component representative (min doc_id), so
+# post-dedup split assignment cannot leak a component across splits —
+# the composed form of what split_leakage_repair proves pair-by-pair.
+
+def curated_export_corpus(docs: DataFrame) -> DataFrame:
+    """documents → fully deduped corpus (+split/+shard/+n_tokens), the
+    heavy half of the flagship chain, reusable ahead of any sink."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        JACCARD_EDGE_THRESHOLD,
+        connected_components,
+        minhash_candidates,
+    )
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        _split_of,
+    )
+
+    kept = docs.filter(gopher_quality_columns()["keep"]).localCheckpoint()
+    reps = (exact_dedup_groups(kept)
+            .select(F.col("rep_doc_id").alias("doc_id")))
+    exact_surv = kept.join(reps, "doc_id")
+    edges = (minhash_candidates(exact_surv)
+             .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD)
+             .select("doc_a", "doc_b"))
+    comp = connected_components(edges).select(
+        F.col("doc").alias("doc_id"), F.col("comp").alias("component"))
+    final = (exact_surv.join(comp, "doc_id", "left")
+             .filter(F.col("component").isNull()
+                     | (F.col("component") == F.col("doc_id"))))
+    ws = r"[ \t\n\x0B\f\r]+"
+    return final.select(
+        "doc_id", "source",
+        _split_of(F.col("doc_id")).alias("split"),
+        shard_column().alias("shard"),
+        F.size(F.split(F.trim("text"), ws)).alias("n_tokens"))
+
+
+def q_curation_export_manifest(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        CHUNK_TOKENS,
+    )
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = curated_export_corpus(docs)
+    w = (Window.partitionBy("split", "source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    chunks = (corpus
+              .withColumn("cum_before", cum_before)
+              .withColumn("first_chunk",
+                          (F.col("cum_before") / CHUNK_TOKENS)
+                          .cast("long"))
+              .withColumn("last_chunk",
+                          ((F.col("cum_before") + F.col("n_tokens") - 1)
+                           / CHUNK_TOKENS).cast("long")))
+    return (chunks
+            .groupBy("split", "source", "shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.min("first_chunk").alias("first_chunk"),
+                 F.max("last_chunk").alias("last_chunk"),
+                 F.sum(F.col("last_chunk") - F.col("first_chunk") + 1)
+                 .cast("long").alias("n_chunk_rows"))
+            .orderBy("split", "source", "shard"))
+
+
+def _curation_export_oracle() -> str:
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        JACCARD_EDGE_THRESHOLD,
+        SHINGLES_SQL,
+    )
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        CHUNK_TOKENS,
+        _split_sql,
+    )
+
+    # the LSH body is table-independent past the shingle CTEs; re-root
+    # the shingle scan on the exact-dedup survivors
+    shingles = SHINGLES_SQL.strip().replace("FROM documents",
+                                            "FROM exact_surv")
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        MAX_BUCKET,
+        N_BANDS,
+    )
+    return f"""
+        WITH RECURSIVE
+        gq AS ({_REGISTRY["gopher_quality"].oracle}),
+        kept AS (
+            SELECT d.* FROM documents d
+            JOIN gq ON d.doc_id = gq.doc_id
+            WHERE gq.keep
+        ),
+        groups AS (
+            SELECT md5({NORMALIZED_SQL}) AS digest,
+                   MIN(doc_id) AS rep
+            FROM kept GROUP BY 1
+        ),
+        exact_surv AS (
+            SELECT k.* FROM kept k JOIN groups g ON k.doc_id = g.rep
+        ),
+        {shingles},
+        sigs AS (
+            SELECT doc_id, b.band,
+                   list_min(list_transform(shingles,
+                            s -> md5(b.band || ':' || s))) AS sig
+            FROM shingled_ne,
+                 (SELECT unnest(range(0, {N_BANDS})) AS band) b
+        ),
+        banded AS (
+            SELECT doc_id, band // 2 AS band2,
+                   md5(array_to_string(
+                       list_sort(list(band || ':' || sig)), '')) AS sig2
+            FROM sigs
+            GROUP BY doc_id, band // 2
+        ),
+        eligible AS (
+            SELECT doc_id, band2, sig2 FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band2, sig2) AS bn
+                FROM banded
+            ) WHERE bn > 1 AND bn <= {MAX_BUCKET}
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM eligible a JOIN eligible b
+              ON a.band2 = b.band2 AND a.sig2 = b.sig2
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM cand c
+            JOIN shingled_ne x ON c.doc_a = x.doc_id
+            JOIN shingled_ne y ON c.doc_b = y.doc_id
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles))
+                       AS DOUBLE)
+                  / len(list_distinct(
+                        list_concat(x.shingles, y.shingles)))
+                  >= {JACCARD_EDGE_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION
+            SELECT doc_b, doc_a FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        ),
+        final AS (
+            SELECT s.* FROM exact_surv s
+            LEFT JOIN comp c ON s.doc_id = c.doc_id
+            WHERE c.component IS NULL OR c.component = s.doc_id
+        ),
+        toked AS (
+            SELECT doc_id, source,
+                   {_split_sql("doc_id")} AS split,
+                   {_shard_sql()} AS shard,
+                   len(regexp_split_to_array(TRIM(text),
+                       '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens
+            FROM final
+        ),
+        cums AS (
+            SELECT *,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY split, source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cum_before
+            FROM toked
+        )
+        SELECT split, source, shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(cum_before // {CHUNK_TOKENS}) AS first_chunk,
+               MAX((cum_before + n_tokens - 1) // {CHUNK_TOKENS})
+                   AS last_chunk,
+               CAST(SUM((cum_before + n_tokens - 1) // {CHUNK_TOKENS}
+                        - cum_before // {CHUNK_TOKENS} + 1) AS BIGINT)
+                   AS n_chunk_rows
+        FROM cums
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """
+
+
+register(QuerySpec(
+    "curation_export_manifest", q_curation_export_manifest,
+    oracle=_curation_export_oracle(),
+    doc="flagship #2: ingest -> Gopher gate -> exact dedup -> LSH "
+        "near-dup components -> hash split -> sequence packing -> "
+        "shard placement, as one chain paying each heavy front once; "
+        "per (split, source, shard) trainer manifest, hash-verified "
+        "against the fully CTE-composed oracle",
+    tags=("llm-pipeline", "north-star", "composition", "dedup",
+          "split", "export", "sink"),
+))

@@ -43,94 +43,95 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-7 curation ------------------------------------------------
-    # Every r6 window row came back green (all 50 hash-matched), so this
-    # round executes the rotation planned in the r6 comment:
-    # never-driver-checked first (the r6-late quartet plus bpe_tokenize,
-    # which had slipped through every earlier window, plus the queries
-    # new in r7), then the r3-stale straggler, then the full r5-stale
-    # cohort, then code-changed queries, then the oldest r4-stale
-    # representatives.  Left for the r8 window (r4-latest after this
-    # round): array_functions, asof_last_signup, conditional_pivot,
-    # corpus_stats, dedup_containment, dedup_events_first,
-    # dedup_exact_survivors, dedup_ngram_jaccard, dedup_simhash_pairs,
-    # dedup_source_flow, dedup_winnow_pairs, distinct_users, domain_cap,
-    # envelope_project, funnel_conversion, global_topk, json_props,
-    # map_functions, mixture_weights, multi_resolution_rollup,
-    # pivot_event_types, price_percentiles, prune_frequent_tokens,
-    # range_join_error_after_purchase, shipping_priority,
-    # similar_part_names, token_length_histogram; then the r5-latest
-    # leftovers (above_nation_avg, cube_orders, date_gallery,
-    # dedup_simhash, filter_project, grouping_sets_sql,
-    # longest_doc_per_lang, orders_in_window, orders_no_bulk_item,
-    # rank_gallery, rollup_pricing, scalar_gallery, unpivot_metrics)
-    # plus rows-only multimodal_features / multimodal_resize (PNG zlib:
-    # genuinely non-SQL) and approx_distinct_users (sketch:
-    # error-bound-tested instead, tests/test_consumer_and_approx.py).
+    # -- round-8 curation ------------------------------------------------
+    # Every r7 window row came back green (49 hash-matched + the
+    # by-design no-oracle approx_quantiles, which this round leaves OUT
+    # of the window per the r7 advisory — it stays covered by its
+    # rank-error-bound test, like approx_distinct_users).  This window
+    # executes the rotation planned in the r7 comment exactly:
+    # the r8-new composition first, then the three queries whose code
+    # changed this round, then the ENTIRE r4-latest cohort (33 — the
+    # stalest greens in the registry), then the r5-latest cohort (13).
+    # 1 + 3 + 33 + 13 = 50.
     #
-    # never driver-checked (r6-late additions + r7-new):
-    "embedding_validity",
-    "dedup_minhash_incremental",
-    "split_leakage",
-    "split_repair",
-    "bpe_tokenize",
-    "jsonl_ingest_report",       # new in r7
-    "split_leakage_repair",      # new in r7 (composed leak->repair)
-    "lang_mismatch_report",      # new in r7 (label-noise audit)
-    "length_outliers",           # new in r7 (median/MAD robust gate)
-    "approx_quantiles",          # new in r7 (rows-only, rank-bounded)
-    "chunk_overlap",             # new in r7 (RAG sliding windows)
-    "ann_truncation_recall",     # new in r7 (MRL prefix fidelity)
-    "ann_incremental",           # new in r7 (persisted-index ANN)
-    # r3-latest straggler:
-    "stratified_sample",
-    # r5-latest cohort (the rotation promised in the r6 comment):
-    "volume_shipping",
-    "market_share",
-    "customer_distribution",
-    "top_supplier",
-    "small_qty_revenue",
-    "disjunctive_revenue",
-    "waiting_suppliers",
-    "idle_customers",
-    "shard_assign",
-    "pagerank_docs",
-    "dedup_near_survivors",      # also composes the r7 components rewrite
-    "dedup_recall_report",
-    "retention_cohorts",
-    "rate_anomaly",
-    "modal_agreement",
-    "dedup_substring",
-    "dedup_substring_stats",
-    "dedup_substring_apply",
-    "bpe_learn_merges",
-    "bigram_surprisal",
-    "dsir_importance",
-    "pca_project",
-    "bm25_topk",
-    "unigram_rarity",
-    "char_diversity",
-    "embedding_covariance",
-    "quality_weighted_sample",
-    # code changed in r7 — needs a fresh row:
-    "dedup_components",          # pointer-doubling components rewrite
-    # r4-latest cohort, oldest first (embedding oracles also gained the
-    # VALID_EMBEDDING_SQL gate twin in r7 — fresh rows for that family).
-    # Displaced to r8 by the four r7-new queries above:
-    # cosine_topk_fast (bit-exact twin of cosine_topk, which stays),
-    # passage_dedup, running_revenue, pricing_summary (headline-benched
-    # and plan-pinned every round), minhash_signatures (the LSH family
-    # keeps dedup_minhash_lsh r6-green + cosine_topk_lsh in-window),
-    # session_windows (the window family keeps sliding_window +
-    # stats_tumbling in-window).
-    "ann_recall_report",
-    "cosine_topk",
-    "cosine_topk_lsh",
-    "kmeans_embeddings",
-    "batch_pages",
-    "stats_tumbling",
-    "sliding_window",
-    "top3_orders_per_customer",
+    # Left for the r9 window (stalest after this round): the r6-latest
+    # cohort of 49 (anti_join_customers, bpe_token_counts, bulk_orders,
+    # cosine_topk_ivf, curation_funnel, curation_manifest,
+    # curriculum_deciles, date_trunc_buckets, dedup_embedding_cosine,
+    # dedup_exact, dedup_incremental, dedup_minhash_lsh,
+    # doc_fingerprint, embedding_centroids, embedding_quantize,
+    # envelope_json_roundtrip, fertility_by_lang, gopher_quality,
+    # gopher_repetition, lang_id, large_volume_customers,
+    # multimodal_audio_features, multimodal_raw_features,
+    # multimodal_raw_resize, multimodal_video_frames, nation_set_ops,
+    # ngram_decontaminate, pack_chunks, pii_scrub, priority_count,
+    # promo_share, quality_features, quality_filter_survivors,
+    # returned_revenue, revenue_by_nation, segment_totals, semdedup,
+    # semi_join_customers, share_of_total, shipmode_priority,
+    # snapshot_diff, split_assign, text_normalize, text_stats,
+    # tfidf_top_terms, token_frequencies, union_by_name,
+    # vocab_coverage, winnowing_fingerprints) — pick the 50 window
+    # slots from it plus whatever is new/changed in r9.  Rows-only
+    # queries stay out of the window by convention: multimodal_features
+    # / multimodal_resize (PNG zlib), approx_distinct_users and
+    # approx_quantiles (sketches, error-bound-tested in
+    # tests/test_consumer_and_approx.py).
+    #
+    # new in r8:
+    "curation_export_manifest",  # flagship #2: curation through export
+    # code changed in r8 — fresh rows needed:
+    "ann_incremental",           # seen-side ANN_MAX_BUCKET cap (+oracle)
+    "dedup_components",          # amortized convergence check
+    "jsonl_ingest_report",       # shard_audit_aggs extraction (shared
+                                 # with the new streaming twin)
+    # r4-latest cohort (all 33, oldest greens in the registry):
+    "array_functions",
+    "asof_last_signup",
+    "conditional_pivot",
+    "corpus_stats",
+    "cosine_topk_fast",
+    "dedup_containment",
+    "dedup_events_first",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_source_flow",
+    "dedup_winnow_pairs",
+    "distinct_users",
+    "domain_cap",
+    "envelope_project",
+    "funnel_conversion",
+    "global_topk",
+    "json_props",
+    "map_functions",
+    "minhash_signatures",
+    "mixture_weights",
+    "multi_resolution_rollup",
+    "passage_dedup",
+    "pivot_event_types",
+    "price_percentiles",
+    "pricing_summary",
+    "prune_frequent_tokens",
+    "range_join_error_after_purchase",
+    "running_revenue",
+    "session_windows",
+    "shipping_priority",
+    "similar_part_names",
+    "token_length_histogram",
+    # r5-latest cohort (all 13):
+    "above_nation_avg",
+    "cube_orders",
+    "date_gallery",
+    "dedup_simhash",
+    "filter_project",
+    "grouping_sets_sql",
+    "longest_doc_per_lang",
+    "orders_in_window",
+    "orders_no_bulk_item",
+    "rank_gallery",
+    "rollup_pricing",
+    "scalar_gallery",
+    "unpivot_metrics",
 )
 
 

@@ -598,3 +598,20 @@ def test_length_outliers_dev_subtree_evaluated_once(spark):
     plan = formatted_plan(SPECS["length_outliers"].fn(spark, SF_SMOKE))
     assert "Scan ExistingRDD" in plan
     assert plan.count("documents.parquet") == 0
+
+
+def test_curation_export_pays_each_front_once(spark):
+    """Flagship #2's contract: downstream of the two checkpointed
+    fronts (the quality-gated corpus and the components labels), the
+    FINAL plan re-scans nothing — no parquet scan of documents, and no
+    recomputed shingle/minhash expressions (array_min over md5'd
+    shingles is the LSH signature fingerprint)."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    df = SPECS["curation_export_manifest"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, \
+        "corpus must be scanned once, at the quality-gate checkpoint"
+    assert "array_min" not in plan and "sequence(1" not in plan, \
+        "LSH shingle/signature math must not be recomputed downstream"
+    # the packing window and the final aggregate are the only wide ops
+    assert plan.count("Window") >= 1
