@@ -144,3 +144,80 @@ def test_probe_requires_fixture_at_every_scale(monkeypatch, tmp_path):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
     assert tpch_partsupp.register_when_fixture_ships() is False
     assert "min_cost_supplier" not in _REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# Dirty-partsupp net: NULL keys/quantities through the Q2/Q16/Q20
+# NOT-IN / semi / anti chains — exactly where SQL NULL semantics bite.
+# Hash-compared (not crash-checked) against DuckDB on the same files.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dirty_ps_dir(tmp_path_factory, ps_dir):
+    d = tmp_path_factory.mktemp("dirty_partsupp_sf")
+    for t in _TABLES:
+        if t != "supplier":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    # supplier with NULL s_acctbal holes (Q2 ranks by acctbal)
+    con.execute(f"""
+        COPY (SELECT * REPLACE (
+                  CASE WHEN s_suppkey % 7 = 3 THEN NULL
+                       ELSE s_acctbal END AS s_acctbal)
+              FROM read_parquet('{SF_SMOKE}/supplier.parquet'))
+        TO '{d}/supplier.parquet' (FORMAT PARQUET)
+    """)
+    # partsupp with NULLs punched into every column the five shapes
+    # join, aggregate, or range-filter on
+    con.execute(f"""
+        COPY (SELECT
+                  CASE WHEN rn % 13 = 7 THEN NULL
+                       ELSE ps_partkey END AS ps_partkey,
+                  CASE WHEN rn % 11 = 5 THEN NULL
+                       ELSE ps_suppkey END AS ps_suppkey,
+                  CASE WHEN rn % 17 = 9 THEN NULL
+                       ELSE ps_availqty END AS ps_availqty,
+                  CASE WHEN rn % 19 = 11 THEN NULL
+                       ELSE ps_supplycost_cents END AS ps_supplycost_cents
+              FROM (SELECT *, row_number() OVER () AS rn
+                    FROM read_parquet('{ps_dir}/partsupp.parquet')))
+        TO '{d}/partsupp.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dirty_ps_oracle(dirty_ps_dir):
+    con = duckdb.connect()
+    for t in (*_TABLES, "partsupp"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{dirty_ps_dir}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def test_dirty_fixture_actually_has_nulls(dirty_ps_oracle):
+    n = dirty_ps_oracle.execute(
+        "SELECT COUNT(*) FILTER (ps_suppkey IS NULL), "
+        "COUNT(*) FILTER (ps_partkey IS NULL), "
+        "COUNT(*) FILTER (ps_availqty IS NULL), "
+        "COUNT(*) FILTER (ps_supplycost_cents IS NULL), "
+        "(SELECT COUNT(*) FILTER (s_acctbal IS NULL) FROM supplier) "
+        "FROM partsupp").fetchone()
+    assert all(c > 0 for c in n), n
+
+
+@pytest.mark.parametrize("name", sorted(PARTSUPP_SPECS))
+def test_partsupp_query_matches_oracle_on_dirty(spark, dirty_ps_dir,
+                                                dirty_ps_oracle, name):
+    spec = PARTSUPP_SPECS[name]
+    sdf = spec.fn(spark, dirty_ps_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = dirty_ps_oracle.execute(spec.oracle)
+    ocols = [c[0] for c in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows), \
+        f"{name}: {len(srows)} spark vs {len(orows)} oracle rows"
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert table_hash(srows, list(sdf.columns)) == table_hash(orows, ocols)
