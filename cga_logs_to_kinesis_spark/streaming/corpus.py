@@ -653,3 +653,89 @@ def ingest_audit_report_from_store(spark: SparkSession,
                  F.max("max_doc_id").alias("max_doc_id"),
                  F.sum("total_chars").alias("total_chars"))
             .orderBy("shard"))
+
+
+def components_incremental_sink(labels_dir: str,
+                                fail_after_write_for:
+                                tuple[int, ...] = ()):
+    """foreachBatch twin of ``operators/dedup.py::connected_components``
+    — near-dup clusters maintained INCREMENTALLY as edge batches arrive
+    (each crawl drop's verified LSH pairs), completing the incremental
+    quartet: exact dedup, near-dup, ANN, and now components.
+
+    The persisted state is the LABEL STAR, not the edge history: a
+    component labeled ``comp`` (its min doc id) is stored as one
+    (doc, comp) row per member, and replaying those rows as doc—comp
+    edges reconstructs exactly the same connectivity as every past
+    edge would (labels are themselves node ids, so the star is a
+    connectivity-preserving contraction).  Each batch therefore runs
+    pointer-doubling over |batch edges| + |known nodes| star edges —
+    state O(nodes) while edge history is unbounded, which is the
+    difference between feasible and not at 100 TB (a year of crawl
+    drops has orders of magnitude more pair observations than docs).
+
+    EXACTLY-ONCE: the full post-batch label table lands under its
+    ``batch_id`` partition (dynamic overwrite); reads take the newest
+    partition strictly BELOW the current batch id, so a replayed batch
+    (crash after the write, before the checkpoint commit) recomputes
+    from pre-batch state and overwrites identically.  The store keeps
+    one label-table version per batch — each version is a complete
+    state, so production compacts by dropping every partition but the
+    newest (:func:`compact_label_store`); correctness never depends on
+    the old versions.  Pinned by tests/test_corpus_stream.py::
+    test_components_incremental_* (batch parity + crash replay).
+    """
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        connected_components,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        edges = batch_df.select("doc_a", "doc_b")
+        try:
+            store = (spark.read.parquet(labels_dir)
+                     .filter(F.col("batch_id") < F.lit(batch_id)))
+            prev_max = store.agg(F.max("batch_id")).first()[0]
+        except Exception:       # first batch: store not created yet
+            prev_max = None
+        if prev_max is not None:
+            star = (store.filter(F.col("batch_id") == prev_max)
+                    .select(F.col("comp").alias("doc_a"),
+                            F.col("doc").alias("doc_b")))
+            edges = edges.unionByName(star)
+        labels = connected_components(edges)
+        (labels.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(labels_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def compact_label_store(labels_dir: str) -> int:
+    """Drop every label-table version except the newest (each version
+    is a complete state — see :func:`components_incremental_sink`).
+    Run with the stream stopped.  Returns versions removed."""
+    import os
+    import shutil
+
+    bids = []
+    for name in os.listdir(labels_dir):
+        if name.startswith("batch_id="):
+            bids.append(int(name.split("=", 1)[1]))
+    removed = 0
+    for bid in bids:
+        if bid != max(bids):
+            shutil.rmtree(os.path.join(labels_dir, f"batch_id={bid}"))
+            removed += 1
+    return removed

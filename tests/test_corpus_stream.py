@@ -648,3 +648,105 @@ def test_ingest_audit_crash_after_write_is_exactly_once(spark, tmp_path):
     want = [tuple(r) for r in
             q_jsonl_ingest_report(spark, base).collect()]
     assert got == want and len(want) > 0
+
+
+def _edge_batches(spark, tmp_path):
+    """The sf0.001 verified near-dup edges staged as two arrival
+    batches, split so plenty of components straddle the batch
+    boundary (hash split on doc_a)."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        JACCARD_EDGE_THRESHOLD,
+        minhash_candidates,
+    )
+    docs = load_table(spark, SF_SMOKE, "documents")
+    edges = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD)
+             .select("doc_a", "doc_b").localCheckpoint())
+    src = tmp_path / "edge_arrivals"
+    edges.filter(F.col("doc_a") % 2 == 0).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    edges.filter(F.col("doc_a") % 2 == 1).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    return edges, str(src)
+
+
+def _drain_edges(spark, src, sink, ckpt):
+    q = (spark.readStream.schema("doc_a long, doc_b long")
+         .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass                             # injected crash surfaces here
+
+
+def test_components_incremental_matches_batch(spark, tmp_path):
+    """The label-star contraction must converge to the same clusters
+    as one-shot connected components over ALL edges — including
+    components whose edges arrived in different batches."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        connected_components,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_label_store,
+        components_incremental_sink,
+    )
+
+    edges, src = _edge_batches(spark, tmp_path)
+    store = str(tmp_path / "labels")
+    _drain_edges(spark, src, components_incremental_sink(store),
+                 str(tmp_path / "ckpt"))
+    import pyspark.sql.functions as SF
+    latest = (spark.read.parquet(store)
+              .filter(SF.col("batch_id")
+                      == spark.read.parquet(store)
+                      .agg(SF.max("batch_id")).first()[0]))
+    got = {(r.doc, r.comp) for r in latest.collect()}
+    want = {(r.doc, r.comp)
+            for r in connected_components(edges).collect()}
+    assert got == want and len(want) > 0
+    # cross-batch merges actually happened: at least one component has
+    # members from both arrival halves
+    comps = {}
+    for doc, comp in got:
+        comps.setdefault(comp, set()).add(doc % 2)
+    assert any(len(par) == 2 for par in comps.values()), \
+        "fixture split produced no cross-batch component — weak test"
+    # compaction leaves exactly the newest complete state
+    removed = compact_label_store(store)
+    assert removed >= 1
+    after = {(r.doc, r.comp)
+             for r in spark.read.parquet(store)
+             .select("doc", "comp").collect()}
+    assert after == want
+
+
+def test_components_incremental_crash_replay_is_exactly_once(
+        spark, tmp_path):
+    """Crash after the label write, before the checkpoint commit: the
+    replayed batch must recompute from PRE-batch state (newest
+    partition strictly below its id) and converge identically."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        connected_components,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        components_incremental_sink,
+    )
+
+    edges, src = _edge_batches(spark, tmp_path)
+    store = str(tmp_path / "labels")
+    sink = components_incremental_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_edges(spark, src, sink, ckpt)    # dies on batch 1 post-write
+    _drain_edges(spark, src, sink, ckpt)    # replay batch 1
+    import pyspark.sql.functions as SF
+    latest = (spark.read.parquet(store)
+              .filter(SF.col("batch_id")
+                      == spark.read.parquet(store)
+                      .agg(SF.max("batch_id")).first()[0]))
+    got = {(r.doc, r.comp) for r in latest.collect()}
+    want = {(r.doc, r.comp)
+            for r in connected_components(edges).collect()}
+    assert got == want and len(want) > 0
