@@ -38,6 +38,7 @@ PROBED = [
     "fertility_by_lang", "gopher_quality", "gopher_repetition",
     "lang_id", "lang_mismatch_report", "length_outliers",
     "chunk_overlap", "split_leakage_repair",
+    "curation_export_manifest",
     "longest_doc_per_lang", "minhash_signatures",
     "mixture_weights", "multimodal_audio_features",
     "multimodal_features", "multimodal_raw_features",
