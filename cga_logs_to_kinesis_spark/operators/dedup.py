@@ -1621,3 +1621,136 @@ register(QuerySpec(
         "(precision is 1.0 by verification)",
     tags=("dedup", "north-star", "evaluation"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Dedup tuning reports: cluster-size histogram + threshold sweep
+# ---------------------------------------------------------------------------
+# Two questions every curation run answers BEFORE committing to a
+# dedup pass: "what does the duplicate-cluster size distribution look
+# like?" (a heavy tail of giant clusters means boilerplate/template
+# mass that exact dedup should remove first) and "how much would each
+# Jaccard threshold collapse?" (the S-curve knob is useless without
+# the corpus's own pair-similarity histogram).  Both reuse fronts that
+# already exist — components and the verified LSH pair table — so
+# their marginal cost is one aggregate each.
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram over the near-dup clusters: one row
+    per cluster size with the number of clusters, docs covered, and
+    the min component label as a stable example.  The removable-doc
+    count per size ((size-1) x n_clusters) is the dedup yield
+    forecast.  Scale: the label table is corpus-fraction-sized; the
+    histogram is two tiny aggs on top of the iterative front."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD))
+    comp = connected_components(edges)
+    sizes = comp.groupBy("comp").agg(
+        F.count("*").alias("component_size"))
+    return (sizes.groupBy("component_size")
+            .agg(F.count("*").alias("n_components"),
+                 (F.count("*") * F.first("component_size"))
+                 .alias("n_docs"),
+                 (F.count("*") * (F.first("component_size") - 1))
+                 .alias("n_removable"),
+                 F.min("comp").alias("example_component"))
+            .orderBy("component_size"))
+
+
+register(QuerySpec(
+    "dedup_cluster_stats", q_dedup_cluster_stats,
+    oracle=f"""
+        WITH RECURSIVE lsh AS (
+            {_REGISTRY["dedup_minhash_lsh"].oracle}
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM lsh
+            WHERE jaccard >= {JACCARD_EDGE_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION
+            SELECT doc_b, doc_a FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        ),
+        sizes AS (
+            SELECT component, COUNT(*) AS component_size
+            FROM comp GROUP BY component
+        )
+        SELECT component_size,
+               COUNT(*) AS n_components,
+               COUNT(*) * component_size AS n_docs,
+               COUNT(*) * (component_size - 1) AS n_removable,
+               MIN(component) AS example_component
+        FROM sizes
+        GROUP BY component_size
+        ORDER BY component_size
+    """,
+    doc="near-dup cluster-size histogram with per-size dedup yield "
+        "forecast (n_removable) — the pre-flight report before "
+        "committing a dedup pass",
+    tags=("dedup", "north-star", "report", "iterative"),
+))
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair counts per 0.1-wide Jaccard bin over the verified LSH
+    front, with the cumulative pairs-collapsed-at-or-above each bin —
+    the corpus's own similarity histogram, read directly against the
+    (b, r) S-curve when choosing the dedup threshold.  Bin edges are
+    exact decimal multiples so both engines bucket identically.
+    Scale: one agg + one tiny window over the already-verified pair
+    table; no new LSH pass."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs)
+    binned = pairs.select(
+        (F.floor(F.col("jaccard") * 10) / 10).alias("jaccard_bin"))
+    w = Window.orderBy(F.col("jaccard_bin").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (binned.groupBy("jaccard_bin")
+            .agg(F.count("*").alias("n_pairs"))
+            # the histogram is <= 11 rows by construction (0.0..1.0 in
+            # 0.1 bins), so the global-order window runs on one tiny
+            # partition on purpose; coalesce silences the planner's
+            # single-partition warning without changing the plan shape
+            .coalesce(1)
+            .withColumn("n_pairs_at_or_above",
+                        F.sum("n_pairs").over(w))
+            .orderBy("jaccard_bin"))
+
+
+register(QuerySpec(
+    "dedup_threshold_sweep", q_dedup_threshold_sweep,
+    oracle=f"""
+        WITH lsh AS (
+            {_REGISTRY["dedup_minhash_lsh"].oracle}
+        ),
+        binned AS (
+            SELECT FLOOR(jaccard * 10) / 10 AS jaccard_bin,
+                   COUNT(*) AS n_pairs
+            FROM lsh
+            GROUP BY 1
+        )
+        SELECT jaccard_bin, n_pairs,
+               CAST(SUM(n_pairs) OVER (ORDER BY jaccard_bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_pairs_at_or_above
+        FROM binned
+        ORDER BY jaccard_bin
+    """,
+    doc="verified-pair Jaccard histogram (0.1 bins) with cumulative "
+        "collapse counts per candidate threshold — the tuning report "
+        "behind the dedup threshold knob",
+    tags=("dedup", "north-star", "report", "agg"),
+))

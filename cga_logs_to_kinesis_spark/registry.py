@@ -48,11 +48,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # by-design no-oracle approx_quantiles, which this round leaves OUT
     # of the window per the r7 advisory — it stays covered by its
     # rank-error-bound test, like approx_distinct_users).  This window
-    # executes the rotation planned in the r7 comment exactly:
-    # the r8-new composition first, then the three queries whose code
-    # changed this round, then the ENTIRE r4-latest cohort (33 — the
-    # stalest greens in the registry), then the r5-latest cohort (13).
-    # 1 + 3 + 33 + 13 = 50.
+    # executes the rotation planned in the r7 comment: the three
+    # r8-new queries first, then the three whose code changed this
+    # round, then the r4-latest cohort (32 of 33 — the stalest greens
+    # in the registry), then the r5-latest cohort (12 of 13).
+    # 3 + 3 + 32 + 12 = 50.
     #
     # Left for the r9 window (stalest after this round): the r6-latest
     # cohort of 49 (anti_join_customers, bpe_token_counts, bulk_orders,
@@ -79,6 +79,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #
     # new in r8:
     "curation_export_manifest",  # flagship #2: curation through export
+    "dedup_cluster_stats",       # cluster-size histogram + yield forecast
+    "dedup_threshold_sweep",     # Jaccard histogram per threshold
+    # (the two slots come from cosine_topk_fast — bit-exact twin of
+    # r7-fresh cosine_topk, pinned by parity tests — and dedup_simhash,
+    # whose family keeps dedup_simhash_pairs in-window below)
     # code changed in r8 — fresh rows needed:
     "ann_incremental",           # seen-side ANN_MAX_BUCKET cap (+oracle)
     "dedup_components",          # amortized convergence check
@@ -89,7 +94,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "asof_last_signup",
     "conditional_pivot",
     "corpus_stats",
-    "cosine_topk_fast",
     "dedup_containment",
     "dedup_events_first",
     "dedup_exact_survivors",
@@ -122,7 +126,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "above_nation_avg",
     "cube_orders",
     "date_gallery",
-    "dedup_simhash",
     "filter_project",
     "grouping_sets_sql",
     "longest_doc_per_lang",

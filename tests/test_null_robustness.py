@@ -39,6 +39,7 @@ PROBED = [
     "lang_id", "lang_mismatch_report", "length_outliers",
     "chunk_overlap", "split_leakage_repair",
     "curation_export_manifest",
+    "dedup_cluster_stats", "dedup_threshold_sweep",
     "longest_doc_per_lang", "minhash_signatures",
     "mixture_weights", "multimodal_audio_features",
     "multimodal_features", "multimodal_raw_features",
