@@ -465,3 +465,85 @@ from cga_logs_to_kinesis_spark.sources.tables import (  # noqa: E402
 )
 
 _gate_oracles("kmeans_embeddings", "embedding_covariance", "pca_project")
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean drift between two embedding snapshots — the
+    monitoring report a pipeline runs when the encoder, preprocessing,
+    or upstream corpus changes: a nonzero per-dim delta localizes
+    WHICH dimensions moved (a re-normalization shows up as uniform
+    shrink; a truncation bug zeroes a suffix).  Snapshots here are the
+    deterministic vec_id parity split (the fixture ships one table);
+    in production the two sides are two snapshot paths.
+
+    Scale: one row-local posexplode (no join), then a d-key aggregate
+    whose decimal sums fold map-side — the whole report is one shuffle
+    of d x n_partitions partial rows, independent of corpus size.
+    Means divide exact-decimal sums by counts, so both engines round
+    the same rationals and deltas are bit-identical.
+    """
+    tune_session(spark)
+    emb = load_embeddings(spark, sf_dir)
+    x = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode("embedding").alias("dim", "v"))
+    is_a = F.col("is_a")
+    va = F.when(is_a, F.col("v").cast("double")).cast(_DEC)
+    vb = F.when(~is_a, F.col("v").cast("double")).cast(_DEC)
+    per = (x.groupBy(F.col("dim").cast("bigint").alias("dim"))
+           .agg(F.sum(F.when(is_a, 1).otherwise(0))
+                .cast("bigint").alias("n_a"),
+                F.sum(F.when(~is_a, 1).otherwise(0))
+                .cast("bigint").alias("n_b"),
+                F.sum(va).cast("double").alias("sum_a"),
+                F.sum(vb).cast("double").alias("sum_b")))
+    mean_a = F.try_divide(F.col("sum_a"), F.col("n_a").cast("double"))
+    mean_b = F.try_divide(F.col("sum_b"), F.col("n_b").cast("double"))
+    return (per.select("dim", "n_a", "n_b",
+                       mean_a.alias("mean_a"), mean_b.alias("mean_b"))
+            .withColumn("delta", F.col("mean_b") - F.col("mean_a"))
+            .orderBy("dim"))
+
+
+register(QuerySpec(
+    "embedding_drift", q_embedding_drift,
+    oracle=f"""
+        WITH x AS (
+            SELECT vec_id % 2 = 0 AS is_a,
+                   unnest(range(0, len(embedding))) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings
+        ),
+        agg AS (
+            SELECT dim,
+                   CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN is_a THEN
+                        CAST(CAST(v AS DOUBLE) AS {_DEC.upper()}) END)
+                        AS DOUBLE) AS sum_a,
+                   CAST(SUM(CASE WHEN NOT is_a THEN
+                        CAST(CAST(v AS DOUBLE) AS {_DEC.upper()}) END)
+                        AS DOUBLE) AS sum_b
+            FROM x GROUP BY dim
+        )
+        SELECT dim, n_a, n_b,
+               sum_a / CASE WHEN n_a = 0 THEN NULL
+                            ELSE CAST(n_a AS DOUBLE) END AS mean_a,
+               sum_b / CASE WHEN n_b = 0 THEN NULL
+                            ELSE CAST(n_b AS DOUBLE) END AS mean_b,
+               (sum_b / CASE WHEN n_b = 0 THEN NULL
+                             ELSE CAST(n_b AS DOUBLE) END)
+               - (sum_a / CASE WHEN n_a = 0 THEN NULL
+                               ELSE CAST(n_a AS DOUBLE) END) AS delta
+        FROM agg
+        ORDER BY dim
+    """,
+    doc="per-dimension embedding mean drift between two snapshots "
+        "(vec_id parity split): n/mean per side + delta, exact-decimal "
+        "sums so deltas are bit-identical",
+    tags=("similarity", "llm-pipeline", "agg", "report", "north-star"),
+))
+
+_gate_oracles("embedding_drift")

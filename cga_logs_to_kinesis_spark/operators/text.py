@@ -614,3 +614,74 @@ register(QuerySpec(
     doc="TF-IDF salient terms per doc (rational score, log-free)",
     tags=("text", "north-star", "agg", "topk"),
 ))
+
+
+def q_quality_percentile_calibrate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Threshold-free quality gating: convert a raw quality signal
+    (mean token length) into its per-language PERCENT_RANK and keep
+    the top 80% of each language.
+
+    Absolute quality thresholds drift across languages and crawls; a
+    per-language percentile is self-calibrating — "drop the worst 20%
+    of each language" means the same thing on every corpus, which is
+    how production filters (Gopher, FineWeb) are actually tuned.
+    NULL scores (empty/blank/NULL text) are excluded BEFORE ranking on
+    both engines: Spark orders NULLS FIRST ascending while DuckDB
+    defaults to NULLS LAST, so ranking them would diverge — and a
+    document with no measurable quality belongs in the quarantine
+    report (`jsonl_ingest_report`), not the calibration.
+
+    Scale: percent_rank shuffles once on lang — a handful of
+    partitions each sortable in parallel; the signal itself is narrow
+    column math.  Skewed language mix (English = half the corpus) is
+    the known hazard: at 100 TB swap the exact window for
+    approx_percentile-derived cutoffs per lang (tiny dim table,
+    broadcast back), the same exact-for-oracle / sketch-at-scale swap
+    as `length_outliers`.
+    """
+    from pyspark.sql.window import Window
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_space = (F.length("text")
+               - F.length(F.regexp_replace("text", r" ", "")))
+    score = F.try_divide((F.length("text") - n_space).cast("double"),
+                         token_count().cast("double"))
+    scored = (docs.select("doc_id", "lang",
+                          score.alias("mean_token_len"))
+              .filter(F.col("mean_token_len").isNotNull()))
+    w = Window.partitionBy("lang").orderBy("mean_token_len")
+    return (scored
+            .withColumn("quality_pct", F.percent_rank().over(w))
+            .withColumn("keep",
+                        (F.col("quality_pct") >= 0.2).cast("int"))
+            .orderBy("lang", "quality_pct", "doc_id"))
+
+
+register(QuerySpec(
+    "quality_percentile_calibrate", q_quality_percentile_calibrate,
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, lang,
+                   CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+                       / ({TOKEN_COUNT_SQL}) AS mean_token_len
+            FROM documents
+        ),
+        nn AS (
+            SELECT * FROM f WHERE mean_token_len IS NOT NULL
+        )
+        SELECT doc_id, lang, mean_token_len,
+               PERCENT_RANK() OVER
+                   (PARTITION BY lang ORDER BY mean_token_len)
+                   AS quality_pct,
+               CAST(PERCENT_RANK() OVER
+                   (PARTITION BY lang ORDER BY mean_token_len) >= 0.2
+                   AS INT) AS keep
+        FROM nn
+        ORDER BY lang, quality_pct, doc_id
+    """,
+    doc="per-language percent_rank calibration of a quality signal "
+        "with a keep-top-80% gate — threshold-free quality filtering",
+    tags=("text", "north-star", "window"),
+))

@@ -303,3 +303,39 @@ register(QuerySpec(
     doc="calendar week bucketing via date_trunc",
     tags=("date", "agg"),
 ))
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the pure scan-filter-aggregate — a single fact-table
+    pass whose predicate (date range + discount band + quantity cap)
+    must reach the parquet reader as pushed filters, with no join and
+    no shuffle beyond the final partial-sum merge.  At 100 TB this is
+    the query where predicate pushdown + column pruning decide whether
+    you read 3 columns of a year or the whole table; the plan is one
+    WholeStageCodegen over the scan feeding a 2-phase agg."""
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"),
+                  "revenue"))
+    )
+
+
+register(QuerySpec(
+    "forecast_revenue", q_forecast_revenue,
+    oracle="""
+        SELECT {rev}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """.format(rev=dsum_sql("l_extendedprice * l_discount", "revenue")),
+    doc="TPC-H Q6 shape: pushdown-only scan + global aggregate",
+    tags=("scan", "agg", "tpch"),
+))

@@ -48,14 +48,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # by-design no-oracle approx_quantiles, which this round leaves OUT
     # of the window per the r7 advisory — it stays covered by its
     # rank-error-bound test, like approx_distinct_users).  This window
-    # executes the rotation planned in the r7 comment: the three
-    # r8-new queries first, then the three whose code changed this
-    # round, then the r4-latest cohort (32 of 33 — the stalest greens
-    # in the registry), then the r5-latest cohort (12 of 13).
-    # 3 + 3 + 32 + 12 = 50.
+    # executes the rotation planned in the r7 comment: the seven
+    # r8-new queries first (three from the first half of the round,
+    # four added late — forecast_revenue / table_profile /
+    # quality_percentile_calibrate / embedding_drift), then the three
+    # whose code changed this round, then the r4-latest cohort (32 of
+    # 33 — the stalest greens in the registry), then the r5-latest
+    # cohort (8 of 13: date_gallery, rank_gallery, scalar_gallery and
+    # cube_orders ceded their slots to the late-r8 queries — their
+    # families keep in-window representatives via grouping_sets_sql,
+    # rollup_pricing, unpivot_metrics and top3_orders_per_customer,
+    # and all four stayed green in this round's full sf0.1 sweep).
+    # 7 + 3 + 32 + 8 = 50.
     #
     # Left for the r9 window (stalest after this round): the r6-latest
-    # cohort of 49 (anti_join_customers, bpe_token_counts, bulk_orders,
+    # cohort of 49 listed below, PLUS the four r5-latest queries
+    # displaced above (date_gallery, rank_gallery, scalar_gallery,
+    # cube_orders — stalest first).  The r6 cohort:
+    # (anti_join_customers, bpe_token_counts, bulk_orders,
     # cosine_topk_ivf, curation_funnel, curation_manifest,
     # curriculum_deciles, date_trunc_buckets, dedup_embedding_cosine,
     # dedup_exact, dedup_incremental, dedup_minhash_lsh,
@@ -81,6 +91,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curation_export_manifest",  # flagship #2: curation through export
     "dedup_cluster_stats",       # cluster-size histogram + yield forecast
     "dedup_threshold_sweep",     # Jaccard histogram per threshold
+    "forecast_revenue",          # TPC-H Q6: pushdown-only scan + agg
+    "table_profile",             # per-column ingest profile (lineitem)
+    "quality_percentile_calibrate",  # per-lang percent_rank gate
+    "embedding_drift",           # per-dim snapshot mean drift
     # (the two slots come from cosine_topk_fast — bit-exact twin of
     # r7-fresh cosine_topk, pinned by parity tests — and dedup_simhash,
     # whose family keeps dedup_simhash_pairs in-window below)
@@ -122,18 +136,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "shipping_priority",
     "similar_part_names",
     "token_length_histogram",
-    # r5-latest cohort (all 13):
+    # r5-latest cohort (8 of 13 — see the rotation note above):
     "above_nation_avg",
-    "cube_orders",
-    "date_gallery",
     "filter_project",
     "grouping_sets_sql",
     "longest_doc_per_lang",
     "orders_in_window",
     "orders_no_bulk_item",
-    "rank_gallery",
     "rollup_pricing",
-    "scalar_gallery",
     "unpivot_metrics",
 )
 

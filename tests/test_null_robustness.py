@@ -53,6 +53,7 @@ PROBED = [
     "stratified_sample", "text_normalize", "text_stats",
     "tfidf_top_terms", "token_frequencies", "token_length_histogram",
     "unigram_rarity", "vocab_coverage", "winnowing_fingerprints",
+    "quality_percentile_calibrate",
 ]
 
 _DOCS = pd.DataFrame({

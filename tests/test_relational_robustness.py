@@ -33,6 +33,9 @@ PROBED = [
     "scalar_gallery", "top_supplier", "disjunctive_revenue",
     "nation_set_ops", "union_by_name", "semi_join_customers",
     "anti_join_customers", "filter_project", "orders_in_window",
+    # r8 widening: the pushdown-only scan and the per-column profile
+    # (the dirty lineitem row exercises its NULL accounting directly)
+    "forecast_revenue", "table_profile",
 ]
 
 _MODS = {
