@@ -451,13 +451,42 @@ CHAR_ROWS_PER_BAND = 2
 # verify cost returns to ~linear in corpus size.
 CHAR_MAX_BUCKET = 100
 
+# 60-bit md5-prefix shingle fingerprints, re-hashed per minhash row by
+# an affine map mod a 30-bit prime.  One md5 per shingle instead of one
+# per (shingle x row) — at CHAR_BANDS x CHAR_ROWS_PER_BAND = 8 rows
+# that removes 7/8 of the md5 work, which dominated this query's CPU
+# (md5 over ~n_chars shingles per doc, 8x).  The affine family
+# (A_r * h + B_r) mod P is the textbook universal hash: distinct 60-bit
+# fingerprints spread uniformly, and candidate RECALL only depends on
+# this spread — precision is restored by the exact-Jaccard verify.
+# Both engines fold the same integers, so the derivation is
+# bit-identical (DuckDB's '0x'||hex cast twins Spark's conv(), the
+# winnowing-family idiom).
+CHAR_HASH_P = 1_000_000_007
+
+
+def _row_hash_expr(h: str, row: str) -> str:
+    """Affine row-hash ``(A_r * h' + B_r) mod P`` as a SQL fragment,
+    valid in both Spark SQL and DuckDB (`h` / `row` are column or
+    lambda-variable expressions).  A_r <= 314 and h' < P keep every
+    intermediate below 2^39 — no int64 overflow on either engine."""
+    return (f"((97 + 31 * ({row})) * (({h}) % {CHAR_HASH_P}) "
+            f"+ 911 * ({row}) + 13) % {CHAR_HASH_P}")
+
 
 def char_shingle_docs(docs: DataFrame) -> DataFrame:
     # Filter-before-transform, same CSE reasoning as shingle_docs.
+    # Shingles are emitted as 60-bit ints (md5-prefix fingerprints):
+    # band hashing folds ints instead of re-md5ing strings, and the
+    # verify stage intersects bigint arrays instead of 5-char strings.
+    # A fingerprint collision (2^-60 per pair) would count two distinct
+    # shingles as one IDENTICALLY on both engines (same md5), so
+    # cross-engine parity is exact even in that event.
     norm = normalized_text()
     shingles = F.expr(
         f"transform(sequence(1, length(_norm) - {CHAR_K - 1}), "
-        f"i -> substring(_norm, i, {CHAR_K}))")
+        f"i -> cast(conv(substring(md5(substring(_norm, i, {CHAR_K})), "
+        f"1, 15), 16, 10) as bigint))")
     par = explode_parallelism(docs.sparkSession)
     return (docs
             .repartition(par, "doc_id")
@@ -475,7 +504,8 @@ CHAR_SHINGLES_SQL = f"""
         SELECT doc_id,
                list_distinct(CASE WHEN LENGTH(nrm) >= {CHAR_K}
                    THEN list_transform(range(1, LENGTH(nrm) - {CHAR_K - 2}),
-                        i -> substring(nrm, i, {CHAR_K}))
+                        i -> CAST(('0x' || substr(md5(substring(nrm, i,
+                             {CHAR_K})), 1, 15)) AS BIGINT))
                    ELSE [] END) AS shingles
         FROM normed
     ),
@@ -490,10 +520,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same localCheckpoint discipline as minhash_candidates
     sh = char_shingle_docs(docs).localCheckpoint()
     band_sig = F.expr(
-        "transform(sequence(0, {n}), b -> md5(concat("
-        "array_min(transform(shingles, s -> md5(concat(b*2,   ':', s)))), "
-        "array_min(transform(shingles, s -> md5(concat(b*2+1, ':', s))))"
-        ")))".format(n=CHAR_BANDS - 1))
+        f"transform(sequence(0, {CHAR_BANDS - 1}), b -> concat("
+        f"array_min(transform(shingles, h -> "
+        f"{_row_hash_expr('h', 'b * 2')})), ':', "
+        f"array_min(transform(shingles, h -> "
+        f"{_row_hash_expr('h', 'b * 2 + 1')}))))")
     sigs = sh.select("doc_id", F.posexplode(band_sig).alias("band", "sig"))
     # Same hot-bucket bound as minhash_candidates: drop degenerate
     # buckets before the self-join so one boilerplate signature cannot
@@ -519,11 +550,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"),
                    F.col("shingles").alias("sh_b"))
+    # |union| = |a| + |b| - |intersect| (both sides are distinct by
+    # construction): one array traversal per pair instead of two.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b",
-                    (F.size(F.array_intersect("sh_a", "sh_b"))
-                     .cast("double")
-                     / F.size(F.array_union("sh_a", "sh_b")))
+                    (inter.cast("double")
+                     / (F.size("sh_a") + F.size("sh_b") - inter))
                     .alias("char_jaccard"))
             .filter(F.col("char_jaccard") >= 0.10))
 
@@ -534,10 +567,12 @@ register(QuerySpec(
         WITH {CHAR_SHINGLES_SQL.strip()},
         sigs AS (
             SELECT doc_id, b.band,
-                   md5(list_min(list_transform(shingles,
-                           s -> md5((b.band * 2) || ':' || s)))
-                       || list_min(list_transform(shingles,
-                           s -> md5((b.band * 2 + 1) || ':' || s)))) AS sig
+                   list_min(list_transform(shingles,
+                       h -> {_row_hash_expr('h', 'b.band * 2')}))
+                   || ':' ||
+                   list_min(list_transform(shingles,
+                       h -> {_row_hash_expr('h', 'b.band * 2 + 1')}))
+                   AS sig
             FROM shingled_ne,
                  (SELECT unnest(range(0, {CHAR_BANDS})) AS band) b
         ),
@@ -552,16 +587,17 @@ register(QuerySpec(
             FROM eligible a JOIN eligible b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         )
-        SELECT c.doc_a, c.doc_b,
-               CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-                   / len(list_distinct(list_concat(x.shingles, y.shingles)))
+        SELECT doc_a, doc_b, char_jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(x.shingles, y.shingles))
+                        AS DOUBLE)
+                   / (len(x.shingles) + len(y.shingles)
+                      - len(list_intersect(x.shingles, y.shingles)))
                    AS char_jaccard
-        FROM cand c
-        JOIN shingled_ne x ON c.doc_a = x.doc_id
-        JOIN shingled_ne y ON c.doc_b = y.doc_id
-        WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-                   / len(list_distinct(list_concat(x.shingles, y.shingles)))
-              >= 0.10
+            FROM cand c
+            JOIN shingled_ne x ON c.doc_a = x.doc_id
+            JOIN shingled_ne y ON c.doc_b = y.doc_id
+        ) WHERE char_jaccard >= 0.10
     """,
     doc="character-5-gram Jaccard near-dup (banded candidates)",
     tags=("dedup", "north-star", "ngram"),
