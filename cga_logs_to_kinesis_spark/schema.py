@@ -179,3 +179,24 @@ DOCUMENTS = StructType([
     StructField("source", StringType(), True),
     StructField("n_chars", LongType(), True),
 ])
+
+# Explicit lineitem schema for the streaming table-profile twin: a
+# readStream needs a declared schema (no inference scan — the same
+# contract as DOCUMENTS/JSONL ingest).  Matches the driver-generated
+# parquet fixture (FIXTURES.md); `l_shipdate` is TIMESTAMP(us), i.e.
+# TimestampNTZType in Spark 4's parquet reader.
+from pyspark.sql.types import TimestampNTZType  # noqa: E402
+
+LINEITEM = StructType([
+    StructField("l_orderkey", LongType(), True),
+    StructField("l_partkey", LongType(), True),
+    StructField("l_suppkey", LongType(), True),
+    StructField("l_linenumber", IntegerType(), True),
+    StructField("l_quantity", DoubleType(), True),
+    StructField("l_extendedprice", DoubleType(), True),
+    StructField("l_discount", DoubleType(), True),
+    StructField("l_tax", DoubleType(), True),
+    StructField("l_returnflag", StringType(), True),
+    StructField("l_linestatus", StringType(), True),
+    StructField("l_shipdate", TimestampNTZType(), True),
+])

@@ -739,3 +739,90 @@ def compact_label_store(labels_dir: str) -> int:
             shutil.rmtree(os.path.join(labels_dir, f"batch_id={bid}"))
             removed += 1
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Streaming table profile: the schema-level ingest gate run continuously
+# ---------------------------------------------------------------------------
+
+def stream_lineitem(spark: SparkSession, src_dir: str,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+    """File stream over a lineitem-shaped parquet drop directory —
+    explicit schema (schema.LINEITEM), no inference scan."""
+    from cga_logs_to_kinesis_spark.schema import LINEITEM
+    reader = spark.readStream.schema(LINEITEM)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def table_profile_sink(partials_dir: str, values_dir: str,
+                       fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch twin of ``operators/ingest_audit.py::
+    q_table_profile``: each arriving micro-batch writes (1) its
+    per-column profile PARTIALS (the same ``profile_partials``
+    expressions as the batch query — null counts add, min/max fold)
+    and (2) its DISTINCT (col_name, value) pairs, both into
+    ``batch_id``-keyed parquet stores.
+
+    :func:`table_profile_report_from_store` then folds the partials
+    and counts distinct values over the union of per-batch distinct
+    sets — bit-identical to the batch profile over the same rows, no
+    matter how files split into micro-batches, because both stores are
+    mergeable: partial min/max/counts fold associatively, and
+    set-union-then-distinct equals distinct-of-union.
+
+    EXACTLY-ONCE: both writes are ``batch_id`` dynamic-overwrite
+    partitions and neither reads across batches, so a foreachBatch
+    replay (crash between the writes and the checkpoint commit)
+    overwrites its own partitions identically — the ingest_audit_sink
+    argument, pinned by tests/test_corpus_stream.py.
+
+    100 TB shape: per batch the value store grows by the batch's
+    distinct values only (bounded by column cardinality, not row
+    count, for every gate-worthy column); swap the exact value store
+    for a per-batch HLL sketch column when profiling genuinely
+    unbounded key columns — the same exact-for-oracle /
+    sketch-at-scale swap as the batch query documents."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        profile_partials,
+        profile_value_pairs,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import FatalDeliveryError
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (profile_partials(batch_df)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(partials_dir))
+        (profile_value_pairs(batch_df).distinct()
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(values_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def table_profile_report_from_store(spark: SparkSession,
+                                    partials_dir: str,
+                                    values_dir: str) -> DataFrame:
+    """Fold the per-batch profile partials + distinct-value sets into
+    the whole-corpus per-column profile — bit-identical to
+    ``q_table_profile`` over the same rows."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        finish_profile,
+    )
+    partials = spark.read.parquet(partials_dir).drop("batch_id")
+    values = spark.read.parquet(values_dir)
+    distincts = (values.groupBy("col_name")
+                 .agg(F.count_distinct("val").alias("n_distinct")))
+    return finish_profile(partials, distincts)

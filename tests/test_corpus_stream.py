@@ -750,3 +750,91 @@ def test_components_incremental_crash_replay_is_exactly_once(
     want = {(r.doc, r.comp)
             for r in connected_components(edges).collect()}
     assert got == want and len(want) > 0
+
+
+def _lineitem_drop_dir(spark, tmp_path) -> str:
+    """sf0.001 lineitem staged as a 4-file drop directory under an
+    sf-style root, so the SAME path serves q_table_profile (batch) and
+    stream_lineitem (one file per micro-batch)."""
+    sf = tmp_path / "sfdrop"
+    (spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+     .repartition(4)
+     .write.parquet(str(sf / "lineitem.parquet")))
+    return str(sf)
+
+
+def _rows_str(rows):
+    # NaN != NaN under tuple equality; the profile's not-applicable
+    # min/max cells are NaN by convention, so compare via str.
+    return sorted(tuple(str(x) for x in r) for r in rows)
+
+
+def test_streaming_table_profile_matches_batch(spark, tmp_path):
+    """The foreachBatch table-profile twin must fold to the exact
+    batch profile: stream the drop one file per micro-batch, store
+    per-batch partials + distinct value sets, and compare the fold
+    row-for-row with q_table_profile."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        q_table_profile,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        stream_lineitem,
+        table_profile_report_from_store,
+        table_profile_sink,
+    )
+
+    sf = _lineitem_drop_dir(spark, tmp_path)
+    partials = str(tmp_path / "profile_partials")
+    values = str(tmp_path / "profile_values")
+    q = (stream_lineitem(spark, f"{sf}/lineitem.parquet",
+                         max_files_per_trigger=1)
+         .writeStream.foreachBatch(table_profile_sink(partials, values))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    n_batches = (spark.read.parquet(partials)
+                 .select("batch_id").distinct().count())
+    assert n_batches > 1, "drop should split into several batches"
+    got = table_profile_report_from_store(spark, partials, values)
+    want = q_table_profile(spark, sf)
+    assert _rows_str(got.collect()) == _rows_str(want.collect())
+    assert got.count() > 0
+
+
+def test_table_profile_crash_after_write_is_exactly_once(spark,
+                                                         tmp_path):
+    """A crash after both store writes but before the checkpoint
+    commit replays the batch; the dynamic-overwrite batch_id
+    partitions must absorb the replay so null counts never
+    double-fold and the distinct sets don't duplicate."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        q_table_profile,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        stream_lineitem,
+        table_profile_report_from_store,
+        table_profile_sink,
+    )
+
+    sf = _lineitem_drop_dir(spark, tmp_path)
+    partials = str(tmp_path / "profile_partials")
+    values = str(tmp_path / "profile_values")
+    sink = table_profile_sink(partials, values,
+                              fail_after_write_for=(1,))
+
+    def drain():
+        q = (stream_lineitem(spark, f"{sf}/lineitem.parquet",
+                             max_files_per_trigger=1)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass                         # injected crash surfaces here
+
+    drain()          # dies mid-stream on batch 1, after its writes
+    drain()          # restart: batch 1 replays over its own partitions
+    got = table_profile_report_from_store(spark, partials, values)
+    want = q_table_profile(spark, sf)
+    assert _rows_str(got.collect()) == _rows_str(want.collect())
