@@ -57,10 +57,16 @@ HEADLINE = (
     "dedup_near_survivors",  # composes components + survivor pick
     # the slow tail (r7 verdict: an untracked slowest query is where a
     # regression hides) + the r8 flagship composition:
-    "dedup_ngram_jaccard",   # char-5-gram Jaccard (slowest registry query)
+    "dedup_ngram_jaccard",   # char-5-gram Jaccard (fingerprinted shingles)
     "ann_incremental",       # persisted-index ANN (now bucket-capped)
     "dedup_recall_report",   # LSH recall scorecard vs brute force
     "curation_export_manifest",  # flagship #2: curation through export
+    # late-r8 additions — cheap but regression-watched:
+    "forecast_revenue",      # TPC-H Q6: pushdown-only scan + agg
+    "table_profile",         # two-pass per-column ingest profile
+    "quality_percentile_calibrate",  # per-lang percent_rank gate
+    "embedding_drift",       # posexplode + d-key exact-decimal agg
+    "product_profit",        # TPC-H Q9: largest join tree, derived partsupp
 )
 
 

@@ -1,18 +1,25 @@
-"""TPC-H partsupp plan topologies: Q2 / Q11 / Q16 / Q20.
+"""TPC-H partsupp plan topologies: Q2 / Q9 / Q11 / Q16 / Q20 — LIVE.
 
-The driver testdata carries no partsupp fixture (TESTDATA.md), so
-these specs stay OUT of the live registry by default — the driver
-would crash loading a missing table.  ``register_when_fixture_ships``
-(called by ``registry.all_queries``) probes the standard testdata
-locations and wires the whole suite into the driver gate the moment a
-partsupp.parquet appears — zero manual steps.  Until then they are the
-full QuerySpec shape regardless: tests/test_partsupp_shapes.py
-assembles a scale-dir with a deterministic generated partsupp
-(``generate_partsupp``) next to the real fixtures and verifies every
-query hash-exact against its DuckDB oracle, plus plan assertions.
+The driver testdata carries no partsupp fixture (TESTDATA.md), but in
+TPC-H partsupp IS a deterministic function of part x supplier (dbgen
+generates its rows from the part key and the supplier count — there is
+no independent information in the table).  So instead of gating the
+suite on a fixture that will never ship, BOTH engines derive the same
+partsupp: Spark via :func:`load_partsupp` (part x 4 generator rows,
+integer arithmetic), the oracle via the :data:`PARTSUPP_SQL` CTE over
+the part/supplier views the driver already registers.  Identical
+integer folds → identical tables → the five shapes are ordinary
+hash-checked registry queries at ANY scale dir, no probe, no latent
+crash (this also retires the r7 advisory about the multi-scale-dir
+fixture probe — the probe no longer exists).
 
-Topologies covered (the four TPC-H shapes the main registry lacks,
-SURVEY §8.2):
+tests/test_partsupp_shapes.py pins the derivation against the
+independent pure-Python ``generate_partsupp`` and keeps the dirty net
+by monkeypatching :func:`load_partsupp` (and rewriting the CTE) to a
+NULL-punched parquet — NOT-IN/semi/anti NULL semantics stay covered.
+
+Topologies covered (the five TPC-H shapes the main registry otherwise
+lacks, SURVEY §8.2):
 
 * Q2  — correlated scalar subquery over an aggregate (min supplycost
         per part within a region), decorrelated into agg + re-join;
@@ -50,7 +57,11 @@ PS_PER_PART = 4
 
 
 def generate_partsupp(part_keys, n_suppliers: int):
-    """[(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents)]."""
+    """[(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents)].
+
+    The reference definition of the derivation — pure Python, used by
+    tests to pin :func:`load_partsupp` and :data:`PARTSUPP_SQL` (three
+    independent implementations of one integer formula)."""
     rows = []
     for pk in part_keys:
         for i in range(PS_PER_PART):
@@ -61,6 +72,60 @@ def generate_partsupp(part_keys, n_suppliers: int):
                 1 + (pk * 31 + i * 17) % 100000,
             ))
     return rows
+
+
+# DuckDB twin of load_partsupp: derives the same rows from the part and
+# supplier views.  Every oracle below reads partsupp through this CTE
+# body (kept as ONE exact string so the dirty-net test can substitute a
+# NULL-punched parquet read for it).
+PARTSUPP_SQL = f"""(
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey + i * 7 + i)
+                   % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+               1 + (p_partkey * 7 + i * 13) % 5000 AS ps_availqty,
+               1 + (p_partkey * 31 + i * 17) % 100000
+                   AS ps_supplycost_cents
+        FROM part, (SELECT unnest(range(0, {PS_PER_PART})) AS i) g
+    )"""
+
+
+def _with_partsupp(sql: str) -> str:
+    """Prefix an oracle with the derived-partsupp CTE."""
+    return f"WITH partsupp AS {PARTSUPP_SQL}\n{sql}"
+
+
+def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive partsupp from the scale dir's part table + supplier
+    count — the Spark twin of :data:`PARTSUPP_SQL` and of dbgen's own
+    generation rule (4 supplier rows per part, arithmetic columns).
+
+    Scale shape: one narrow projection of part and a 4-way row-local
+    explode — the derived fact table is join/shuffle-free until a
+    query joins it, exactly as if it had been scanned.  The supplier
+    count enters as a LITERAL via one bounded driver action (a
+    count() of the supplier dim — same bounded-collect budget as the
+    BPE merge table or the kmeans centroids): folding it in as a
+    broadcast 1-row crossJoin instead would plant a
+    BroadcastNestedLoopJoin inside every consuming plan and muddy the
+    plan assertions that pin these topologies.  The dirty-net test
+    monkeypatches this function to read a NULL-punched parquet
+    instead."""
+    part = load_table(spark, sf_dir, "part")
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    i = F.col("i")
+    pk = F.col("p_partkey")
+    return (part.select("p_partkey")
+            .select("p_partkey",
+                    F.explode(F.sequence(
+                        F.lit(0), F.lit(PS_PER_PART - 1))).alias("i"))
+            .select(
+                pk.alias("ps_partkey"),
+                ((pk + i * 7 + i) % F.lit(n_supp))
+                .cast("bigint").alias("ps_suppkey"),
+                (1 + (pk * 7 + i * 13) % 5000)
+                .cast("bigint").alias("ps_availqty"),
+                (1 + (pk * 31 + i * 17) % 100000)
+                .cast("bigint").alias("ps_supplycost_cents")))
 
 
 def _cost(col: str = "ps_supplycost_cents") -> F.Column:
@@ -81,7 +146,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partkey, cost) — two shuffles on ps_partkey which AQE can plan as
     one exchange reuse; all dims broadcast."""
     tune_session(spark)
-    ps = load_table(spark, sf_dir, "partsupp")
+    ps = load_partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -137,7 +202,7 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joined (crossJoin of a 1-row frame), never recomputed
     per group and never a driver round-trip."""
     tune_session(spark)
-    ps = load_table(spark, sf_dir, "partsupp")
+    ps = load_partsupp(spark, sf_dir)
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
@@ -193,7 +258,7 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIKE of real Q16) is tiny → broadcast anti join; the distinct
     lands in one partial-aggregated exchange on the group key."""
     tune_session(spark)
-    ps = load_table(spark, sf_dir, "partsupp")
+    ps = load_partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
 
@@ -244,7 +309,7 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving (suppkey) set semi-filters supplier.  The fact table
     shuffles once, on the same key the join needs."""
     tune_session(spark)
-    ps = load_table(spark, sf_dir, "partsupp")
+    ps = load_partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -306,7 +371,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are unavoidable — the plan's job is to make everything else
     broadcast and aggregate map-side."""
     tune_session(spark)
-    ps = load_table(spark, sf_dir, "partsupp")
+    ps = load_partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -355,32 +420,15 @@ _Q9_ORACLE = f"""
 """
 
 
-def register_when_fixture_ships() -> bool:
-    """Wire the partsupp suite into the live registry IFF a partsupp
-    fixture exists in any standard testdata location — zero manual
-    steps between "the driver ships partsupp.parquet" and "5 more
-    driver-gate queries".  Idempotent (safe from repeated
-    ``all_queries`` calls); returns whether the suite is live."""
-    import os
-
+def register_partsupp_suite() -> bool:
+    """Wire the partsupp suite into the live registry — unconditional,
+    since both engines DERIVE partsupp from tables every scale dir
+    ships (see module docstring).  Idempotent (safe from repeated
+    ``all_queries`` calls)."""
     from cga_logs_to_kinesis_spark.registry import _REGISTRY, register
 
     if "min_cost_supplier" in _REGISTRY:
         return True
-    # The driver exercises SEVERAL scale dirs in one round (smoke at
-    # sf0.001, correctness at sf0.01, bench at $SPARK_GRAFT_SF_DIR), so
-    # a fixture present in only one of them must NOT flip the suite
-    # live — that turns a latent probe into missing-table crashes at
-    # the other scales.  Require partsupp.parquet in EVERY candidate
-    # dir that exists (and at least one hit).
-    candidates = [os.environ.get("SPARK_GRAFT_SF_DIR", "")]
-    candidates += [f"/root/testdata/sf{s}" for s in
-                   ("0.001", "0.01", "0.1")]
-    live_dirs = [c for c in candidates if c and os.path.isdir(c)]
-    hits = [os.path.exists(os.path.join(c, "partsupp.parquet"))
-            for c in live_dirs]
-    if not (hits and all(hits)):
-        return False
     for spec in PARTSUPP_SPECS.values():
         register(spec)
     return True
@@ -388,26 +436,26 @@ def register_when_fixture_ships() -> bool:
 
 PARTSUPP_SPECS: dict[str, QuerySpec] = {
     spec.name: spec for spec in (
-        QuerySpec("min_cost_supplier", q_min_cost_supplier, _Q2_ORACLE,
+        QuerySpec("min_cost_supplier", q_min_cost_supplier, _with_partsupp(_Q2_ORACLE),
                   doc="TPC-H Q2 shape: correlated scalar-min subquery "
                       "decorrelated to agg + re-join",
                   tags=("join", "subquery", "agg")),
-        QuerySpec("product_profit", q_product_profit, _Q9_ORACLE,
+        QuerySpec("product_profit", q_product_profit, _with_partsupp(_Q9_ORACLE),
                   doc="TPC-H Q9 shape: double fact-fact join "
                       "(orders + partsupp on different keys) + "
                       "broadcast dims, profit by nation x year",
                   tags=("join", "agg")),
-        QuerySpec("important_stock", q_important_stock, _Q11_ORACLE,
+        QuerySpec("important_stock", q_important_stock, _with_partsupp(_Q11_ORACLE),
                   doc="TPC-H Q11 shape: HAVING vs global scalar via "
                       "broadcast 1-row cross join",
                   tags=("agg", "subquery", "broadcast")),
         QuerySpec("supplier_part_counts", q_supplier_part_counts,
-                  _Q16_ORACLE,
+                  _with_partsupp(_Q16_ORACLE),
                   doc="TPC-H Q16 shape: NOT-IN anti join + "
                       "multi-column COUNT(DISTINCT)",
                   tags=("join", "anti", "distinct")),
         QuerySpec("excess_stock_suppliers", q_excess_stock_suppliers,
-                  _Q20_ORACLE,
+                  _with_partsupp(_Q20_ORACLE),
                   doc="TPC-H Q20 shape: agg-filtered nested semi "
                       "join chain",
                   tags=("join", "semi", "agg", "subquery")),

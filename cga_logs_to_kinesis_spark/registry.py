@@ -48,23 +48,31 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # by-design no-oracle approx_quantiles, which this round leaves OUT
     # of the window per the r7 advisory — it stays covered by its
     # rank-error-bound test, like approx_distinct_users).  This window
-    # executes the rotation planned in the r7 comment: the seven
-    # r8-new queries first (three from the first half of the round,
+    # executes the rotation planned in the r7 comment: the twelve
+    # r8-new queries first (three from the first half of the round;
     # four added late — forecast_revenue / table_profile /
-    # quality_percentile_calibrate / embedding_drift), then the three
-    # whose code changed this round, then the r4-latest cohort (32 of
-    # 33 — the stalest greens in the registry), then the r5-latest
-    # cohort (8 of 13: date_gallery, rank_gallery, scalar_gallery and
-    # cube_orders ceded their slots to the late-r8 queries — their
-    # families keep in-window representatives via grouping_sets_sql,
-    # rollup_pricing, unpivot_metrics and top3_orders_per_customer,
-    # and all four stayed green in this round's full sf0.1 sweep).
-    # 7 + 3 + 32 + 8 = 50.
+    # quality_percentile_calibrate / embedding_drift; and the five
+    # TPC-H partsupp shapes, NEVER driver-checked before — live now
+    # that both engines derive partsupp from part x supplier, see
+    # operators/tpch_partsupp.py), then the three whose code changed
+    # this round, then the r4-latest cohort (32 of 33 — the stalest
+    # greens in the registry), then the r5-latest cohort (3 of 13:
+    # date_gallery, rank_gallery, scalar_gallery, cube_orders,
+    # filter_project, grouping_sets_sql, longest_doc_per_lang,
+    # orders_in_window and above_nation_avg ceded their slots to the
+    # late-r8 queries — each family keeps an in-window representative
+    # (rollup_pricing/unpivot_metrics for grouped aggregation,
+    # top3_orders_per_customer for windows, forecast_revenue for
+    # pushdown-only scans, min_cost_supplier for correlated
+    # subqueries), and all nine stayed green in this round's full
+    # sf0.1 sweep).  12 + 3 + 32 + 3 = 50.
     #
     # Left for the r9 window (stalest after this round): the r6-latest
-    # cohort of 49 listed below, PLUS the four r5-latest queries
+    # cohort of 49 listed below, PLUS the nine r5-latest queries
     # displaced above (date_gallery, rank_gallery, scalar_gallery,
-    # cube_orders — stalest first).  The r6 cohort:
+    # cube_orders, filter_project, grouping_sets_sql,
+    # longest_doc_per_lang, orders_in_window, above_nation_avg —
+    # stalest first).  The r6 cohort:
     # (anti_join_customers, bpe_token_counts, bulk_orders,
     # cosine_topk_ivf, curation_funnel, curation_manifest,
     # curriculum_deciles, date_trunc_buckets, dedup_embedding_cosine,
@@ -95,6 +103,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "table_profile",             # per-column ingest profile (lineitem)
     "quality_percentile_calibrate",  # per-lang percent_rank gate
     "embedding_drift",           # per-dim snapshot mean drift
+    "min_cost_supplier",         # TPC-H Q2: derived partsupp, live
+    "product_profit",            # TPC-H Q9
+    "important_stock",           # TPC-H Q11
+    "supplier_part_counts",      # TPC-H Q16
+    "excess_stock_suppliers",    # TPC-H Q20
     # (the two slots come from cosine_topk_fast — bit-exact twin of
     # r7-fresh cosine_topk, pinned by parity tests — and dedup_simhash,
     # whose family keeps dedup_simhash_pairs in-window below)
@@ -136,12 +149,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "shipping_priority",
     "similar_part_names",
     "token_length_histogram",
-    # r5-latest cohort (8 of 13 — see the rotation note above):
-    "above_nation_avg",
-    "filter_project",
-    "grouping_sets_sql",
-    "longest_doc_per_lang",
-    "orders_in_window",
+    # r5-latest cohort (3 of 13 — see the rotation note above):
     "orders_no_bulk_item",
     "rollup_pricing",
     "unpivot_metrics",
@@ -179,7 +187,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch_shapes2,
     )
     from cga_logs_to_kinesis_spark.operators import tpch_partsupp
-    tpch_partsupp.register_when_fixture_ships()
+    tpch_partsupp.register_partsupp_suite()
     ordered: dict[str, QuerySpec] = {}
     for name in DRIVER_WINDOW:
         ordered[name] = _REGISTRY[name]

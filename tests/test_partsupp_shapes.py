@@ -1,9 +1,12 @@
-"""TPC-H Q2/Q11/Q16/Q20 partsupp topologies (SURVEY §8.2's only TPC-H
-gap) — the driver testdata has no partsupp fixture, so the test
-assembles one: a deterministic generated partsupp.parquet next to
-symlinks of the real sf0.001 fixtures, then verifies each query
-hash-exact against its DuckDB oracle plus the plan properties that
-make the shape scale."""
+"""TPC-H Q2/Q9/Q11/Q16/Q20 partsupp topologies — live registry
+queries since both engines DERIVE partsupp from part x supplier
+(operators/tpch_partsupp.py).  This module verifies each query
+hash-exact against its DuckDB oracle, pins the Spark derivation
+against the pure-Python reference generator, asserts the plan
+properties that make each shape scale, and keeps the NULL net alive
+by substituting a punched parquet for the derivation on both
+engines.  ``ps_dir`` still materializes a generated partsupp.parquet
+— it is the base the dirty fixture punches NULLs into."""
 
 from __future__ import annotations
 
@@ -117,33 +120,35 @@ def test_q20_semi_chain(spark, ps_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_probe_does_not_register_without_fixture(monkeypatch):
-    """The auto-registration hook must stay quiet while the driver
-    testdata ships no partsupp.parquet — a false registration would
-    put five crashing queries into the driver gate."""
-    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
-    from cga_logs_to_kinesis_spark.operators import tpch_partsupp
-    from cga_logs_to_kinesis_spark.registry import _REGISTRY
-    if "min_cost_supplier" in _REGISTRY:     # a prior test registered it
-        import pytest
-        pytest.skip("suite registered partsupp via a real fixture")
-    assert tpch_partsupp.register_when_fixture_ships() is False
-    assert "min_cost_supplier" not in _REGISTRY
+def test_partsupp_suite_is_live_in_registry():
+    """The five partsupp shapes are ordinary registry queries now that
+    both engines derive partsupp from part x supplier — no fixture, no
+    probe, no latent crash."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in sorted(PARTSUPP_SPECS):
+        assert name in qs
+        assert qs[name].oracle.lstrip().startswith("WITH partsupp AS")
 
 
-def test_probe_requires_fixture_at_every_scale(monkeypatch, tmp_path):
-    """A partsupp fixture in only ONE scale dir must not flip the
-    suite live: the driver exercises several dirs per round (smoke
-    sf0.001, correctness sf0.01, bench $SPARK_GRAFT_SF_DIR), and a
-    partial fixture would crash the gate at the scales lacking it."""
-    from cga_logs_to_kinesis_spark.operators import tpch_partsupp
-    from cga_logs_to_kinesis_spark.registry import _REGISTRY
-    if "min_cost_supplier" in _REGISTRY:
-        pytest.skip("suite registered partsupp via a real fixture")
-    (tmp_path / "partsupp.parquet").write_bytes(b"")
-    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
-    assert tpch_partsupp.register_when_fixture_ships() is False
-    assert "min_cost_supplier" not in _REGISTRY
+def test_derived_partsupp_matches_reference_generator(spark, ps_dir):
+    """load_partsupp (Spark) must produce exactly the rows of the
+    pure-Python generate_partsupp reference — the same rows the
+    PARTSUPP_SQL oracle CTE derives (pinned transitively by every
+    hash-matched query above)."""
+    from cga_logs_to_kinesis_spark.operators.tpch_partsupp import (
+        load_partsupp,
+    )
+
+    part_keys = pq.read_table(
+        f"{SF_SMOKE}/part.parquet", columns=["p_partkey"]
+    )["p_partkey"].to_pylist()
+    n_supp = pq.read_metadata(f"{SF_SMOKE}/supplier.parquet").num_rows
+    want = sorted(generate_partsupp(part_keys, n_supp))
+    got = sorted(tuple(r) for r in
+                 load_partsupp(spark, SF_SMOKE).collect())
+    assert got == want and len(got) == len(part_keys) * 4
 
 
 # ---------------------------------------------------------------------------
@@ -210,11 +215,30 @@ def test_dirty_fixture_actually_has_nulls(dirty_ps_oracle):
 
 @pytest.mark.parametrize("name", sorted(PARTSUPP_SPECS))
 def test_partsupp_query_matches_oracle_on_dirty(spark, dirty_ps_dir,
-                                                dirty_ps_oracle, name):
+                                                dirty_ps_oracle, name,
+                                                monkeypatch):
+    """Derived partsupp can never contain NULLs, so the NULL net
+    substitutes a punched parquet on BOTH engines: load_partsupp is
+    monkeypatched to read it, and the oracle's derivation CTE body is
+    replaced by a read of the same file — the NOT-IN/semi/anti NULL
+    semantics stay covered column-independently."""
+    from cga_logs_to_kinesis_spark.operators import tpch_partsupp
+    from cga_logs_to_kinesis_spark.operators.tpch_partsupp import (
+        PARTSUPP_SQL,
+    )
+
+    monkeypatch.setattr(
+        tpch_partsupp, "load_partsupp",
+        lambda sp, sf: sp.read.parquet(f"{sf}/partsupp.parquet"))
     spec = PARTSUPP_SPECS[name]
+    assert PARTSUPP_SQL in spec.oracle
+    oracle = spec.oracle.replace(
+        PARTSUPP_SQL,
+        f"(SELECT * FROM "
+        f"read_parquet('{dirty_ps_dir}/partsupp.parquet'))")
     sdf = spec.fn(spark, dirty_ps_dir)
     srows = [tuple(r) for r in sdf.collect()]
-    cur = dirty_ps_oracle.execute(spec.oracle)
+    cur = dirty_ps_oracle.execute(oracle)
     ocols = [c[0] for c in cur.description]
     orows = cur.fetchall()
     assert len(srows) == len(orows), \
