@@ -615,3 +615,44 @@ def test_curation_export_pays_each_front_once(spark):
         "LSH shingle/signature math must not be recomputed downstream"
     # the packing window and the final aggregate are the only wide ops
     assert plan.count("Window") >= 1
+
+
+def test_forecast_revenue_pushdown_and_pruning(spark):
+    """Q6's whole value at 100 TB is reading 4 columns of one year:
+    every predicate must reach the parquet scan and the read schema
+    must stay narrow."""
+    df = SPECS["forecast_revenue"].fn(spark, SF_SMOKE)
+    assert has_pushed_filters(df, "l_shipdate", "l_discount",
+                              "l_quantity")
+    scans = scan_read_schema_columns(df)
+    assert scans and all(len(cols) <= 4 for cols in scans)
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    assert "Join" not in formatted_plan(df)
+
+
+def test_table_profile_avoids_expand_sort_aggregate(spark):
+    """The profile's reason for being two passes: the naive
+    multi-column COUNT(DISTINCT) plans Expand + SortAggregate over the
+    widened scan (the sort grows superlinearly at scale).  The
+    two-pass form must show NO Expand node, and the only sort allowed
+    is the final 11-row orderBy."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    df = SPECS["table_profile"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Expand" not in plan
+    assert uses_broadcast_join(df)
+
+
+def test_derived_partsupp_is_narrow(spark):
+    """load_partsupp must stay join-free and shuffle-free: one narrow
+    part scan, a row-local explode, literal arithmetic — the derived
+    fact table costs what a scan would."""
+    from cga_logs_to_kinesis_spark.operators.tpch_partsupp import (
+        load_partsupp,
+    )
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(load_partsupp(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    cols = scan_read_schema_columns(load_partsupp(spark, SF_SMOKE))
+    assert cols and all(c == ["p_partkey"] for c in cols)
