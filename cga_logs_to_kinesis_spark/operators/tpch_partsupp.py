@@ -23,6 +23,8 @@ lacks, SURVEY §8.2):
 
 * Q2  — correlated scalar subquery over an aggregate (min supplycost
         per part within a region), decorrelated into agg + re-join;
+* Q9  — double fact-fact join (orders + partsupp on different keys)
+        plus broadcast dims, profit by nation x year;
 * Q11 — HAVING against a global-scalar aggregate (share-of-total
         stock value), realized as agg + broadcast of one scalar row;
 * Q16 — NOT-IN anti join + multi-column COUNT(DISTINCT);
