@@ -522,20 +522,49 @@ def compact_digest_store(spark: SparkSession, store_dir: str,
     transactional table format (or a full-store rewrite into a fresh
     directory swapped in while the stream is stopped).
     """
+    return _compact_distinct_store(spark, store_dir, upto_batch_id,
+                                   ["text_digest"], files_per_partition)
+
+
+def compact_profile_values(spark: SparkSession, values_dir: str,
+                           upto_batch_id: int,
+                           files_per_partition: int = 1) -> int:
+    """Compact the table-profile DISTINCT-VALUES store (see
+    :func:`table_profile_sink`) — same algebra as the digest store:
+    the consumer is ``count_distinct`` per column, idempotent under
+    duplicate rows, so a crash between the base write and the cleanup
+    only leaves harmless duplicates.  The PARTIALS store does NOT get
+    a compactor: its consumer SUMS null counts, which double-counts
+    under duplicates — the same reason the minhash band stores stay
+    uncompacted (needs a transactional swap); its per-batch partitions
+    are 1 row per profiled column, so the pressure is bounded anyway.
+    Run with the stream stopped."""
+    return _compact_distinct_store(spark, values_dir, upto_batch_id,
+                                   ["col_name", "val"],
+                                   files_per_partition)
+
+
+def _compact_distinct_store(spark: SparkSession, store_dir: str,
+                            upto_batch_id: int, cols: list[str],
+                            files_per_partition: int) -> int:
+    """Fold per-batch partitions of a DISTINCT-consumed store into the
+    batch_id=-1 base — shared by the digest and profile-values
+    compactors (both consumers are idempotent under duplicate rows,
+    the property that makes the crash window harmless)."""
     import shutil
 
     df = spark.read.parquet(store_dir)
     old = (df.filter((F.col("batch_id") >= 0)
                      & (F.col("batch_id") <= upto_batch_id))
-           .select("text_digest"))
+           .select(*cols))
     base = spark.read.parquet(store_dir) \
-        .filter(F.col("batch_id") == -1).select("text_digest")
+        .filter(F.col("batch_id") == -1).select(*cols)
     n_folded = (df.filter((F.col("batch_id") >= 0)
                           & (F.col("batch_id") <= upto_batch_id))
                 .select("batch_id").distinct().count())
     if n_folded == 0:
         return 0
-    # Materialize the merged digest set BEFORE the overwrite: the
+    # Materialize the merged set BEFORE the overwrite: the
     # batch_id=-1 base partition is both an input (``base``) and the
     # replaced output, and a lazy plan that scans the partition while
     # dynamic-overwrite replaces it can lose the base on object stores

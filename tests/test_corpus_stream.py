@@ -838,3 +838,41 @@ def test_table_profile_crash_after_write_is_exactly_once(spark,
     got = table_profile_report_from_store(spark, partials, values)
     want = q_table_profile(spark, sf)
     assert _rows_str(got.collect()) == _rows_str(want.collect())
+
+
+def test_compact_profile_values_preserves_report(spark, tmp_path):
+    """Folding the per-batch distinct-value partitions into the
+    batch_id=-1 base must leave the profile fold bit-identical —
+    count_distinct is idempotent under the duplicates a crash between
+    base-write and cleanup could leave."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_profile_values,
+        stream_lineitem,
+        table_profile_report_from_store,
+        table_profile_sink,
+    )
+
+    sf = _lineitem_drop_dir(spark, tmp_path)
+    partials = str(tmp_path / "profile_partials")
+    values = str(tmp_path / "profile_values")
+    q = (stream_lineitem(spark, f"{sf}/lineitem.parquet",
+                         max_files_per_trigger=1)
+         .writeStream.foreachBatch(table_profile_sink(partials, values))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    before = _rows_str(
+        table_profile_report_from_store(spark, partials, values)
+        .collect())
+    max_bid = (spark.read.parquet(values)
+               .agg({"batch_id": "max"}).collect()[0][0])
+    n = compact_profile_values(spark, values, upto_batch_id=max_bid)
+    assert n > 1, "several batch partitions should fold"
+    import os
+    dirs = [d for d in os.listdir(values) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=-1"]
+    after = _rows_str(
+        table_profile_report_from_store(spark, partials, values)
+        .collect())
+    assert after == before
+    assert compact_profile_values(spark, values, max_bid) == 0  # idempotent
