@@ -42,6 +42,38 @@ def tumbling_stats(records: DataFrame, ts_col: str = "event_time",
     )
 
 
+def session_stats(records: DataFrame, ts_col: str = "event_time",
+                  key_col: str = "user_id",
+                  gap_s: int = 300,
+                  watermark_s: int = 10) -> DataFrame:
+    """Gap-based session windows per key — the streaming twin of the
+    registry's ``session_windows`` query (same ``F.session_window``
+    expression, so batch/stream parity holds by construction on
+    closed sessions).
+
+    Works on both batch and streaming inputs; on a stream the
+    watermark is what CLOSES a session: a session emits once the
+    watermark passes its end (last event + gap), and state stays
+    bounded by the number of open sessions — the property that lets
+    per-user sessionization run forever at 100 TB arrival volumes.
+    Events later than the watermark are dropped, the same tested
+    contract as ``tumbling_stats`` (tests/test_watermark.py).
+    """
+    src = records
+    if records.isStreaming:
+        src = records.withWatermark(ts_col, f"{watermark_s} seconds")
+    return (
+        src
+        .groupBy(F.session_window(F.col(ts_col), f"{gap_s} seconds"),
+                 F.col(key_col))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                key_col, "n_events", "sum_value")
+    )
+
+
 def running_totals(stats_stream: DataFrame,
                    key_col: str = "event_type") -> DataFrame:
     """A2: cumulative counters by label (use outputMode('update'))."""
