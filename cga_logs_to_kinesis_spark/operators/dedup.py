@@ -1790,3 +1790,76 @@ register(QuerySpec(
         "behind the dedup threshold knob",
     tags=("dedup", "north-star", "report", "agg"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware near-dup APPLY: keep each component's BEST member
+# ---------------------------------------------------------------------------
+# dedup_near_survivors keeps the min-id representative — deterministic
+# but quality-blind.  Production curation (RefinedWeb and kin) keeps
+# the LONGEST member of each near-dup cluster: duplicates are usually
+# truncations/excerpts of one canonical page, so "longest" is the
+# best-information survivor.  Same verified-LSH component front; the
+# only extra work is one broadcast-scale window over the (tiny) label
+# table joined to doc lengths.
+
+def q_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD))
+    comp = connected_components(edges)
+    members = (comp.join(docs.select("doc_id", "n_chars"),
+                         F.col("doc") == F.col("doc_id"))
+               .select("doc", "comp", "n_chars"))
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_chars").desc(), F.col("doc"))
+    losers = (members
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") > 1)
+              .select(F.col("doc").alias("doc_id")))
+    return (docs.join(losers, "doc_id", "left_anti")
+            .select("doc_id", "source", "lang", "n_chars"))
+
+
+register(QuerySpec(
+    "dedup_best_survivors", q_dedup_best_survivors,
+    oracle=f"""
+        WITH RECURSIVE lsh AS (
+            {_REGISTRY["dedup_minhash_lsh"].oracle}
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM lsh
+            WHERE jaccard >= {JACCARD_EDGE_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION
+            SELECT doc_b, doc_a FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS doc, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        ),
+        ranked AS (
+            SELECT c.doc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.doc) AS rn
+            FROM comp c JOIN documents d ON c.doc = d.doc_id
+        )
+        SELECT d.doc_id, d.source, d.lang, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM ranked r
+                          WHERE r.doc = d.doc_id AND r.rn > 1)
+    """,
+    doc="quality-aware near-dup APPLY: keep each component's LONGEST "
+        "member (RefinedWeb-style best-information survivor, ties -> "
+        "min id), drop the rest, pass singletons through",
+    tags=("dedup", "north-star", "apply"),
+))

@@ -108,6 +108,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "important_stock",           # TPC-H Q11
     "supplier_part_counts",      # TPC-H Q16
     "excess_stock_suppliers",    # TPC-H Q20
+    "dedup_best_survivors",      # keep-longest near-dup APPLY
     # (the two slots come from cosine_topk_fast — bit-exact twin of
     # r7-fresh cosine_topk, pinned by parity tests — and dedup_simhash,
     # whose family keeps dedup_simhash_pairs in-window below)
@@ -149,8 +150,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "shipping_priority",
     "similar_part_names",
     "token_length_histogram",
-    # r5-latest cohort (3 of 13 — see the rotation note above):
-    "orders_no_bulk_item",
+    # r5-latest cohort (2 of 13 — see the rotation note above;
+    # orders_no_bulk_item ceded the last slot to dedup_best_survivors,
+    # its anti-join-family coverage carried in-window by
+    # supplier_part_counts and excess_stock_suppliers — rotate it
+    # with the rest of the displaced r5 queries in r9):
     "rollup_pricing",
     "unpivot_metrics",
 )

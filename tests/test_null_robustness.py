@@ -53,7 +53,7 @@ PROBED = [
     "stratified_sample", "text_normalize", "text_stats",
     "tfidf_top_terms", "token_frequencies", "token_length_histogram",
     "unigram_rarity", "vocab_coverage", "winnowing_fingerprints",
-    "quality_percentile_calibrate",
+    "quality_percentile_calibrate", "dedup_best_survivors",
 ]
 
 _DOCS = pd.DataFrame({
