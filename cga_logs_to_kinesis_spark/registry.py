@@ -48,30 +48,34 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # by-design no-oracle approx_quantiles, which this round leaves OUT
     # of the window per the r7 advisory — it stays covered by its
     # rank-error-bound test, like approx_distinct_users).  This window
-    # executes the rotation planned in the r7 comment: the twelve
+    # executes the rotation planned in the r7 comment: the thirteen
     # r8-new queries first (three from the first half of the round;
-    # four added late — forecast_revenue / table_profile /
-    # quality_percentile_calibrate / embedding_drift; and the five
-    # TPC-H partsupp shapes, NEVER driver-checked before — live now
-    # that both engines derive partsupp from part x supplier, see
-    # operators/tpch_partsupp.py), then the three whose code changed
-    # this round, then the r4-latest cohort (32 of 33 — the stalest
-    # greens in the registry), then the r5-latest cohort (3 of 13:
-    # date_gallery, rank_gallery, scalar_gallery, cube_orders,
-    # filter_project, grouping_sets_sql, longest_doc_per_lang,
-    # orders_in_window and above_nation_avg ceded their slots to the
-    # late-r8 queries — each family keeps an in-window representative
-    # (rollup_pricing/unpivot_metrics for grouped aggregation,
-    # top3_orders_per_customer for windows, forecast_revenue for
-    # pushdown-only scans, min_cost_supplier for correlated
-    # subqueries), and all nine stayed green in this round's full
-    # sf0.1 sweep).  12 + 3 + 32 + 3 = 50.
+    # five added late — forecast_revenue / table_profile /
+    # quality_percentile_calibrate / embedding_drift /
+    # dedup_best_survivors; and the five TPC-H partsupp shapes, NEVER
+    # driver-checked before — live now that both engines derive
+    # partsupp from part x supplier, see operators/tpch_partsupp.py),
+    # then the three whose code changed this round, then the
+    # r4-latest cohort (32 of 33 — the stalest greens in the
+    # registry), then the r5-latest cohort (2 of 13: date_gallery,
+    # rank_gallery, scalar_gallery, cube_orders, filter_project,
+    # grouping_sets_sql, longest_doc_per_lang, orders_in_window,
+    # above_nation_avg and orders_no_bulk_item ceded their slots to
+    # the late-r8 queries — each family keeps an in-window
+    # representative (rollup_pricing/unpivot_metrics for grouped
+    # aggregation, top3_orders_per_customer for windows,
+    # forecast_revenue for pushdown-only scans, min_cost_supplier for
+    # correlated subqueries, supplier_part_counts/
+    # excess_stock_suppliers for anti/semi chains), and all ten
+    # stayed green in this round's full sf0.1 sweep).
+    # 13 + 3 + 32 + 2 = 50.
     #
     # Left for the r9 window (stalest after this round): the r6-latest
-    # cohort of 49 listed below, PLUS the nine r5-latest queries
+    # cohort of 49 listed below, PLUS the ten r5-latest queries
     # displaced above (date_gallery, rank_gallery, scalar_gallery,
     # cube_orders, filter_project, grouping_sets_sql,
-    # longest_doc_per_lang, orders_in_window, above_nation_avg —
+    # longest_doc_per_lang, orders_in_window, above_nation_avg,
+    # orders_no_bulk_item —
     # stalest first).  The r6 cohort:
     # (anti_join_customers, bpe_token_counts, bulk_orders,
     # cosine_topk_ivf, curation_funnel, curation_manifest,
@@ -117,7 +121,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_components",          # amortized convergence check
     "jsonl_ingest_report",       # shard_audit_aggs extraction (shared
                                  # with the new streaming twin)
-    # r4-latest cohort (all 33, oldest greens in the registry):
+    # r4-latest cohort (32 of 33, the oldest greens in the registry):
     "array_functions",
     "asof_last_signup",
     "conditional_pivot",
