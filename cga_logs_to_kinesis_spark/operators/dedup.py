@@ -1687,9 +1687,8 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("component_size"))
     return (sizes.groupBy("component_size")
             .agg(F.count("*").alias("n_components"),
-                 (F.count("*") * F.first("component_size"))
-                 .alias("n_docs"),
-                 (F.count("*") * (F.first("component_size") - 1))
+                 F.sum("component_size").alias("n_docs"),
+                 F.sum(F.col("component_size") - 1)
                  .alias("n_removable"),
                  F.min("comp").alias("example_component"))
             .orderBy("component_size"))

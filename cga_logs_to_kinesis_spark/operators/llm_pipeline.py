@@ -442,7 +442,11 @@ CHUNK_TOKENS = 512
 
 
 def _ntok() -> F.Column:
-    return F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
+    # WS_PLUS, not an inline class: the explicit-whitespace convention
+    # has ONE definition (operators/text.py) — see the \s-vs-RE2 note
+    # there.
+    from cga_logs_to_kinesis_spark.operators.text import WS_PLUS
+    return F.size(F.split(F.trim(F.col("text")), WS_PLUS))
 
 
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

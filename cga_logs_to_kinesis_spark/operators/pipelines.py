@@ -274,6 +274,7 @@ def curated_export_corpus(docs: DataFrame) -> DataFrame:
         minhash_candidates,
     )
     from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        _ntok,
         _split_of,
     )
 
@@ -289,12 +290,11 @@ def curated_export_corpus(docs: DataFrame) -> DataFrame:
     final = (exact_surv.join(comp, "doc_id", "left")
              .filter(F.col("component").isNull()
                      | (F.col("component") == F.col("doc_id"))))
-    ws = r"[ \t\n\x0B\f\r]+"
     return final.select(
         "doc_id", "source",
         _split_of(F.col("doc_id")).alias("split"),
         shard_column().alias("shard"),
-        F.size(F.split(F.trim("text"), ws)).alias("n_tokens"))
+        _ntok().alias("n_tokens"))
 
 
 def q_curation_export_manifest(spark: SparkSession,

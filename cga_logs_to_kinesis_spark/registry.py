@@ -75,8 +75,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # displaced above (date_gallery, rank_gallery, scalar_gallery,
     # cube_orders, filter_project, grouping_sets_sql,
     # longest_doc_per_lang, orders_in_window, above_nation_avg,
-    # orders_no_bulk_item —
-    # stalest first).  The r6 cohort:
+    # orders_no_bulk_item — stalest first), PLUS dedup_simhash (also
+    # displaced this round; its family twin dedup_simhash_pairs
+    # stayed in-window but simhash itself still needs a fresh row —
+    # unlike cosine_topk_fast, whose exclusion is permanent because
+    # bit-exact parity tests pin it to cosine_topk).  The r6 cohort:
     # (anti_join_customers, bpe_token_counts, bulk_orders,
     # cosine_topk_ivf, curation_funnel, curation_manifest,
     # curriculum_deciles, date_trunc_buckets, dedup_embedding_cosine,

@@ -63,6 +63,32 @@ def streaming_dedup_exact(docs: DataFrame) -> DataFrame:
             .dropDuplicates(["digest"]))
 
 
+def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a batch_id-keyed state store, or return ``None`` IFF the
+    store has never been created (the genuine first-batch case).
+
+    Any other read failure PROPAGATES: a transient filesystem/object-
+    store error or a corrupt footer mistaken for "first batch" would
+    make the sink recompute from empty state — and for the label store
+    (``components_incremental_sink``), whose newest version is
+    authoritative forever, that silently and permanently discards
+    every cluster learned so far.  Crash-and-replay is the correct
+    behavior; state amnesia is not."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        klass = ""
+        try:
+            klass = e.getErrorClass() or ""
+        except Exception:
+            pass
+        if "PATH_NOT_FOUND" in klass or "Path does not exist" in str(e):
+            return None
+        raise
+
+
 def incremental_dedup_sink(store_dir: str, out_dir: str,
                            fail_after_output_for: tuple[int, ...] = (),
                            fail_after_all_writes_for:
@@ -111,16 +137,17 @@ def incremental_dedup_sink(store_dir: str, out_dir: str,
         spark = batch_df.sparkSession
         digests = batch_df.select(
             "doc_id", F.md5(normalized_text()).alias("text_digest"))
-        try:
-            # batch_id < current: a replayed batch (crash after the
-            # store write, before the checkpoint commit) must see
-            # PRE-batch state, never its own digests — partition
-            # pruning makes the filter a directory skip, not a scan.
-            seen = (spark.read.parquet(store_dir)
+        # batch_id < current: a replayed batch (crash after the
+        # store write, before the checkpoint commit) must see
+        # PRE-batch state, never its own digests — partition
+        # pruning makes the filter a directory skip, not a scan.
+        store = _read_store(spark, store_dir)
+        if store is None:       # first batch: store not created yet
+            seen = spark.createDataFrame([], "text_digest string")
+        else:
+            seen = (store
                     .filter(F.col("batch_id") < F.lit(batch_id))
                     .select("text_digest"))
-        except Exception:       # first batch: store not created yet
-            seen = spark.createDataFrame([], "text_digest string")
         # localCheckpoint: the survivor set feeds TWO writes (output +
         # store merge); without the cut the second write would
         # recompute the anti-join.
@@ -186,18 +213,21 @@ def minhash_incremental_sink(index_dir: str, shingle_dir: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sh = shingle_docs(batch_df).localCheckpoint()
-        try:
-            idx = (spark.read.parquet(index_dir)
-                   .filter(F.col("batch_id") < F.lit(batch_id))
-                   .select("doc_id", "band2", "sig2"))
-            seen_sh = (spark.read.parquet(shingle_dir)
-                       .filter(F.col("batch_id") < F.lit(batch_id))
-                       .select("doc_id", "shingles"))
-        except Exception:       # first batch: stores not created yet
+        idx_store = _read_store(spark, index_dir)
+        sh_store = _read_store(spark, shingle_dir)
+        if idx_store is None or sh_store is None:
+            # first batch: stores not created yet
             idx = spark.createDataFrame(
                 [], "doc_id long, band2 int, sig2 string")
             seen_sh = spark.createDataFrame(
                 [], "doc_id long, shingles array<string>")
+        else:
+            idx = (idx_store
+                   .filter(F.col("batch_id") < F.lit(batch_id))
+                   .select("doc_id", "band2", "sig2"))
+            seen_sh = (sh_store
+                       .filter(F.col("batch_id") < F.lit(batch_id))
+                       .select("doc_id", "shingles"))
         report = minhash_incremental_from_index(idx, seen_sh, sh) \
             .localCheckpoint()
         conf = {"partitionOverwriteMode": "dynamic"}
@@ -462,17 +492,20 @@ def ann_index_sink(index_dir: str, vector_dir: str, out_dir: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select("vec_id", "embedding").localCheckpoint()
-        try:
-            idx = (spark.read.parquet(index_dir)
-                   .filter(F.col("batch_id") < F.lit(batch_id))
-                   .select("vec_id", "bucket"))
-            vecs = (spark.read.parquet(vector_dir)
-                    .filter(F.col("batch_id") < F.lit(batch_id))
-                    .select("vec_id", "embedding"))
-        except Exception:       # first batch: stores not created yet
+        idx_store = _read_store(spark, index_dir)
+        vec_store = _read_store(spark, vector_dir)
+        if idx_store is None or vec_store is None:
+            # first batch: stores not created yet
             idx = spark.createDataFrame([], "vec_id long, bucket int")
             vecs = spark.createDataFrame(
                 [], "vec_id long, embedding array<float>")
+        else:
+            idx = (idx_store
+                   .filter(F.col("batch_id") < F.lit(batch_id))
+                   .select("vec_id", "bucket"))
+            vecs = (vec_store
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select("vec_id", "embedding"))
         report = ann_incremental_from_index(idx, vecs, batch) \
             .localCheckpoint()
         conf = {"partitionOverwriteMode": "dynamic"}
@@ -599,16 +632,14 @@ def stream_documents_jsonl_audit(spark: SparkSession, path: str,
     load_documents_jsonl_audit``: a PERMISSIVE JSONL file stream with
     ``_corrupt_record`` surfaced and the ``shard=K/`` layout exposed as
     a partition column — the continuously-arriving form of a crawl
-    drop directory."""
-    from pyspark.sql.types import StringType, StructField, StructType
+    drop directory.  Reader schema/options come from the SHARED
+    ``audit_read_contract`` so batch and stream can't diverge."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        audit_read_contract,
+    )
 
-    from cga_logs_to_kinesis_spark.schema import DOCUMENTS
-    schema = StructType(
-        list(DOCUMENTS.fields)
-        + [StructField("_corrupt_record", StringType(), True)])
-    reader = (spark.readStream.schema(schema)
-              .option("mode", "PERMISSIVE")
-              .option("columnNameOfCorruptRecord", "_corrupt_record"))
+    schema, options = audit_read_contract()
+    reader = spark.readStream.schema(schema).options(**options)
     if max_files_per_trigger is not None:
         # a SOURCE option (backpressure knob): bounds each micro-batch
         reader = reader.option("maxFilesPerTrigger",
@@ -726,12 +757,16 @@ def components_incremental_sink(labels_dir: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         edges = batch_df.select("doc_a", "doc_b")
-        try:
-            store = (spark.read.parquet(labels_dir)
-                     .filter(F.col("batch_id") < F.lit(batch_id)))
+        # _read_store, NOT a bare try/except: mistaking a transient
+        # read error for "first batch" here would write a labels-only-
+        # from-this-batch table as the newest version — authoritative
+        # forever, silently discarding every cluster learned so far.
+        label_store = _read_store(spark, labels_dir)
+        prev_max = None
+        if label_store is not None:
+            store = label_store.filter(
+                F.col("batch_id") < F.lit(batch_id))
             prev_max = store.agg(F.max("batch_id")).first()[0]
-        except Exception:       # first batch: store not created yet
-            prev_max = None
         if prev_max is not None:
             star = (store.filter(F.col("batch_id") == prev_max)
                     .select(F.col("comp").alias("doc_a"),

@@ -876,3 +876,22 @@ def test_compact_profile_values_preserves_report(spark, tmp_path):
         .collect())
     assert after == before
     assert compact_profile_values(spark, values, max_bid) == 0  # idempotent
+
+
+def test_read_store_none_only_for_missing_path(spark, tmp_path):
+    """_read_store may report 'first batch' ONLY for a genuinely
+    absent store; any other read failure (here: a directory with a
+    corrupt non-parquet file) must raise — treating it as first batch
+    would silently reset accumulated sink state."""
+    import pytest as _pytest
+
+    from cga_logs_to_kinesis_spark.streaming.corpus import _read_store
+
+    assert _read_store(spark, str(tmp_path / "never_created")) is None
+    bad = tmp_path / "corrupt_store"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception):
+        df = _read_store(spark, str(bad))
+        assert df is not None
+        df.collect()

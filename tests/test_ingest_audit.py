@@ -64,3 +64,31 @@ def test_permissive_loader_yields_null_rows_for_corrupt(spark):
     assert len(corrupt) == N_SHARDS * 6
     # corrupt rows carry the raw line and nothing else
     assert all(r.doc_id is None and r.text is None for r in corrupt)
+
+
+def test_table_profile_on_empty_table_matches_oracle(spark, tmp_path):
+    """An EMPTY drop must profile as 11 rows (n_null=0, n_distinct=0,
+    NaN min/max) on both engines — the inner-join form returned 0
+    Spark rows here while the oracle's per-column SELECTs return one
+    row per column."""
+    import duckdb
+
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from tests.test_queries_oracle import table_hash
+
+    sf = tmp_path / "sf_empty"
+    (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+     .limit(0).write.parquet(str(sf / "lineitem.parquet")))
+    spec = all_queries()["table_profile"]
+    sdf = spec.fn(spark, str(sf))
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == 11
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet/*.parquet')")
+    cur = con.execute(spec.oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert len(orows) == 11
+    assert table_hash(srows, list(sdf.columns)) == \
+        table_hash(orows, ocols)
