@@ -1862,3 +1862,78 @@ register(QuerySpec(
         "min id), drop the rest, pass singletons through",
     tags=("dedup", "north-star", "apply"),
 ))
+
+
+def q_dedup_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: weight 1/cluster_size per document instead of
+    dropping — the D4/SoftDeDup policy (duplicates carry signal about
+    distribution; deleting them shifts the training mixture, while
+    downweighting preserves it at equal effective epochs).  Singletons
+    get weight 1.0.  Same component front; the only added work is one
+    count per cluster and a left join back — both on the tiny label
+    table, the corpus never re-shuffles."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (minhash_candidates(docs)
+             .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD))
+    comp = connected_components(edges)
+    sizes = comp.groupBy("comp").agg(
+        F.count("*").alias("cluster_size"))
+    member = (comp.join(sizes, "comp")
+              .select(F.col("doc").alias("doc_id"), "cluster_size"))
+    return (docs.select("doc_id", "source")
+            .join(F.broadcast(member), "doc_id", "left")
+            .select("doc_id", "source",
+                    F.coalesce("cluster_size", F.lit(1))
+                    .cast("bigint").alias("cluster_size"),
+                    (F.lit(1.0)
+                     / F.coalesce("cluster_size", F.lit(1))
+                     .cast("double")).alias("weight"))
+            .orderBy("doc_id"))
+
+
+register(QuerySpec(
+    "dedup_downweight", q_dedup_downweight,
+    oracle=f"""
+        WITH RECURSIVE lsh AS (
+            {_REGISTRY["dedup_minhash_lsh"].oracle}
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM lsh
+            WHERE jaccard >= {JACCARD_EDGE_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION
+            SELECT doc_b, doc_a FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS doc, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        ),
+        sizes AS (
+            SELECT component, COUNT(*) AS cluster_size
+            FROM comp GROUP BY component
+        ),
+        member AS (
+            SELECT c.doc AS doc_id, s.cluster_size
+            FROM comp c JOIN sizes s ON c.component = s.component
+        )
+        SELECT d.doc_id, d.source,
+               CAST(COALESCE(m.cluster_size, 1) AS BIGINT)
+                   AS cluster_size,
+               1.0 / CAST(COALESCE(m.cluster_size, 1) AS DOUBLE)
+                   AS weight
+        FROM documents d LEFT JOIN member m ON d.doc_id = m.doc_id
+        ORDER BY d.doc_id
+    """,
+    doc="soft dedup: per-doc training weight 1/cluster_size over the "
+        "near-dup components (downweight duplicates instead of "
+        "dropping — preserves the corpus distribution)",
+    tags=("dedup", "north-star", "apply", "weighting"),
+))

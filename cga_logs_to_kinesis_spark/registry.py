@@ -116,6 +116,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "supplier_part_counts",      # TPC-H Q16
     "excess_stock_suppliers",    # TPC-H Q20
     "dedup_best_survivors",      # keep-longest near-dup APPLY
+    "dedup_downweight",          # soft dedup: weight 1/cluster_size
     # (the two slots come from cosine_topk_fast — bit-exact twin of
     # r7-fresh cosine_topk, pinned by parity tests — and dedup_simhash,
     # whose family keeps dedup_simhash_pairs in-window below)
@@ -143,7 +144,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "global_topk",
     "json_props",
     "map_functions",
-    "minhash_signatures",
+    # (minhash_signatures ceded its slot to dedup_downweight: its
+    # band signatures are transitively hash-pinned by the EIGHT
+    # in-window queries composing minhash_candidates — rotate it
+    # back in r9 with the displaced r5 cohort)
     "mixture_weights",
     "multi_resolution_rollup",
     "passage_dedup",

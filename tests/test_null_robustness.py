@@ -54,6 +54,7 @@ PROBED = [
     "tfidf_top_terms", "token_frequencies", "token_length_histogram",
     "unigram_rarity", "vocab_coverage", "winnowing_fingerprints",
     "quality_percentile_calibrate", "dedup_best_survivors",
+    "dedup_downweight",
 ]
 
 _DOCS = pd.DataFrame({
