@@ -8,6 +8,8 @@ import hashlib
 import os
 import shutil
 
+import pytest
+
 from cga_logs_to_kinesis_spark.operators.ingest_audit import (
     FIXTURE_DIR,
     N_SHARDS,
@@ -92,3 +94,39 @@ def test_table_profile_on_empty_table_matches_oracle(spark, tmp_path):
     assert len(orows) == 11
     assert table_hash(srows, list(sdf.columns)) == \
         table_hash(orows, ocols)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_profile_partials_fold_is_split_invariant(spark, seed):
+    """The mergeability claim behind table_profile_sink, pinned for
+    ARBITRARY splits (not just the file-per-batch case the streaming
+    test exercises): hash-partition lineitem 3 ways, fold per-split
+    partials + distinct sets, and the result must equal the one-shot
+    batch profile."""
+    from pyspark.sql import functions as F
+
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        finish_profile,
+        profile_partials,
+        profile_value_pairs,
+        q_table_profile,
+    )
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    key = F.abs(F.xxhash64("l_orderkey", "l_linenumber", F.lit(seed)))
+    splits = [li.filter(key % 3 == i) for i in range(3)]
+    partials = None
+    values = None
+    for s in splits:
+        p = profile_partials(s)
+        v = profile_value_pairs(s).distinct()
+        partials = p if partials is None else partials.unionByName(p)
+        values = v if values is None else values.unionByName(v)
+    distincts = (values.groupBy("col_name")
+                 .agg(F.count_distinct("val").alias("n_distinct")))
+    folded = [tuple(str(x) for x in r)
+              for r in finish_profile(partials, distincts).collect()]
+    direct = [tuple(str(x) for x in r)
+              for r in q_table_profile(spark, SF_SMOKE).collect()]
+    assert folded == direct and len(direct) == 11
