@@ -48,16 +48,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # by-design no-oracle approx_quantiles, which this round leaves OUT
     # of the window per the r7 advisory — it stays covered by its
     # rank-error-bound test, like approx_distinct_users).  This window
-    # executes the rotation planned in the r7 comment: the thirteen
+    # executes the rotation planned in the r7 comment: the fourteen
     # r8-new queries first (three from the first half of the round;
-    # five added late — forecast_revenue / table_profile /
+    # six added late — forecast_revenue / table_profile /
     # quality_percentile_calibrate / embedding_drift /
-    # dedup_best_survivors; and the five TPC-H partsupp shapes, NEVER
+    # dedup_best_survivors / dedup_downweight; and the five TPC-H partsupp shapes, NEVER
     # driver-checked before — live now that both engines derive
     # partsupp from part x supplier, see operators/tpch_partsupp.py),
     # then the three whose code changed this round, then the
-    # r4-latest cohort (32 of 33 — the stalest greens in the
-    # registry), then the r5-latest cohort (2 of 13: date_gallery,
+    # r4-latest cohort (31 of 33 — the stalest greens in the
+    # registry; minhash_signatures also ceded its slot, see the
+    # inline note), then the r5-latest cohort (2 of 13: date_gallery,
     # rank_gallery, scalar_gallery, cube_orders, filter_project,
     # grouping_sets_sql, longest_doc_per_lang, orders_in_window,
     # above_nation_avg and orders_no_bulk_item ceded their slots to
@@ -68,7 +69,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # correlated subqueries, supplier_part_counts/
     # excess_stock_suppliers for anti/semi chains), and all ten
     # stayed green in this round's full sf0.1 sweep).
-    # 13 + 3 + 32 + 2 = 50.
+    # 14 + 3 + 31 + 2 = 50.
     #
     # Left for the r9 window (stalest after this round): the r6-latest
     # cohort of 49 listed below, PLUS the ten r5-latest queries
@@ -125,7 +126,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_components",          # amortized convergence check
     "jsonl_ingest_report",       # shard_audit_aggs extraction (shared
                                  # with the new streaming twin)
-    # r4-latest cohort (32 of 33, the oldest greens in the registry):
+    # r4-latest cohort (31 of 33, the oldest greens in the registry):
     "array_functions",
     "asof_last_signup",
     "conditional_pivot",
