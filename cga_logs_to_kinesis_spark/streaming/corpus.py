@@ -67,13 +67,23 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a batch_id-keyed state store, or return ``None`` IFF the
     store has never been created (the genuine first-batch case).
 
+    Two shapes count as "never created": the path is absent, or the
+    path exists but holds NO data files — an EMPTY first micro-batch
+    still runs the store write, which lays down the directory (and
+    _SUCCESS) with zero parquet footers, and the next batch's read
+    then fails schema inference; treating that as anything but empty
+    state would wedge the stream permanently (every replay re-raises
+    before the store ever gains a footer).
+
     Any other read failure PROPAGATES: a transient filesystem/object-
     store error or a corrupt footer mistaken for "first batch" would
     make the sink recompute from empty state — and for the label store
     (``components_incremental_sink``), whose newest version is
     authoritative forever, that silently and permanently discards
     every cluster learned so far.  Crash-and-replay is the correct
-    behavior; state amnesia is not."""
+    behavior; state amnesia is not.  (The no-data-file probe below
+    uses a local glob — swap for the Hadoop FS listing when the store
+    lives on an object store.)"""
     from pyspark.errors import AnalysisException
 
     try:
@@ -84,8 +94,19 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
             klass = e.getErrorClass() or ""
         except Exception:
             pass
-        if "PATH_NOT_FOUND" in klass or "Path does not exist" in str(e):
+        msg = str(e)
+        if "PATH_NOT_FOUND" in klass or "Path does not exist" in msg:
             return None
+        if ("UNABLE_TO_INFER_SCHEMA" in klass
+                or "Unable to infer schema" in msg):
+            import glob as _glob
+            import os as _os
+            data = [p for p in _glob.glob(
+                        _os.path.join(path, "**", "*"), recursive=True)
+                    if _os.path.isfile(p)
+                    and not _os.path.basename(p).startswith(("_", "."))]
+            if not data:
+                return None          # empty store: first-batch semantics
         raise
 
 

@@ -878,20 +878,70 @@ def test_compact_profile_values_preserves_report(spark, tmp_path):
     assert compact_profile_values(spark, values, max_bid) == 0  # idempotent
 
 
-def test_read_store_none_only_for_missing_path(spark, tmp_path):
+def test_read_store_first_batch_vs_corrupt_store(spark, tmp_path):
     """_read_store may report 'first batch' ONLY for a genuinely
-    absent store; any other read failure (here: a directory with a
-    corrupt non-parquet file) must raise — treating it as first batch
-    would silently reset accumulated sink state."""
+    absent store OR a store directory with zero data files (the
+    residue an EMPTY first micro-batch's write leaves — without this
+    arm the stream wedges permanently on schema inference).  A store
+    with an unreadable data file must RAISE — treating it as first
+    batch would silently reset accumulated sink state."""
     import pytest as _pytest
 
     from cga_logs_to_kinesis_spark.streaming.corpus import _read_store
 
+    # absent path -> first batch
     assert _read_store(spark, str(tmp_path / "never_created")) is None
+    # empty-batch residue (dir + _SUCCESS, no footers) -> first batch
+    empty = str(tmp_path / "empty_store")
+    (spark.createDataFrame([], "text_digest string, batch_id long")
+     .write.partitionBy("batch_id").parquet(empty))
+    assert _read_store(spark, empty) is None
+    # a store with a corrupt DATA file -> must not be swallowed.
+    # (The raise may come at read or first action, depending on where
+    # Spark touches the footer.)
     bad = tmp_path / "corrupt_store"
     bad.mkdir()
     (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
     with _pytest.raises(Exception):
         df = _read_store(spark, str(bad))
-        assert df is not None
+        if df is None:
+            raise AssertionError(
+                "_read_store treated a corrupt store as first batch")
         df.collect()
+
+
+def test_incremental_dedup_survives_empty_first_batch(spark, tmp_path):
+    """The regression the _read_store empty-store arm closes, end to
+    end: an EMPTY first micro-batch writes a footerless store; the
+    second batch must proceed with empty state instead of wedging on
+    schema inference forever."""
+    import time as _time
+
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        incremental_dedup_sink,
+    )
+
+    src = tmp_path / "src"
+    schema = ("doc_id long, text string, lang string, "
+              "source string, n_chars long")
+    spark.createDataFrame([], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    _time.sleep(1.1)          # file-source orders batches by mod time
+    spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 10),
+         (2, "alpha beta", "en", "s", 10),
+         (3, "gamma delta", "en", "s", 11)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream.writeStream
+         .foreachBatch(incremental_dedup_sink(store, out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # 3 docs, one exact-dup pair -> 2 survivors
+    assert got.count() == 2

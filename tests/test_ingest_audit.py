@@ -79,7 +79,7 @@ def test_table_profile_on_empty_table_matches_oracle(spark, tmp_path):
     from tests.test_queries_oracle import table_hash
 
     sf = tmp_path / "sf_empty"
-    (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    (spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
      .limit(0).write.parquet(str(sf / "lineitem.parquet")))
     spec = all_queries()["table_profile"]
     sdf = spec.fn(spark, str(sf))
