@@ -761,10 +761,17 @@ def components_incremental_sink(labels_dir: str,
     (crash after the write, before the checkpoint commit) recomputes
     from pre-batch state and overwrites identically.  The store keeps
     one label-table version per batch — each version is a complete
-    state, so production compacts by dropping every partition but the
-    newest (:func:`compact_label_store`); correctness never depends on
-    the old versions.  Pinned by tests/test_corpus_stream.py::
-    test_components_incremental_* (batch parity + crash replay).
+    state, so production compacts by dropping all but the two newest
+    (:func:`compact_label_store`).  TWO, not one: the newest version
+    may be an UNCOMMITTED write (crash after the label write, before
+    the checkpoint commit), in which case the replayed batch's
+    ``batch_id < current`` read needs the second-newest version to
+    recompute from — compacting it away would send the replay down the
+    first-batch path and permanently discard every learned cluster.
+    Correctness never depends on versions older than that window.
+    Pinned by tests/test_corpus_stream.py::
+    test_components_incremental_* (batch parity + crash replay) and
+    test_compact_label_store_survives_uncommitted_newest.
     """
     from cga_logs_to_kinesis_spark.operators.dedup import (
         connected_components,
@@ -808,9 +815,16 @@ def components_incremental_sink(labels_dir: str,
 
 
 def compact_label_store(labels_dir: str) -> int:
-    """Drop every label-table version except the newest (each version
-    is a complete state — see :func:`components_incremental_sink`).
-    Run with the stream stopped.  Returns versions removed."""
+    """Drop every label-table version except the TWO newest (each
+    version is a complete state — see
+    :func:`components_incremental_sink`).  The second-newest survives
+    because the newest may be an uncommitted write: a stream that
+    crashed after the label write but before the checkpoint commit is
+    "stopped", so the run-with-the-stream-stopped precondition does not
+    rule the window out — on restart the replayed batch reads
+    ``batch_id < current`` and must find its pre-batch state, not the
+    first-batch path.  Run with the stream stopped.  Returns versions
+    removed."""
     import os
     import shutil
 
@@ -818,9 +832,10 @@ def compact_label_store(labels_dir: str) -> int:
     for name in os.listdir(labels_dir):
         if name.startswith("batch_id="):
             bids.append(int(name.split("=", 1)[1]))
+    keep = set(sorted(bids)[-2:])
     removed = 0
     for bid in bids:
-        if bid != max(bids):
+        if bid not in keep:
             shutil.rmtree(os.path.join(labels_dir, f"batch_id={bid}"))
             removed += 1
     return removed
