@@ -651,9 +651,11 @@ def test_ingest_audit_crash_after_write_is_exactly_once(spark, tmp_path):
 
 
 def _edge_batches(spark, tmp_path):
-    """The sf0.001 verified near-dup edges staged as two arrival
-    batches, split so plenty of components straddle the batch
-    boundary (hash split on doc_a)."""
+    """The sf0.001 verified near-dup edges staged as THREE arrival
+    batches, split so plenty of components straddle batch boundaries
+    (hash split on doc_a).  Three, not two: keep-two compaction must
+    have something to remove (`compact_label_store` keeps the two
+    newest versions, so a two-batch store compacts to a no-op)."""
     from cga_logs_to_kinesis_spark.operators.dedup import (
         JACCARD_EDGE_THRESHOLD,
         minhash_candidates,
@@ -663,10 +665,9 @@ def _edge_batches(spark, tmp_path):
              .filter(F.col("jaccard") >= JACCARD_EDGE_THRESHOLD)
              .select("doc_a", "doc_b").localCheckpoint())
     src = tmp_path / "edge_arrivals"
-    edges.filter(F.col("doc_a") % 2 == 0).coalesce(1) \
-        .write.parquet(str(src / "chunk=0"))
-    edges.filter(F.col("doc_a") % 2 == 1).coalesce(1) \
-        .write.parquet(str(src / "chunk=1"))
+    for k in range(3):
+        edges.filter(F.col("doc_a") % 3 == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
     return edges, str(src)
 
 
@@ -708,17 +709,22 @@ def test_components_incremental_matches_batch(spark, tmp_path):
             for r in connected_components(edges).collect()}
     assert got == want and len(want) > 0
     # cross-batch merges actually happened: at least one component has
-    # members from both arrival halves
+    # members from more than one arrival third
     comps = {}
     for doc, comp in got:
-        comps.setdefault(comp, set()).add(doc % 2)
-    assert any(len(par) == 2 for par in comps.values()), \
+        comps.setdefault(comp, set()).add(doc % 3)
+    assert any(len(par) >= 2 for par in comps.values()), \
         "fixture split produced no cross-batch component — weak test"
-    # compaction leaves exactly the newest complete state
+    # keep-two compaction: 3 versions -> the oldest goes, and the
+    # NEWEST version is still the complete final state (the second-
+    # newest survives only as the crash-replay safety net, so the
+    # comparison reads the newest partition, not the whole store)
     removed = compact_label_store(store)
-    assert removed >= 1
+    assert removed == 1
+    remaining = spark.read.parquet(store)
+    newest = remaining.agg(SF.max("batch_id")).first()[0]
     after = {(r.doc, r.comp)
-             for r in spark.read.parquet(store)
+             for r in remaining.filter(SF.col("batch_id") == newest)
              .select("doc", "comp").collect()}
     assert after == want
 
@@ -740,8 +746,51 @@ def test_components_incremental_crash_replay_is_exactly_once(
     sink = components_incremental_sink(store, fail_after_write_for=(1,))
     ckpt = str(tmp_path / "ckpt")
     _drain_edges(spark, src, sink, ckpt)    # dies on batch 1 post-write
-    _drain_edges(spark, src, sink, ckpt)    # replay batch 1
+    _drain_edges(spark, src, sink, ckpt)    # replay batch 1, finish 2
     import pyspark.sql.functions as SF
+    latest = (spark.read.parquet(store)
+              .filter(SF.col("batch_id")
+                      == spark.read.parquet(store)
+                      .agg(SF.max("batch_id")).first()[0]))
+    got = {(r.doc, r.comp) for r in latest.collect()}
+    want = {(r.doc, r.comp)
+            for r in connected_components(edges).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_compact_label_store_survives_uncommitted_newest(
+        spark, tmp_path):
+    """The reason compaction keeps TWO versions: crash after the final
+    batch's label write but before its checkpoint commit, then compact
+    (the stream is 'stopped' — it crashed), then restart.  The replayed
+    batch reads ``batch_id < current`` and must find its pre-batch
+    state.  Keep-ONE compaction would have deleted exactly that
+    version (the newest surviving partition IS the uncommitted write),
+    sending the replay down the first-batch path and permanently
+    discarding every cluster learned before the final batch."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        connected_components,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_label_store,
+        components_incremental_sink,
+    )
+
+    edges, src = _edge_batches(spark, tmp_path)
+    store = str(tmp_path / "labels")
+    sink = components_incremental_sink(store, fail_after_write_for=(2,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_edges(spark, src, sink, ckpt)   # dies on batch 2 post-write
+    # store now holds versions {0,1,2}; batch 2 is UNCOMMITTED.
+    # Operator compacts the crashed-stopped store: keep-two retains
+    # {1, 2} — version 1 is the state batch 2's replay needs.
+    removed = compact_label_store(store)
+    assert removed == 1
+    import pyspark.sql.functions as SF
+    kept = sorted(r.batch_id for r in spark.read.parquet(store)
+                  .select("batch_id").distinct().collect())
+    assert kept == [1, 2]
+    _drain_edges(spark, src, sink, ckpt)   # restart: replay batch 2
     latest = (spark.read.parquet(store)
               .filter(SF.col("batch_id")
                       == spark.read.parquet(store)
