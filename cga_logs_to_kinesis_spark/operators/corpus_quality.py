@@ -578,10 +578,10 @@ register(QuerySpec(
 # 100 TB note: `percentile` here is Spark's EXACT interpolated
 # percentile (it buffers each group's values), which is the right
 # choice for an oracle-paired fixture query but NOT for a 100 TB
-# corpus — at scale swap `percentile` for `approx_percentile` (same
-# plan shape, t-digest-style sketch, map-side mergeable); the
-# `approx_quantiles` registry query carries the error-bound contract
-# for that path.  Two passes over a 2-column pruned projection are
+# corpus — the `approx_percentile` swap (same plan shape, mergeable
+# rank sketch, bounded state) is REGISTERED as
+# `q_length_outliers_approx` below, error-bound-tested against this
+# exact twin.  Two passes over a 2-column pruned projection are
 # inherent to median-of-deviations.
 
 MAD_K = 5
@@ -658,4 +658,70 @@ register(QuerySpec(
         f"outliers beyond {MAD_K}*MAD flagged (heavy-tail-safe, the "
         "robust twin of mean/stddev gates)",
     tags=("text", "north-star", "quality", "robust"),
+))
+
+
+# Rank-error accuracy for the at-scale percentile sketch (Spark's
+# approx_percentile uses a KLL/GK-style summary; rank error is
+# ~1/accuracy of the group size).
+LENGTH_APPROX_ACCURACY = 10_000
+
+
+def q_length_outliers_approx(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The 100 TB shape of :func:`q_length_outliers`, runnable code
+    rather than a docstring promise: ``approx_percentile`` (mergeable
+    rank sketch, bounded memory) in place of the exact ``percentile``
+    (which buffers every group's values — the one part of the exact
+    plan that cannot survive a 100 TB group).  Plan shape is
+    IDENTICAL: two pruned passes, broadcast medians, broadcast MADs;
+    only the aggregate's state changes from O(group) to O(accuracy).
+
+    The sketch returns an actual element of the group (no midpoint
+    interpolation), so medians/MADs can differ from the exact twin by
+    up to one neighboring value, and outlier counts can flip only for
+    documents sitting exactly at the K*MAD boundary.  Registered
+    rows-only; the error-bound contract lives in
+    tests/test_corpus_quality.py::test_length_outliers_approx_bounds.
+    """
+    tune_session(spark)
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("n_chars").isNotNull())
+            .select("doc_id", "lang", "n_chars"))
+    med = docs.groupBy("lang").agg(
+        F.expr(f"approx_percentile(n_chars, 0.5, "
+               f"{LENGTH_APPROX_ACCURACY})").alias("median_chars"))
+    dev = (docs.join(F.broadcast(med), "lang")
+           .withColumn("absdev",
+                       F.abs(F.col("n_chars") - F.col("median_chars")))
+           .localCheckpoint())
+    mad = dev.groupBy("lang").agg(
+        F.expr(f"approx_percentile(absdev, 0.5, "
+               f"{LENGTH_APPROX_ACCURACY})").alias("mad_chars"))
+    flagged = (dev.join(F.broadcast(mad), "lang")
+               .withColumn("is_outlier",
+                           F.col("absdev")
+                           > F.lit(MAD_K) * F.col("mad_chars")))
+    return (flagged.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("median_chars").cast("double")
+                 .alias("median_chars"),
+                 F.min("mad_chars").cast("double").alias("mad_chars"),
+                 F.sum(F.col("is_outlier").cast("bigint"))
+                 .alias("n_outliers"),
+                 F.coalesce(
+                     F.min(F.when(F.col("is_outlier"), F.col("doc_id"))),
+                     F.lit(-1)).alias("example_outlier"))
+            .orderBy("lang"))
+
+
+register(QuerySpec(
+    "length_outliers_approx", q_length_outliers_approx,
+    oracle=None,      # sketch median is engine-specific; error-bound
+                      # test pins it against the exact twin
+    doc=f"at-scale robust length gate: approx_percentile median/MAD "
+        f"(bounded sketch state instead of buffering each group) — "
+        f"the documented 100 TB swap of length_outliers, as runnable "
+        f"code; outliers beyond {MAD_K}*MAD",
+    tags=("text", "quality", "robust", "approx"),
 ))

@@ -173,3 +173,32 @@ def test_prune_at_total_boilerplate(spark, tmp_path):
     assert rows[3].pruned_text == "" and rows[3].n_kept == 0
     for r in rows.values():
         assert "footer" not in r.pruned_text.split()
+
+
+def test_length_outliers_approx_bounds(spark):
+    """The at-scale twin's contract vs the exact median/MAD gate:
+    same languages and doc counts (counting is not sketched), sketch
+    median/MAD within one neighboring length value (asserted as <=5%
+    relative error — generous vs the ~1/accuracy rank error), and
+    outlier counts flipping only at the K*MAD boundary (<=2% of the
+    language's docs + slack)."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        q_length_outliers,
+        q_length_outliers_approx,
+    )
+    from tests.conftest import SF_SMOKE
+
+    exact = {r.lang: r for r in
+             q_length_outliers(spark, SF_SMOKE).collect()}
+    approx = {r.lang: r for r in
+              q_length_outliers_approx(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(approx) and len(exact) > 0
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a.n_docs == e.n_docs, lang
+        assert abs(a.median_chars - e.median_chars) \
+            <= 0.05 * max(e.median_chars, 1.0), lang
+        assert abs(a.mad_chars - e.mad_chars) \
+            <= 0.05 * max(e.mad_chars, 1.0), lang
+        assert abs(a.n_outliers - e.n_outliers) \
+            <= 0.02 * e.n_docs + 2, lang

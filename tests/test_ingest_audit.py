@@ -130,3 +130,36 @@ def test_profile_partials_fold_is_split_invariant(spark, seed):
     direct = [tuple(str(x) for x in r)
               for r in q_table_profile(spark, SF_SMOKE).collect()]
     assert folded == direct and len(direct) == 11
+
+
+def test_table_profile_approx_error_bound(spark):
+    """The at-scale twin's contract: every non-sketch column (n_null,
+    min/max) bit-equal to the exact profile; the HLL n_distinct within
+    5 sigma of the exact count (rsd=0.02 -> 10%).  Also pins the whole
+    point of the twin — ONE scan, no Expand, no second distinct pass."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        PROFILE_APPROX_RSD,
+        q_table_profile,
+        q_table_profile_approx,
+    )
+
+    exact = {r.col_name: r for r in
+             q_table_profile(spark, SF_SMOKE).collect()}
+    approx = {r.col_name: r for r in
+              q_table_profile_approx(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(approx) and len(exact) == 11
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_null, str(a.min_num), str(a.max_num),
+                a.min_str, a.max_str) == \
+               (e.n_null, str(e.min_num), str(e.max_num),
+                e.min_str, e.max_str), c
+        tol = 5 * PROFILE_APPROX_RSD * max(e.n_distinct, 1)
+        assert abs(a.n_distinct - e.n_distinct) <= max(tol, 2), \
+            (c, a.n_distinct, e.n_distinct)
+    # plan: single scan, single aggregate chain, no Expand and no
+    # explode-before-aggregate (the value-pair pass the sketch removes)
+    plan = (q_table_profile_approx(spark, SF_SMOKE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" not in plan

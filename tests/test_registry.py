@@ -35,3 +35,22 @@ def test_window_leads_query_order():
 def test_every_registered_query_returned_once():
     names = list(all_queries())
     assert len(names) == len(set(names))
+
+
+def test_queries_md_is_current():
+    """QUERIES.md is generated (tools/gen_queries_md.py); a round that
+    adds/changes queries without regenerating it ships stale docs.
+    Regenerate in-memory and diff against the committed file."""
+    import io
+    import contextlib
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_queries_md", "/root/repo/tools/gen_queries_md.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    committed = pathlib.Path("/root/repo/QUERIES.md").read_text()
+    regenerated = mod.render()
+    assert regenerated == committed, \
+        "QUERIES.md is stale — run: python tools/gen_queries_md.py"
