@@ -90,10 +90,15 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
         return spark.read.parquet(path)
     except AnalysisException as e:
         klass = ""
-        try:
-            klass = e.getErrorClass() or ""
-        except Exception:
-            pass
+        # getCondition is the Spark 4 name; getErrorClass its
+        # deprecated 3.x alias — probe in that order so the guard
+        # survives either direction of a version bump.
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                klass = getattr(e, probe)() or ""
+                break
+            except Exception:
+                continue
         msg = str(e)
         if "PATH_NOT_FOUND" in klass or "Path does not exist" in msg:
             return None

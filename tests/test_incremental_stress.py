@@ -1,0 +1,147 @@
+"""Stress the incremental sinks past toy state: many micro-batches,
+edge/pair history far larger than the node set, periodic compaction.
+
+The chaos tests (test_corpus_stream.py) prove exactly-once semantics;
+THIS file pins the cost envelope the sink docstrings claim — per-batch
+work O(|batch| + |state|), NOT O(cumulative history) — using Spark's
+own task metrics (input + shuffle records from the AppStatusStore),
+not wall time.  The sinks are plain foreachBatch callables, so the
+batches are driven directly (no stream) to bracket metrics per batch.
+
+Slow by design (~2 min): 20 micro-batches through each sink.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _work_snapshot(spark) -> int:
+    """Cumulative records processed across all completed stages:
+    input + shuffle-read + shuffle-write.  Deltas between snapshots =
+    the work a batch did.  (Default UI retention is 1000 stages —
+    far above what this test creates — so deltas don't undercount.)"""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jobs = store.jobsList(None)
+    defaults = [getattr(store, f"stageData$default${n}")()
+                for n in range(2, 6)]
+    seen: set[int] = set()
+    total = 0
+    for i in range(jobs.size()):
+        sids = jobs.apply(i).stageIds()
+        for k in range(sids.size()):
+            sid = sids.apply(k)
+            if sid in seen:
+                continue
+            seen.add(sid)
+            attempts = store.stageData(sid, *defaults)
+            for a in range(attempts.size()):
+                s = attempts.apply(a)
+                total += int(s.inputRecords()
+                             + s.shuffleReadRecords()
+                             + s.shuffleWriteRecords())
+    return total
+
+
+N_NODES = 800           # fixed doc universe
+EDGES_PER_BATCH = 2000  # so 20 batches = 40 000 observations = 50x nodes
+N_BATCHES = 20
+
+
+def _edge_batch(spark, k: int):
+    """Deterministic pseudo-random edges over the fixed node universe
+    (no Date.now/random: affine xxhash on (batch, row))."""
+    return (spark.range(EDGES_PER_BATCH)
+            .select((F.abs(F.xxhash64(F.lit(k), "id")) % N_NODES)
+                    .alias("doc_a"),
+                    (F.abs(F.xxhash64(F.lit(k), "id", F.lit(7)))
+                     % N_NODES).alias("doc_b"))
+            .filter(F.col("doc_a") != F.col("doc_b")))
+
+
+def test_components_sink_work_is_flat_under_unbounded_history(
+        spark, tmp_path):
+    """20 batches of edges over a FIXED node set: cumulative pair
+    observations grow 20x but per-batch work must stay
+    O(|batch edges| + |nodes|) — flat, because state is the label star
+    (<= nodes rows), never the edge history.  Also pins store
+    boundedness: every label version <= nodes rows, and keep-two
+    compaction holds the store at <= 2 versions + the versions written
+    since the last compact."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_label_store,
+        components_incremental_sink,
+    )
+
+    store = str(tmp_path / "labels")
+    sink = components_incremental_sink(store)
+    work = []
+    for k in range(N_BATCHES):
+        before = _work_snapshot(spark)
+        sink(_edge_batch(spark, k), k)
+        work.append(_work_snapshot(spark) - before)
+        if k % 8 == 7:                      # periodic compaction
+            compact_label_store(store)
+            versions = (spark.read.parquet(store)
+                        .select("batch_id").distinct().count())
+            assert versions <= 2, "store unbounded despite compaction"
+    # every version is a complete state: <= one row per known node
+    per_version = (spark.read.parquet(store)
+                   .groupBy("batch_id").count().collect())
+    assert all(r["count"] <= N_NODES for r in per_version)
+    # THE envelope: work on late batches (history ~40k observations)
+    # vs early batches (history ~8k) — O(batch + nodes) means flat;
+    # O(history) would grow ~4x between the windows, O(history^2) 16x.
+    early = sum(work[2:8]) / 6
+    late = sum(work[14:20]) / 6
+    assert late <= 3.0 * early, (
+        f"per-batch work grew with edge history: early={early:.0f} "
+        f"late={late:.0f} records/batch — state is supposed to be "
+        f"the O(nodes) label star")
+
+
+VEC_DIM = 64            # must match the LSH plane matrix (EMBED_DIM)
+VECS_PER_BATCH = 150
+ANN_BATCHES = 20
+
+
+def _vec_batch(spark, k: int):
+    cols = [((F.xxhash64(F.lit(k), "id", F.lit(j)) % 97) / 97.0)
+            .cast("float") for j in range(VEC_DIM)]
+    return (spark.range(VECS_PER_BATCH)
+            .select((F.lit(k * VECS_PER_BATCH) + F.col("id"))
+                    .alias("vec_id"),
+                    F.array(*cols).alias("embedding")))
+
+
+def test_ann_sink_work_grows_linearly_not_quadratically(
+        spark, tmp_path):
+    """20 vector batches through the LSH index sink.  Per-batch work
+    is O(|batch| + |store|): the store read grows linearly as vectors
+    accumulate, but scoring touches only same-bucket candidates — a
+    re-score of the whole corpus would be O(|store| x |batch|) on the
+    join and the pair counts would grow with it.  With the store 3.6x
+    larger between the measurement windows, linear-envelope work may
+    grow ~3.6x (+ slack); the quadratic rescore shape would be ~13x."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import ann_index_sink
+
+    sink = ann_index_sink(str(tmp_path / "idx"), str(tmp_path / "vecs"),
+                          str(tmp_path / "out"))
+    work = []
+    for k in range(ANN_BATCHES):
+        before = _work_snapshot(spark)
+        sink(_vec_batch(spark, k), k)
+        work.append(_work_snapshot(spark) - before)
+    early = sum(work[3:6]) / 3       # store ~450-750 vectors
+    late = sum(work[17:20]) / 3      # store ~2550-2850 vectors
+    assert late <= 6.0 * early, (
+        f"per-batch ANN work grew superlinearly: early={early:.0f} "
+        f"late={late:.0f} records/batch — bucketed scoring is "
+        f"supposed to keep the candidate join off the full corpus")
+    # the index store is N_TABLES rows per vector, the vector store
+    # one row per vector — both linear in vectors seen, never pairs
+    n_vecs = ANN_BATCHES * VECS_PER_BATCH
+    assert spark.read.parquet(str(tmp_path / "vecs")).count() == n_vecs
+    idx_rows = spark.read.parquet(str(tmp_path / "idx")).count()
+    assert idx_rows % n_vecs == 0    # exactly N_TABLES buckets per vec

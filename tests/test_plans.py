@@ -656,3 +656,34 @@ def test_derived_partsupp_is_narrow(spark):
     assert "Exchange" not in plan
     cols = scan_read_schema_columns(load_partsupp(spark, SF_SMOKE))
     assert cols and all(c == ["p_partkey"] for c in cols)
+
+
+def test_flagship_entry_plan_shape(spark):
+    """The one query the driver ALWAYS runs (__spark_entry__.entry,
+    q_stats_tumbling at sf0.001) finally gets its plan pinned: a
+    rows>0 smoke check would happily pass a regressed plan.  The shape
+    that scales: one pruned scan (ts/event_type/value only), the
+    integer-division bucketing inside codegen, partial+final hash
+    aggregation around exactly ONE exchange, no join, no sort."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    m = importlib.import_module("__spark_entry__")
+    df = m.entry(spark)
+    assert len(df.collect()) > 0          # the driver's smoke check —
+    # and executing first makes AQE finalize the plan, so the
+    # formatted string below shows the real codegen'd shape
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(df)
+    scans = scan_read_schema_columns(df)
+    assert scans and all(len(cols) <= 3 for cols in scans), scans
+    # count Exchange nodes in the FINAL plan tree only — the AQE
+    # explain prints the initial plan (with its own Exchange) and a
+    # detail entry per node, so a raw substring count double-counts
+    tree = plan.split("== Initial Plan ==")[0]
+    n_exchanges = tree.count("Exchange (")
+    assert n_exchanges == 1, "tumbling agg must shuffle once"
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "Sort" not in plan
+    assert wholestage_codegen_spans(df) >= 1
