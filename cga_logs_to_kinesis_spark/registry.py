@@ -164,6 +164,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         similarity,
+        sketches,
         temporal,
         text,
         tpch_shapes,

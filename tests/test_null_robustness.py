@@ -54,7 +54,8 @@ PROBED = [
     "tfidf_top_terms", "token_frequencies", "token_length_histogram",
     "unigram_rarity", "vocab_coverage", "winnowing_fingerprints",
     "quality_percentile_calibrate", "dedup_best_survivors",
-    "dedup_downweight",
+    "dedup_downweight", "heavy_hitters", "bloom_decontaminate",
+    "length_outliers_approx",
 ]
 
 _DOCS = pd.DataFrame({

@@ -1,0 +1,99 @@
+"""Sketch-operator semantics: the Misra-Gries superset guarantee that
+makes heavy_hitters EXACT, and the Bloom filter's no-false-negative /
+false-positive-accepting contract.  (Cross-engine value hashes are
+covered by test_queries_oracle.py and the dirty net like every other
+registered query; these tests pin the guarantees those hashes rest
+on, on adversarial inputs the fixtures don't contain.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_heavy_hitters_exactly_matches_bruteforce(spark):
+    """The MG candidate pass must not lose any true heavy hitter:
+    compare against the brute-force full-vocabulary groupBy."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        normalized_text,
+    )
+    from cga_logs_to_kinesis_spark.operators.sketches import (
+        MG_COUNTERS,
+        q_heavy_hitters,
+    )
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    got = [(r.token, r.n)
+           for r in q_heavy_hitters(spark, SF_SMOKE).collect()]
+    toks = (load_table(spark, SF_SMOKE, "documents")
+            .select(F.explode(F.split(normalized_text(), " "))
+                    .alias("token"))
+            .filter(F.col("token") != ""))
+    total = toks.count()
+    brute = (toks.groupBy("token").agg(F.count("*").alias("n"))
+             .filter(F.col("n") * (MG_COUNTERS + 1) > total)
+             .orderBy(F.col("n").desc(), "token"))
+    want = [(r.token, r.n) for r in brute.collect()]
+    assert got == want and len(want) > 0
+
+
+def test_mg_survives_adversarial_spread(spark, tmp_path):
+    """The averaging-argument guarantee, on the worst case for it: a
+    heavy token BARELY above threshold, spread evenly across many
+    partitions, buried under a sea of singletons that constantly
+    force MG contractions."""
+    from cga_logs_to_kinesis_spark.operators.sketches import (
+        MG_COUNTERS,
+        q_heavy_hitters,
+    )
+
+    n_filler = 40_000
+    hot_n = (n_filler + 210) // MG_COUNTERS + 1   # just over N/(K+1)
+    filler = spark.range(n_filler).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique"), F.col("id")).alias("text"))
+    hot = spark.range(hot_n).select(
+        (F.col("id") + n_filler).alias("doc_id"),
+        F.lit("hotword").alias("text"))
+    docs = (filler.unionByName(hot)
+            .withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("s"))
+            .withColumn("n_chars", F.length("text")))
+    docs.repartition(16).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    got = {r.token: r.n
+           for r in q_heavy_hitters(spark, str(tmp_path)).collect()}
+    assert got.get("hotword") == hot_n, got
+
+
+def test_bloom_report_has_no_false_negatives(spark):
+    """A Bloom filter over-drops but never under-drops: every
+    blocklisted document must be flagged, which in report arithmetic
+    is n_dropped - n_false_pos == n_blocklisted in every group."""
+    from cga_logs_to_kinesis_spark.operators.sketches import (
+        q_bloom_decontaminate,
+    )
+
+    rows = q_bloom_decontaminate(spark, SF_SMOKE).collect()
+    assert rows and sum(r.n_blocklisted for r in rows) > 0
+    for r in rows:
+        assert r.n_dropped - r.n_false_pos == r.n_blocklisted, r
+        assert r.n_kept + r.n_dropped == r.n_docs, r
+
+
+def test_bloom_saturation_is_pure_overdrop(spark, monkeypatch):
+    """Shrink the bitmap until it saturates: every fingerprinted doc
+    becomes a (deterministic) positive — the failure mode is still
+    over-dropping, never a missed contamination."""
+    import cga_logs_to_kinesis_spark.operators.sketches as sk
+
+    monkeypatch.setattr(sk, "BLOOM_BITS", 8)
+    rows = sk.q_bloom_decontaminate(spark, SF_SMOKE).collect()
+    for r in rows:
+        # with 8 bits the filter is full: everything with a
+        # fingerprint is dropped, nothing blocklisted survives
+        assert r.n_dropped - r.n_false_pos == r.n_blocklisted, r
+        assert r.n_kept == r.n_docs - r.n_dropped
+    assert sum(r.n_false_pos for r in rows) > 0
