@@ -60,9 +60,14 @@ def _mg_partitions(batches):
     merge into the running counter dict, then apply the mergeable-
     summary contraction (subtract the (K+1)-th largest count from
     all, drop non-positive) whenever the dict exceeds K entries.
-    State is O(K); output is <= K candidate rows per partition plus
-    one (NULL, n_tokens) row carrying the partition's token count so
-    the driver can form N without a second corpus pass."""
+    State is O(K); output is <= K candidate rows per partition
+    (token, surviving counter value — a LOWER bound on the token's
+    local count, undercounting by < n_p/(K+1)) plus one
+    (NULL, 0, n_tokens) row carrying the partition's token count so
+    the caller can form N without a second corpus pass.  The counter
+    values make the summary MERGEABLE across partitions AND batches
+    (sum counters, slack budgets add), which is what the streaming
+    twin (streaming/corpus.py::heavy_hitters_sink) folds on."""
     import pandas as pd
 
     counters: dict[str, int] = {}
@@ -79,7 +84,21 @@ def _mg_partitions(batches):
                         for t, c in counters.items() if c > sub}
     yield pd.DataFrame(
         {"token": list(counters.keys()) + [None],
+         "cnt": list(counters.values()) + [0],
          "part_tokens": [0] * len(counters) + [part_tokens]})
+
+
+MG_SUMMARY_SCHEMA = "token string, cnt long, part_tokens long"
+
+
+def tokenize_docs(docs: DataFrame) -> DataFrame:
+    """The shared tokenization front (dedup-canonical whitespace
+    split) — one definition so the batch query and the streaming sink
+    cannot diverge."""
+    return (docs
+            .select(F.explode(F.split(normalized_text(), " "))
+                    .alias("token"))
+            .filter(F.col("token") != ""))
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,13 +117,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     par = explode_parallelism(spark)
-    toks = (docs
-            .repartition(par, "doc_id")
-            .select(F.explode(F.split(normalized_text(), " "))
-                    .alias("token"))
-            .filter(F.col("token") != ""))
-    summary = (toks.mapInPandas(_mg_partitions,
-                                "token string, part_tokens long")
+    toks = tokenize_docs(docs.repartition(par, "doc_id"))
+    summary = (toks.mapInPandas(_mg_partitions, MG_SUMMARY_SCHEMA)
                .localCheckpoint())            # MG runs once, feeds both
     total = summary.agg(F.sum("part_tokens")).first()[0] or 0
     candidates = (summary.filter(F.col("token").isNotNull())

@@ -931,3 +931,93 @@ def table_profile_report_from_store(spark: SparkSession,
     distincts = (values.groupBy("col_name")
                  .agg(F.count_distinct("val").alias("n_distinct")))
     return finish_profile(partials, distincts)
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra-Gries summaries folded across batches
+# ---------------------------------------------------------------------------
+
+def heavy_hitters_sink(store_dir: str,
+                       fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch twin of ``operators/sketches.py::q_heavy_hitters``
+    — frequent-token tracking over an unbounded document stream with
+    O(K) state per partition and NO cross-batch reads at all.
+
+    Each arriving micro-batch is tokenized by the SHARED
+    ``tokenize_docs`` front and summarized by the SAME per-partition
+    Misra-Gries pass as the batch query (``_mg_partitions`` — parity
+    by construction); the per-partition summaries (token,
+    counter-lower-bound) plus the batch token count land under the
+    batch's ``batch_id`` partition.  MG summaries are MERGEABLE:
+    counter values sum, and the undercount slack budgets ADD to
+    < N/(K+1) total — so :func:`heavy_hitters_from_store` folds the
+    store into a guaranteed SUPERSET of the true heavy hitters with
+    per-token count brackets, no matter how documents split into
+    batches.  Unlike the batch query there is no exact-verify pass
+    (that would re-read unbounded history); the fold reports
+    [cnt_lower, cnt_upper] brackets instead, and the bracket width is
+    the documented price of streaming.
+
+    EXACTLY-ONCE: the single write per batch is a batch_id
+    dynamic-overwrite partition; a replayed batch re-tokenizes the
+    same files into the same partitions and overwrites identically
+    (the ``ingest_audit_sink`` discipline — no ``batch_id < current``
+    read needed because no batch reads the store).  Pinned by
+    tests/test_sketches.py::test_heavy_hitters_sink_*."""
+    from cga_logs_to_kinesis_spark.operators.sketches import (
+        MG_SUMMARY_SCHEMA,
+        _mg_partitions,
+        tokenize_docs,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        summary = tokenize_docs(batch_df).mapInPandas(
+            _mg_partitions, MG_SUMMARY_SCHEMA)
+        (summary.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def heavy_hitters_from_store(spark: SparkSession,
+                             store_dir: str) -> DataFrame:
+    """Fold the persisted MG summaries into the heavy-hitter CANDIDATE
+    report: every token whose count COULD exceed the N/(K+1)
+    threshold, with its [cnt_lower, cnt_upper] bracket.
+
+    Guarantees (tests pin both): the token set is a superset of the
+    exact batch heavy hitters over the same corpus, and each true
+    heavy hitter's exact count lies inside its bracket — because each
+    summary undercounts its own slice by < n_slice/(K+1) and slices
+    partition the corpus, so the folded undercount is < N/(K+1)
+    total.  ``slack`` uses the integer ceiling so the bracket is
+    safe under integer division on any engine."""
+    from cga_logs_to_kinesis_spark.operators.sketches import MG_COUNTERS
+
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return spark.createDataFrame(
+            [], "token string, cnt_lower long, cnt_upper long")
+    total = (s.agg(F.sum("part_tokens")).first()[0]) or 0
+    slack = total // (MG_COUNTERS + 1) + 1
+    folded = (s.filter(F.col("token").isNotNull())
+              .groupBy("token")
+              .agg(F.sum("cnt").alias("cnt_lower")))
+    return (folded
+            .withColumn("cnt_upper",
+                        F.col("cnt_lower") + F.lit(int(slack)))
+            .filter(F.col("cnt_upper") * (MG_COUNTERS + 1)
+                    > F.lit(int(total)))
+            .orderBy(F.col("cnt_lower").desc(), "token"))

@@ -97,3 +97,94 @@ def test_bloom_saturation_is_pure_overdrop(spark, monkeypatch):
         assert r.n_dropped - r.n_false_pos == r.n_blocklisted, r
         assert r.n_kept == r.n_docs - r.n_dropped
     assert sum(r.n_false_pos for r in rows) > 0
+
+
+def _doc_batches(spark, tmp_path):
+    """sf0.001 documents staged as three arrival chunks."""
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "doc_arrivals"
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+    return docs, str(src)
+
+
+def _drain_docs(spark, src, sink, ckpt):
+    q = (spark.readStream
+         .schema("doc_id long, text string, lang string, "
+                 "source string, n_chars long")
+         .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass                            # injected crash surfaces here
+
+
+def _exact_hitters(spark, docs):
+    from cga_logs_to_kinesis_spark.operators.sketches import (
+        MG_COUNTERS,
+        tokenize_docs,
+    )
+    toks = tokenize_docs(docs)
+    total = toks.count()
+    return {(r.token, r.n) for r in
+            (toks.groupBy("token").agg(F.count("*").alias("n"))
+             .filter(F.col("n") * (MG_COUNTERS + 1) > total)
+             .collect())}
+
+
+def test_heavy_hitters_sink_fold_brackets_the_exact_set(
+        spark, tmp_path):
+    """The streaming fold must report a SUPERSET of the exact heavy
+    hitters, and every true hitter's exact count must sit inside its
+    [cnt_lower, cnt_upper] bracket — however documents split into
+    micro-batches (the per-summary slack budgets add, never
+    multiply)."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        heavy_hitters_from_store,
+        heavy_hitters_sink,
+    )
+
+    docs, src = _doc_batches(spark, tmp_path)
+    store = str(tmp_path / "mg_store")
+    _drain_docs(spark, src, heavy_hitters_sink(store),
+                str(tmp_path / "ckpt"))
+    report = {r.token: (r.cnt_lower, r.cnt_upper)
+              for r in heavy_hitters_from_store(spark, store).collect()}
+    exact = _exact_hitters(spark, docs)
+    assert exact, "fixture produced no heavy hitters — weak test"
+    for token, n in exact:
+        assert token in report, f"missed true heavy hitter {token}"
+        lo, hi = report[token]
+        assert lo <= n <= hi, (token, lo, n, hi)
+
+
+def test_heavy_hitters_sink_crash_replay_is_exactly_once(
+        spark, tmp_path):
+    """Crash after the summary write, before the checkpoint commit:
+    the replayed batch re-tokenizes the same files and overwrites its
+    own batch_id partition, so the fold equals a clean run's fold."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        heavy_hitters_from_store,
+        heavy_hitters_sink,
+    )
+
+    docs, src = _doc_batches(spark, tmp_path)
+    crash_store = str(tmp_path / "mg_crash")
+    sink = heavy_hitters_sink(crash_store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt_crash")
+    _drain_docs(spark, src, sink, ckpt)   # dies on batch 1 post-write
+    _drain_docs(spark, src, sink, ckpt)   # replay batch 1, finish 2
+    clean_store = str(tmp_path / "mg_clean")
+    _drain_docs(spark, src, heavy_hitters_sink(clean_store),
+                str(tmp_path / "ckpt_clean"))
+    crashed = sorted(map(tuple, heavy_hitters_from_store(
+        spark, crash_store).collect()))
+    clean = sorted(map(tuple, heavy_hitters_from_store(
+        spark, clean_store).collect()))
+    assert crashed == clean and len(clean) > 0
