@@ -3,5 +3,6 @@ from cga_logs_to_kinesis_spark.plans.inspect import (  # noqa: F401
     has_pushed_filters,
     scan_read_schema_columns,
     uses_broadcast_join,
+    uses_sort_merge_join,
     wholestage_codegen_spans,
 )

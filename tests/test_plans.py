@@ -11,6 +11,7 @@ from cga_logs_to_kinesis_spark.plans import (
     has_pushed_filters,
     scan_read_schema_columns,
     uses_broadcast_join,
+    uses_sort_merge_join,
     wholestage_codegen_spans,
 )
 from cga_logs_to_kinesis_spark.registry import all_queries
@@ -687,3 +688,24 @@ def test_flagship_entry_plan_shape(spark):
     assert "HashAggregate" in plan
     assert "Join" not in plan and "Sort" not in plan
     assert wholestage_codegen_spans(df) >= 1
+
+
+def test_heavy_hitters_verify_join_is_broadcast(spark):
+    """The exact-verify pass joins the token stream against <= K x
+    partitions candidates — that side must broadcast; a shuffled join
+    would re-shuffle the full token stream the MG pass exists to
+    avoid."""
+    df = SPECS["heavy_hitters"].fn(spark, SF_SMOKE)
+    assert uses_broadcast_join(df)
+    assert not uses_sort_merge_join(df)
+
+
+def test_bloom_probe_plan_has_no_join(spark):
+    """bloom_decontaminate's whole point: after the (bounded) bitmap
+    build, corpus membership is a pandas-UDF bitmap probe — the
+    report plan must contain NO join of any kind over the corpus."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    df = SPECS["bloom_decontaminate"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan or "Python" in plan  # the probe
