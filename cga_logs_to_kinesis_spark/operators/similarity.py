@@ -1315,3 +1315,162 @@ register(QuerySpec(
 ))
 
 _gate_oracles("ann_incremental")
+
+
+# ---------------------------------------------------------------------------
+# Quantized-coarse + exact-re-rank ANN (the PQ pattern)
+# ---------------------------------------------------------------------------
+# The third scale path next to LSH buckets and IVF probes: score the
+# corpus COARSELY against int8-quantized reconstructions (the
+# embedding_quantize transform — 4x smaller codes, so at 100 TB the
+# coarse pass streams a quarter of the bytes and the code table can
+# live in memory), keep a per-query shortlist, then re-rank ONLY the
+# shortlist against the exact vectors.  Recall loss is bounded by the
+# quantization fidelity embedding_quantize reports (cos_recon ~0.9998
+# on the fixture), and the shortlist factor C/k covers the coarse
+# ordering jitter.  Deterministic end to end: floor-based rounding and
+# sequential folds, so DuckDB reproduces the same shortlist AND the
+# same final ranking — hash-compared, not approximately compared.
+
+PQ_SHORTLIST = 20       # coarse candidates per query, re-ranked to k=5
+
+
+def q_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_embeddings(spark, sf_dir)
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    base = emb.select("vec_id", x.alias("x"))
+    scale = F.array_max(F.transform(F.col("x"), F.abs)) / F.lit(127.0)
+    cand = (base.withColumn("scale", scale)
+            .filter(F.col("scale") > 0)
+            .withColumn(
+                "recon",
+                F.transform(
+                    F.col("x"),
+                    lambda v: F.greatest(
+                        F.lit(-127.0),
+                        F.least(F.lit(127.0),
+                                F.floor(v / F.col("scale") + F.lit(0.5))
+                                .cast("double"))) * F.col("scale")))
+            .select(F.col("vec_id").alias("cand_id"), "recon"))
+    q = (emb.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    coarse = (cand.join(F.broadcast(q),
+                        F.col("cand_id") != F.col("query_id"))
+              .select("query_id", "cand_id",
+                      (exact_dot("qe", "recon")
+                       / (exact_norm("qe") * exact_norm("recon")))
+                      .alias("coarse")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("coarse").desc(), F.col("cand_id")))
+    shortlist = (coarse.withColumn("crank", F.row_number().over(w))
+                 .filter(F.col("crank") <= PQ_SHORTLIST)
+                 .select("query_id", "cand_id"))
+    # re-rank: the shortlist is C x n_queries rows — broadcast it so
+    # the exact-vector fetch is a pruned broadcast join, then score
+    # exactly.  (At 100 TB the exact side is a vec_id-keyed lookup;
+    # everything downstream of the coarse pass touches C x q rows.)
+    exact = (load_embeddings(spark, sf_dir)
+             .select(F.col("vec_id").alias("cand_id"),
+                     F.col("embedding").alias("ce"))
+             .join(F.broadcast(shortlist), "cand_id")
+             .join(F.broadcast(q), "query_id"))
+    w2 = (Window.partitionBy("query_id")
+          .orderBy(F.col("cosine").desc(), F.col("cand_id")))
+    return (exact
+            .select("query_id", "cand_id",
+                    (exact_dot("qe", "ce")
+                     / (exact_norm("qe") * exact_norm("ce")))
+                    .alias("cosine"))
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "cand_id", "cosine", "rank"))
+
+
+register(QuerySpec(
+    "cosine_topk_pq", q_cosine_topk_pq,
+    oracle=f"""
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+            FROM embeddings
+        ),
+        cand AS (
+            SELECT vec_id AS cand_id,
+                   list_transform(x, v ->
+                       greatest(-127.0, least(127.0,
+                           floor(v / (list_aggregate(
+                               list_transform(x, a -> abs(a)), 'max')
+                               / 127.0) + 0.5)))
+                       * (list_aggregate(
+                           list_transform(x, a -> abs(a)), 'max')
+                           / 127.0)) AS recon
+            FROM base
+            WHERE list_aggregate(list_transform(x, a -> abs(a)), 'max')
+                  > 0
+        ),
+        q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE))
+                       AS qe
+            FROM embeddings WHERE vec_id < 8
+        ),
+        coarse AS (
+            SELECT query_id, cand_id,
+                   (0.0 + list_reduce(
+                       list_transform(list_zip(qe, recon),
+                           p -> p[1] * p[2]), (acc, v) -> acc + v))
+                   / (SQRT(0.0 + list_reduce(
+                          list_transform(qe, v -> v * v),
+                          (acc, v) -> acc + v))
+                      * SQRT(0.0 + list_reduce(
+                          list_transform(recon, v -> v * v),
+                          (acc, v) -> acc + v))) AS coarse
+            FROM cand CROSS JOIN q
+            WHERE cand_id != query_id
+        ),
+        shortlist AS (
+            SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY coarse DESC, cand_id) AS crank
+                FROM coarse
+            ) WHERE crank <= {PQ_SHORTLIST}
+        ),
+        exact AS (
+            SELECT s.query_id, s.cand_id,
+                   (0.0 + list_reduce(
+                       list_transform(
+                           list_zip(q.qe, list_transform(e.embedding,
+                               v -> CAST(v AS DOUBLE))),
+                           p -> p[1] * p[2]), (acc, v) -> acc + v))
+                   / (SQRT(0.0 + list_reduce(
+                          list_transform(q.qe, v -> v * v),
+                          (acc, v) -> acc + v))
+                      * SQRT(0.0 + list_reduce(
+                          list_transform(list_transform(e.embedding,
+                              v -> CAST(v AS DOUBLE)), v -> v * v),
+                          (acc, v) -> acc + v))) AS cosine
+            FROM shortlist s
+            JOIN q USING (query_id)
+            JOIN embeddings e ON e.vec_id = s.cand_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, cand_id) AS rank
+            FROM exact
+        ) WHERE rank <= 5
+    """,
+    doc=f"quantized-coarse + exact-re-rank ANN (PQ pattern): int8 "
+        f"reconstructions score the corpus coarsely (4x smaller "
+        f"codes), top-{PQ_SHORTLIST} shortlist re-ranked exactly — "
+        "deterministic on both engines, hash-compared",
+    tags=("similarity", "approx", "north-star"),
+))
+
+# PQ path reads the gated load_embeddings on the Spark side; its
+# oracle gets the same gate (see the _gate_oracles block above —
+# this registration sits below it, so it gates itself here).
+_gate_oracles("cosine_topk_pq")

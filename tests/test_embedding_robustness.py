@@ -26,7 +26,7 @@ EMB_QUERIES = [
     "dedup_embedding_cosine", "kmeans_embeddings",
     "embedding_covariance", "pca_project", "embedding_quantize",
     "embedding_centroids", "modal_agreement", "embedding_validity",
-    "embedding_drift",
+    "embedding_drift", "cosine_topk_pq",
 ]
 
 N_VALID = 8

@@ -188,3 +188,29 @@ def test_heavy_hitters_sink_crash_replay_is_exactly_once(
     clean = sorted(map(tuple, heavy_hitters_from_store(
         spark, clean_store).collect()))
     assert crashed == clean and len(clean) > 0
+
+
+def test_cosine_topk_pq_recall_vs_exact(spark):
+    """The PQ path's contract: the int8-coarse shortlist + exact
+    re-rank must recover (almost) the exact top-k.  With the fixture's
+    ~0.9998 reconstruction cosine and a 4x shortlist factor, demand
+    recall@5 >= 0.9 and EXACT agreement on rank-1."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {}
+    for r in qs["cosine_topk"].fn(spark, SF_SMOKE).collect():
+        exact.setdefault(r.query_id, {})[r.cand_id] = r.rank
+    pq = {}
+    for r in qs["cosine_topk_pq"].fn(spark, SF_SMOKE).collect():
+        pq.setdefault(r.query_id, {})[r.cand_id] = r.rank
+    assert set(exact) == set(pq)
+    hits = total = 0
+    for qid, want in exact.items():
+        got = pq[qid]
+        hits += len(set(want) & set(got))
+        total += len(want)
+        want_r1 = min(want, key=want.get)
+        got_r1 = min(got, key=got.get)
+        assert want_r1 == got_r1, f"rank-1 mismatch for query {qid}"
+    assert hits / total >= 0.9, f"recall@5 {hits}/{total}"
