@@ -74,8 +74,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (ratio-agg: share_of_total), text_normalize (text_stats),
     # token_frequencies (tfidf_top_terms + fertility_by_lang),
     # union_by_name (nation_set_ops).  The r11 window should lead with
-    # r10-new/changed queries, then these 11, then the oldest of the
-    # r7 cohort (47 queries, listed in CORRECTNESS_r07.json).
+    # the r10-NEW oracle-paired queries (heavy_hitters,
+    # bloom_decontaminate, cosine_topk_pq — none has a driver row
+    # yet), then any r11-new/changed queries, then these 11, then the
+    # oldest of the r7 cohort (47 queries, listed in
+    # CORRECTNESS_r07.json).
     # Permanently out by convention: cosine_topk_fast (bit-exact
     # parity-pinned to cosine_topk) and the rows-only queries
     # (multimodal_features / multimodal_resize PNG-zlib;
