@@ -105,14 +105,18 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens with count*(K+1) > total corpus tokens — EXACT, without
     ever shuffling the full vocabulary.
 
-    Pass 1 (narrow, no shuffle): Misra-Gries per partition, O(K)
-    state, emitting <= K candidates + the partition token count.
+    Pass 1: Misra-Gries per partition, O(K) state, emitting <= K
+    candidates + the partition token count.  (The repartition ahead
+    of it is the repo's fixture-scale parallelism crutch — a
+    single-file scan is one partition on local; at 100 TB the scan's
+    natural partitioning makes it unnecessary, and its width comes
+    from the shared `spark.cga.explode.parallelism` knob either way.)
     Pass 2: exact counts for the candidate tokens ONLY (broadcast
     semi-filter, so the aggregate's key space is <= K x partitions
     instead of the vocabulary), then the integer threshold.  At
     100 TB the vocabulary is billions of near-singleton tokens;
-    ``token_frequencies``' full groupBy shuffles all of them while
-    this plan shuffles at most the candidate set.
+    ``token_frequencies``' full groupBy shuffles all of their partial
+    counts while this plan shuffles at most the candidate set.
     """
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
