@@ -242,10 +242,15 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bitmap[[r.pos for r in pos_rows]] = True
 
     def _probe(fp):                        # pd.Series -> pd.Series
+        # `fp` is already reduced mod CHAR_HASH_P on the Spark side:
+        # when a NULL shares an Arrow batch with valid rows, pyarrow
+        # hands pandas a float64 column, and raw u60 fingerprints
+        # (> 2^53) would round before astype — reduced values
+        # (<= 1e9+6) survive float64 exactly.
         out = np.zeros(len(fp), dtype=bool)
         valid = fp.notna().to_numpy()
         if valid.any():
-            h = fp.to_numpy()[valid].astype(np.int64) % CHAR_HASH_P
+            h = fp.to_numpy()[valid].astype(np.int64)
             hit = np.ones(h.shape, dtype=bool)
             for i in range(BLOOM_HASHES):
                 pos = ((97 + 31 * i) * h + 911 * i + 13) \
@@ -264,7 +269,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("doc_id") % 13 == 0, F.lit(False))
         .alias("raw_block"),
         F.col("fp").isNotNull().alias("has_fp"),
-        in_bloom("fp").alias("hit"))
+        in_bloom(F.col("fp") % CHAR_HASH_P).alias("hit"))
     in_block = F.col("raw_block") & F.col("has_fp")
     return (flagged.groupBy("source")
             .agg(F.count("*").alias("n_docs"),

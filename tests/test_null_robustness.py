@@ -76,7 +76,13 @@ _DOCS = pd.DataFrame({
 @pytest.fixture(scope="module")
 def dirty_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("dirty")
-    spark.createDataFrame(_DOCS).write.parquet(
+    # ONE partition, so the NULL-text row shares an Arrow batch with
+    # every valid row: pandas-UDF operators must survive pyarrow's
+    # int64 -> float64 downgrade on nullable batches (the
+    # bloom_decontaminate fingerprint probe regressed exactly there
+    # when rows were spread across partitions and the NULL landed in
+    # its own batch).
+    spark.createDataFrame(_DOCS).coalesce(1).write.parquet(
         str(d / "documents.parquet"))
     return str(d)
 
