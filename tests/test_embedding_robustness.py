@@ -26,7 +26,7 @@ EMB_QUERIES = [
     "dedup_embedding_cosine", "kmeans_embeddings",
     "embedding_covariance", "pca_project", "embedding_quantize",
     "embedding_centroids", "modal_agreement", "embedding_validity",
-    "embedding_drift", "cosine_topk_pq",
+    "embedding_drift", "cosine_topk_pq", "cosine_topk_ivf_sq",
 ]
 
 N_VALID = 8

@@ -709,3 +709,34 @@ def test_bloom_probe_plan_has_no_join(spark):
     plan = formatted_plan(df)
     assert "Join" not in plan
     assert "ArrowEvalPython" in plan or "Python" in plan  # the probe
+
+
+def test_ivf_sq_coarse_pass_is_cluster_pruned(spark):
+    """cosine_topk_ivf_sq's contract vs the linear cosine_topk_pq:
+    the SQ8 coarse cosine may only be computed ABOVE the
+    inverted-file cluster join (i.e. on pruned candidates).  In
+    formatted-explain numbering children carry smaller ids than their
+    consumers, so every Project evaluating the qe-x-recon score must
+    have a larger node id than the BroadcastHashJoin on `cluster`."""
+    import re
+
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    df = SPECS["cosine_topk_ivf_sq"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert not uses_sort_merge_join(df)
+    chunks = re.split(r"\n\n", plan)
+    cluster_join_ids = [
+        int(m.group(1)) for c in chunks
+        if "BroadcastHashJoin" in c.split("\n", 1)[0]
+        and "Left keys [1]: [cluster" in c
+        for m in [re.search(r"\((\d+)\)", c.split("\n", 1)[0])] if m]
+    coarse_ids = [
+        int(m.group(1)) for c in chunks
+        if "Project" in c.split("\n", 1)[0]
+        and "zip_with(qe" in c and "recon" in c
+        for m in [re.search(r"\((\d+)\)", c.split("\n", 1)[0])] if m]
+    assert cluster_join_ids, "inverted-file cluster join missing"
+    assert coarse_ids, "SQ8 coarse scoring project missing"
+    assert min(coarse_ids) > max(cluster_join_ids), (
+        "coarse scoring compiled below the cluster join — the pass "
+        "would touch unpruned candidates")

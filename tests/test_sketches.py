@@ -214,3 +214,29 @@ def test_cosine_topk_pq_recall_vs_exact(spark):
         got_r1 = min(got, key=got.get)
         assert want_r1 == got_r1, f"rank-1 mismatch for query {qid}"
     assert hits / total >= 0.9, f"recall@5 {hits}/{total}"
+
+
+def test_cosine_topk_ivf_sq_recall_and_rank1(spark):
+    """The pruned composition must not lose quality vs its parents:
+    recall@5 >= 0.9 against exact brute force and EXACT rank-1
+    agreement (the fixture's nprobe=2 inverted file already contains
+    every rank-1 neighbor; SQ8 + 4x shortlist must preserve it)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {}
+    for r in qs["cosine_topk"].fn(spark, SF_SMOKE).collect():
+        exact.setdefault(r.query_id, {})[r.cand_id] = r.rank
+    sq = {}
+    for r in qs["cosine_topk_ivf_sq"].fn(spark, SF_SMOKE).collect():
+        sq.setdefault(r.query_id, {})[r.cand_id] = r.rank
+    assert set(exact) == set(sq)
+    hits = total = 0
+    for qid, want in exact.items():
+        got = sq[qid]
+        hits += len(set(want) & set(got))
+        total += len(want)
+        want_r1 = min(want, key=want.get)
+        got_r1 = min(got, key=got.get)
+        assert want_r1 == got_r1, f"rank-1 mismatch for query {qid}"
+    assert hits / total >= 0.9, f"recall@5 {hits}/{total}"
