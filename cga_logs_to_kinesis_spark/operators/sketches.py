@@ -168,9 +168,10 @@ register(QuerySpec(
 # false positives that ARE hash-compared cross-engine, so the
 # FP-accepting semantics is exercised, not just theorized).  At
 # 100 TB, size M at ~14.4 bits/entry for 0.1% FP (a 1e9-entry
-# blocklist -> 1.7 GiB bitmap, broadcast once) and build the bitmap
-# with a treeAggregate OR instead of the bounded position collect
-# below.
+# blocklist -> 1.7 GiB bitmap, broadcast once); the registered query
+# already builds it that way (build_bloom_bitmap_tree's per-partition
+# OR fold), with the bounded position-collect build kept only as the
+# parity reference.
 BLOOM_BITS = 1 << 12
 BLOOM_HASHES = 5
 
@@ -198,6 +199,50 @@ def _positions_expr(fp: str) -> str:
 _POSITIONS_SQL = (f"list_transform(range(0, {BLOOM_HASHES}), "
                   f"i -> (({_row_hash_expr('fp', 'i')}) "
                   f"% {BLOOM_BITS}))")
+
+
+def _bitmap_via_positions_collect(block: DataFrame, bits: int):
+    """Fixture-friendly build: collect the DISTINCT bit positions
+    (bounded by the bitmap size regardless of blocklist size) and set
+    them driver-side.  Kept as the parity reference for the tree
+    build below — both must produce the identical bitmap
+    (tests/test_sketches.py::test_bloom_build_paths_agree)."""
+    import numpy as np
+
+    pos_rows = (block
+                .select(F.explode(F.expr(_positions_expr("fp")))
+                        .alias("pos"))
+                .distinct().collect())
+    bitmap = np.zeros(bits, dtype=bool)
+    if pos_rows:
+        bitmap[[r.pos for r in pos_rows]] = True
+    return bitmap
+
+
+def build_bloom_bitmap_tree(block: DataFrame, bits: int):
+    """The at-scale bitmap build: each partition folds its blocklist
+    fingerprints' bit positions into a LOCAL numpy bitmap, and the
+    fixed-size partials are OR-reduced pairwise with treeReduce —
+    nothing whose row count depends on the blocklist ever moves.  At
+    the 100 TB sizing (~14.4 bits/entry for 0.1% FP, so a 1e9-entry
+    blocklist is a 1.7 GiB bitmap) the tree depth keeps the driver
+    receiving O(sqrt(P)) partials instead of P.  Positions come from
+    the SAME ``_positions_expr`` fragment as the collect build and
+    the DuckDB oracle, so all three agree bit-for-bit.  (This is the
+    one deliberate RDD use in the repo: the reduction value is a raw
+    fixed-size buffer, not rows, which DataFrame aggregation cannot
+    express without faking it as a giant binary cell.)"""
+    import numpy as np
+
+    def fold(rows):
+        bm = np.zeros(bits, dtype=bool)
+        for r in rows:
+            bm[r.poss] = True
+        yield bm
+
+    return (block.select(F.expr(_positions_expr("fp")).alias("poss"))
+            .rdd.mapPartitions(fold)
+            .treeReduce(np.bitwise_or))
 
 
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,17 +274,12 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", _fp_col().alias("fp")))
     block = docs.filter((F.col("doc_id") % 13 == 0)
                         & F.col("fp").isNotNull())
-    # Build the bitmap: distinct positions are bounded by BLOOM_BITS
-    # regardless of blocklist size, so this collect is structurally
-    # bounded (at 1e9-blocklist scale, swap for a treeAggregate OR of
-    # per-partition bitmaps — same result, no position row set).
-    pos_rows = (block
-                .select(F.explode(F.expr(_positions_expr("fp")))
-                        .alias("pos"))
-                .distinct().collect())
-    bitmap = np.zeros(BLOOM_BITS, dtype=bool)
-    if pos_rows:
-        bitmap[[r.pos for r in pos_rows]] = True
+    # The registered query runs the at-scale build (per-partition
+    # bitmaps OR-folded with treeReduce — works unchanged for a
+    # 1e9-entry blocklist); the bounded distinct-position collect
+    # build survives as the parity reference, bit-for-bit-tested
+    # against this one.
+    bitmap = build_bloom_bitmap_tree(block, BLOOM_BITS)
 
     def _probe(fp):                        # pd.Series -> pd.Series
         # `fp` is already reduced mod CHAR_HASH_P on the Spark side:

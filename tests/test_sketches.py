@@ -240,3 +240,38 @@ def test_cosine_topk_ivf_sq_recall_and_rank1(spark):
         got_r1 = min(got, key=got.get)
         assert want_r1 == got_r1, f"rank-1 mismatch for query {qid}"
     assert hits / total >= 0.9, f"recall@5 {hits}/{total}"
+
+
+def test_bloom_build_paths_agree(spark):
+    """The at-scale treeReduce-OR build the registered query runs and
+    the bounded distinct-position collect build must produce the
+    IDENTICAL bitmap — and its set bits must be exactly the DuckDB
+    oracle's distinct-position set (the three-way agreement the
+    hash-exact gate rests on)."""
+    import duckdb
+    import numpy as np
+
+    import cga_logs_to_kinesis_spark.operators.sketches as sk
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    docs = (load_table(spark, SF_SMOKE, "documents")
+            .select("doc_id", sk._fp_col().alias("fp")))
+    block = (docs.filter((F.col("doc_id") % 13 == 0)
+                         & F.col("fp").isNotNull())
+             .repartition(8))          # force a real multi-way OR
+    tree = sk.build_bloom_bitmap_tree(block, sk.BLOOM_BITS)
+    collect = sk._bitmap_via_positions_collect(block, sk.BLOOM_BITS)
+    assert np.array_equal(tree, collect)
+    assert tree.any(), "fixture blocklist set no bits — weak test"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')")
+    oracle_pos = {r[0] for r in con.execute(f"""
+        SELECT DISTINCT u.pos
+        FROM (SELECT {sk._POSITIONS_SQL} AS poss
+              FROM (SELECT doc_id, {sk._FP_SQL} AS fp FROM documents)
+              WHERE doc_id % 13 = 0 AND fp IS NOT NULL) b,
+             UNNEST(b.poss) AS u(pos)""").fetchall()}
+    con.close()
+    assert set(np.flatnonzero(tree).tolist()) == oracle_pos
