@@ -278,9 +278,17 @@ register(QuerySpec(
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT-priority order.  The right side is
+    filtered BEFORE the anti-join (the filter must push below the
+    join build).  Anti-joining against all orders was vacuous at the
+    driver-gate scale — every sf0.01 customer has at least one order,
+    so the hash match was over an empty result and pinned nothing
+    about the anti-join's match semantics; this predicate yields
+    ~200 rows at sf0.01 and ~2000 at sf0.1."""
     tune_session(spark)
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT"))
     return (
         cust
         .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
@@ -292,9 +300,12 @@ register(QuerySpec(
     "anti_join_customers", q_customers_without_orders,
     oracle="""
         SELECT c_custkey, c_name, c_mktsegment FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
     """,
-    doc="left-anti join (NOT EXISTS)",
+    doc="left-anti join (NOT EXISTS) with filtered right side — "
+        "non-vacuous at every fixture scale",
     tags=("join", "anti"),
 ))
 
