@@ -962,8 +962,11 @@ def heavy_hitters_sink(store_dir: str,
     dynamic-overwrite partition; a replayed batch re-tokenizes the
     same files into the same partitions and overwrites identically
     (the ``ingest_audit_sink`` discipline — no ``batch_id < current``
-    read needed because no batch reads the store).  Pinned by
-    tests/test_sketches.py::test_heavy_hitters_sink_*."""
+    read needed because no batch reads the store).  The store gains
+    one partition set per batch; :func:`compact_heavy_hitters_store`
+    folds history into a single base partition whenever the
+    small-files pressure warrants, without changing any fold result.
+    Pinned by tests/test_sketches.py::test_heavy_hitters_sink_*."""
     from cga_logs_to_kinesis_spark.operators.sketches import (
         MG_SUMMARY_SCHEMA,
         _mg_partitions,
@@ -991,6 +994,96 @@ def heavy_hitters_sink(store_dir: str,
     return process
 
 
+def _effective_mg_summaries(s: DataFrame) -> DataFrame:
+    """The live rows of a heavy-hitters MG store: the newest base
+    partition (most-negative ``batch_id``; ``-(upto+2)`` encodes that
+    it folds every batch partition ``<= upto``) plus batch partitions
+    ABOVE its fold watermark.  Encoding the watermark in the
+    partition id — instead of the digest stores' plain ``-1`` base —
+    is what makes compaction crash-safe for a SUMMING consumer: a
+    crash between the base write and the old-partition cleanup leaves
+    stale dirs behind, and a reader that summed base + stale batches
+    would double-count; here stale batches sit at or below the
+    watermark and are excluded by construction, so the leftover is
+    dead weight, not corruption (re-run compaction to finish the
+    cleanup)."""
+    min_bid = s.agg(F.min("batch_id")).first()[0]
+    if min_bid is not None and min_bid < -1:
+        upto = -min_bid - 2
+        return s.filter((F.col("batch_id") == min_bid)
+                        | (F.col("batch_id") > upto))
+    return s
+
+
+def compact_heavy_hitters_store(spark: SparkSession, store_dir: str,
+                                upto_batch_id: int,
+                                files_per_partition: int = 1) -> int:
+    """Fold the MG summary store's batch partitions at or below
+    ``upto_batch_id`` (plus any existing base) into ONE merged base
+    partition, returning the number of batch partitions folded.
+
+    MG summaries are mergeable by construction — counters SUM per
+    token and the per-slice slack budgets ADD — and the fold in
+    :func:`heavy_hitters_from_store` computes its bracket from the
+    TOTAL token count and the summed counters only, so folding
+    partitions ahead of time changes NOTHING: fold-after-compaction
+    equals fold-before, brackets identical (pinned by
+    tests/test_sketches.py::test_compact_heavy_hitters_store_*).
+    Without this, the store grows one partition set per micro-batch
+    forever (the small-files problem; the summaries themselves are
+    tiny).
+
+    The merged base lands at ``batch_id = -(upto_batch_id + 2)`` —
+    see :func:`_effective_mg_summaries` for why the watermark lives
+    in the partition id.  Run with the stream stopped; a crash
+    between the base write and the cleanup only leaves ignored stale
+    directories."""
+    import os
+    import shutil
+
+    df = _read_store(spark, store_dir)
+    if df is None:
+        return 0
+    live = _effective_mg_summaries(df)
+    fold_sel = (F.col("batch_id") < -1) | (F.col("batch_id")
+                                           <= upto_batch_id)
+    to_fold = live.filter(fold_sel)
+    n_folded = (to_fold.filter(F.col("batch_id") >= 0)
+                .select("batch_id").distinct().count())
+    if n_folded == 0:
+        return 0
+    tokens = (to_fold.filter(F.col("token").isNotNull())
+              .groupBy("token").agg(F.sum("cnt").alias("cnt"))
+              .withColumn("part_tokens", F.lit(0).cast("long")))
+    total = (to_fold.agg(F.sum("part_tokens").alias("pt"))
+             .select(F.lit(None).cast("string").alias("token"),
+                     F.lit(0).cast("long").alias("cnt"),
+                     F.coalesce(F.col("pt"), F.lit(0)).cast("long")
+                     .alias("part_tokens")))
+    new_bid = -(upto_batch_id + 2)
+    # Materialized before the write for the same self-read reason as
+    # _compact_distinct_store: the old base partition is both input
+    # and (via the cleanup below) removed state.
+    merged = (tokens.unionByName(total)
+              .coalesce(files_per_partition)
+              .withColumn("batch_id", F.lit(new_bid))
+              .localCheckpoint())
+    (merged.write.mode("overwrite")
+     .options(partitionOverwriteMode="dynamic")
+     .partitionBy("batch_id").parquet(store_dir))
+    # cleanup AFTER the new base is durable; stale dirs are ignored
+    # by _effective_mg_summaries if this is interrupted
+    removed = 0
+    for name in os.listdir(store_dir):
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid != new_bid and (bid < -1 or 0 <= bid <= upto_batch_id):
+            shutil.rmtree(os.path.join(store_dir, name))
+            removed += 1
+    return n_folded
+
+
 def heavy_hitters_from_store(spark: SparkSession,
                              store_dir: str) -> DataFrame:
     """Fold the persisted MG summaries into the heavy-hitter CANDIDATE
@@ -1010,6 +1103,7 @@ def heavy_hitters_from_store(spark: SparkSession,
     if s is None:
         return spark.createDataFrame(
             [], "token string, cnt_lower long, cnt_upper long")
+    s = _effective_mg_summaries(s)
     total = (s.agg(F.sum("part_tokens")).first()[0]) or 0
     slack = total // (MG_COUNTERS + 1) + 1
     folded = (s.filter(F.col("token").isNotNull())

@@ -275,3 +275,90 @@ def test_bloom_build_paths_agree(spark):
              UNNEST(b.poss) AS u(pos)""").fetchall()}
     con.close()
     assert set(np.flatnonzero(tree).tolist()) == oracle_pos
+
+
+def test_compact_heavy_hitters_store_preserves_fold(spark, tmp_path):
+    """MG summaries are mergeable, so folding batch partitions into
+    the base must leave the report IDENTICAL (token set, brackets) —
+    before/after a partial compaction, after a full one, and after
+    the stream appends new batches on top of a compacted base."""
+    import os
+
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_heavy_hitters_store,
+        heavy_hitters_from_store,
+        heavy_hitters_sink,
+    )
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    docs, src = _doc_batches(spark, tmp_path)
+    store = str(tmp_path / "mg_store")
+    ckpt = str(tmp_path / "ckpt")
+    _drain_docs(spark, src, heavy_hitters_sink(store), ckpt)
+
+    def report():
+        return sorted(map(tuple,
+                          heavy_hitters_from_store(spark, store)
+                          .collect()))
+
+    before = report()
+    assert before
+    assert compact_heavy_hitters_store(spark, store, 1) == 2
+    dirs = sorted(os.listdir(store))
+    assert "batch_id=-3" in dirs
+    assert not any(d in dirs for d in ("batch_id=0", "batch_id=1"))
+    assert report() == before
+    # fold the remaining batch into a new base (watermark advances)
+    assert compact_heavy_hitters_store(spark, store, 2) == 1
+    assert "batch_id=-4" in os.listdir(store)
+    assert report() == before
+    # the stream keeps appending on top of the compacted base
+    extra = (load_table(spark, SF_SMOKE, "documents")
+             .filter(F.col("doc_id") % 5 == 0))
+    extra.coalesce(1).write.parquet(str(tmp_path / "doc_arrivals"
+                                        / "chunk=3"))
+    _drain_docs(spark, src, heavy_hitters_sink(store), ckpt)
+    clean_store = str(tmp_path / "mg_clean_all")
+    _drain_docs(spark, src, heavy_hitters_sink(clean_store),
+                str(tmp_path / "ckpt_clean_all"))
+    got = report()
+    want = sorted(map(tuple, heavy_hitters_from_store(
+        spark, clean_store).collect()))
+    assert got == want
+
+
+def test_compact_heavy_hitters_store_crash_window_is_ignored(
+        spark, tmp_path, monkeypatch):
+    """Crash between the base write and the cleanup: stale batch dirs
+    at or below the watermark remain on disk but the fold must ignore
+    them (a summing consumer would otherwise double-count), and
+    re-running compaction finishes the cleanup."""
+    import os
+    import shutil
+
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_heavy_hitters_store,
+        heavy_hitters_from_store,
+        heavy_hitters_sink,
+    )
+
+    docs, src = _doc_batches(spark, tmp_path)
+    store = str(tmp_path / "mg_store")
+    _drain_docs(spark, src, heavy_hitters_sink(store),
+                str(tmp_path / "ckpt"))
+    before = sorted(map(tuple,
+                        heavy_hitters_from_store(spark, store)
+                        .collect()))
+    real_rmtree = shutil.rmtree
+    monkeypatch.setattr(shutil, "rmtree", lambda *a, **k: None)
+    assert compact_heavy_hitters_store(spark, store, 2) == 3
+    # base written, nothing cleaned up — every stale dir remains
+    assert {"batch_id=-4", "batch_id=0", "batch_id=1",
+            "batch_id=2"} <= set(os.listdir(store))
+    got = sorted(map(tuple, heavy_hitters_from_store(spark, store)
+                     .collect()))
+    assert got == before, "stale batch dirs double-counted"
+    # recovery: re-run with rmtree restored — no re-fold needed
+    # (watermark already at 2), but the stale dirs must go
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert compact_heavy_hitters_store(spark, store, 2) == 0
