@@ -72,7 +72,17 @@ HEADLINE = (
     "table_profile_approx",  # ONE-pass HLL profile (vs 2-pass exact)
     "heavy_hitters",         # Misra-Gries candidates + exact verify
     "bloom_decontaminate",   # bitmap-probe decontamination report
+    # r11: the pruned ANN composition (IVF probe front + SQ8 coarse)
+    "cosine_topk_ivf_sq",
 )
+
+# In-run drift control (r10 verdict): the same query measured at the
+# very start and again after the whole suite.  A bursty host shows up
+# as last/first far from 1.0 INSIDE the run, so a noisy official
+# number self-identifies instead of spawning a cross-round
+# investigation (r8 and r10 both burned a round adjudicating exactly
+# this).  stats_tumbling: first headline query, cheap, shuffle-light.
+CANARY = "stats_tumbling"
 
 
 REGRESSION_FACTOR = 1.5
@@ -124,14 +134,23 @@ def main() -> None:
     # robust estimator and keeps the regression gate below triggering
     # on host noise instead of engine changes.
     timings: dict[str, float] = {}
+    canary_first = None
     for _pass in range(3):
         for name in HEADLINE:
             t0 = time.time()
             df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             sec = round(time.time() - t0, 3)
+            if _pass == 0 and name == CANARY:
+                canary_first = sec
             if name not in timings or sec < timings[name]:
                 timings[name] = sec
+
+    # drift canary: one more run of the first query AFTER the suite
+    t0 = time.time()
+    specs[CANARY].fn(spark, sf_dir) \
+        .write.format("noop").mode("overwrite").save()
+    canary_last = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -148,6 +167,15 @@ def main() -> None:
         # not an engine regression.
         "note": "r8 1.21x drift attributed to host noise; see "
                 "docs/bench/r10_backtoback_run*.json",
+        # last/first far from 1.0 = the host's load changed DURING
+        # this run; read per-query deltas with that in mind
+        "drift_canary": {
+            "query": CANARY,
+            "first_sec": canary_first,
+            "last_sec": canary_last,
+            "last_over_first": (round(canary_last / canary_first, 3)
+                                if canary_first else None),
+        },
     }
     prev = previous_round_bench(os.path.dirname(os.path.abspath(__file__)),
                                 sf)
