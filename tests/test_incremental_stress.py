@@ -145,3 +145,99 @@ def test_ann_sink_work_grows_linearly_not_quadratically(
     assert spark.read.parquet(str(tmp_path / "vecs")).count() == n_vecs
     idx_rows = spark.read.parquet(str(tmp_path / "idx")).count()
     assert idx_rows % n_vecs == 0    # exactly N_TABLES buckets per vec
+
+
+N_TEXTS = 2000          # bounded text universe for the digest sink
+DOCS_PER_BATCH = 1000
+DEDUP_BATCHES = 20
+
+
+def _dup_doc_batch(spark, k: int):
+    """Unique doc ids, texts drawn from a FIXED universe — cumulative
+    arrivals grow 20x while digest state saturates at N_TEXTS."""
+    return (spark.range(DOCS_PER_BATCH)
+            .select((F.lit(k * DOCS_PER_BATCH) + F.col("id"))
+                    .alias("doc_id"),
+                    F.concat(F.lit("document body "),
+                             F.abs(F.xxhash64(F.lit(k), "id"))
+                             % N_TEXTS).alias("text")))
+
+
+def test_dedup_sink_work_is_flat_once_state_saturates(spark, tmp_path):
+    """20 batches over a fixed text universe: arrivals grow 20x but
+    the digest store saturates at <= N_TEXTS rows, so per-batch work
+    must be O(|batch| + |store|) — flat between the measurement
+    windows.  Work that tracked cumulative arrivals (re-digesting
+    output history, appending instead of anti-joining) would grow ~4x
+    between the windows."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        incremental_dedup_sink,
+    )
+
+    store = str(tmp_path / "digests")
+    sink = incremental_dedup_sink(store, str(tmp_path / "out"))
+    work = []
+    for k in range(DEDUP_BATCHES):
+        before = _work_snapshot(spark)
+        sink(_dup_doc_batch(spark, k), k)
+        work.append(_work_snapshot(spark) - before)
+    # state is one digest per unique text ever seen — never arrivals
+    assert spark.read.parquet(store).count() <= N_TEXTS
+    early = sum(work[2:8]) / 6
+    late = sum(work[14:20]) / 6
+    assert late <= 3.0 * early, (
+        f"per-batch dedup work grew with arrival history: "
+        f"early={early:.0f} late={late:.0f} records/batch — the "
+        f"anti-join state is supposed to be the bounded digest store")
+
+
+MH_DOCS_PER_BATCH = 100
+MH_BATCHES = 20
+
+
+def _mh_doc_batch(spark, k: int):
+    """Unique pseudo-random texts (shingle-able length) so the band
+    index grows linearly and bucket collisions stay rare."""
+    words = [F.concat(F.lit(f"w{j}t"),
+                      F.abs(F.xxhash64(F.lit(k), "id", F.lit(j))) % 9973)
+             for j in range(12)]
+    body = F.concat_ws(" ", *words)
+    return (spark.range(MH_DOCS_PER_BATCH)
+            .select((F.lit(k * MH_DOCS_PER_BATCH) + F.col("id"))
+                    .alias("doc_id"),
+                    body.alias("text")))
+
+
+def test_minhash_sink_work_grows_linearly_not_quadratically(
+        spark, tmp_path):
+    """20 crawl drops through the band-index sink.  Per-batch work is
+    O(|batch| + |index store|): the index read grows linearly as docs
+    accumulate, but scoring touches only same-band-bucket candidates —
+    re-banding or re-scoring the seen corpus against the batch would
+    be O(|store| x |batch|) and the join records would grow with it.
+    Store ~4.5x larger between windows: linear-envelope work may grow
+    ~4.5x (+ slack); the quadratic rescore shape would be ~20x."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        minhash_incremental_sink,
+    )
+
+    idx = str(tmp_path / "idx")
+    sink = minhash_incremental_sink(idx, str(tmp_path / "sh"),
+                                    str(tmp_path / "out"))
+    work = []
+    for k in range(MH_BATCHES):
+        before = _work_snapshot(spark)
+        sink(_mh_doc_batch(spark, k), k)
+        work.append(_work_snapshot(spark) - before)
+    early = sum(work[3:6]) / 3       # index ~300-500 docs
+    late = sum(work[17:20]) / 3      # index ~1700-1900 docs
+    assert late <= 8.0 * early, (
+        f"per-batch minhash work grew superlinearly: "
+        f"early={early:.0f} late={late:.0f} records/batch — banded "
+        f"bucketing is supposed to keep scoring off the full corpus")
+    # the index is exactly N_BANDS rows per doc, the shingle store one
+    # row per doc — linear in docs seen, never in pairs
+    n_docs = MH_BATCHES * MH_DOCS_PER_BATCH
+    idx_rows = spark.read.parquet(idx).count()
+    assert idx_rows % n_docs == 0
+    assert spark.read.parquet(str(tmp_path / "sh")).count() == n_docs
