@@ -245,6 +245,38 @@ def build_bloom_bitmap_tree(block: DataFrame, bits: int):
             .treeReduce(np.bitwise_or))
 
 
+def bloom_probe(bitmap):
+    """Membership probe against a built ``bitmap`` as an
+    Arrow-vectorized pandas-UDF Column function.  Callers MUST pass
+    the fingerprint pre-reduced mod CHAR_HASH_P (``fp % CHAR_HASH_P``
+    Spark-side): when a NULL shares an Arrow batch with valid rows,
+    pyarrow hands pandas a float64 column, and raw u60 fingerprints
+    (> 2^53) would round before astype — reduced values (<= 1e9+6)
+    survive float64 exactly.  Shared by the batch query and the
+    streaming store consumer so the probe arithmetic cannot
+    diverge."""
+    import numpy as np
+    import pandas as pd
+
+    def _probe(fp):                        # pd.Series -> pd.Series
+        out = np.zeros(len(fp), dtype=bool)
+        valid = fp.notna().to_numpy()
+        if valid.any():
+            h = fp.to_numpy()[valid].astype(np.int64)
+            hit = np.ones(h.shape, dtype=bool)
+            for i in range(BLOOM_HASHES):
+                pos = ((97 + 31 * i) * h + 911 * i + 13) \
+                    % CHAR_HASH_P % len(bitmap)
+                hit &= bitmap[pos]
+            out[valid] = hit
+        return pd.Series(out)
+
+    # plain-callable wrap (not decorator): the module-level
+    # `from __future__ import annotations` turns hints into strings,
+    # which pandas_udf's signature inference rejects
+    return F.pandas_udf(_probe, "boolean")
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source decontamination report: drop every document whose
     text fingerprint hits the Bloom filter built from the blocklist
@@ -266,9 +298,6 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas UDF; the oracle simulates it relationally
     (list_has_all against the distinct-position list).
     """
-    import numpy as np
-    import pandas as pd
-
     tune_session(spark)
     docs = (load_table(spark, sf_dir, "documents")
             .select("doc_id", "source", _fp_col().alias("fp")))
@@ -280,29 +309,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build survives as the parity reference, bit-for-bit-tested
     # against this one.
     bitmap = build_bloom_bitmap_tree(block, BLOOM_BITS)
-
-    def _probe(fp):                        # pd.Series -> pd.Series
-        # `fp` is already reduced mod CHAR_HASH_P on the Spark side:
-        # when a NULL shares an Arrow batch with valid rows, pyarrow
-        # hands pandas a float64 column, and raw u60 fingerprints
-        # (> 2^53) would round before astype — reduced values
-        # (<= 1e9+6) survive float64 exactly.
-        out = np.zeros(len(fp), dtype=bool)
-        valid = fp.notna().to_numpy()
-        if valid.any():
-            h = fp.to_numpy()[valid].astype(np.int64)
-            hit = np.ones(h.shape, dtype=bool)
-            for i in range(BLOOM_HASHES):
-                pos = ((97 + 31 * i) * h + 911 * i + 13) \
-                    % CHAR_HASH_P % BLOOM_BITS
-                hit &= bitmap[pos]
-            out[valid] = hit
-        return pd.Series(out)
-
-    # plain-callable wrap (not decorator): the module-level
-    # `from __future__ import annotations` turns hints into strings,
-    # which pandas_udf's signature inference rejects
-    in_bloom = F.pandas_udf(_probe, "boolean")
+    in_bloom = bloom_probe(bitmap)
 
     flagged = docs.select(
         "source",

@@ -1115,3 +1115,115 @@ def heavy_hitters_from_store(spark: SparkSession,
             .filter(F.col("cnt_upper") * (MG_COUNTERS + 1)
                     > F.lit(int(total)))
             .orderBy(F.col("cnt_lower").desc(), "token"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom blocklist: contamination fingerprints as a stream
+# ---------------------------------------------------------------------------
+
+def bloom_positions_sink(store_dir: str,
+                         fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch twin of the blocklist half of
+    ``operators/sketches.py::q_bloom_decontaminate``: benchmark /
+    contamination documents ARRIVE as a stream (eval sets get
+    published continuously), and each batch's fingerprint bit
+    positions land as DISTINCT rows under the batch's ``batch_id``
+    partition.  Positions use the SAME ``_positions_expr`` fragment
+    as the batch build and the DuckDB oracle, so the folded bitmap is
+    bit-identical to a batch build over the union of all arrivals
+    (tests/test_corpus_stream.py::test_bloom_sink_*).
+
+    The store is DISTINCT-consumed — the bitmap is the union of
+    positions and OR is idempotent — so it shares the digest-store
+    algebra exactly: replays overwrite their own partition, duplicate
+    rows can never change the bitmap, and
+    :func:`compact_bloom_store` is the shared base-fold compactor.
+    Boundedness is structural: <= BLOOM_BITS distinct rows per batch
+    partition and <= BLOOM_BITS rows total after compaction, however
+    large the blocklist grows."""
+    from cga_logs_to_kinesis_spark.operators.sketches import (
+        _fp_col,
+        _positions_expr,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pos = (batch_df.select(_fp_col().alias("fp"))
+               .filter(F.col("fp").isNotNull())
+               .select(F.explode(F.expr(_positions_expr("fp")))
+                       .alias("pos"))
+               .distinct())
+        (pos.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def compact_bloom_store(spark: SparkSession, store_dir: str,
+                        upto_batch_id: int,
+                        files_per_partition: int = 1) -> int:
+    """Fold the position store's batch partitions into the
+    ``batch_id=-1`` base — the shared distinct-store compactor; the
+    crash window between base write and cleanup leaves only harmless
+    duplicate positions (OR is idempotent)."""
+    return _compact_distinct_store(spark, store_dir, upto_batch_id,
+                                   ["pos"], files_per_partition)
+
+
+def bloom_bitmap_from_store(spark: SparkSession, store_dir: str,
+                            bits: int):
+    """The folded bitmap: union of every stored position.  The
+    distinct-position set is bounded by ``bits`` regardless of how
+    many blocklist batches arrived, so the collect is structurally
+    bounded (same argument as the batch build's parity reference)."""
+    import numpy as np
+
+    bitmap = np.zeros(bits, dtype=bool)
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return bitmap
+    pos_rows = s.select("pos").distinct().collect()
+    if pos_rows:
+        bitmap[[r.pos for r in pos_rows]] = True
+    return bitmap
+
+
+def bloom_decontaminate_from_store(spark: SparkSession, store_dir: str,
+                                   docs: DataFrame) -> DataFrame:
+    """Decontaminate a corpus against the STREAMED blocklist: the
+    per-source keep/drop report using the store's folded bitmap and
+    the shared :func:`~cga_logs_to_kinesis_spark.operators.sketches.
+    bloom_probe` (membership = H bitmap probes per document — no
+    join, no shuffle over the corpus, identical arithmetic to the
+    batch query).  Unlike the batch report it cannot count
+    n_blocklisted/n_false_pos — ground-truth membership belongs to
+    the blocklist producer, not the probe side."""
+    from cga_logs_to_kinesis_spark.operators.dedup import CHAR_HASH_P
+    from cga_logs_to_kinesis_spark.operators.sketches import (
+        BLOOM_BITS,
+        _fp_col,
+        bloom_probe,
+    )
+
+    bitmap = bloom_bitmap_from_store(spark, store_dir, BLOOM_BITS)
+    in_bloom = bloom_probe(bitmap)
+    flagged = (docs.select("source", _fp_col().alias("fp"))
+               .select("source",
+                       in_bloom(F.col("fp") % CHAR_HASH_P)
+                       .alias("hit")))
+    return (flagged.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("hit").cast("bigint")).alias("n_dropped"),
+                 F.sum((~F.col("hit")).cast("bigint")).alias("n_kept"))
+            .orderBy("source"))

@@ -994,3 +994,98 @@ def test_incremental_dedup_survives_empty_first_batch(spark, tmp_path):
     got = spark.read.parquet(out)
     # 3 docs, one exact-dup pair -> 2 survivors
     assert got.count() == 2
+
+
+def _blocklist_chunks(spark, tmp_path):
+    """The fixture blocklist (doc_id % 13 == 0) staged as three
+    arrival chunks — eval sets get published over time."""
+    block = (load_table(spark, SF_SMOKE, "documents")
+             .filter(F.col("doc_id") % 13 == 0))
+    src = tmp_path / "block_arrivals"
+    for k in range(3):
+        block.filter((F.col("doc_id") / 13 % 3).cast("int") == k) \
+            .coalesce(1).write.parquet(str(src / f"chunk={k}"))
+    return block, str(src)
+
+
+def _drain_blocklist(spark, src, sink, ckpt):
+    q = (spark.readStream
+         .schema("doc_id long, text string, lang string, "
+                 "source string, n_chars long")
+         .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass                            # injected crash surfaces here
+
+
+def test_bloom_sink_matches_batch_build_and_compacts(spark, tmp_path):
+    """Streaming the blocklist in three drops must fold to the SAME
+    bitmap as the batch treeReduce build over the full blocklist, the
+    store consumer's report must agree with the batch query's on the
+    shared columns, and compaction (distinct-store algebra: OR is
+    idempotent) must change neither."""
+    import numpy as np
+
+    import cga_logs_to_kinesis_spark.operators.sketches as sk
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        bloom_bitmap_from_store,
+        bloom_decontaminate_from_store,
+        bloom_positions_sink,
+        compact_bloom_store,
+    )
+
+    block, src = _blocklist_chunks(spark, tmp_path)
+    store = str(tmp_path / "bloom_store")
+    _drain_blocklist(spark, src, bloom_positions_sink(store),
+                     str(tmp_path / "ckpt"))
+    batch_bitmap = sk.build_bloom_bitmap_tree(
+        block.select(sk._fp_col().alias("fp"))
+        .filter(F.col("fp").isNotNull()), sk.BLOOM_BITS)
+    folded = bloom_bitmap_from_store(spark, store, sk.BLOOM_BITS)
+    assert folded.any()
+    assert np.array_equal(folded, batch_bitmap)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = sorted(map(tuple, bloom_decontaminate_from_store(
+        spark, store, docs).collect()))
+    want = sorted((r.source, r.n_docs, r.n_dropped, r.n_kept)
+                  for r in sk.q_bloom_decontaminate(
+                      spark, SF_SMOKE).collect())
+    assert got == want
+    # compaction: base fold preserves bitmap and report exactly
+    assert compact_bloom_store(spark, store, 2) == 3
+    assert np.array_equal(
+        bloom_bitmap_from_store(spark, store, sk.BLOOM_BITS),
+        batch_bitmap)
+    assert sorted(map(tuple, bloom_decontaminate_from_store(
+        spark, store, docs).collect())) == want
+
+
+def test_bloom_sink_crash_replay_is_exactly_once(spark, tmp_path):
+    """Crash after the position write, before the checkpoint commit:
+    the replayed batch recomputes the same distinct positions and
+    overwrites its own partition — folded bitmap equals a clean
+    run's."""
+    import numpy as np
+
+    import cga_logs_to_kinesis_spark.operators.sketches as sk
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        bloom_bitmap_from_store,
+        bloom_positions_sink,
+    )
+
+    block, src = _blocklist_chunks(spark, tmp_path)
+    crash_store = str(tmp_path / "bloom_crash")
+    sink = bloom_positions_sink(crash_store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt_crash")
+    _drain_blocklist(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_blocklist(spark, src, sink, ckpt)   # replay, finish
+    clean_store = str(tmp_path / "bloom_clean")
+    _drain_blocklist(spark, src, bloom_positions_sink(clean_store),
+                     str(tmp_path / "ckpt_clean"))
+    a = bloom_bitmap_from_store(spark, crash_store, sk.BLOOM_BITS)
+    b = bloom_bitmap_from_store(spark, clean_store, sk.BLOOM_BITS)
+    assert a.any() and np.array_equal(a, b)
