@@ -43,42 +43,26 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-10 curation -----------------------------------------------
-    # Round 9 was cut short (17 turns) and never rotated this window, so
-    # the driver re-checked the r8 window verbatim: all 50 r8-window
-    # queries now carry r9-green rows, and the stale cohorts the r8
-    # comment queued for r9 are STILL the stalest greens in the
-    # registry.  This window executes that queued rotation, stalest
-    # first.  No registry query's code changed in r9 or so far in r10
-    # (the r9/early-r10 changes were compact_label_store keep-two +
-    # its tests, streaming-only), so the window is pure staleness
-    # rotation:
-    #   1 x r4-latest: minhash_signatures (the stalest green anywhere;
-    #     its band signatures are transitively pinned by the in-window
-    #     minhash_candidates consumers, but it has had no direct row
-    #     since r4);
-    #   11 x r5-latest: the ten queries displaced from the r8 window
-    #     plus dedup_simhash (its pairs twin carried the family in r8);
-    #   38 x r6-latest: the r6 cohort of 49 minus the 11 deferred below.
-    # 1 + 11 + 38 = 50.
+    # -- round-11 curation -----------------------------------------------
+    # Leads: the three r10-new oracle-paired queries that have never
+    # had a driver row (landed after the r10 window was curated;
+    # bloom_decontaminate additionally changed this round — nullable-
+    # batch fp fix + treeReduce bitmap build), then the r11-new
+    # cosine_topk_ivf_sq, then the 11 queries deferred from the r10
+    # window (anti_join_customers also CHANGED this round: predicate
+    # de-vacuated so sf0.01 produces rows), then the 35 alphabetically
+    # first of the 46 eligible r7-latest queries (the 47-query r7
+    # cohort minus approx_quantiles, which is rows-only and
+    # permanently out by convention).
     #
-    # Deferred to the r11 window (each has an in-window family
-    # representative carrying coverage this round, and all 11 keep
-    # their r6 green rows + full-registry pytest coverage):
-    # anti_join_customers (anti-join chain: orders_no_bulk_item is
-    # in-window), bulk_orders (group-having: large_volume_customers),
-    # curation_funnel + curation_manifest (contained in the r9-green
-    # flagship curation_export_manifest), date_trunc_buckets
-    # (date_gallery), envelope_json_roundtrip (envelope_project is
-    # r9-green), priority_count (shipmode_priority), promo_share
-    # (ratio-agg: share_of_total), text_normalize (text_stats),
-    # token_frequencies (tfidf_top_terms + fertility_by_lang),
-    # union_by_name (nation_set_ops).  The r11 window should lead with
-    # the r10-NEW oracle-paired queries (heavy_hitters,
-    # bloom_decontaminate, cosine_topk_pq — none has a driver row
-    # yet), then any r11-new/changed queries, then these 11, then the
-    # oldest of the r7 cohort (47 queries, listed in
-    # CORRECTNESS_r07.json).
+    # Deferred to the r12 window (each keeps its r7 green row and
+    # full-registry pytest coverage): small_qty_revenue,
+    # split_leakage, split_leakage_repair, split_repair,
+    # stats_tumbling, stratified_sample, top3_orders_per_customer,
+    # top_supplier, unigram_rarity, volume_shipping,
+    # waiting_suppliers.  The r12 window should lead with any
+    # r12-new/changed queries, then these 11, then the stalest
+    # remaining cohort (r8 window, listed in CORRECTNESS_r08.json).
     # Permanently out by convention: cosine_topk_fast (bit-exact
     # parity-pinned to cosine_topk) and the rows-only queries
     # (multimodal_features / multimodal_resize PNG-zlib;
@@ -86,59 +70,61 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # length_outliers_approx sketches, error-bound-tested against
     # their exact siblings).
     #
-    # r4-latest:
-    "minhash_signatures",
-    # r5-latest (displaced from the r8 window + dedup_simhash):
-    "above_nation_avg",
-    "cube_orders",
-    "date_gallery",
-    "dedup_simhash",
-    "filter_project",
-    "grouping_sets_sql",
-    "longest_doc_per_lang",
-    "orders_in_window",
-    "orders_no_bulk_item",
-    "rank_gallery",
-    "scalar_gallery",
-    # r6-latest cohort (38 of 49):
-    "bpe_token_counts",
-    "cosine_topk_ivf",
-    "curriculum_deciles",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "doc_fingerprint",
-    "embedding_centroids",
-    "embedding_quantize",
-    "fertility_by_lang",
-    "gopher_quality",
-    "gopher_repetition",
-    "lang_id",
-    "large_volume_customers",
-    "multimodal_audio_features",
-    "multimodal_raw_features",
-    "multimodal_raw_resize",
-    "multimodal_video_frames",
-    "nation_set_ops",
-    "ngram_decontaminate",
-    "pack_chunks",
-    "pii_scrub",
-    "quality_features",
-    "quality_filter_survivors",
-    "returned_revenue",
-    "revenue_by_nation",
-    "segment_totals",
-    "semdedup",
-    "semi_join_customers",
-    "share_of_total",
-    "shipmode_priority",
-    "snapshot_diff",
-    "split_assign",
-    "text_stats",
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "winnowing_fingerprints",
+    # r10-new, no driver row yet:
+    "heavy_hitters",
+    "bloom_decontaminate",
+    "cosine_topk_pq",
+    # r11-new:
+    "cosine_topk_ivf_sq",
+    # deferred from the r10 window (r6-latest; anti_join_customers
+    # changed in r11):
+    "anti_join_customers",
+    "bulk_orders",
+    "curation_funnel",
+    "curation_manifest",
+    "date_trunc_buckets",
+    "envelope_json_roundtrip",
+    "priority_count",
+    "promo_share",
+    "text_normalize",
+    "token_frequencies",
+    "union_by_name",
+    # oldest 35 of the r7-latest cohort:
+    "ann_recall_report",
+    "ann_truncation_recall",
+    "batch_pages",
+    "bigram_surprisal",
+    "bm25_topk",
+    "bpe_learn_merges",
+    "bpe_tokenize",
+    "char_diversity",
+    "chunk_overlap",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "customer_distribution",
+    "dedup_minhash_incremental",
+    "dedup_near_survivors",
+    "dedup_recall_report",
+    "dedup_substring",
+    "dedup_substring_apply",
+    "dedup_substring_stats",
+    "disjunctive_revenue",
+    "dsir_importance",
+    "embedding_covariance",
+    "embedding_validity",
+    "idle_customers",
+    "kmeans_embeddings",
+    "lang_mismatch_report",
+    "length_outliers",
+    "market_share",
+    "modal_agreement",
+    "pagerank_docs",
+    "pca_project",
+    "quality_weighted_sample",
+    "rate_anomaly",
+    "retention_cohorts",
+    "shard_assign",
+    "sliding_window",
 )
 
 
