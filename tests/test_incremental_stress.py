@@ -17,31 +17,48 @@ import pyspark.sql.functions as F
 import pytest
 
 
-def _work_snapshot(spark) -> int:
-    """Cumulative records processed across all completed stages:
-    input + shuffle-read + shuffle-write.  Deltas between snapshots =
-    the work a batch did.  (Default UI retention is 1000 stages —
-    far above what this test creates — so deltas don't undercount.)"""
+def _max_stage_id(spark) -> int:
+    """Highest stage id currently retained — the starting cursor."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jobs = store.jobsList(None)
+    mx = -1
+    for i in range(jobs.size()):
+        sids = jobs.apply(i).stageIds()
+        for k in range(sids.size()):
+            mx = max(mx, sids.apply(k))
+    return mx
+
+
+def _work_since(spark, cursor: int) -> tuple[int, int]:
+    """Records processed (input + shuffle read/write) by stages with
+    id > ``cursor``, plus the advanced cursor.  Keyed by stage id —
+    stage ids are globally monotone, so this is immune to the
+    AppStatusStore evicting OLD stages mid-test (default retention is
+    1000 stages; a shared full-suite session blows past that, which
+    made cumulative-total deltas go NEGATIVE and the envelope
+    assertions vacuous)."""
     store = spark.sparkContext._jsc.sc().statusStore()
     jobs = store.jobsList(None)
     defaults = [getattr(store, f"stageData$default${n}")()
                 for n in range(2, 6)]
     seen: set[int] = set()
     total = 0
+    mx = cursor
     for i in range(jobs.size()):
         sids = jobs.apply(i).stageIds()
         for k in range(sids.size()):
             sid = sids.apply(k)
-            if sid in seen:
+            if sid <= cursor or sid in seen:
                 continue
             seen.add(sid)
+            mx = max(mx, sid)
             attempts = store.stageData(sid, *defaults)
             for a in range(attempts.size()):
                 s = attempts.apply(a)
                 total += int(s.inputRecords()
                              + s.shuffleReadRecords()
                              + s.shuffleWriteRecords())
-    return total
+    return total, mx
 
 
 N_NODES = 800           # fixed doc universe
@@ -77,15 +94,19 @@ def test_components_sink_work_is_flat_under_unbounded_history(
     store = str(tmp_path / "labels")
     sink = components_incremental_sink(store)
     work = []
+    cursor = _max_stage_id(spark)
     for k in range(N_BATCHES):
-        before = _work_snapshot(spark)
         sink(_edge_batch(spark, k), k)
-        work.append(_work_snapshot(spark) - before)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
         if k % 8 == 7:                      # periodic compaction
             compact_label_store(store)
             versions = (spark.read.parquet(store)
                         .select("batch_id").distinct().count())
             assert versions <= 2, "store unbounded despite compaction"
+            # compaction/assert stages are maintenance, not batch
+            # work — advance the cursor past them
+            _, cursor = _work_since(spark, cursor)
     # every version is a complete state: <= one row per known node
     per_version = (spark.read.parquet(store)
                    .groupBy("batch_id").count().collect())
@@ -129,10 +150,11 @@ def test_ann_sink_work_grows_linearly_not_quadratically(
     sink = ann_index_sink(str(tmp_path / "idx"), str(tmp_path / "vecs"),
                           str(tmp_path / "out"))
     work = []
+    cursor = _max_stage_id(spark)
     for k in range(ANN_BATCHES):
-        before = _work_snapshot(spark)
         sink(_vec_batch(spark, k), k)
-        work.append(_work_snapshot(spark) - before)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
     early = sum(work[3:6]) / 3       # store ~450-750 vectors
     late = sum(work[17:20]) / 3      # store ~2550-2850 vectors
     assert late <= 6.0 * early, (
@@ -177,10 +199,11 @@ def test_dedup_sink_work_is_flat_once_state_saturates(spark, tmp_path):
     store = str(tmp_path / "digests")
     sink = incremental_dedup_sink(store, str(tmp_path / "out"))
     work = []
+    cursor = _max_stage_id(spark)
     for k in range(DEDUP_BATCHES):
-        before = _work_snapshot(spark)
         sink(_dup_doc_batch(spark, k), k)
-        work.append(_work_snapshot(spark) - before)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
     # state is one digest per unique text ever seen — never arrivals
     assert spark.read.parquet(store).count() <= N_TEXTS
     early = sum(work[2:8]) / 6
@@ -225,10 +248,11 @@ def test_minhash_sink_work_grows_linearly_not_quadratically(
     sink = minhash_incremental_sink(idx, str(tmp_path / "sh"),
                                     str(tmp_path / "out"))
     work = []
+    cursor = _max_stage_id(spark)
     for k in range(MH_BATCHES):
-        before = _work_snapshot(spark)
         sink(_mh_doc_batch(spark, k), k)
-        work.append(_work_snapshot(spark) - before)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
     early = sum(work[3:6]) / 3       # index ~300-500 docs
     late = sum(work[17:20]) / 3      # index ~1700-1900 docs
     assert late <= 8.0 * early, (
