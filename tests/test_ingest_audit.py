@@ -163,3 +163,24 @@ def test_table_profile_approx_error_bound(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Scan parquet") == 1
     assert "Expand" not in plan
+
+
+def test_join_key_skew_branches_are_both_exercised(spark):
+    """The vacuity guard the anti_join lesson demands: the hot-2x
+    branch must be TRUE somewhere (l_orderkey at every fixture scale)
+    and the near-uniform keys must report zero — both outcomes carry
+    information and both are hash-compared by the oracle gate."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+
+    rows = {r.key_col: r for r in
+            all_queries()["join_key_skew"].fn(spark, SF_SMOKE)
+            .collect()}
+    assert set(rows) == {"l_orderkey", "l_partkey", "l_suppkey",
+                         "o_custkey", "token"}
+    assert rows["l_orderkey"].hot2_keys > 0
+    assert rows["l_orderkey"].hot2_rows > rows["l_orderkey"].hot2_keys
+    assert rows["l_suppkey"].hot2_keys == 0      # uniform by design
+    for r in rows.values():
+        assert r.hot10_keys == 0                 # fixtures near-uniform
+        assert r.n_rows > 0 and r.n_keys > 0
+        assert r.max_key_rows * r.n_keys >= r.n_rows  # max >= mean

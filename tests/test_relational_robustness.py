@@ -36,6 +36,10 @@ PROBED = [
     # r8 widening: the pushdown-only scan and the per-column profile
     # (the dirty lineitem row exercises its NULL accounting directly)
     "forecast_revenue", "table_profile",
+    # r11: the shuffle-key skew diagnosis (lineitem + orders +
+    # documents sources; NULL-punched keys must group and hash
+    # identically cross-engine)
+    "join_key_skew",
 ]
 
 _MODS = {
