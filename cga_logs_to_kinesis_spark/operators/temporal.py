@@ -332,3 +332,88 @@ register(QuerySpec(
         "(integer-exact sums; the monitoring twin of delivery stats)",
     tags=("temporal", "window", "anomaly"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Ordered event funnel
+# ---------------------------------------------------------------------------
+# The k-stage ORDERED funnel with bounded inter-stage gaps — the
+# shape `funnel_conversion` (text.py) deliberately does NOT cover:
+# that query's two-stage "did a purchase ever follow the first
+# signup" folds into one conditional aggregation, but as soon as a
+# third stage or a max-gap constraint enters, each stage's anchor
+# time depends on the previous stage's result and no single-pass
+# aggregation exists.  The construction here is k-1
+# user-keyed semi-join+min passes: stage tables are one row per
+# surviving user (never event-sized), every join/aggregate shuffles
+# on user_id so AQE reuses the partitioning, and each stage table is
+# localCheckpoint'ed because it feeds both its own count and the next
+# stage's join (without the cut Catalyst would recompute the chain
+# per consumer).  At 100 TB the per-stage state is O(users) — the
+# same envelope as retention_cohorts — and the event scan is pruned
+# to the funnel's event types before the first shuffle.
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_GAP_US = 3 * 86_400 * 1_000_000     # 3 days between stages
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = (load_events(spark, sf_dir)
+          .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+          .select("user_id", "event_type",
+                  F.expr("ts DIV 1000").alias("us")))
+    cur = (ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+           .groupBy("user_id").agg(F.min("us").alias("t"))
+           .localCheckpoint())
+    frames = [cur.agg(F.count("*").alias("n_users"))
+              .select(F.lit(1).cast("int").alias("stage_idx"),
+                      F.lit(FUNNEL_STAGES[0]).alias("stage"),
+                      "n_users")]
+    for i, st in enumerate(FUNNEL_STAGES[1:], start=2):
+        cur = (ev.filter(F.col("event_type") == st)
+               .join(cur, "user_id")
+               .filter((F.col("us") >= F.col("t"))
+                       & (F.col("us") <= F.col("t") + FUNNEL_GAP_US))
+               .groupBy("user_id").agg(F.min("us").alias("t"))
+               .localCheckpoint())
+        frames.append(cur.agg(F.count("*").alias("n_users"))
+                      .select(F.lit(i).cast("int").alias("stage_idx"),
+                              F.lit(st).alias("stage"), "n_users"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("stage_idx")
+
+
+def _funnel_oracle() -> str:
+    ctes = [f"""s1 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+        WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id)"""]
+    for i, st in enumerate(FUNNEL_STAGES[1:], start=2):
+        ctes.append(f"""s{i} AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+        FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id
+        WHERE e.event_type = '{st}'
+          AND epoch_us(e.ts) >= p.t
+          AND epoch_us(e.ts) <= p.t + {FUNNEL_GAP_US}
+        GROUP BY e.user_id)""")
+    selects = [
+        f"SELECT CAST({i} AS INTEGER) AS stage_idx, "
+        f"'{st}' AS stage, "
+        f"CAST((SELECT COUNT(*) FROM s{i}) AS BIGINT) AS n_users"
+        for i, st in enumerate(FUNNEL_STAGES, start=1)]
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(selects) + " ORDER BY stage_idx")
+
+
+register(QuerySpec(
+    "event_funnel", q_event_funnel,
+    oracle=_funnel_oracle(),
+    doc=f"ordered {len(FUNNEL_STAGES)}-stage event funnel "
+        f"({' -> '.join(FUNNEL_STAGES)}, each stage within "
+        f"{FUNNEL_GAP_US // 86_400_000_000} days of the previous): "
+        "k-1 user-keyed semi-join+min passes, per-stage state "
+        "O(users), event scan pruned to funnel types",
+    tags=("agg", "window", "temporal", "north-star"),
+))

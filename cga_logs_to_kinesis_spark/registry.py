@@ -56,8 +56,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # permanently out by convention).
     #
     # Deferred to the r12 window (each keeps its r7 green row and
-    # full-registry pytest coverage): sliding_window (displaced when
-    # the r11-new join_key_skew took its slot), small_qty_revenue,
+    # full-registry pytest coverage): shard_assign and sliding_window
+    # (displaced when the r11-new join_key_skew and event_funnel took
+    # their slots), small_qty_revenue,
     # split_leakage, split_leakage_repair, split_repair,
     # stats_tumbling, stratified_sample, top3_orders_per_customer,
     # top_supplier, unigram_rarity, volume_shipping,
@@ -78,6 +79,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r11-new:
     "cosine_topk_ivf_sq",
     "join_key_skew",
+    "event_funnel",
     # deferred from the r10 window (r6-latest; anti_join_customers
     # changed in r11):
     "anti_join_customers",
@@ -125,7 +127,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_weighted_sample",
     "rate_anomaly",
     "retention_cohorts",
-    "shard_assign",
 )
 
 

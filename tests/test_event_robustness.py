@@ -21,7 +21,7 @@ EVENT_QUERIES = [
     "multi_resolution_rollup", "pivot_event_types",
     "range_join_error_after_purchase", "retention_cohorts",
     "rate_anomaly", "session_windows", "sliding_window",
-    "stats_tumbling",
+    "stats_tumbling", "event_funnel",
 ]
 
 _TYPES = ["view", "click", "purchase", "error", "signup"]
