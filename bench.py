@@ -72,8 +72,11 @@ HEADLINE = (
     "table_profile_approx",  # ONE-pass HLL profile (vs 2-pass exact)
     "heavy_hitters",         # Misra-Gries candidates + exact verify
     "bloom_decontaminate",   # bitmap-probe decontamination report
-    # r11: the pruned ANN composition (IVF probe front + SQ8 coarse)
+    # r11: the pruned ANN composition (IVF probe front + SQ8 coarse),
+    # the shuffle-key skew pre-flight, and the ordered event funnel
     "cosine_topk_ivf_sq",
+    "join_key_skew",
+    "event_funnel",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the
