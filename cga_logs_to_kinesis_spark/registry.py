@@ -50,10 +50,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # batch fp fix + treeReduce bitmap build), then the r11-new
     # cosine_topk_ivf_sq, then the 11 queries deferred from the r10
     # window (anti_join_customers also CHANGED this round: predicate
-    # de-vacuated so sf0.01 produces rows), then the 35 alphabetically
-    # first of the 46 eligible r7-latest queries (the 47-query r7
-    # cohort minus approx_quantiles, which is rows-only and
-    # permanently out by convention).
+    # de-vacuated so sf0.01 produces rows), then 33 of the 46
+    # eligible r7-latest queries (the 47-query r7 cohort minus
+    # approx_quantiles, which is rows-only and permanently out by
+    # convention; alphabetical order, with shard_assign and
+    # sliding_window displaced to r12 by the two r11-new slots).
     #
     # Deferred to the r12 window (each keeps its r7 green row and
     # full-registry pytest coverage): shard_assign and sliding_window
@@ -63,7 +64,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stats_tumbling, stratified_sample, top3_orders_per_customer,
     # top_supplier, unigram_rarity, volume_shipping,
     # waiting_suppliers.  The r12 window should lead with any
-    # r12-new/changed queries, then these 11, then the stalest
+    # r12-new/changed queries, then these 13, then the stalest
     # remaining cohort (r8 window, listed in CORRECTNESS_r08.json).
     # Permanently out by convention: cosine_topk_fast (bit-exact
     # parity-pinned to cosine_topk) and the rows-only queries

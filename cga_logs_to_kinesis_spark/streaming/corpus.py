@@ -1015,6 +1015,26 @@ def _effective_mg_summaries(s: DataFrame) -> DataFrame:
     return s
 
 
+def _cleanup_stale_mg_dirs(store_dir: str, base_bid: int) -> int:
+    """Remove batch directories a summing reader already ignores:
+    older base partitions and batch partitions at or below the live
+    base's fold watermark (``-base_bid - 2``).  Safe to run any time
+    ``base_bid`` is the newest (most-negative) base on disk."""
+    import os
+    import shutil
+
+    watermark = -base_bid - 2
+    removed = 0
+    for name in os.listdir(store_dir):
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid != base_bid and (bid < -1 or 0 <= bid <= watermark):
+            shutil.rmtree(os.path.join(store_dir, name))
+            removed += 1
+    return removed
+
+
 def compact_heavy_hitters_store(spark: SparkSession, store_dir: str,
                                 upto_batch_id: int,
                                 files_per_partition: int = 1) -> int:
@@ -1033,14 +1053,16 @@ def compact_heavy_hitters_store(spark: SparkSession, store_dir: str,
     forever (the small-files problem; the summaries themselves are
     tiny).
 
-    The merged base lands at ``batch_id = -(upto_batch_id + 2)`` —
-    see :func:`_effective_mg_summaries` for why the watermark lives
-    in the partition id.  Run with the stream stopped; a crash
-    between the base write and the cleanup only leaves ignored stale
-    directories."""
-    import os
-    import shutil
-
+    The merged base lands at ``batch_id = -(max_folded + 2)`` where
+    ``max_folded`` is the HIGHEST batch id actually folded — the
+    watermark is clamped to what exists, so an ``upto_batch_id``
+    ahead of the stream (batches 0-2 on disk, upto=10) cannot write
+    a watermark that would silently exclude batches 3..10 forever
+    when they later arrive.  See :func:`_effective_mg_summaries` for
+    why the watermark lives in the partition id.  Run with the
+    stream stopped; a crash between the base write and the cleanup
+    leaves ignored stale directories, and a RE-RUN (even one that
+    finds nothing new to fold) finishes the cleanup."""
     df = _read_store(spark, store_dir)
     if df is None:
         return 0
@@ -1048,9 +1070,17 @@ def compact_heavy_hitters_store(spark: SparkSession, store_dir: str,
     fold_sel = (F.col("batch_id") < -1) | (F.col("batch_id")
                                            <= upto_batch_id)
     to_fold = live.filter(fold_sel)
-    n_folded = (to_fold.filter(F.col("batch_id") >= 0)
-                .select("batch_id").distinct().count())
+    stats = (to_fold.filter(F.col("batch_id") >= 0)
+             .agg(F.countDistinct("batch_id").alias("n"),
+                  F.max("batch_id").alias("mx")).first())
+    n_folded, max_folded = stats["n"], stats["mx"]
     if n_folded == 0:
+        # Nothing new to fold — but a prior run may have crashed
+        # between its base write and its cleanup, so finish the
+        # cleanup the docstring promises before returning.
+        min_bid = df.agg(F.min("batch_id")).first()[0]
+        if min_bid is not None and min_bid < -1:
+            _cleanup_stale_mg_dirs(store_dir, min_bid)
         return 0
     tokens = (to_fold.filter(F.col("token").isNotNull())
               .groupBy("token").agg(F.sum("cnt").alias("cnt"))
@@ -1060,7 +1090,7 @@ def compact_heavy_hitters_store(spark: SparkSession, store_dir: str,
                      F.lit(0).cast("long").alias("cnt"),
                      F.coalesce(F.col("pt"), F.lit(0)).cast("long")
                      .alias("part_tokens")))
-    new_bid = -(upto_batch_id + 2)
+    new_bid = -(max_folded + 2)
     # Materialized before the write for the same self-read reason as
     # _compact_distinct_store: the old base partition is both input
     # and (via the cleanup below) removed state.
@@ -1073,14 +1103,7 @@ def compact_heavy_hitters_store(spark: SparkSession, store_dir: str,
      .partitionBy("batch_id").parquet(store_dir))
     # cleanup AFTER the new base is durable; stale dirs are ignored
     # by _effective_mg_summaries if this is interrupted
-    removed = 0
-    for name in os.listdir(store_dir):
-        if not name.startswith("batch_id="):
-            continue
-        bid = int(name.split("=", 1)[1])
-        if bid != new_bid and (bid < -1 or 0 <= bid <= upto_batch_id):
-            shutil.rmtree(os.path.join(store_dir, name))
-            removed += 1
+    _cleanup_stale_mg_dirs(store_dir, new_bid)
     return n_folded
 
 

@@ -359,6 +359,54 @@ def test_compact_heavy_hitters_store_crash_window_is_ignored(
                      .collect()))
     assert got == before, "stale batch dirs double-counted"
     # recovery: re-run with rmtree restored — no re-fold needed
-    # (watermark already at 2), but the stale dirs must go
+    # (watermark already at 2), but the stale dirs MUST go even on
+    # the n_folded == 0 path
     monkeypatch.setattr(shutil, "rmtree", real_rmtree)
     assert compact_heavy_hitters_store(spark, store, 2) == 0
+    assert set(os.listdir(store)) & {
+        "batch_id=0", "batch_id=1", "batch_id=2"} == set(), \
+        "re-run left crash-window stale dirs behind"
+    assert "batch_id=-4" in os.listdir(store)
+    got = sorted(map(tuple, heavy_hitters_from_store(spark, store)
+                     .collect()))
+    assert got == before
+
+
+def test_compact_heavy_hitters_store_clamps_future_watermark(
+        spark, tmp_path):
+    """An ``upto_batch_id`` ahead of the newest stored batch must NOT
+    advance the fold watermark past what was actually folded: with
+    batches 0-2 on disk, upto=10 folds them into base -(2+2)=-4 (not
+    -12), so a batch 3 appended later sits ABOVE the watermark and is
+    counted — an unclamped watermark would silently drop it forever."""
+    import os
+
+    from cga_logs_to_kinesis_spark.sources import load_table
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_heavy_hitters_store,
+        heavy_hitters_from_store,
+        heavy_hitters_sink,
+    )
+
+    docs, src = _doc_batches(spark, tmp_path)
+    store = str(tmp_path / "mg_store")
+    ckpt = str(tmp_path / "ckpt")
+    _drain_docs(spark, src, heavy_hitters_sink(store), ckpt)
+    assert compact_heavy_hitters_store(spark, store, 10) == 3
+    dirs = set(os.listdir(store))
+    assert "batch_id=-4" in dirs, f"watermark not clamped: {dirs}"
+    assert "batch_id=-12" not in dirs
+    # the stream appends batch 3 on top — it must be live
+    extra = (load_table(spark, SF_SMOKE, "documents")
+             .filter(F.col("doc_id") % 5 == 0))
+    extra.coalesce(1).write.parquet(str(tmp_path / "doc_arrivals"
+                                        / "chunk=3"))
+    _drain_docs(spark, src, heavy_hitters_sink(store), ckpt)
+    clean_store = str(tmp_path / "mg_clean_all")
+    _drain_docs(spark, src, heavy_hitters_sink(clean_store),
+                str(tmp_path / "ckpt_clean_all"))
+    got = sorted(map(tuple, heavy_hitters_from_store(spark, store)
+                     .collect()))
+    want = sorted(map(tuple, heavy_hitters_from_store(
+        spark, clean_store).collect()))
+    assert got == want, "post-compaction batch lost to the watermark"
