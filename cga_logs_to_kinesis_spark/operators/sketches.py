@@ -101,16 +101,20 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
             .filter(F.col("token") != ""))
 
 
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def heavy_hitters_report(spark: SparkSession,
+                         docs: DataFrame) -> DataFrame:
     """Tokens with count*(K+1) > total corpus tokens — EXACT, without
     ever shuffling the full vocabulary.
 
     Pass 1: Misra-Gries per partition, O(K) state, emitting <= K
-    candidates + the partition token count.  (The repartition ahead
-    of it is the repo's fixture-scale parallelism crutch — a
-    single-file scan is one partition on local; at 100 TB the scan's
-    natural partitioning makes it unnecessary, and its width comes
-    from the shared `spark.cga.explode.parallelism` knob either way.)
+    candidates + the partition token count.  The MG guarantee holds
+    for ANY partitioning, so the corpus is repartitioned ONLY when
+    the scan arrives narrower than the `spark.cga.explode.parallelism`
+    knob — the fixture-scale case where a single-file scan is one
+    partition on local; a 100 TB scan's natural partitioning is
+    already wide, and the width gate means it never pays a full
+    corpus shuffle just to tokenize (plan-pinned by
+    tests/test_plans.py::test_heavy_hitters_wide_input_no_exchange).
     Pass 2: exact counts for the candidate tokens ONLY (broadcast
     semi-filter, so the aggregate's key space is <= K x partitions
     instead of the vocabulary), then the integer threshold.  At
@@ -118,10 +122,10 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``token_frequencies``' full groupBy shuffles all of their partial
     counts while this plan shuffles at most the candidate set.
     """
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
     par = explode_parallelism(spark)
-    toks = tokenize_docs(docs.repartition(par, "doc_id"))
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    toks = tokenize_docs(docs)
     summary = (toks.mapInPandas(_mg_partitions, MG_SUMMARY_SCHEMA)
                .localCheckpoint())            # MG runs once, feeds both
     total = summary.agg(F.sum("part_tokens")).first()[0] or 0
@@ -133,6 +137,12 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (verified
             .filter(F.col("n") * (MG_COUNTERS + 1) > F.lit(int(total)))
             .orderBy(F.col("n").desc(), "token"))
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return heavy_hitters_report(spark,
+                                load_table(spark, sf_dir, "documents"))
 
 
 register(QuerySpec(

@@ -740,3 +740,34 @@ def test_ivf_sq_coarse_pass_is_cluster_pruned(spark):
     assert min(coarse_ids) > max(cluster_join_ids), (
         "coarse scoring compiled below the cluster join — the pass "
         "would touch unpruned candidates")
+
+
+def test_heavy_hitters_wide_input_no_exchange(spark):
+    """heavy_hitters' pre-tokenize repartition is a fixture-scale
+    parallelism crutch gated on input width: a corpus that already
+    arrives at or above the knob (the 100 TB scan) must NOT pay a
+    full-corpus shuffle before the Misra-Gries pass, while the narrow
+    fixture scan still gets the spread."""
+    from cga_logs_to_kinesis_spark.operators.sketches import (
+        heavy_hitters_report,
+    )
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    from cga_logs_to_kinesis_spark.session import (
+        EXPLODE_PARALLELISM_CONF,
+    )
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spark.conf.set(EXPLODE_PARALLELISM_CONF, "4")
+    try:
+        wide = docs.repartition(8)          # RoundRobin, not doc_id
+        plan = formatted_plan(heavy_hitters_report(spark, wide))
+        assert "hashpartitioning(doc_id" not in plan, (
+            "wide input still paid the doc_id repartition before "
+            "tokenization")
+        narrow = docs.coalesce(1)
+        plan = formatted_plan(heavy_hitters_report(spark, narrow))
+        assert "hashpartitioning(doc_id" in plan, (
+            "narrow fixture input lost its parallelism spread")
+    finally:
+        spark.conf.unset(EXPLODE_PARALLELISM_CONF)
