@@ -55,21 +55,31 @@ PROBED = [
     "unigram_rarity", "vocab_coverage", "winnowing_fingerprints",
     "quality_percentile_calibrate", "dedup_best_survivors",
     "dedup_downweight", "heavy_hitters", "bloom_decontaminate",
-    "length_outliers_approx",
+    "length_outliers_approx", "encoding_anomaly_report",
 ]
 
+_TEXTS = ["normal words here for all the tests to chew on",
+          "", "   ", None, "x",
+          "unicode café 中文 🎉 naïve мир text",
+          # U+000B vertical tab: in Java's \s but not RE2's — the
+          # row that pins the explicit whitespace class in
+          # normalize_text (operators/normalize.py).
+          "vertical\x0btab\x0bseparated words\x0b",
+          # encoding damage (encoding_anomaly_report's quarry; every
+          # other operator must also survive + agree on these):
+          "decoder gave � up � here",
+          "mojibake Ã© caf Ã© smart "
+          "â€™ quote",
+          "ansi \x1b[0m spill \x07 and C1 \x85 nel \x9c st",
+          "zero\u200bwidth tokens bidi \u202e sneak \ufeff bom",
+          ]
+
 _DOCS = pd.DataFrame({
-    "doc_id": [0, 1, 2, 3, 4, 5, 6],
-    "text": ["normal words here for all the tests to chew on",
-             "", "   ", None, "x",
-             "unicode café 中文 🎉 naïve мир text",
-             # U+000B vertical tab: in Java's \s but not RE2's — the
-             # row that pins the explicit whitespace class in
-             # normalize_text (operators/normalize.py).
-             "vertical\x0btab\x0bseparated words\x0b"],
-    "lang": ["en"] * 7,
-    "source": ["s"] * 7,
-    "n_chars": [46, 0, 3, 0, 1, 33, 32],
+    "doc_id": list(range(len(_TEXTS))),
+    "text": _TEXTS,
+    "lang": ["en"] * len(_TEXTS),
+    "source": ["s"] * len(_TEXTS),
+    "n_chars": [len(t) if t else 0 for t in _TEXTS],
 })
 
 
