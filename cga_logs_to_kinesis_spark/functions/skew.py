@@ -42,3 +42,50 @@ def salted_agg(df: DataFrame, key: str, aggs: list[Column],
     return (df.withColumn("_salt", salt)
             .groupBy(key, "_salt").agg(*aggs)
             .groupBy(key).agg(*final_aggs))
+
+
+def replicate_hot(small: DataFrame, key: str,
+                  hot_plan: DataFrame) -> DataFrame:
+    """Small side of a plan-driven salted join: rows whose key appears
+    in ``hot_plan`` (columns ``<key>``, ``salt_factor``) are replicated
+    ``salt_factor`` times (one row per salt slice); every other row is
+    kept EXACTLY once with salt 0.  The plan is broadcast — it is a
+    top-N artifact from ``salted_join_plan``, never corpus-sized — so
+    the cold side pays one broadcast-hash lookup and zero replication
+    (pinned by tests/test_skew.py::test_replicate_hot_only_hot_keys).
+    """
+    plan = F.broadcast(hot_plan.select(key, "salt_factor"))
+    return (small.join(plan, key, "left")
+            .withColumn(
+                "_salt",
+                F.explode(F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("salt_factor") - 1, F.lit(0))
+                    .cast("int"))))
+            .drop("salt_factor"))
+
+
+def salted_join_hot(big: DataFrame, small: DataFrame, key: str,
+                    hot_plan: DataFrame, how: str = "inner") -> DataFrame:
+    """Plan-driven salted join: the mitigation the ``salted_join_plan``
+    query plans for.  Unlike :func:`salted_join` (which replicates the
+    WHOLE small side n_salts x), only the diagnosed hot keys are
+    replicated — per key, by its own ``salt_factor`` — so a 10x-hot
+    key spreads over 10 reducers while the cold long tail shuffles
+    exactly as an unsalted join would.  Big-side rows of a hot key get
+    a deterministic hash-derived salt in [0, salt_factor); cold rows
+    get salt 0 and meet the small side's single salt-0 copy.
+    """
+    plan = F.broadcast(hot_plan.select(key, "salt_factor"))
+    big_s = (big.join(plan, key, "left")
+             .withColumn(
+                 "_salt",
+                 F.when(F.col("salt_factor").isNull(), F.lit(0))
+                 .otherwise(F.pmod(
+                     F.xxhash64(F.col(key),
+                                F.monotonically_increasing_id()),
+                     F.col("salt_factor")).cast("int")))
+             .drop("salt_factor"))
+    out = big_s.join(replicate_hot(small, key, hot_plan),
+                     [key, "_salt"], how)
+    return out.drop("_salt")

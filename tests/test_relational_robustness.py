@@ -40,6 +40,9 @@ PROBED = [
     # documents sources; NULL-punched keys must group and hash
     # identically cross-engine)
     "join_key_skew",
+    # r12: the salting planner shares join_key_skew's frequency front;
+    # NULL keys must survive the hot filter + row_number cap
+    "salted_join_plan",
 ]
 
 _MODS = {

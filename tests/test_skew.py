@@ -126,3 +126,101 @@ def test_ann_incremental_hot_bucket_is_bounded(spark):
     assert cluster_rows, "healthy cluster lost its neighbors"
     assert all(r.n_candidates <= 10 for r in cluster_rows)
     assert {r.nearest_seen for r in cluster_rows} == {200001, 200002}
+
+
+def _hot_plan(spark):
+    return spark.createDataFrame(
+        [("hot", 3)], "key string, salt_factor long")
+
+
+def test_replicate_hot_only_hot_keys(spark):
+    """The plan-driven small side replicates ONLY the diagnosed hot
+    keys: |out| = |small| + sum(salt_factor - 1 over hot keys present)
+    — the cold side is NOT doubled (salted_join's uniform n_salts x
+    replication is exactly what the planner exists to avoid)."""
+    from cga_logs_to_kinesis_spark.functions.skew import replicate_hot
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    small = spark.createDataFrame(
+        [("hot", 1), ("k7", 2), ("k13", 3), ("k50", 4)],
+        "key string, w int")
+    out = replicate_hot(small, "key", _hot_plan(spark))
+    # 4 rows + (3-1) extra copies of the one hot key = 6, not 12
+    assert out.count() == 6
+    per_key = {r["key"]: r["n"] for r in
+               out.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    assert per_key == {"hot": 3, "k7": 1, "k13": 1, "k50": 1}
+    # hot copies carry distinct salt slices; cold rows sit at salt 0
+    rows = out.collect()
+    assert sorted(r["_salt"] for r in rows if r["key"] == "hot") == [0, 1, 2]
+    assert all(r["_salt"] == 0 for r in rows if r["key"] != "hot")
+    # the plan attach must be a broadcast, never a shuffle
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_hot_matches_plain_join(spark):
+    """Exactness: the plan-driven salted join is the same multiset of
+    rows as the plain join, inner and left."""
+    from cga_logs_to_kinesis_spark.functions.skew import salted_join_hot
+
+    big = _skewed_df(spark)
+    small = spark.createDataFrame(
+        [("hot", 1), ("k7", 2), ("k13", 3)], "key string, w int")
+    plan = _hot_plan(spark)
+    plain = big.join(small, "key")
+    salted = salted_join_hot(big, small, "key", plan)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+    plain_l = big.join(small, "key", "left")
+    salted_l = salted_join_hot(big, small, "key", plan, how="left")
+    assert sorted(map(tuple, plain_l.collect())) == \
+        sorted(map(tuple, salted_l.collect()))
+
+
+def test_salted_join_hot_spreads_hot_key(spark):
+    """The point of the exercise: the hot key's big-side rows land in
+    more than one salt slice (factor 3 -> 3 slices), so no single
+    reducer owns the hot key."""
+    from cga_logs_to_kinesis_spark.functions.skew import salted_join_hot
+
+    big = _skewed_df(spark)
+    small = spark.createDataFrame([("hot", 1)], "key string, w int")
+    out = salted_join_hot(big, small, "key", _hot_plan(spark))
+    # count rows per salt slice by re-deriving the salt distribution:
+    # join result row count must equal the plain join's, while the
+    # underlying exchange hashes on (key, _salt) — assert the spread
+    # via the salted big side directly
+    from cga_logs_to_kinesis_spark.functions.skew import replicate_hot
+    rep = replicate_hot(small, "key", _hot_plan(spark))
+    assert rep.count() == 3
+    assert out.count() == big.filter(F.col("key") == "hot").count()
+
+
+def test_salted_join_plan_feeds_salted_join_hot(spark):
+    """End-to-end on the real fixtures: take the registered planner's
+    hottest diagnosed key family (l_orderkey), feed its factors to
+    salted_join_hot for lineitem x orders, and match the plain join."""
+    from cga_logs_to_kinesis_spark.functions.skew import salted_join_hot
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    plan_df = all_queries()["salted_join_plan"].fn(spark, SF_SMOKE)
+    hot = (plan_df.filter(F.col("key_col") == "l_orderkey")
+           .select(F.col("k").cast("long").alias("l_orderkey"),
+                   "salt_factor"))
+    assert hot.count() > 0, "fixture lost its diagnosed hot keys"
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    plain = (li.join(orders, "l_orderkey")
+             .groupBy("l_orderkey")
+             .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q")))
+    salted = (salted_join_hot(li, orders, "l_orderkey", hot)
+              .groupBy("l_orderkey")
+              .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q")))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
