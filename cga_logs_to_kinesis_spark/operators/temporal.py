@@ -357,12 +357,21 @@ FUNNEL_STAGES = ("view", "click", "purchase")
 FUNNEL_GAP_US = 3 * 86_400 * 1_000_000     # 3 days between stages
 
 
+def funnel_feed(events: DataFrame) -> DataFrame:
+    """The funnel's event projection — (user_id, stage event_type,
+    exact µs) pruned to the funnel's event types before any shuffle.
+    ONE definition shared by the batch query and the streaming state
+    sink (streaming/corpus.py::funnel_state_sink) so the stage
+    semantics cannot drift."""
+    return (events
+            .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+            .select("user_id", "event_type",
+                    F.expr("ts DIV 1000").alias("us")))
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    ev = (load_events(spark, sf_dir)
-          .filter(F.col("event_type").isin(*FUNNEL_STAGES))
-          .select("user_id", "event_type",
-                  F.expr("ts DIV 1000").alias("us")))
+    ev = funnel_feed(load_events(spark, sf_dir))
     cur = (ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
            .groupBy("user_id").agg(F.min("us").alias("t"))
            .localCheckpoint())

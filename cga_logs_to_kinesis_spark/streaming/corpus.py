@@ -1250,3 +1250,206 @@ def bloom_decontaminate_from_store(spark: SparkSession, store_dir: str,
                  F.sum(F.col("hit").cast("bigint")).alias("n_dropped"),
                  F.sum((~F.col("hit")).cast("bigint")).alias("n_kept"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming event funnel: per-user stage state (10th store family)
+# ---------------------------------------------------------------------------
+# The streaming twin of operators/temporal.py::q_event_funnel.  A
+# greedy per-user stage machine (advance when the next stage's event
+# arrives) is NOT the batch semantics: batch anchors are MINIMA
+# (t1 = min stage-1 time; t_i = min stage-i time in
+# [t_{i-1}, t_{i-1}+GAP]), so a LATE-arriving earlier stage-1 event
+# moves every window left and can disqualify a previously-qualifying
+# stage-2 event — reached stage can go DOWN with more data.  Exactness
+# under arbitrary micro-batch splits therefore needs, per user and
+# stage, the CANDIDATE event times that could still anchor the chain:
+#
+#   - stage 1: just the min (anchors only ever decrease);
+#   - stage i>=2: every distinct time u <= t_{i-1} + GAP.  Safe to
+#     prune above that: anchors are non-increasing while defined and
+#     never rebound above a prior defined value, so a pruned u can
+#     never re-qualify.  While t_{i-1} is undefined the stage keeps
+#     all candidates (any future anchor might admit them).
+#
+# State is O(distinct candidate times within the reachable gap
+# windows) per user — the funnel feed is pruned to the funnel's
+# event types before any shuffle, and the gap bound caps each
+# reached stage's list by the user's event rate x GAP, the same
+# watermark-shaped envelope as any event-time stream state.  Merge is
+# a SET UNION + anchor recompute — idempotent, which is what makes
+# crash replay trivially exactly-once on top of the established
+# batch_id-versioned store discipline (each version a complete
+# state, reads strictly below the current batch id, keep-two
+# compaction — see components_incremental_sink).
+
+FUNNEL_STATE_SCHEMA = ("user_id long, stage int, times array<long>, "
+                       "reached int")
+
+
+def _funnel_fold_user(pdf):
+    """Fold one user's state rows + batch partials: set-union the
+    per-stage candidate times, replay the batch anchor chain
+    (min / min-qualifying-in-window), prune, and emit the new state
+    rows carrying the reached stage."""
+    import pandas as pd
+
+    from cga_logs_to_kinesis_spark.operators.temporal import (
+        FUNNEL_GAP_US,
+        FUNNEL_STAGES,
+    )
+
+    uid_raw = pdf["user_id"].iloc[0]
+    uid = None if pd.isna(uid_raw) else int(uid_raw)
+    by_stage: dict[int, set[int]] = {}
+    for stage, times in zip(pdf["stage"], pdf["times"]):
+        by_stage.setdefault(int(stage), set()).update(
+            int(u) for u in times)
+    out = {"user_id": [], "stage": [], "times": [], "reached": []}
+    if uid is None:
+        # Batch parity: the NULL-user group survives the stage-1
+        # groupBy (counted once at stage 1) but can never pass an
+        # inner join on user_id, so stages >= 2 are unreachable and
+        # their candidates are dead state.
+        if 1 in by_stage:
+            out["user_id"].append(None)
+            out["stage"].append(1)
+            out["times"].append(sorted(by_stage[1])[:1])
+            out["reached"].append(1)
+        return pd.DataFrame(out)
+    pruned: dict[int, list[int]] = {}
+    t_prev = None
+    reached = 0
+    chain_alive = True
+    for i in range(1, len(FUNNEL_STAGES) + 1):
+        cand = sorted(by_stage.get(i, ()))
+        if i == 1:
+            t = cand[0] if cand else None
+            pruned[i] = cand[:1]
+        else:
+            if t_prev is not None:
+                cand = [u for u in cand if u <= t_prev + FUNNEL_GAP_US]
+            pruned[i] = cand
+            t = None
+            if t_prev is not None:
+                q = [u for u in cand if u >= t_prev]
+                if q:
+                    t = q[0]
+        if chain_alive and t is not None:
+            reached = i
+        else:
+            chain_alive = False
+        t_prev = t
+    # Batch parity on NULL timestamps: a user whose stage-1 events all
+    # have NULL us still gets a (t=NULL) row from the batch groupBy —
+    # counted at stage 1, unable to anchor stage 2.  The sink's
+    # collect_set drops NULLs, so stage-1 PRESENCE (an empty times
+    # row) must itself carry the stage-1 membership.
+    if 1 in by_stage and reached == 0:
+        reached = 1
+    for i, times in pruned.items():
+        if times or (i == 1 and 1 in by_stage):
+            out["user_id"].append(uid)
+            out["stage"].append(i)
+            out["times"].append(times)
+            out["reached"].append(reached)
+    return pd.DataFrame(out)
+
+
+def funnel_state_sink(store_dir: str,
+                      fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink over the projected funnel feed
+    (``funnel_feed`` columns: user_id, event_type, us): maintain the
+    per-user candidate/anchor state and persist each post-batch state
+    as a complete ``batch_id``-keyed version (the label-store
+    discipline; replay reads strictly below the current id, so a
+    crash after the write and before the checkpoint commit replays
+    to an identical version — set-union state is idempotent)."""
+    from cga_logs_to_kinesis_spark.operators.temporal import (
+        FUNNEL_STAGES,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    stage_idx = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(FUNNEL_STAGES),
+                          start=0):
+        stage_idx = F.when(
+            F.col("event_type") == s,
+            F.lit(len(FUNNEL_STAGES) - i)).otherwise(stage_idx)
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # NULL us rows are kept: collect_set drops the NULLs but the
+        # (user, stage) group row survives, carrying the stage-1
+        # membership the batch groupBy would count (see fold).
+        partial = (batch_df
+                   .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+                   .select("user_id", stage_idx.alias("stage"), "us")
+                   .groupBy("user_id", "stage")
+                   .agg(F.collect_set("us").alias("times"))
+                   .withColumn("reached", F.lit(0)))
+        store = _read_store(spark, store_dir)
+        merged = partial
+        if store is not None:
+            below = store.filter(F.col("batch_id") < F.lit(batch_id))
+            prev_max = below.agg(F.max("batch_id")).first()[0]
+            if prev_max is not None:
+                prev = (below.filter(F.col("batch_id") == prev_max)
+                        .select("user_id", "stage", "times", "reached"))
+                merged = partial.select(prev.columns).unionByName(prev)
+        state = (merged.groupBy("user_id")
+                 .applyInPandas(_funnel_fold_user, FUNNEL_STATE_SCHEMA))
+        (state.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def compact_funnel_state_store(store_dir: str) -> int:
+    """Keep-two compaction — identical discipline and crash argument
+    to :func:`compact_label_store` (each version is a complete
+    state; the newest may be an uncommitted write)."""
+    return compact_label_store(store_dir)
+
+
+def event_funnel_from_store(spark: SparkSession,
+                            store_dir: str) -> DataFrame:
+    """Fold the persisted per-user funnel state into the SAME report
+    as the batch ``event_funnel`` query: one row per stage with the
+    count of users whose anchor chain reaches it."""
+    from cga_logs_to_kinesis_spark.operators.temporal import (
+        FUNNEL_STAGES,
+    )
+
+    empty = spark.createDataFrame(
+        [(i, s, 0) for i, s in enumerate(FUNNEL_STAGES, start=1)],
+        "stage_idx int, stage string, n_users long")
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return empty
+    latest = s.agg(F.max("batch_id")).first()[0]
+    users = (s.filter(F.col("batch_id") == latest)
+             .select("user_id", "reached").distinct()
+             .localCheckpoint())        # one read feeds k counts
+    frames = []
+    for i, stage in enumerate(FUNNEL_STAGES, start=1):
+        frames.append(
+            users.filter(F.col("reached") >= i)
+            .agg(F.count("*").alias("n_users"))
+            .select(F.lit(i).cast("int").alias("stage_idx"),
+                    F.lit(stage).alias("stage"), "n_users"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("stage_idx")

@@ -1089,3 +1089,164 @@ def test_bloom_sink_crash_replay_is_exactly_once(spark, tmp_path):
     a = bloom_bitmap_from_store(spark, crash_store, sk.BLOOM_BITS)
     b = bloom_bitmap_from_store(spark, clean_store, sk.BLOOM_BITS)
     assert a.any() and np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Streaming event funnel (10th store family)
+# ---------------------------------------------------------------------------
+
+def _funnel_batches(spark, tmp_path, n=3):
+    """The sf0.001 funnel feed staged as THREE arrival batches split
+    by a hash of (user_id, us) — deliberately NOT by time, so most
+    users' stage events arrive out of order across batches (the case
+    that breaks greedy stage machines)."""
+    from cga_logs_to_kinesis_spark.operators.temporal import funnel_feed
+    from cga_logs_to_kinesis_spark.sources import load_events
+
+    ev = funnel_feed(load_events(spark, SF_SMOKE)).localCheckpoint()
+    src = tmp_path / "ev_arrivals"
+    for k in range(n):
+        ev.filter(F.abs(F.hash("user_id", "us")) % n == k) \
+            .coalesce(1).write.parquet(str(src / f"chunk={k}"))
+    return ev, str(src)
+
+
+def _drain_funnel(spark, src, sink, ckpt):
+    q = (spark.readStream
+         .schema("user_id long, event_type string, us long")
+         .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass                             # injected crash surfaces here
+
+
+def _funnel_report(spark, store):
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        event_funnel_from_store,
+    )
+    return sorted(map(tuple,
+                      event_funnel_from_store(spark, store).collect()))
+
+
+def test_funnel_state_sink_matches_batch(spark, tmp_path):
+    """Out-of-order arrival across three micro-batches must fold to
+    the EXACT batch funnel report — anchors are minima, so the state
+    keeps candidate times, not a greedy current-stage pointer."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        funnel_state_sink,
+    )
+
+    _, src = _funnel_batches(spark, tmp_path)
+    store = str(tmp_path / "funnel_state")
+    _drain_funnel(spark, src, funnel_state_sink(store),
+                  str(tmp_path / "ckpt"))
+    got = _funnel_report(spark, store)
+    want = sorted(map(tuple,
+                      all_queries()["event_funnel"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert got == want
+    assert got[0][2] > 0, "vacuous fixture: no stage-1 users"
+
+
+def test_funnel_late_stage1_event_demotes_user(spark, tmp_path):
+    """THE case a greedy stage machine gets wrong: a LATE-arriving
+    earlier stage-1 event moves the anchor window left and must
+    disqualify a previously-qualifying stage-2 event (reached stage
+    goes DOWN)."""
+    from cga_logs_to_kinesis_spark.operators.temporal import (
+        FUNNEL_GAP_US,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        funnel_state_sink,
+    )
+
+    g = FUNNEL_GAP_US
+    sink = funnel_state_sink(str(tmp_path / "st"))
+    b0 = spark.createDataFrame(
+        [(1, "view", g), (1, "click", g + 1000)],
+        "user_id long, event_type string, us long")
+    sink(b0, 0)
+    store = str(tmp_path / "st")
+    assert _funnel_report(spark, store) == [
+        (1, "view", 1), (2, "click", 1), (3, "purchase", 0)]
+    # the late event: an EARLIER view at t=0 -> anchor drops to 0,
+    # click at g+1000 > 0+g falls out of the window
+    b1 = spark.createDataFrame(
+        [(1, "view", 0)], "user_id long, event_type string, us long")
+    sink(b1, 1)
+    assert _funnel_report(spark, store) == [
+        (1, "view", 1), (2, "click", 0), (3, "purchase", 0)]
+
+
+def test_funnel_state_crash_replay_is_exactly_once(spark, tmp_path):
+    """Crash after the state write, before the checkpoint commit: the
+    replayed batch recomputes from the newest version strictly below
+    its id and converges to the identical report (set-union state is
+    idempotent)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        funnel_state_sink,
+    )
+
+    _, src = _funnel_batches(spark, tmp_path)
+    store = str(tmp_path / "funnel_state")
+    sink = funnel_state_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_funnel(spark, src, sink, ckpt)   # dies on batch 1 post-write
+    _drain_funnel(spark, src, sink, ckpt)   # replay batch 1, finish 2
+    got = _funnel_report(spark, store)
+    want = sorted(map(tuple,
+                      all_queries()["event_funnel"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert got == want
+
+
+def test_compact_funnel_state_store_keeps_report(spark, tmp_path):
+    """Keep-two compaction drops old complete versions without
+    touching the folded report."""
+    import os
+
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_funnel_state_store,
+        funnel_state_sink,
+    )
+
+    _, src = _funnel_batches(spark, tmp_path)
+    store = str(tmp_path / "funnel_state")
+    _drain_funnel(spark, src, funnel_state_sink(store),
+                  str(tmp_path / "ckpt"))
+    before = _funnel_report(spark, store)
+    assert compact_funnel_state_store(store) == 1   # 3 versions -> 2
+    assert sorted(os.listdir(store))[-2:] == [
+        "batch_id=1", "batch_id=2"]
+    assert _funnel_report(spark, store) == before
+
+
+def test_funnel_state_sink_null_semantics_match_batch(spark, tmp_path):
+    """Dirty feed: NULL-timestamp stage-1 events still count the user
+    at stage 1 (the batch groupBy emits a t=NULL row) but anchor
+    nothing; NULL-user events count once at stage 1 and can never
+    pass the stage-2 join.  Split across two batches so the NULL
+    state rows must round-trip the store."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        funnel_state_sink,
+    )
+
+    store = str(tmp_path / "st")
+    sink = funnel_state_sink(store)
+    schema = "user_id long, event_type string, us long"
+    sink(spark.createDataFrame(
+        [(5, "view", None), (None, "view", 10), (7, "view", 10)],
+        schema), 0)
+    sink(spark.createDataFrame(
+        [(None, "click", 20), (5, "click", 30), (7, "click", 20)],
+        schema), 1)
+    # stage 1: users {5, NULL, 7}; stage 2: only 7 (5's anchor is
+    # NULL, NULL-user can't join); stage 3: none
+    assert _funnel_report(spark, store) == [
+        (1, "view", 3), (2, "click", 1), (3, "purchase", 0)]
