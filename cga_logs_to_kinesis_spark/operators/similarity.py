@@ -1516,36 +1516,55 @@ _SQ8_RECON = (
     "a -> abs(a)), 'max') / 127.0))")
 
 
-def q_cosine_topk_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    emb = load_embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < SEMDEDUP_K)
-    cents = (emb.filter(F.col("vec_id") < SEMDEDUP_K)
-             .select(F.col("vec_id").alias("centroid_id"),
-                     F.col("embedding").alias("cent")))
-    corpus_assign = _nearest_clusters(emb, cents, "cand_id", 1)
+def sq8_encode(emb: DataFrame, id_alias: str) -> DataFrame:
+    """(id, codes array<tinyint>, scale double): per-vector max-abs
+    scalar quantization — the PERSISTABLE index form (4x smaller than
+    float32).  ``codes[i] * scale`` reproduces the inline SQ8
+    reconstruction bit-for-bit: the clamped floor is an exact small
+    integer in double space, so the tinyint round-trip is lossless.
+    (``load_embeddings`` gates out zero-norm vectors, so scale > 0.)
+    """
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    return (emb.select(F.col("vec_id").alias(id_alias), x.alias("x"))
+            .withColumn("scale",
+                        F.array_max(F.transform(F.col("x"), F.abs))
+                        / F.lit(127.0))
+            .withColumn(
+                "codes",
+                F.transform(
+                    F.col("x"),
+                    lambda v: F.greatest(
+                        F.lit(-127.0),
+                        F.least(F.lit(127.0),
+                                F.floor(v / F.col("scale") + F.lit(0.5))
+                                .cast("double"))).cast("tinyint")))
+            .select(id_alias, "codes", "scale"))
+
+
+def sq8_recon_col() -> Column:
+    """Reconstruction from (codes, scale) columns — exact doubles."""
+    return F.transform(F.col("codes"),
+                       lambda c: c.cast("double") * F.col("scale"))
+
+
+def cosine_topk_from_ivf_index(assign: DataFrame, codes: DataFrame,
+                               vecs: DataFrame, queries: DataFrame,
+                               cents: DataFrame) -> DataFrame:
+    """The IVF+SQ8 search over an EXPLICIT index: centroid assignments
+    (``cand_id, cluster``), SQ8 codes (``cand_id, codes, scale``), and
+    exact vectors (``cand_id, ce``) for the re-rank.  This is the ONE
+    definition shared by the batch query (which builds the index
+    inline) and the persisted-index serving path
+    (streaming/corpus.py::ivf_index_sink + cosine_topk_from_ivf_store),
+    so batch/served parity holds by construction."""
     probes = _nearest_clusters(queries, cents, "query_id", IVF_NPROBE)
     # Prune BEFORE scoring: candidate ids = corpus rows whose cluster
     # is probed by the query.  This equi-join is the inverted-file
     # lookup; everything downstream touches only its output.
-    pair_ids = (corpus_assign.join(F.broadcast(probes), "cluster")
+    pair_ids = (assign.join(F.broadcast(probes), "cluster")
                 .filter(F.col("cand_id") != F.col("query_id"))
                 .select("query_id", "cand_id").distinct())
-    # SQ8 reconstructions (load_embeddings gates out zero-norm
-    # vectors, so scale > 0 always holds).
-    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    scale = F.array_max(F.transform(F.col("x"), F.abs)) / F.lit(127.0)
-    recon = (emb.select(F.col("vec_id").alias("cand_id"), x.alias("x"))
-             .withColumn("scale", scale)
-             .withColumn(
-                 "recon",
-                 F.transform(
-                     F.col("x"),
-                     lambda v: F.greatest(
-                         F.lit(-127.0),
-                         F.least(F.lit(127.0),
-                                 F.floor(v / F.col("scale") + F.lit(0.5))
-                                 .cast("double"))) * F.col("scale")))
+    recon = (codes.withColumn("recon", sq8_recon_col())
              .select("cand_id", "recon"))
     qa = queries.select(F.col("vec_id").alias("query_id"),
                         F.col("embedding").alias("qe"))
@@ -1560,8 +1579,7 @@ def q_cosine_topk_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = (coarse.withColumn("crank", F.row_number().over(w))
                  .filter(F.col("crank") <= IVFSQ_SHORTLIST)
                  .select("query_id", "cand_id"))
-    exact = (emb.select(F.col("vec_id").alias("cand_id"),
-                        F.col("embedding").alias("ce"))
+    exact = (vecs
              .join(F.broadcast(shortlist), "cand_id")
              .join(F.broadcast(qa), "query_id"))
     w2 = (Window.partitionBy("query_id")
@@ -1574,6 +1592,23 @@ def q_cosine_topk_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= IVF_TOPK)
             .select("query_id", "cand_id", "cosine", "rank"))
+
+
+def q_cosine_topk_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < SEMDEDUP_K)
+    cents = (emb.filter(F.col("vec_id") < SEMDEDUP_K)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("cent")))
+    # SQ8 reconstructions (load_embeddings gates out zero-norm
+    # vectors, so scale > 0 always holds).
+    return cosine_topk_from_ivf_index(
+        assign=_nearest_clusters(emb, cents, "cand_id", 1),
+        codes=sq8_encode(emb, "cand_id"),
+        vecs=emb.select(F.col("vec_id").alias("cand_id"),
+                        F.col("embedding").alias("ce")),
+        queries=queries, cents=cents)
 
 
 register(QuerySpec(

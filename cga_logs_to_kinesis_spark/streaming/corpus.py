@@ -1453,3 +1453,91 @@ def event_funnel_from_store(spark: SparkSession,
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# IVF serving twin: the persisted inverted-file + SQ8 index
+# ---------------------------------------------------------------------------
+# cosine_topk_ivf_sq builds its index inline per run; a serving story
+# needs the index PERSISTED so arriving queries pay only the probe.
+# Three batch_id-keyed stores, the ann_index_sink discipline: the
+# centroid ASSIGNMENTS (the inverted file: vec -> cluster), the SQ8
+# CODES (tinyint codes + scale, 4x smaller than float32 — what the
+# coarse pass streams), and the exact VECTORS (what the final re-rank
+# touches, shortlist-sized reads only).  Centroids are a fixed model
+# artifact supplied at sink construction (IVF centroids are trained
+# offline; re-clustering is a rebuild, not a fold).
+#
+# Exactly-once is structural: the sink reads NOTHING — each batch's
+# assignments/codes are a pure function of that batch + the fixed
+# centroids, so a replayed batch overwrites its own partitions with
+# identical bytes.  Per-batch work is O(|batch| x n_centroids),
+# independent of index size (measured by
+# tests/test_incremental_stress.py::test_ivf_sink_work_is_flat).
+# Serving reads the whole store: an uncommitted crash-window
+# partition is identical to what the replay will write, so readers
+# are never wrong, merely early.
+
+def ivf_index_sink(assign_dir: str, code_dir: str, vector_dir: str,
+                   cents: DataFrame,
+                   fail_after_all_writes_for: tuple[int, ...] = ()):
+    """foreachBatch sink persisting the IVF+SQ8 index for
+    :func:`cosine_topk_from_ivf_store`.  ``cents`` is the fixed
+    centroid table (centroid_id, cent)."""
+    from cga_logs_to_kinesis_spark.operators.similarity import (
+        _nearest_clusters,
+        sq8_encode,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint()
+        conf = {"partitionOverwriteMode": "dynamic"}
+        (_nearest_clusters(batch, cents, "cand_id", 1)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(assign_dir))
+        (sq8_encode(batch, "cand_id")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(code_dir))
+        (batch.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(vector_dir))
+        if (batch_id in fail_after_all_writes_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after last write, batch {batch_id}")
+
+    return process
+
+
+def cosine_topk_from_ivf_store(spark: SparkSession, assign_dir: str,
+                               code_dir: str, vector_dir: str,
+                               queries: DataFrame,
+                               cents: DataFrame) -> DataFrame:
+    """Serve ANN queries against the PERSISTED IVF+SQ8 index — same
+    probe/coarse/re-rank composition as the batch query, through the
+    shared :func:`cosine_topk_from_ivf_index`, so served results are
+    bit-identical to a batch run over the same vectors."""
+    from cga_logs_to_kinesis_spark.operators.similarity import (
+        cosine_topk_from_ivf_index,
+    )
+
+    assign = _read_store(spark, assign_dir)
+    codes = _read_store(spark, code_dir)
+    vecs = _read_store(spark, vector_dir)
+    if assign is None or codes is None or vecs is None:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, cosine double, rank int")
+    return cosine_topk_from_ivf_index(
+        assign=assign.select("cand_id", "cluster"),
+        codes=codes.select("cand_id", "codes", "scale"),
+        vecs=vecs.select(F.col("vec_id").alias("cand_id"),
+                         F.col("embedding").alias("ce")),
+        queries=queries, cents=cents)

@@ -1250,3 +1250,89 @@ def test_funnel_state_sink_null_semantics_match_batch(spark, tmp_path):
     # NULL, NULL-user can't join); stage 3: none
     assert _funnel_report(spark, store) == [
         (1, "view", 3), (2, "click", 1), (3, "purchase", 0)]
+
+
+# ---------------------------------------------------------------------------
+# IVF serving twin (persisted inverted-file + SQ8 index)
+# ---------------------------------------------------------------------------
+
+def _ivf_fixture(spark, tmp_path, n=3):
+    from cga_logs_to_kinesis_spark.operators.similarity import (
+        SEMDEDUP_K,
+    )
+    from cga_logs_to_kinesis_spark.sources import load_embeddings
+
+    emb = load_embeddings(spark, SF_SMOKE).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < SEMDEDUP_K)
+    cents = (emb.filter(F.col("vec_id") < SEMDEDUP_K)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("cent"))
+             .localCheckpoint())
+    src = tmp_path / "vec_arrivals"
+    for k in range(n):
+        emb.filter(F.col("vec_id") % n == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+    return emb, queries, cents, str(src)
+
+
+def _drain_vecs(spark, src, sink, ckpt):
+    q = (spark.readStream
+         .schema("vec_id long, embedding array<float>")
+         .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass                             # injected crash surfaces here
+
+
+def test_ivf_store_serving_matches_batch(spark, tmp_path):
+    """Queries served against the persisted index must equal the
+    registered batch cosine_topk_ivf_sq bit-for-bit (same shared
+    search definition, same fixture vectors)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        cosine_topk_from_ivf_store,
+        ivf_index_sink,
+    )
+
+    _, queries, cents, src = _ivf_fixture(spark, tmp_path)
+    dirs = [str(tmp_path / d) for d in ("assign", "codes", "vecs")]
+    _drain_vecs(spark, src, ivf_index_sink(*dirs, cents),
+                str(tmp_path / "ckpt"))
+    got = sorted(map(tuple, cosine_topk_from_ivf_store(
+        spark, *dirs, queries, cents).collect()))
+    want = sorted(map(tuple,
+                      all_queries()["cosine_topk_ivf_sq"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_ivf_sink_crash_replay_is_exactly_once(spark, tmp_path):
+    """Crash after the last store write, before the checkpoint
+    commit: the replayed batch rewrites identical partitions (the
+    sink reads nothing — pure function of batch + fixed centroids),
+    so the served result is unchanged."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        cosine_topk_from_ivf_store,
+        ivf_index_sink,
+    )
+
+    emb, queries, cents, src = _ivf_fixture(spark, tmp_path)
+    dirs = [str(tmp_path / d) for d in ("assign", "codes", "vecs")]
+    sink = ivf_index_sink(*dirs, cents, fail_after_all_writes_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_vecs(spark, src, sink, ckpt)   # dies on batch 1 post-write
+    _drain_vecs(spark, src, sink, ckpt)   # replay batch 1, finish 2
+    # the replay overwrote, not appended: no duplicate vectors
+    assert spark.read.parquet(str(tmp_path / "vecs")).count() \
+        == emb.count()
+    got = sorted(map(tuple, cosine_topk_from_ivf_store(
+        spark, *dirs, queries, cents).collect()))
+    want = sorted(map(tuple,
+                      all_queries()["cosine_topk_ivf_sq"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert got == want

@@ -265,3 +265,225 @@ def test_minhash_sink_work_grows_linearly_not_quadratically(
     idx_rows = spark.read.parquet(idx).count()
     assert idx_rows % n_docs == 0
     assert spark.read.parquet(str(tmp_path / "sh")).count() == n_docs
+
+
+# ---------------------------------------------------------------------------
+# r12: measured envelopes for the remaining store families.  Most of
+# these sinks read NO cross-batch state (pure per-batch folds), so
+# their envelope is strictly flat; the funnel sink reads its per-user
+# state back, so its envelope is flat only once the user universe
+# saturates — exactly the dedup-sink shape.
+# ---------------------------------------------------------------------------
+
+HH_BATCHES = 12
+
+
+def test_heavy_hitters_sink_work_is_flat(spark, tmp_path):
+    """The MG summary sink tokenizes ONLY its own batch (O(K) state
+    per partition, no store read): per-batch work must not grow as
+    the summary store accumulates versions."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        heavy_hitters_sink,
+    )
+
+    sink = heavy_hitters_sink(str(tmp_path / "mg"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        sink(_dup_doc_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch MG work grew with store history: early={early:.0f} "
+        f"late={late:.0f} records/batch")
+
+
+def _lineitem_batch(spark, k: int, n=1000):
+    """Deterministic lineitem-shaped batch over FIXED value universes
+    (so the distinct-value store saturates)."""
+    h = lambda j: F.abs(F.xxhash64(F.lit(k), "id", F.lit(j)))  # noqa: E731
+    return spark.range(n).select(
+        (h(1) % 5000).alias("l_orderkey"),
+        (h(2) % 200).alias("l_partkey"),
+        (h(3) % 10).alias("l_suppkey"),
+        (h(4) % 7).cast("int").alias("l_linenumber"),
+        (h(5) % 50).cast("double").alias("l_quantity"),
+        ((h(6) % 9000) / 100.0).alias("l_extendedprice"),
+        ((h(7) % 10) / 100.0).alias("l_discount"),
+        ((h(8) % 8) / 100.0).alias("l_tax"),
+        F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                     (h(9) % 3 + 1).cast("int")).alias("l_returnflag"),
+        F.element_at(F.array(F.lit("F"), F.lit("O")),
+                     (h(10) % 2 + 1).cast("int")).alias("l_linestatus"),
+        F.timestamp_seconds(F.lit(800000000) + (h(11) % 1000) * 86400)
+        .alias("l_shipdate"))
+
+
+def test_table_profile_sink_work_is_flat(spark, tmp_path):
+    """The profile sink folds partials + distinct values of ITS OWN
+    batch only — per-batch work flat regardless of store size."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        table_profile_sink,
+    )
+
+    sink = table_profile_sink(str(tmp_path / "p"), str(tmp_path / "v"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        sink(_lineitem_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch profile work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
+
+
+def _audit_batch(spark, k: int, n=800):
+    h = F.abs(F.xxhash64(F.lit(k), "id"))
+    text = F.concat(F.lit("body "), (h % 2000).cast("string"))
+    return spark.range(n).select(
+        (F.lit(k * 10_000) + F.col("id")).alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+        F.when(h % 17 == 0, F.lit("<<garbage>>"))
+        .otherwise(F.lit(None).cast("string")).alias("_corrupt_record"),
+        (h % 4).alias("shard"))
+
+
+def test_ingest_audit_sink_work_is_flat(spark, tmp_path):
+    """The audit sink folds per-shard partials of its own batch only
+    (no cross-batch read at all) — strictly flat."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        ingest_audit_sink,
+    )
+
+    sink = ingest_audit_sink(str(tmp_path / "audit"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        sink(_audit_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch audit work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
+
+
+def test_bloom_positions_sink_work_is_flat(spark, tmp_path):
+    """The blocklist sink fingerprints its own batch and writes
+    distinct positions (<= BLOOM_BITS rows) — strictly flat, and the
+    store is structurally bounded."""
+    from cga_logs_to_kinesis_spark.operators.sketches import BLOOM_BITS
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        bloom_positions_sink,
+    )
+
+    store = str(tmp_path / "bloom")
+    sink = bloom_positions_sink(store)
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        sink(_dup_doc_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch bloom work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
+    per_batch = (spark.read.parquet(store)
+                 .groupBy("batch_id").count().collect())
+    assert all(r["count"] <= BLOOM_BITS for r in per_batch)
+
+
+FUNNEL_USERS = 400
+FUNNEL_EVENTS_PER_BATCH = 1500
+
+
+def _funnel_batch(spark, k: int):
+    """Funnel-feed batch over a FIXED user universe: per-user state
+    saturates while cumulative event history grows without bound."""
+    h = F.abs(F.xxhash64(F.lit(k), "id"))
+    stage = F.element_at(
+        F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+        (h % 3 + 1).cast("int"))
+    return spark.range(FUNNEL_EVENTS_PER_BATCH).select(
+        (h % FUNNEL_USERS).alias("user_id"),
+        stage.alias("event_type"),
+        (F.abs(F.xxhash64(F.lit(k), "id", F.lit(3)))
+         % 200_000_000_000).alias("us"))
+
+
+def test_funnel_sink_work_is_flat_once_users_saturate(spark, tmp_path):
+    """The funnel sink reads the previous per-user state version and
+    folds the batch in: work is O(|batch| + |state|), and state is
+    bounded by the user universe x candidate times within the gap
+    windows (anchor pruning), NOT by cumulative event history."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_funnel_state_store,
+        funnel_state_sink,
+    )
+
+    store = str(tmp_path / "funnel")
+    sink = funnel_state_sink(store)
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        sink(_funnel_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+        if k % 5 == 4:
+            compact_funnel_state_store(store)
+            _, cursor = _work_since(spark, cursor)
+    early = sum(work[2:6]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch funnel work grew with event history: "
+        f"early={early:.0f} late={late:.0f} records/batch — state is "
+        f"supposed to be the pruned per-user candidate lists")
+    # state rows bounded: <= users x stages per version
+    import pyspark.sql.functions as SF
+    latest = (spark.read.parquet(store)
+              .agg(SF.max("batch_id")).first()[0])
+    n_state = (spark.read.parquet(store)
+               .filter(SF.col("batch_id") == latest).count())
+    assert n_state <= FUNNEL_USERS * 3
+
+
+def test_ivf_sink_work_is_flat(spark, tmp_path):
+    """The IVF index sink assigns/encodes ONLY its own batch against
+    the fixed centroids (reads nothing) — strictly flat while the
+    persisted index grows linearly underneath."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        ivf_index_sink,
+    )
+
+    cents = (_vec_batch(spark, 999).limit(8)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("cent"))
+             .localCheckpoint())
+    dirs = [str(tmp_path / d) for d in ("assign", "codes", "vecs")]
+    sink = ivf_index_sink(*dirs, cents)
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        sink(_vec_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch IVF index work grew with index size: "
+        f"early={early:.0f} late={late:.0f} records/batch")
+    # the index grew linearly underneath: one assignment per vector
+    n = HH_BATCHES * VECS_PER_BATCH
+    assert spark.read.parquet(dirs[0]).count() == n
+    assert spark.read.parquet(dirs[1]).count() == n
