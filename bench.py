@@ -84,6 +84,11 @@ HEADLINE = (
     "cosine_topk_ivf_sq",
     "join_key_skew",
     "event_funnel",
+    # r12: the salting planner (shares join_key_skew's frequency
+    # front) and the per-source encoding-damage audit (one scan,
+    # map-side folds)
+    "salted_join_plan",
+    "encoding_anomaly_report",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the

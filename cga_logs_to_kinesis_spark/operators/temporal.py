@@ -372,9 +372,14 @@ def funnel_feed(events: DataFrame) -> DataFrame:
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = funnel_feed(load_events(spark, sf_dir))
+    # Each stage table is localCheckpoint'ed ONLY while it has two
+    # consumers (its count frame + the next stage's join); the LAST
+    # stage feeds nothing downstream, so it stays lazy — k-1 stages
+    # cost k-1 blocking driver jobs, not k (r11 verdict design note).
+    last = len(FUNNEL_STAGES)
     cur = (ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
-           .groupBy("user_id").agg(F.min("us").alias("t"))
-           .localCheckpoint())
+           .groupBy("user_id").agg(F.min("us").alias("t")))
+    cur = cur.localCheckpoint() if last > 1 else cur
     frames = [cur.agg(F.count("*").alias("n_users"))
               .select(F.lit(1).cast("int").alias("stage_idx"),
                       F.lit(FUNNEL_STAGES[0]).alias("stage"),
@@ -384,8 +389,9 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(cur, "user_id")
                .filter((F.col("us") >= F.col("t"))
                        & (F.col("us") <= F.col("t") + FUNNEL_GAP_US))
-               .groupBy("user_id").agg(F.min("us").alias("t"))
-               .localCheckpoint())
+               .groupBy("user_id").agg(F.min("us").alias("t")))
+        if i < last:
+            cur = cur.localCheckpoint()
         frames.append(cur.agg(F.count("*").alias("n_users"))
                       .select(F.lit(i).cast("int").alias("stage_idx"),
                               F.lit(st).alias("stage"), "n_users"))

@@ -43,29 +43,31 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-11 curation -----------------------------------------------
-    # Leads: the three r10-new oracle-paired queries that have never
-    # had a driver row (landed after the r10 window was curated;
-    # bloom_decontaminate additionally changed this round — nullable-
-    # batch fp fix + treeReduce bitmap build), then the r11-new
-    # cosine_topk_ivf_sq, then the 11 queries deferred from the r10
-    # window (anti_join_customers also CHANGED this round: predicate
-    # de-vacuated so sf0.01 produces rows), then 33 of the 46
-    # eligible r7-latest queries (the 47-query r7 cohort minus
-    # approx_quantiles, which is rows-only and permanently out by
-    # convention; alphabetical order, with shard_assign and
-    # sliding_window displaced to r12 by the two r11-new slots).
+    # -- round-12 curation -----------------------------------------------
+    # Leads: the two r12-NEW oracle-paired queries (salted_join_plan,
+    # encoding_anomaly_report), then the four queries whose CODE
+    # CHANGED this round (heavy_hitters: input-width-gated repartition;
+    # cosine_topk_ivf_sq: search tail refactored into the shared
+    # cosine_topk_from_ivf_index used by the persisted-index serving
+    # twin; event_funnel: projection refactored into funnel_feed shared
+    # with the streaming state sink; join_key_skew: frequency front
+    # refactored into skew_key_frequencies shared with the planner),
+    # then the 13 queries deferred from the r11 window (r7-latest
+    # green rows), then the 31 stalest of the r8-window cohort in
+    # CORRECTNESS_r08.json order.
     #
-    # Deferred to the r12 window (each keeps its r7 green row and
-    # full-registry pytest coverage): shard_assign and sliding_window
-    # (displaced when the r11-new join_key_skew and event_funnel took
-    # their slots), small_qty_revenue,
-    # split_leakage, split_leakage_repair, split_repair,
-    # stats_tumbling, stratified_sample, top3_orders_per_customer,
-    # top_supplier, unigram_rarity, volume_shipping,
-    # waiting_suppliers.  The r12 window should lead with any
-    # r12-new/changed queries, then these 13, then the stalest
-    # remaining cohort (r8 window, listed in CORRECTNESS_r08.json).
+    # Deferred to the r13 window (each keeps its r8 green row and
+    # full-registry pytest coverage): the remaining 19 of the r8
+    # cohort — funnel_conversion, global_topk, json_props,
+    # map_functions, mixture_weights, multi_resolution_rollup,
+    # passage_dedup, pivot_event_types, price_percentiles,
+    # pricing_summary, prune_frequent_tokens,
+    # range_join_error_after_purchase, running_revenue,
+    # session_windows, shipping_priority, similar_part_names,
+    # token_length_histogram, rollup_pricing, unpivot_metrics.  The
+    # r13 window should lead with any r13-new/changed queries, then
+    # these 19, then the stalest remaining cohort (r9 window, listed
+    # in CORRECTNESS_r09.json).
     # Permanently out by convention: cosine_topk_fast (bit-exact
     # parity-pinned to cosine_topk) and the rows-only queries
     # (multimodal_features / multimodal_resize PNG-zlib;
@@ -73,61 +75,60 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # length_outliers_approx sketches, error-bound-tested against
     # their exact siblings).
     #
-    # r10-new, no driver row yet:
+    # r12-new:
+    "salted_join_plan",
+    "encoding_anomaly_report",
+    # r12-changed:
     "heavy_hitters",
-    "bloom_decontaminate",
-    "cosine_topk_pq",
-    # r11-new:
     "cosine_topk_ivf_sq",
-    "join_key_skew",
     "event_funnel",
-    # deferred from the r10 window (r6-latest; anti_join_customers
-    # changed in r11):
-    "anti_join_customers",
-    "bulk_orders",
-    "curation_funnel",
-    "curation_manifest",
-    "date_trunc_buckets",
-    "envelope_json_roundtrip",
-    "priority_count",
-    "promo_share",
-    "text_normalize",
-    "token_frequencies",
-    "union_by_name",
-    # oldest 35 of the r7-latest cohort:
-    "ann_recall_report",
-    "ann_truncation_recall",
-    "batch_pages",
-    "bigram_surprisal",
-    "bm25_topk",
-    "bpe_learn_merges",
-    "bpe_tokenize",
-    "char_diversity",
-    "chunk_overlap",
-    "cosine_topk",
-    "cosine_topk_lsh",
-    "customer_distribution",
-    "dedup_minhash_incremental",
-    "dedup_near_survivors",
-    "dedup_recall_report",
-    "dedup_substring",
-    "dedup_substring_apply",
-    "dedup_substring_stats",
-    "disjunctive_revenue",
-    "dsir_importance",
-    "embedding_covariance",
-    "embedding_validity",
-    "idle_customers",
-    "kmeans_embeddings",
-    "lang_mismatch_report",
-    "length_outliers",
-    "market_share",
-    "modal_agreement",
-    "pagerank_docs",
-    "pca_project",
-    "quality_weighted_sample",
-    "rate_anomaly",
-    "retention_cohorts",
+    "join_key_skew",
+    # deferred from the r11 window (r7-latest green rows):
+    "shard_assign",
+    "sliding_window",
+    "small_qty_revenue",
+    "split_leakage",
+    "split_leakage_repair",
+    "split_repair",
+    "stats_tumbling",
+    "stratified_sample",
+    "top3_orders_per_customer",
+    "top_supplier",
+    "unigram_rarity",
+    "volume_shipping",
+    "waiting_suppliers",
+    # stalest 31 of the r8-window cohort (CORRECTNESS_r08.json order):
+    "curation_export_manifest",
+    "dedup_cluster_stats",
+    "dedup_threshold_sweep",
+    "forecast_revenue",
+    "table_profile",
+    "quality_percentile_calibrate",
+    "embedding_drift",
+    "min_cost_supplier",
+    "product_profit",
+    "important_stock",
+    "supplier_part_counts",
+    "excess_stock_suppliers",
+    "dedup_best_survivors",
+    "dedup_downweight",
+    "ann_incremental",
+    "dedup_components",
+    "jsonl_ingest_report",
+    "array_functions",
+    "asof_last_signup",
+    "conditional_pivot",
+    "corpus_stats",
+    "dedup_containment",
+    "dedup_events_first",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_source_flow",
+    "dedup_winnow_pairs",
+    "distinct_users",
+    "domain_cap",
+    "envelope_project",
 )
 
 
