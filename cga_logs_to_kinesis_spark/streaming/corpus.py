@@ -1541,3 +1541,62 @@ def cosine_topk_from_ivf_store(spark: SparkSession, assign_dir: str,
         vecs=vecs.select(F.col("vec_id").alias("cand_id"),
                          F.col("embedding").alias("ce")),
         queries=queries, cents=cents)
+
+
+# ---------------------------------------------------------------------------
+# Streaming encoding-anomaly audit: per-batch mergeable partials
+# ---------------------------------------------------------------------------
+# The streaming twin of operators/ingest_audit.py::
+# q_encoding_anomaly_report — same posture as ingest_audit_sink:
+# every aggregate is a count or sum over row-local projections, so
+# per-(batch, source) partials re-fold into the exact whole-corpus
+# report no matter how the crawl split into micro-batches.  The sink
+# reads nothing across batches; its single write is a batch_id
+# dynamic-overwrite partition, so a foreachBatch replay overwrites
+# itself identically (the exactly-once argument ingest_audit_sink
+# documents).  At 100 TB this is the continuous form of the ingest
+# encoding gate: one scan per batch, map-side folds, a producer that
+# starts shipping mojibake is visible in the fold as soon as its
+# batch lands.
+
+def encoding_anomaly_sink(store_dir: str,
+                          fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch twin of ``q_encoding_anomaly_report`` — per-batch
+    per-source partial anomaly counts appended batch_id-keyed."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        encoding_anomaly_aggs,
+        encoding_per_doc,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        report = (encoding_per_doc(batch_df)
+                  .groupBy("source").agg(*encoding_anomaly_aggs()))
+        (report.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def encoding_anomaly_report_from_store(spark: SparkSession,
+                                       store_dir: str) -> DataFrame:
+    """Fold the per-batch partials into the whole-corpus per-source
+    report — bit-identical to ``q_encoding_anomaly_report`` over the
+    same documents (every column is a count or sum)."""
+    s = spark.read.parquet(store_dir)
+    sum_cols = [c for c in s.columns
+                if c not in ("source", "batch_id")]
+    return (s.groupBy("source")
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            .orderBy("source"))

@@ -1336,3 +1336,57 @@ def test_ivf_sink_crash_replay_is_exactly_once(spark, tmp_path):
                       all_queries()["cosine_topk_ivf_sq"]
                       .fn(spark, SF_SMOKE).collect()))
     assert got == want
+
+
+def test_encoding_anomaly_sink_matches_batch(spark, tmp_path):
+    """Per-batch encoding-anomaly partials must re-fold to the exact
+    batch report, whatever the micro-batch split."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        encoding_anomaly_report_from_store,
+        encoding_anomaly_sink,
+    )
+
+    docs, src = _staged_stream(spark, tmp_path)
+    store = str(tmp_path / "enc_store")
+    q = (src.writeStream.foreachBatch(encoding_anomaly_sink(store))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, encoding_anomaly_report_from_store(
+        spark, store).collect()))
+    want = sorted(map(tuple,
+                      all_queries()["encoding_anomaly_report"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_encoding_anomaly_sink_crash_replay_is_exactly_once(
+        spark, tmp_path):
+    """Crash after the write, before the checkpoint commit: the
+    replayed batch overwrites its own partition identically — the
+    fold must not double-count."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        encoding_anomaly_report_from_store,
+        encoding_anomaly_sink,
+    )
+
+    docs, src = _staged_stream(spark, tmp_path)
+    store = str(tmp_path / "enc_store")
+    sink = encoding_anomaly_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):                   # crash run, then replay run
+        q = (src.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+    got = sorted(map(tuple, encoding_anomaly_report_from_store(
+        spark, store).collect()))
+    want = sorted(map(tuple,
+                      all_queries()["encoding_anomaly_report"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert got == want

@@ -487,3 +487,26 @@ def test_ivf_sink_work_is_flat(spark, tmp_path):
     n = HH_BATCHES * VECS_PER_BATCH
     assert spark.read.parquet(dirs[0]).count() == n
     assert spark.read.parquet(dirs[1]).count() == n
+
+
+def test_encoding_anomaly_sink_work_is_flat(spark, tmp_path):
+    """The encoding-audit sink folds its own batch only (no
+    cross-batch read) — strictly flat per-batch work."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        encoding_anomaly_sink,
+    )
+
+    sink = encoding_anomaly_sink(str(tmp_path / "enc"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        batch = _dup_doc_batch(spark, k).withColumn(
+            "source", (F.col("doc_id") % 4).cast("string"))
+        sink(batch, k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch encoding-audit work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")

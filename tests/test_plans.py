@@ -771,3 +771,27 @@ def test_heavy_hitters_wide_input_no_exchange(spark):
             "narrow fixture input lost its parallelism spread")
     finally:
         spark.conf.unset(EXPLODE_PARALLELISM_CONF)
+
+
+def test_encoding_anomaly_single_pruned_scan(spark):
+    """The encoding audit is one scan folded map-side: no joins, and
+    the parquet scan must read ONLY (text, source) — an audit that
+    drags the full document row through the regexp pass would pay
+    5x the I/O at 100 TB."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["encoding_anomaly_report"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    scans = scan_read_schema_columns(df)
+    assert scans and all(set(cols) <= {"text", "source"}
+                         for cols in scans), scans
+
+
+def test_salted_join_plan_broadcasts_totals(spark):
+    """The planner joins the key-frequency table to its 5-row totals:
+    that join must be broadcast (a shuffle here would re-shuffle the
+    whole frequency table to attach five rows)."""
+    df = SPECS["salted_join_plan"].fn(spark, SF_SMOKE)
+    assert uses_broadcast_join(df)
+    assert not uses_sort_merge_join(df)
