@@ -85,10 +85,12 @@ HEADLINE = (
     "join_key_skew",
     "event_funnel",
     # r12: the salting planner (shares join_key_skew's frequency
-    # front) and the per-source encoding-damage audit (one scan,
-    # map-side folds)
+    # front), the per-source encoding-damage audit (one scan,
+    # map-side folds), and the dataset-redundancy curve
+    # (fingerprint-only shuffles, window MIN)
     "salted_join_plan",
     "encoding_anomaly_report",
+    "ngram_novelty",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the

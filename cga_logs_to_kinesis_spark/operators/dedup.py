@@ -1937,3 +1937,80 @@ register(QuerySpec(
         "dropping — preserves the corpus distribution)",
     tags=("dedup", "north-star", "apply", "weighting"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: the dataset-redundancy curve
+# ---------------------------------------------------------------------------
+# The dedup family answers "which docs are copies"; this answers the
+# curation question underneath it: how much of each document's
+# content is NEW to the corpus at all?  Per doc, the share of its
+# distinct char-K-gram fingerprints whose corpus-wide FIRST
+# occurrence (min doc_id) is this doc — 1.0 for genuinely fresh
+# text, near 0 for boilerplate re-crawls, and the aggregate curve is
+# the diminishing-returns signal dataset scaling decisions read.
+#
+# Scale shape: shingles travel as 60-bit md5-prefix fingerprints
+# (the char_shingle_docs front — the shuffles carry bigints, never
+# text), first-occurrence is a window MIN over the fingerprint
+# partition (one shuffle on fp), the per-doc fold a second shuffle on
+# doc_id.  No joins, no self-pairs, state linear in distinct
+# fingerprints — at 100 TB this is the same envelope as the band
+# index.  The streaming twin (streaming/corpus.py::novelty_sink)
+# persists exactly (fp -> min doc_id) + (doc -> n_ngrams), which is
+# why novelty is defined on doc_id, not arrival order: the MIN fold
+# makes the report identical under ANY arrival permutation.
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint BEFORE the explode: generating rows from the
+    # un-materialized shingle column re-evaluates the md5 transform
+    # chain under the Generate (measured 15.4s vs 0.4s for the same
+    # 1M-row explode at sf0.1) — the same cut dedup_ngram_jaccard's
+    # front takes.
+    sh = char_shingle_docs(docs).localCheckpoint()
+    pairs = sh.select("doc_id", F.explode("shingles").alias("fp"))
+    w = Window.partitionBy("fp")
+    flagged = pairs.withColumn(
+        "is_novel",
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("bigint"))
+    per = (flagged.groupBy("doc_id")
+           .agg(F.count("*").alias("n_ngrams"),
+                F.sum("is_novel").alias("n_novel")))
+    return (per.withColumn(
+                "novelty",
+                F.col("n_novel").cast("double") / F.col("n_ngrams"))
+            .orderBy("doc_id"))
+
+
+register(QuerySpec(
+    "ngram_novelty", q_ngram_novelty,
+    oracle=f"""
+        WITH {CHAR_SHINGLES_SQL.strip()},
+        pairs AS (
+            SELECT doc_id, u.fp
+            FROM shingled_ne, UNNEST(shingles) AS u(fp)
+        ),
+        flagged AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                        THEN 1 ELSE 0 END AS is_novel
+            FROM pairs
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(SUM(is_novel) AS BIGINT) AS n_novel,
+               CAST(SUM(is_novel) AS DOUBLE) / COUNT(*) AS novelty
+        FROM flagged
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="per-doc n-gram novelty: share of the doc's distinct "
+        "char-5-gram fingerprints first seen (min doc_id) in this "
+        "doc — the dataset-redundancy curve; fingerprint-only "
+        "shuffles, window MIN + one fold, no joins",
+    tags=("dedup", "text", "quality", "north-star"),
+))

@@ -1600,3 +1600,120 @@ def encoding_anomaly_report_from_store(spark: SparkSession,
     return (s.groupBy("source")
             .agg(*[F.sum(c).alias(c) for c in sum_cols])
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming n-gram novelty: first-occurrence state as a MIN-fold store
+# ---------------------------------------------------------------------------
+# The streaming twin of operators/dedup.py::q_ngram_novelty.  Novelty
+# is defined on doc_id (not arrival order) precisely so the stream
+# can fold it exactly under ANY arrival permutation: the state is
+# (fp -> min doc_id seen) + (doc -> n_ngrams), and a document's
+# novel-count is just the number of fingerprints whose folded min
+# equals its id — group the fp store by its fold, no per-doc flags to
+# retro-update when an earlier doc_id arrives late.  MIN is
+# idempotent and commutative, so the store shares the distinct-store
+# algebra: per-batch partials append batch_id-keyed, replays
+# overwrite identically, crash-leftover duplicates cannot move a
+# MIN, and compaction folds everything into a batch_id=-1 base.  The
+# sink reads nothing across batches (flat per-batch work, measured);
+# state is linear in distinct fingerprints — the band-index envelope.
+
+def novelty_sink(fp_dir: str, doc_dir: str,
+                 fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink over document batches: per-batch (fp ->
+    min doc_id) partials + per-doc distinct-fingerprint counts."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        char_shingle_docs,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sh = char_shingle_docs(batch_df).localCheckpoint()
+        pairs = sh.select("doc_id", F.explode("shingles").alias("fp"))
+        conf = {"partitionOverwriteMode": "dynamic"}
+        (pairs.groupBy("fp")
+         .agg(F.min("doc_id").alias("first_doc"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(fp_dir))
+        (sh.select("doc_id", F.size("shingles").cast("long")
+                   .alias("n_ngrams"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(doc_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def compact_novelty_store(spark: SparkSession, fp_dir: str,
+                          upto_batch_id: int,
+                          files_per_partition: int = 1) -> int:
+    """Fold fp partials at or below ``upto_batch_id`` (plus any
+    existing base) into a ``batch_id=-1`` base via the MIN fold.
+    MIN idempotence makes the plain distinct-store base discipline
+    sufficient: a crash between base write and cleanup leaves
+    duplicate (fp, first_doc) rows that cannot move any folded MIN."""
+    import os
+    import shutil
+
+    df = _read_store(spark, fp_dir)
+    if df is None:
+        return 0
+    sel = (F.col("batch_id") == -1) | (F.col("batch_id")
+                                       <= upto_batch_id)
+    to_fold = df.filter(sel)
+    n_folded = (to_fold.filter(F.col("batch_id") >= 0)
+                .select("batch_id").distinct().count())
+    if n_folded == 0:
+        return 0
+    base = (to_fold.groupBy("fp")
+            .agg(F.min("first_doc").alias("first_doc"))
+            .coalesce(files_per_partition)
+            .withColumn("batch_id", F.lit(-1))
+            .localCheckpoint())          # self-read: old base is input
+    (base.write.mode("overwrite")
+     .options(partitionOverwriteMode="dynamic")
+     .partitionBy("batch_id").parquet(fp_dir))
+    for name in os.listdir(fp_dir):
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid != -1 and bid <= upto_batch_id:
+            shutil.rmtree(os.path.join(fp_dir, name))
+    return n_folded
+
+
+def ngram_novelty_from_store(spark: SparkSession, fp_dir: str,
+                             doc_dir: str) -> DataFrame:
+    """Fold the stores into the SAME per-doc report as the batch
+    ``ngram_novelty`` query: MIN per fp, group the mins by doc, join
+    the per-doc counts (novel-less docs get 0)."""
+    fps = _read_store(spark, fp_dir)
+    docs = _read_store(spark, doc_dir)
+    if fps is None or docs is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_ngrams long, n_novel long, "
+                "novelty double")
+    novel = (fps.groupBy("fp")
+             .agg(F.min("first_doc").alias("doc_id"))
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_novel")))
+    per_doc = docs.select("doc_id", "n_ngrams").distinct()
+    return (per_doc.join(novel, "doc_id", "left")
+            .select("doc_id", "n_ngrams",
+                    F.coalesce(F.col("n_novel"), F.lit(0))
+                    .alias("n_novel"))
+            .withColumn("novelty",
+                        F.col("n_novel").cast("double")
+                        / F.col("n_ngrams"))
+            .orderBy("doc_id"))

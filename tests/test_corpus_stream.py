@@ -1338,6 +1338,33 @@ def test_ivf_sink_crash_replay_is_exactly_once(spark, tmp_path):
     assert got == want
 
 
+def _drain_doc_sink(spark, src, sink, ckpt):
+    """Drive a documents-consuming foreachBatch sink ONE FILE PER
+    MICRO-BATCH (maxFilesPerTrigger is a SOURCE option — without it
+    availableNow merges every staged chunk into a single batch and
+    crash-injection on batch 1 never fires)."""
+    q = (spark.readStream
+         .schema("doc_id long, text string, lang string, "
+                 "source string, n_chars long")
+         .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass                             # injected crash surfaces here
+
+
+def _doc_chunks(spark, tmp_path, n=3):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "doc_chunks"
+    for k in range(n):
+        docs.filter(F.abs(F.hash("doc_id")) % n == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+    return str(src)
+
+
 def test_encoding_anomaly_sink_matches_batch(spark, tmp_path):
     """Per-batch encoding-anomaly partials must re-fold to the exact
     batch report, whatever the micro-batch split."""
@@ -1347,12 +1374,12 @@ def test_encoding_anomaly_sink_matches_batch(spark, tmp_path):
         encoding_anomaly_sink,
     )
 
-    docs, src = _staged_stream(spark, tmp_path)
+    src = _doc_chunks(spark, tmp_path)
     store = str(tmp_path / "enc_store")
-    q = (src.writeStream.foreachBatch(encoding_anomaly_sink(store))
-         .option("checkpointLocation", str(tmp_path / "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain_doc_sink(spark, src, encoding_anomaly_sink(store),
+                    str(tmp_path / "ckpt"))
+    assert (spark.read.parquet(store)
+            .select("batch_id").distinct().count()) == 3
     got = sorted(map(tuple, encoding_anomaly_report_from_store(
         spark, store).collect()))
     want = sorted(map(tuple,
@@ -1372,21 +1399,87 @@ def test_encoding_anomaly_sink_crash_replay_is_exactly_once(
         encoding_anomaly_sink,
     )
 
-    docs, src = _staged_stream(spark, tmp_path)
+    src = _doc_chunks(spark, tmp_path)
     store = str(tmp_path / "enc_store")
     sink = encoding_anomaly_sink(store, fail_after_write_for=(1,))
     ckpt = str(tmp_path / "ckpt")
-    for _ in range(2):                   # crash run, then replay run
-        q = (src.writeStream.foreachBatch(sink)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        try:
-            q.awaitTermination(120)
-        except Exception:
-            pass
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
     got = sorted(map(tuple, encoding_anomaly_report_from_store(
         spark, store).collect()))
     want = sorted(map(tuple,
                       all_queries()["encoding_anomaly_report"]
                       .fn(spark, SF_SMOKE).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming n-gram novelty (MIN-fold first-occurrence store)
+# ---------------------------------------------------------------------------
+
+def _novelty_report(spark, fp_dir, doc_dir):
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        ngram_novelty_from_store,
+    )
+    return sorted(map(tuple, ngram_novelty_from_store(
+        spark, fp_dir, doc_dir).collect()))
+
+
+def _novelty_batches(spark, tmp_path):
+    """Docs split into three arrival batches by a doc_id hash —
+    deliberately NOT in doc_id order, so first-occurrence minima
+    straddle batches in both directions."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "nov_arrivals"
+    for k in range(3):
+        docs.filter(F.abs(F.hash("doc_id")) % 3 == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+    return str(src)
+
+
+def test_novelty_sink_matches_batch_any_order(spark, tmp_path):
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        novelty_sink,
+    )
+
+    src = _novelty_batches(spark, tmp_path)
+    fp_dir = str(tmp_path / "fps")
+    doc_dir = str(tmp_path / "docs")
+    _drain_doc_sink(spark, src, novelty_sink(fp_dir, doc_dir),
+                    str(tmp_path / "ckpt"))
+    assert (spark.read.parquet(fp_dir)
+            .select("batch_id").distinct().count()) == 3
+    got = _novelty_report(spark, fp_dir, doc_dir)
+    want = sorted(map(tuple, all_queries()["ngram_novelty"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_novelty_sink_crash_replay_and_compaction(spark, tmp_path):
+    """Crash after the fp write, before the checkpoint commit: the
+    replay overwrites its own partitions; MIN idempotence also makes
+    the compactor's crash window harmless.  Compaction must leave
+    the report bit-identical."""
+    import os
+
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_novelty_store,
+        novelty_sink,
+    )
+
+    src = _novelty_batches(spark, tmp_path)
+    fp_dir = str(tmp_path / "fps")
+    doc_dir = str(tmp_path / "docs")
+    sink = novelty_sink(fp_dir, doc_dir, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    want = sorted(map(tuple, all_queries()["ngram_novelty"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert _novelty_report(spark, fp_dir, doc_dir) == want
+    assert compact_novelty_store(spark, fp_dir, 2) == 3
+    dirs = [d for d in os.listdir(fp_dir) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=-1"]
+    assert _novelty_report(spark, fp_dir, doc_dir) == want

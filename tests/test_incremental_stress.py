@@ -510,3 +510,25 @@ def test_encoding_anomaly_sink_work_is_flat(spark, tmp_path):
     assert late <= 3.0 * early, (
         f"per-batch encoding-audit work grew: early={early:.0f} "
         f"late={late:.0f} records/batch")
+
+
+def test_novelty_sink_work_is_flat(spark, tmp_path):
+    """The novelty sink shingles ONLY its own batch and writes
+    min-per-fp partials (no cross-batch read) — strictly flat,
+    while the fp store grows linearly underneath."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        novelty_sink,
+    )
+
+    sink = novelty_sink(str(tmp_path / "fps"), str(tmp_path / "docs"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        sink(_dup_doc_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch novelty work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")

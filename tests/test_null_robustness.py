@@ -56,6 +56,7 @@ PROBED = [
     "quality_percentile_calibrate", "dedup_best_survivors",
     "dedup_downweight", "heavy_hitters", "bloom_decontaminate",
     "length_outliers_approx", "encoding_anomaly_report",
+    "ngram_novelty",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",
