@@ -795,3 +795,19 @@ def test_salted_join_plan_broadcasts_totals(spark):
     df = SPECS["salted_join_plan"].fn(spark, SF_SMOKE)
     assert uses_broadcast_join(df)
     assert not uses_sort_merge_join(df)
+
+
+def test_ngram_novelty_shuffles_fingerprints_not_text(spark):
+    """Both novelty shuffles (window MIN on fp, per-doc fold) must
+    carry bigint fingerprints + ids only — the text column never
+    crosses an exchange (the checkpointed shingle front already
+    reduced it)."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["ngram_novelty"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for seg in plan.split("\n\n"):
+        if seg.strip().startswith("Exchange") or (
+                "Exchange" in seg.split("\n", 1)[0]):
+            assert "text#" not in seg, seg.split("\n", 1)[0]
+    assert "Join" not in plan        # window + fold, never a join

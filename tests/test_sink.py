@@ -116,3 +116,49 @@ def test_empty_and_single(spark, n):
     stats = deliver_pages(_records_df(spark, n).coalesce(1),
                           JsonDirTransport("/tmp/_ignored"), SinkConfig())
     assert stats["records_sent"].sum() == n
+
+
+def test_firehose_sink_delivery_and_retry(spark, tmp_path):
+    """K5: the Firehose PutRecordBatch sink is the same
+    page/retry/drop machinery over a Data-only transport — poisoned
+    records retry per-record then deliver, every record lands exactly
+    once, and no partition key leaks into the delivered payloads
+    (reference firehose.go:78-90)."""
+    import glob
+
+    from cga_logs_to_kinesis_spark.streaming.faults import (
+        FirehoseFakeTransport,
+    )
+
+    out = str(tmp_path / "fh")
+    n = 700                                    # forces two pages
+    rows = [(f"rec-{i}" + ("-poison" if i % 97 == 0 else ""), f"k{i%5}")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "data string, partition_key string") \
+        .selectExpr("CAST(data AS BINARY) AS data", "partition_key") \
+        .coalesce(1)
+    tp = FirehoseFakeTransport(out, fail_attempts=2)
+    stats = deliver_pages(df, tp, SinkConfig(base_backoff_s=0))
+    assert int(stats["records_sent"].sum()) == n
+    assert int(stats["records_dropped"].sum()) == 0
+    got = []
+    for path in glob.glob(out + "/*.jsonl"):
+        with open(path, "rb") as f:
+            got += [ln for ln in f.read().split(b"\n") if ln]
+    assert sorted(got) == sorted(
+        d.encode() for d, _ in rows), "lost or duplicated records"
+    assert all(b"k0" not in g or b"rec" in g for g in got)
+
+
+def test_firehose_fake_rejects_oversized_batch():
+    """The local double enforces the real API's 500-record cap, so a
+    page-cut regression cannot hide behind a permissive fake."""
+    import pytest as _pytest
+
+    from cga_logs_to_kinesis_spark.streaming.faults import (
+        FirehoseFakeTransport,
+    )
+
+    tp = FirehoseFakeTransport("/tmp/_unused")
+    with _pytest.raises(ValueError):
+        tp.send("s", [(b"x", "k")] * 501)
