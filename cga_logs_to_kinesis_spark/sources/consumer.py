@@ -101,16 +101,29 @@ class DirStreamTransport(Transport):
         self.n_shards = n_shards
 
     def send(self, stream, page):
-        by_shard: dict[int, list] = {}
+        from cga_logs_to_kinesis_spark.sources.admin import (
+            load_open_ranges,
+            route_key,
+        )
+
+        # Admin-managed streams (sources/admin.py) route by the open
+        # shard's 128-bit hash range — so SplitShard / MergeShards
+        # genuinely redirect subsequent traffic; legacy streams keep
+        # the fixed-width modulo.  Metadata is read once per request,
+        # the PutRecords-shaped unit.
+        ranges = load_open_ranges(self.stream_dir, stream)
+        by_shard: dict[str, list] = {}
         for data, key in page:
             if isinstance(data, str):
                 data = data.encode()
-            by_shard.setdefault(_shard_for_key(key, self.n_shards),
-                                []).append((data, key))
+            if ranges is None:
+                sid = f"shard-{_shard_for_key(key, self.n_shards):04d}"
+            else:
+                sid = route_key(ranges, key)
+            by_shard.setdefault(sid, []).append((data, key))
         now = time.time()
         for shard, recs in by_shard.items():
-            d = os.path.join(self.stream_dir, stream,
-                             f"shard-{shard:04d}")
+            d = os.path.join(self.stream_dir, stream, shard)
             os.makedirs(d, exist_ok=True)
             name = f"{time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
             tmp = os.path.join(d, f".{name}.tmp")
