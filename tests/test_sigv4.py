@@ -1,0 +1,146 @@
+"""K2/K3: the stdlib SigV4 signer pinned byte-for-byte against the
+worked example in the AWS Signature Version 4 documentation, plus
+canonicalization edge cases and the credential chain's resolution /
+expiry-cache behavior (reference sign.go:49-120, auth_*.go)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from cga_logs_to_kinesis_spark.functions.credentials import (
+    AssumeRoleProvider,
+    CachedProvider,
+    ChainProvider,
+    CredentialResolutionError,
+    Credentials,
+    InstanceMetadataProvider,
+    Provider,
+    StaticEnvProvider,
+    default_chain,
+)
+from cga_logs_to_kinesis_spark.functions.sigv4 import (
+    canonical_request,
+    derive_signing_key,
+    sign_request,
+)
+
+# The AWS documentation's complete worked example: GET
+# https://iam.amazonaws.com/?Action=ListUsers&Version=2010-05-08
+# signed with the published example keypair at 20150830T123600Z.
+_SECRET = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
+_HEADERS = {
+    "Host": "iam.amazonaws.com",
+    "Content-Type": "application/x-www-form-urlencoded; charset=utf-8",
+    "X-Amz-Date": "20150830T123600Z",
+}
+_QUERY = [("Action", "ListUsers"), ("Version", "2010-05-08")]
+
+
+def test_canonical_request_hash_matches_aws_example():
+    cr, signed = canonical_request("GET", "/", _QUERY, _HEADERS, b"")
+    assert signed == "content-type;host;x-amz-date"
+    assert hashlib.sha256(cr.encode()).hexdigest() == \
+        "f536975d06c0309214f805bb90ccff089219ecd68b2577efef23edd43b7e1a59"
+
+
+def test_signing_key_matches_aws_example():
+    key = derive_signing_key(_SECRET, "20150830", "us-east-1", "iam")
+    assert key.hex() == ("c4afb1cc5771d871763a393e44b70357"
+                         "1b55cc28424d1a5e86da6ed3c154a4b9")
+
+
+def test_signature_and_authorization_match_aws_example():
+    r = sign_request(access_key="AKIDEXAMPLE", secret_key=_SECRET,
+                     region="us-east-1", service="iam", method="GET",
+                     path="/", query=_QUERY, headers=_HEADERS)
+    assert r.signature == ("5d672d79c15b13162d9279b0855cfba6"
+                           "789a8edb4c82c400e06b5924a6f2b5d7")
+    assert r.authorization == (
+        "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20150830/us-east-1/"
+        "iam/aws4_request, SignedHeaders=content-type;host;x-amz-date, "
+        "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e0"
+        "6b5924a6f2b5d7")
+
+
+def test_canonicalization_rules():
+    """Header names lowercase + sort, values trim with internal space
+    runs collapsed; query pairs sort by ENCODED name/value; spaces
+    %20-encode (never '+'); payload hash changes the request."""
+    cr1, _ = canonical_request(
+        "get", "/", [("b", "2"), ("a", "1 1")],
+        {"HOST": "h", "X-Amz-Date": "D", "My-Header": "  a   b  "}, b"")
+    assert "my-header:a b\n" in cr1
+    lines = cr1.split("\n")
+    assert lines[0] == "GET" and lines[2] == "a=1%201&b=2"
+    cr2, _ = canonical_request(
+        "GET", "/", [("b", "2"), ("a", "1 1")],
+        {"Host": "h", "x-amz-date": "D", "my-header": "a b"}, b"x")
+    assert cr1.split("\n")[:-1] == cr2.split("\n")[:-1]
+    assert cr1 != cr2                      # payload hash differs
+
+
+def test_session_token_is_signed():
+    r = sign_request(access_key="AK", secret_key="SK", region="r",
+                     service="s", method="GET", path="/",
+                     headers=dict(_HEADERS), session_token="TOK")
+    assert "x-amz-security-token" in r.signed_headers
+    assert "x-amz-security-token:TOK" in r.canonical_request
+
+
+# -- K3: the credential chain ----------------------------------------------
+
+def test_static_env_provider_and_chain_order():
+    env = {"AWS_ACCESS_KEY_ID": "AK", "AWS_SECRET_ACCESS_KEY": "SK"}
+    c = ChainProvider([StaticEnvProvider(env),
+                       InstanceMetadataProvider()]).get()
+    assert (c.access_key, c.secret_key, c.session_token) == \
+        ("AK", "SK", None)
+    # env missing -> chain falls through to the gated metadata
+    # provider and reports every failure
+    with pytest.raises(CredentialResolutionError) as e:
+        ChainProvider([StaticEnvProvider({}),
+                       InstanceMetadataProvider()]).get()
+    assert "StaticEnvProvider" in str(e.value)
+    assert "InstanceMetadataProvider" in str(e.value)
+
+
+def test_assume_role_is_gated_not_silent():
+    with pytest.raises(CredentialResolutionError) as e:
+        default_chain({"AWS_ACCESS_KEY_ID": "AK",
+                       "AWS_SECRET_ACCESS_KEY": "SK"},
+                      role_arn="arn:aws:iam::1:role/x").get()
+    assert "arn:aws:iam::1:role/x" in str(e.value)
+
+
+def test_cached_provider_refreshes_inside_expiry_window():
+    """The cachedmutexedwarmedup contract: serve the cached
+    credentials until refresh_window before expiry, then refresh
+    under the lock — pinned with an injected clock."""
+    clock = {"t": 1000.0}
+    calls = {"n": 0}
+
+    class Counting(Provider):
+        def get(self):
+            calls["n"] += 1
+            return Credentials("AK", "SK", None,
+                               expiry=clock["t"] + 300)
+
+    p = CachedProvider(Counting(), refresh_window=60,
+                       clock=lambda: clock["t"])
+    assert p.get().access_key == "AK" and calls["n"] == 1
+    clock["t"] += 200                   # 100s left > 60s window
+    p.get()
+    assert calls["n"] == 1, "refreshed while comfortably valid"
+    clock["t"] += 50                    # 50s left <= 60s window
+    p.get()
+    assert calls["n"] == 2, "did not refresh inside the window"
+    # static credentials (no expiry) never refresh
+    class Static(Provider):
+        def get(self):
+            calls["n"] += 1
+            return Credentials("AK", "SK")
+    p2 = CachedProvider(Static(), clock=lambda: clock["t"])
+    p2.get(); clock["t"] += 10_000; p2.get()
+    assert calls["n"] == 3
