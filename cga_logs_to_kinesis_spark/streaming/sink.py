@@ -330,3 +330,88 @@ def firehose_boto3_transport(stream_region: str) -> Transport:
             return failed
 
     return FirehoseBoto3Transport(stream_region)
+
+
+def build_put_records_request(*, stream: str,
+                              page: list[tuple[bytes, str]],
+                              region: str, access_key: str,
+                              secret_key: str, amz_date: str,
+                              session_token: str | None = None,
+                              service: str = "kinesis",
+                              endpoint_host: str | None = None) -> dict:
+    """Construct the complete signed Kinesis ``PutRecords`` REST call
+    — the request the reference's vendored client assembles
+    (kinesis.go:209-247 HTTP layer + sign.go): x-amz-json-1.1 body
+    with base64 Data, the ``Kinesis_20131202.PutRecords`` target
+    header, and a SigV4 Authorization from functions/sigv4.py.  Pure
+    function of its inputs (the caller owns the clock), so the wire
+    shape is unit-testable without a network; ``sigv4_transport``
+    POSTs it via urllib when an endpoint is actually reachable."""
+    import base64
+    import json as _json
+
+    from cga_logs_to_kinesis_spark.functions.sigv4 import sign_request
+
+    host = endpoint_host or f"{service}.{region}.amazonaws.com"
+    body = _json.dumps({
+        "StreamName": stream,
+        "Records": [{"Data": base64.b64encode(
+                         d if isinstance(d, bytes) else bytes(d)
+                     ).decode(),
+                     "PartitionKey": k} for d, k in page],
+    }).encode()
+    headers = {
+        "Host": host,
+        "Content-Type": "application/x-amz-json-1.1",
+        "X-Amz-Target": "Kinesis_20131202.PutRecords",
+        "X-Amz-Date": amz_date,
+    }
+    signed = sign_request(access_key=access_key, secret_key=secret_key,
+                          region=region, service=service, method="POST",
+                          path="/", headers=headers, payload=body,
+                          session_token=session_token)
+    headers["Authorization"] = signed.authorization
+    if session_token is not None:
+        headers["X-Amz-Security-Token"] = session_token
+    return {"url": f"https://{host}/", "method": "POST",
+            "headers": headers, "body": body}
+
+
+def sigv4_transport(stream_region: str, provider=None,
+                    endpoint_host: str | None = None) -> Transport:
+    """Kinesis PutRecords over stdlib urllib with the repo's OWN
+    SigV4 signer and credential chain — the no-boto3 realization of
+    K1+K2+K3 (network-gated: this container has no AWS endpoint, so
+    only the request CONSTRUCTION is exercised by tests; prefer
+    ``boto3_transport`` in production)."""
+    import time as _time
+
+    from cga_logs_to_kinesis_spark.functions.credentials import (
+        default_chain,
+    )
+
+    prov = provider or default_chain()
+
+    class SigV4Transport(Transport):  # pragma: no cover - network
+        def send(self, stream, page):
+            import json as _json
+            import urllib.request
+
+            creds = prov.get()
+            amz_date = _time.strftime("%Y%m%dT%H%M%SZ",
+                                      _time.gmtime())
+            req = build_put_records_request(
+                stream=stream, page=page, region=stream_region,
+                access_key=creds.access_key,
+                secret_key=creds.secret_key, amz_date=amz_date,
+                session_token=creds.session_token,
+                endpoint_host=endpoint_host)
+            r = urllib.request.Request(
+                req["url"], data=req["body"], headers=req["headers"],
+                method=req["method"])
+            with urllib.request.urlopen(r, timeout=30) as resp:
+                out = _json.loads(resp.read())
+            return [i for i, rec in enumerate(out.get("Records", []))
+                    if "ErrorCode" in rec]
+
+    return SigV4Transport()
