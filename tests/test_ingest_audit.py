@@ -184,3 +184,63 @@ def test_join_key_skew_branches_are_both_exercised(spark):
         assert r.hot10_keys == 0                 # fixtures near-uniform
         assert r.n_rows > 0 and r.n_keys > 0
         assert r.max_key_rows * r.n_keys >= r.n_rows  # max >= mean
+
+
+def test_encoding_patterns_agree_cross_engine_on_adversarial_text(
+        spark):
+    """Every ENC_PATTERNS regex must count identically in Spark
+    (Java regex) and DuckDB (RE2) over a corpus built to probe the
+    class boundaries: each C0/C1 control individually, the full
+    CP1252 mojibake trail set, astral-plane and combining characters,
+    boundary codepoints adjacent to every class edge, and mixed
+    real-world mojibake shapes."""
+    import duckdb
+
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        ENC_PATTERNS,
+    )
+
+    texts = []
+    # every C0/C1 codepoint + DEL, each embedded in ASCII
+    for cp in list(range(0x00, 0x20)) + [0x7F] + \
+            list(range(0x80, 0xA0)):
+        texts.append(f"a{chr(cp)}b")
+    # class-boundary neighbours: must NOT count as controls
+    for cp in [0x09, 0x0A, 0x0D, 0x20, 0x7E, 0xA0, 0xA1]:
+        texts.append(f"x{chr(cp)}y")
+    # CP1252 trail set after each mojibake lead, plus bare trails
+    trail = ("€‚ƒ„…†‡ˆ‰Š‹ŒŽ''" + '""' + "•–—˜™š›œžŸ")
+    for t in trail:
+        texts.append(f"Â{t} Ã{t} â{t}{t} lone:{t}")
+    # replacement/invisible/astral/combining probes
+    texts += ["�", "a��b", "​‌‏",
+              "‪‮⁠﻿", "é combining",
+              "astral \U0001F600 pair", "ascii only text",
+              "Ã", "Â", "â", "ÃÃ©", "â€",
+              "¿ÀÁÄ",    # above the trail range
+              ""]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import pyspark.sql.functions as F
+    got = (df.select(
+        "doc_id",
+        *[F.coalesce(F.regexp_count("text", F.lit(p)), F.lit(0))
+          .alias(n) for n, p in ENC_PATTERNS.items()])
+        .orderBy("doc_id").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    cols = ", ".join(
+        f"COALESCE(len(regexp_extract_all(text, '{p}')), 0) AS {n}"
+        for n, p in ENC_PATTERNS.items())
+    want = con.execute(
+        f"SELECT doc_id, {cols} FROM t ORDER BY doc_id").fetchall()
+    con.close()
+    for g, w in zip(got, want):
+        assert tuple(g) == tuple(w), (
+            f"cross-engine divergence on {texts[g['doc_id']]!r}: "
+            f"spark={tuple(g)} duckdb={tuple(w)}")
+    # non-vacuity: the probes hit every counter
+    import numpy as np
+    totals = np.array([[int(x) for x in tuple(g)[1:]] for g in got]).sum(0)
+    assert (totals > 0).all(), f"vacuous probe column: {totals}"
