@@ -10,7 +10,6 @@ import hashlib
 import pytest
 
 from cga_logs_to_kinesis_spark.functions.credentials import (
-    AssumeRoleProvider,
     CachedProvider,
     ChainProvider,
     CredentialResolutionError,
