@@ -118,3 +118,107 @@ register(QuerySpec(
         "per-shard balance report",
     tags=("llm-pipeline", "sink", "export", "north-star"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Seeded epoch shuffle: the training order itself
+# ---------------------------------------------------------------------------
+# shard_assign decides WHERE a document lives; this decides WHEN the
+# trainer sees it.  The epoch shuffle must be (a) uniform — adjacent
+# corpus regions (one crawl, one source) must not train adjacently,
+# (b) reproducible — resume-from-step needs the same permutation on
+# every run and cluster layout, (c) re-drawable — a new epoch seed is
+# a new permutation.  All three fall out of ordering by
+# md5(epoch-seed || doc_id): the order KEY is row-local (no global
+# window, no zipWithIndex — a rank column would force a
+# single-partition WindowExec exactly where the corpus is largest),
+# and Spark's orderBy on the key is a range-partitioned parallel
+# sort, the same plan trainers' data loaders shard.  The schedule
+# bucket (leading hex nibble, 16 coarse "macro-batches") is likewise
+# row-local; its per-bucket source/lang mix is the interleaving
+# quality check — a shuffle that left a source clumped would show a
+# bucket dominated by it.
+
+TRAIN_SEED = "epoch0"
+SCHED_BUCKETS = 16
+
+
+def training_order_key(seed: str = TRAIN_SEED) -> Column:
+    """The seeded permutation key — row-local, engine-portable."""
+    return F.md5(F.concat(F.lit(f"order:{seed}:"),
+                          F.col("doc_id").cast("string")))
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document epoch-shuffle assignment: the order key, the
+    schedule bucket, and the source carried along so the trainer-side
+    loader can verify interleaving."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = training_order_key()
+    return (docs.select(
+                "doc_id", "source",
+                key.alias("order_key"),
+                (F.instr(F.lit(_HEX), F.substring(key, 1, 1)) - 1)
+                .cast("int").alias("sched_bucket"))
+            .orderBy("order_key"))
+
+
+def q_training_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaving quality report: per schedule bucket, volume
+    and source/lang diversity.  Uniform hashing makes every bucket a
+    near-proportional sample of the corpus — a clumped source (one
+    crawl trained contiguously) would surface as a bucket whose
+    n_sources collapses."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = training_order_key()
+    return (docs.select(
+                "source", "lang", "n_chars",
+                (F.instr(F.lit(_HEX), F.substring(key, 1, 1)) - 1)
+                .cast("int").alias("sched_bucket"))
+            .groupBy("sched_bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .orderBy("sched_bucket"))
+
+
+_ORDER_KEY_SQL = ("md5('order:" + TRAIN_SEED
+                  + ":' || CAST(doc_id AS VARCHAR))")
+_BUCKET_SQL = (f"CAST((strpos('{_HEX}', substring({_ORDER_KEY_SQL},"
+               f" 1, 1)) - 1) AS INTEGER)")
+
+register(QuerySpec(
+    "training_order", q_training_order,
+    oracle=f"""
+        SELECT doc_id, source,
+               {_ORDER_KEY_SQL} AS order_key,
+               {_BUCKET_SQL} AS sched_bucket
+        FROM documents
+        ORDER BY order_key
+    """,
+    doc=f"seeded epoch shuffle (seed '{TRAIN_SEED}'): per-doc "
+        "order key md5(seed||doc_id) + 16-way schedule bucket — "
+        "row-local keys, range-partitioned sort, no global window; "
+        "reproducible resume and re-drawable epochs",
+    tags=("llm-pipeline", "export", "north-star"),
+))
+
+register(QuerySpec(
+    "training_interleave", q_training_interleave,
+    oracle=f"""
+        SELECT {_BUCKET_SQL} AS sched_bucket,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="epoch-shuffle interleaving audit: per schedule bucket, doc "
+        "volume and source/lang diversity — a clumped source would "
+        "collapse a bucket's n_sources",
+    tags=("llm-pipeline", "export", "audit"),
+))

@@ -44,8 +44,9 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-12 curation -----------------------------------------------
-    # Leads: the two r12-NEW oracle-paired queries (salted_join_plan,
-    # encoding_anomaly_report), then the four queries whose CODE
+    # Leads: the five r12-NEW oracle-paired queries (salted_join_plan,
+    # encoding_anomaly_report, and the late-r12 ngram_novelty,
+    # training_order, training_interleave), then the four whose CODE
     # CHANGED this round (heavy_hitters: input-width-gated repartition;
     # cosine_topk_ivf_sq: search tail refactored into the shared
     # cosine_topk_from_ivf_index used by the persisted-index serving
@@ -53,12 +54,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # with the streaming state sink; join_key_skew: frequency front
     # refactored into skew_key_frequencies shared with the planner),
     # then the 13 queries deferred from the r11 window (r7-latest
-    # green rows), then the 31 stalest of the r8-window cohort in
-    # CORRECTNESS_r08.json order.
+    # green rows), then the 28 stalest of the r8-window cohort in
+    # CORRECTNESS_r08.json order (31 originally; distinct_users,
+    # domain_cap and envelope_project displaced when the late-r12
+    # ngram_novelty / training_order / training_interleave took
+    # window slots).
     #
     # Deferred to the r13 window (each keeps its r8 green row and
-    # full-registry pytest coverage): the remaining 19 of the r8
-    # cohort — funnel_conversion, global_topk, json_props,
+    # full-registry pytest coverage): the remaining 21 of the r8
+    # cohort — distinct_users, domain_cap, envelope_project,
+    # funnel_conversion, global_topk, json_props,
     # map_functions, mixture_weights, multi_resolution_rollup,
     # passage_dedup, pivot_event_types, price_percentiles,
     # pricing_summary, prune_frequent_tokens,
@@ -66,7 +71,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # session_windows, shipping_priority, similar_part_names,
     # token_length_histogram, rollup_pricing, unpivot_metrics.  The
     # r13 window should lead with any r13-new/changed queries, then
-    # these 19, then the stalest remaining cohort (r9 window, listed
+    # these 22, then the stalest remaining cohort (r9 window, listed
     # in CORRECTNESS_r09.json).
     # Permanently out by convention: cosine_topk_fast (bit-exact
     # parity-pinned to cosine_topk) and the rows-only queries
@@ -78,6 +83,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r12-new:
     "salted_join_plan",
     "encoding_anomaly_report",
+    "ngram_novelty",
+    "training_order",
+    "training_interleave",
     # r12-changed:
     "heavy_hitters",
     "cosine_topk_ivf_sq",
@@ -126,9 +134,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "dedup_source_flow",
     "dedup_winnow_pairs",
-    "distinct_users",
-    "domain_cap",
-    "envelope_project",
 )
 
 

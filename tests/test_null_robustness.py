@@ -56,7 +56,7 @@ PROBED = [
     "quality_percentile_calibrate", "dedup_best_survivors",
     "dedup_downweight", "heavy_hitters", "bloom_decontaminate",
     "length_outliers_approx", "encoding_anomaly_report",
-    "ngram_novelty",
+    "ngram_novelty", "training_order", "training_interleave",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",

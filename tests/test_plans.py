@@ -811,3 +811,16 @@ def test_ngram_novelty_shuffles_fingerprints_not_text(spark):
                 "Exchange" in seg.split("\n", 1)[0]):
             assert "text#" not in seg, seg.split("\n", 1)[0]
     assert "Join" not in plan        # window + fold, never a join
+
+
+def test_training_order_is_parallel_sort_no_window(spark):
+    """The epoch shuffle must stay a range-partitioned parallel sort:
+    a global rank/row_number would compile to a single-partition
+    WindowExec exactly where the corpus is largest."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["training_order"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "rangepartitioning(order_key" in plan
+    assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
