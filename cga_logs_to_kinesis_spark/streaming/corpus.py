@@ -1693,6 +1693,19 @@ def compact_novelty_store(spark: SparkSession, fp_dir: str,
     return n_folded
 
 
+def compact_novelty_doc_store(spark: SparkSession, doc_dir: str,
+                              upto_batch_id: int,
+                              files_per_partition: int = 1) -> int:
+    """Fold the per-doc count store's batch partitions into the
+    batch_id=-1 base — the doc store is DISTINCT-consumed (the report
+    reads it through .distinct(); a replayed batch's duplicate
+    (doc_id, n_ngrams) rows are harmless), so the shared base
+    compactor applies verbatim."""
+    return _compact_distinct_store(spark, doc_dir, upto_batch_id,
+                                   ["doc_id", "n_ngrams"],
+                                   files_per_partition)
+
+
 def ngram_novelty_from_store(spark: SparkSession, fp_dir: str,
                              doc_dir: str) -> DataFrame:
     """Fold the stores into the SAME per-doc report as the batch

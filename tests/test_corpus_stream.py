@@ -1483,3 +1483,12 @@ def test_novelty_sink_crash_replay_and_compaction(spark, tmp_path):
     dirs = [d for d in os.listdir(fp_dir) if d.startswith("batch_id=")]
     assert dirs == ["batch_id=-1"]
     assert _novelty_report(spark, fp_dir, doc_dir) == want
+    # the doc-side store is distinct-consumed: the shared base
+    # compactor folds it without moving the report either
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_novelty_doc_store,
+    )
+    assert compact_novelty_doc_store(spark, doc_dir, 2) == 3
+    dirs = [d for d in os.listdir(doc_dir) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=-1"]
+    assert _novelty_report(spark, fp_dir, doc_dir) == want
