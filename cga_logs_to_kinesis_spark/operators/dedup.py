@@ -2014,3 +2014,97 @@ register(QuerySpec(
         "shuffles, window MIN + one fold, no joins",
     tags=("dedup", "text", "quality", "north-star"),
 ))
+
+
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level diminishing-returns curve: by ingest decile
+    (doc_id order), how many fingerprints are seen at all vs seen for
+    the FIRST time — cumulative novel/total is the marginal value of
+    the next data tranche, the number a "do we crawl more of this
+    source" decision actually reads.  ``ngram_novelty`` is the
+    per-document view; this is its 10-row corpus fold.
+
+    Scale shape: the same fingerprint-only front (one groupBy min per
+    fp, one per-decile fold — decile is a row-local expression over
+    the broadcast max doc_id, NOT an ntile window over the corpus);
+    the only window is the running sum over the 10 decile rows."""
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).first()[0] or 0
+    sh = char_shingle_docs(docs).localCheckpoint()
+    pairs = sh.select("doc_id", F.explode("shingles").alias("fp"))
+
+    def decile(col):
+        # integer DIV on both engines: DuckDB's CAST(double AS INT)
+        # ROUNDS while Spark's truncates — floor division sidesteps
+        # the divergence entirely
+        return F.least(F.lit(9),
+                       F.expr(f"{col} * 10 DIV {int(n) + 1}")
+                       .cast("int")).alias("decile")
+
+    first = (pairs.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+             .groupBy(decile("first_doc"))
+             .agg(F.count("*").alias("new_fps")))
+    tot = (pairs.groupBy(decile("doc_id"))
+           .agg(F.count("*").alias("total_fps")))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (tot.join(first, "decile", "left")
+            .select("decile", "total_fps",
+                    F.coalesce(F.col("new_fps"), F.lit(0))
+                    .alias("new_fps"))
+            .withColumn("cum_new", F.sum("new_fps").over(w))
+            .withColumn("cum_total", F.sum("total_fps").over(w))
+            .withColumn("cum_novelty",
+                        F.col("cum_new").cast("double")
+                        / F.col("cum_total"))
+            .orderBy("decile"))
+
+
+register(QuerySpec(
+    "novelty_curve", q_novelty_curve,
+    oracle=f"""
+        WITH {CHAR_SHINGLES_SQL.strip()},
+        n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        pairs AS (
+            SELECT doc_id, u.fp
+            FROM shingled_ne, UNNEST(shingles) AS u(fp)
+        ),
+        firsts AS (
+            SELECT fp, MIN(doc_id) AS first_doc FROM pairs GROUP BY fp
+        ),
+        new_d AS (
+            SELECT LEAST(9, CAST(first_doc * 10 // n.n AS INTEGER))
+                       AS decile,
+                   COUNT(*) AS new_fps
+            FROM firsts, n GROUP BY 1
+        ),
+        tot_d AS (
+            SELECT LEAST(9, CAST(doc_id * 10 // n.n AS INTEGER))
+                       AS decile,
+                   COUNT(*) AS total_fps
+            FROM pairs, n GROUP BY 1
+        )
+        SELECT t.decile,
+               CAST(t.total_fps AS BIGINT) AS total_fps,
+               CAST(COALESCE(d.new_fps, 0) AS BIGINT) AS new_fps,
+               CAST(SUM(COALESCE(d.new_fps, 0))
+                    OVER (ORDER BY t.decile) AS BIGINT) AS cum_new,
+               CAST(SUM(t.total_fps)
+                    OVER (ORDER BY t.decile) AS BIGINT) AS cum_total,
+               CAST(SUM(COALESCE(d.new_fps, 0))
+                    OVER (ORDER BY t.decile) AS DOUBLE)
+                   / SUM(t.total_fps) OVER (ORDER BY t.decile)
+                   AS cum_novelty
+        FROM tot_d t LEFT JOIN new_d d USING (decile)
+        ORDER BY t.decile
+    """,
+    doc="corpus-level diminishing-returns curve: per ingest decile "
+        "(doc_id order), total vs first-seen fingerprints with "
+        "cumulative novelty — the marginal-value read behind "
+        "crawl-more decisions; row-local decile bucketing, no corpus "
+        "window",
+    tags=("dedup", "text", "quality", "agg"),
+))

@@ -44,9 +44,10 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-12 curation -----------------------------------------------
-    # Leads: the five r12-NEW oracle-paired queries (salted_join_plan,
+    # Leads: the six r12-NEW oracle-paired queries (salted_join_plan,
     # encoding_anomaly_report, and the late-r12 ngram_novelty,
-    # training_order, training_interleave), then the four whose CODE
+    # training_order, training_interleave, novelty_curve), then the
+    # four whose CODE
     # CHANGED this round (heavy_hitters: input-width-gated repartition;
     # cosine_topk_ivf_sq: search tail refactored into the shared
     # cosine_topk_from_ivf_index used by the persisted-index serving
@@ -54,16 +55,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # with the streaming state sink; join_key_skew: frequency front
     # refactored into skew_key_frequencies shared with the planner),
     # then the 13 queries deferred from the r11 window (r7-latest
-    # green rows), then the 28 stalest of the r8-window cohort in
-    # CORRECTNESS_r08.json order (31 originally; distinct_users,
-    # domain_cap and envelope_project displaced when the late-r12
-    # ngram_novelty / training_order / training_interleave took
-    # window slots).
+    # green rows), then the 27 stalest of the r8-window cohort in
+    # CORRECTNESS_r08.json order (31 originally; dedup_winnow_pairs,
+    # distinct_users, domain_cap and envelope_project displaced when
+    # the late-r12 ngram_novelty / training_order /
+    # training_interleave / novelty_curve took window slots).
     #
     # Deferred to the r13 window (each keeps its r8 green row and
     # full-registry pytest coverage): the remaining 21 of the r8
-    # cohort — distinct_users, domain_cap, envelope_project,
-    # funnel_conversion, global_topk, json_props,
+    # cohort — dedup_winnow_pairs, distinct_users, domain_cap,
+    # envelope_project, funnel_conversion, global_topk, json_props,
     # map_functions, mixture_weights, multi_resolution_rollup,
     # passage_dedup, pivot_event_types, price_percentiles,
     # pricing_summary, prune_frequent_tokens,
@@ -71,7 +72,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # session_windows, shipping_priority, similar_part_names,
     # token_length_histogram, rollup_pricing, unpivot_metrics.  The
     # r13 window should lead with any r13-new/changed queries, then
-    # these 22, then the stalest remaining cohort (r9 window, listed
+    # these 23, then the stalest remaining cohort (r9 window, listed
     # in CORRECTNESS_r09.json).
     # Permanently out by convention: cosine_topk_fast (bit-exact
     # parity-pinned to cosine_topk) and the rows-only queries
@@ -86,6 +87,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ngram_novelty",
     "training_order",
     "training_interleave",
+    "novelty_curve",
     # r12-changed:
     "heavy_hitters",
     "cosine_topk_ivf_sq",
@@ -133,7 +135,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "dedup_source_flow",
-    "dedup_winnow_pairs",
 )
 
 
