@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
-from cga_logs_to_kinesis_spark.session import explode_parallelism, tune_session
+from cga_logs_to_kinesis_spark.session import tune_session, widen_for_explode
 from cga_logs_to_kinesis_spark.sources import load_table
 
 BPE_N_MERGES = 10
@@ -53,8 +53,7 @@ def _word_freqs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (
         norm_tokens,
     )
-    par = explode_parallelism(spark)
-    return (docs.repartition(par, "doc_id")
+    return (widen_for_explode(docs, "doc_id")
             .select(F.explode(norm_tokens()).alias("w"))
             .groupBy("w").agg(F.count("*").alias("freq")))
 
@@ -231,8 +230,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = [(r.lhs, r.rhs) for r in
               learn_bpe_merges(spark, docs).collect()]
-    par = explode_parallelism(spark)
-    words = (docs.repartition(par, "doc_id")
+    words = (widen_for_explode(docs, "doc_id")
              .select("doc_id", F.explode(norm_tokens()).alias("w")))
     vocab = words.select("w").distinct().withColumn(
         "syms",

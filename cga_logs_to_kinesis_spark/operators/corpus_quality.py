@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.functions.exact import davg, davg_sql
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
-from cga_logs_to_kinesis_spark.session import explode_parallelism, tune_session
+from cga_logs_to_kinesis_spark.session import tune_session, widen_for_explode
 from cga_logs_to_kinesis_spark.sources import load_table
 
 
@@ -78,7 +78,6 @@ def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = explode_parallelism(spark)
     # Tokenize ONCE: without the lineage cut the tokenize/explode
     # subtree is re-evaluated three times (join probe side, freq
     # build, tot's aggregation over freq) — at 100 TB that is two
@@ -86,7 +85,7 @@ def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # note) as the shingle pass in dedup.minhash_candidates: the
     # materialization is ~token-count x avg-token bytes on executor-
     # local disk, bought back three times over.
-    toks = (docs.repartition(par, "doc_id")
+    toks = (widen_for_explode(docs, "doc_id")
             .select("doc_id", F.explode(norm_tokens()).alias("tok"))
             .localCheckpoint())
     freq = toks.groupBy("tok").agg(F.count("*").alias("occ"))
@@ -227,9 +226,8 @@ def q_prune_frequent_tokens(spark: SparkSession,
     """
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = explode_parallelism(spark)
     base = docs.withColumn("_toks", norm_tokens())
-    dtoks = (base.repartition(par, "doc_id")
+    dtoks = (widen_for_explode(base, "doc_id")
              .select("doc_id",
                      F.explode(F.array_distinct("_toks")).alias("tok")))
     dfreq = dtoks.groupBy("tok").agg(F.count("*").alias("nd"))
@@ -315,12 +313,11 @@ def bm25_scored(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """(doc_id, n_terms_hit, score) for every doc matching >= 1 query
     term — the scored table before top-k; shared with the streaming
     twin's parity contract (streaming/corpus.py)."""
-    par = explode_parallelism(spark)
     # Tokenize ONCE (the unigram_rarity/minhash checkpoint discipline,
     # with its disk-sizing note): the token table feeds the corpus
     # scalars, the postings join, and the pruned length table — three
     # full tokenize scans without the lineage cut.
-    toks = (docs.repartition(par, "doc_id")
+    toks = (widen_for_explode(docs, "doc_id")
             .select("doc_id", F.explode(norm_tokens()).alias("tok"))
             .localCheckpoint())
     # Corpus scalars (N, avgdl) computed in-plan and broadcast as a

@@ -21,7 +21,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
-from cga_logs_to_kinesis_spark.session import explode_parallelism, tune_session
+from cga_logs_to_kinesis_spark.session import (
+    explode_parallelism,
+    tune_session,
+    widen_for_explode,
+)
 from cga_logs_to_kinesis_spark.sources import load_table
 
 
@@ -136,13 +140,11 @@ def shingle_docs(docs: DataFrame) -> DataFrame:
         f"transform(sequence(1, size(_toks) - {SHINGLE_K - 1}), "
         f"i -> concat_ws(' ', slice(_toks, i, {SHINGLE_K})))")
     # Spread docs across cores BEFORE the band-explode amplifies rows
-    # 16x: a small parquet file scans as one partition, which would pin
-    # the whole md5 fan-out to a single task.  (At real scale the scan
-    # has many partitions and this exchange is still cheap relative to
-    # the explode it parallelizes.)
-    par = explode_parallelism(docs.sparkSession)
-    return (docs
-            .repartition(par, "doc_id")
+    # 16x — gated on the input's width: a small parquet file scans as
+    # one partition (the exchange buys the explode its parallelism),
+    # while a 100 TB scan already arrives wide and must not pay a
+    # full-corpus shuffle just to shingle.
+    return (widen_for_explode(docs, "doc_id")
             .withColumn("_toks", toks)
             .filter(F.size("_toks") >= SHINGLE_K)
             .select("doc_id",
@@ -362,9 +364,7 @@ SIMHASH_BITS = 16
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    par = explode_parallelism(docs.sparkSession)
-    toks = (docs
-            .repartition(par, "doc_id")
+    toks = (widen_for_explode(docs, "doc_id")
             .select("doc_id",
                     F.explode(F.split(normalized_text(), " ")).alias("tok"))
             .filter(F.col("tok") != "")
@@ -487,9 +487,7 @@ def char_shingle_docs(docs: DataFrame) -> DataFrame:
         f"transform(sequence(1, length(_norm) - {CHAR_K - 1}), "
         f"i -> cast(conv(substring(md5(substring(_norm, i, {CHAR_K})), "
         f"1, 15), 16, 10) as bigint))")
-    par = explode_parallelism(docs.sparkSession)
-    return (docs
-            .repartition(par, "doc_id")
+    return (widen_for_explode(docs, "doc_id")
             .withColumn("_norm", norm)
             .filter(F.length("_norm") >= CHAR_K)
             .select("doc_id",
@@ -1239,14 +1237,12 @@ def duplicated_spans(docs: DataFrame, spark: SparkSession,
     maximal duplicated region."""
     from cga_logs_to_kinesis_spark.operators.corpus_quality import norm_tokens
 
-    par = explode_parallelism(spark)
     grams = F.expr(
         f"transform(sequence(1, size(_toks) - {l - 1}), "
         f"i -> struct(i AS pos, "
         f"cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {l}))), "
         f"1, 15), 16, 10) as bigint) AS digest))")
-    g = (docs
-         .repartition(par, "doc_id")
+    g = (widen_for_explode(docs, "doc_id")
          .withColumn("_toks", norm_tokens())
          .filter(F.size("_toks") >= l)
          .select("doc_id", F.explode(grams).alias("g"))
@@ -1400,8 +1396,7 @@ def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = SUBSTRING_L
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = explode_parallelism(spark)
-    base = (docs.repartition(par, "doc_id")
+    base = (widen_for_explode(docs, "doc_id")
             .select("doc_id", norm_tokens().alias("_toks")))
     grams = F.expr(
         f"transform(sequence(1, size(_toks) - {l - 1}), "
@@ -1952,35 +1947,47 @@ register(QuerySpec(
 #
 # Scale shape: shingles travel as 60-bit md5-prefix fingerprints
 # (the char_shingle_docs front — the shuffles carry bigints, never
-# text), first-occurrence is a window MIN over the fingerprint
-# partition (one shuffle on fp), the per-doc fold a second shuffle on
-# doc_id.  No joins, no self-pairs, state linear in distinct
-# fingerprints — at 100 TB this is the same envelope as the band
-# index.  The streaming twin (streaming/corpus.py::novelty_sink)
-# persists exactly (fp -> min doc_id) + (doc -> n_ngrams), which is
-# why novelty is defined on doc_id, not arrival order: the MIN fold
-# makes the report identical under ANY arrival permutation.
+# text), and first-occurrence is a partial-agg-friendly
+# ``groupBy(fp).agg(min(doc_id))`` — NOT a window over fp.  The
+# distinction is the whole 100 TB story: a partition-only WindowExec
+# shuffles EVERY (doc_id, fp) pair to the fp's reducer and sorts,
+# and char-5-gram fingerprints are maximally skew-prone (one
+# boilerplate shingle appears in nearly every document), so the hot
+# fp's reducer would sort billions of rows.  The groupBy's map-side
+# partial MIN collapses that same hot fp to ONE row per map
+# partition before the exchange — the shuffle carries |distinct fp|
+# rows regardless of skew.  The mins then group by first_doc
+# (n_novel per doc) and left-join the per-doc totals off the
+# checkpointed shingle front (size(shingles) — no second explode).
+# This is byte-identical to the streaming twin's consumer
+# (streaming/corpus.py::ngram_novelty_from_store), which folds the
+# same report from the persisted (fp -> min doc_id) + (doc ->
+# n_ngrams) state; novelty is defined on doc_id, not arrival order,
+# precisely so the MIN fold is permutation-invariant.
 
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     # localCheckpoint BEFORE the explode: generating rows from the
     # un-materialized shingle column re-evaluates the md5 transform
     # chain under the Generate (measured 15.4s vs 0.4s for the same
     # 1M-row explode at sf0.1) — the same cut dedup_ngram_jaccard's
-    # front takes.
+    # front takes.  The front is also the per-doc total table
+    # (shingles are array_distinct'ed, so size(shingles) == the
+    # exploded pair count per doc).
     sh = char_shingle_docs(docs).localCheckpoint()
     pairs = sh.select("doc_id", F.explode("shingles").alias("fp"))
-    w = Window.partitionBy("fp")
-    flagged = pairs.withColumn(
-        "is_novel",
-        (F.col("doc_id") == F.min("doc_id").over(w)).cast("bigint"))
-    per = (flagged.groupBy("doc_id")
-           .agg(F.count("*").alias("n_ngrams"),
-                F.sum("is_novel").alias("n_novel")))
-    return (per.withColumn(
+    novel = (pairs.groupBy("fp")
+             .agg(F.min("doc_id").alias("doc_id"))
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_novel")))
+    per_doc = sh.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_ngrams"))
+    return (per_doc.join(novel, "doc_id", "left")
+            .select("doc_id", "n_ngrams",
+                    F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+                    .alias("n_novel"))
+            .withColumn(
                 "novelty",
                 F.col("n_novel").cast("double") / F.col("n_ngrams"))
             .orderBy("doc_id"))

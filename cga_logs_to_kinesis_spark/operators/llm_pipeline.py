@@ -1124,13 +1124,11 @@ VOCAB_SIZES = (64, 256, 1024)
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cga_logs_to_kinesis_spark.operators.dedup import normalized_text
-    from cga_logs_to_kinesis_spark.session import explode_parallelism
+    from cga_logs_to_kinesis_spark.session import widen_for_explode
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = explode_parallelism(docs.sparkSession)
-    types = (docs
-             .repartition(par, "doc_id")
+    types = (widen_for_explode(docs, "doc_id")
              .select(F.explode(F.split(normalized_text(), " "))
                      .alias("token"))
              .filter(F.col("token") != "")
@@ -1260,11 +1258,10 @@ def chunk_windows(docs: DataFrame) -> DataFrame:
 
 
 def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cga_logs_to_kinesis_spark.session import explode_parallelism
+    from cga_logs_to_kinesis_spark.session import widen_for_explode
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = explode_parallelism(spark)
-    return (chunk_windows(docs.repartition(par))
+    return (chunk_windows(widen_for_explode(docs))
             .orderBy("doc_id", "chunk_idx"))
 
 

@@ -59,8 +59,8 @@ from cga_logs_to_kinesis_spark.operators.corpus_quality import (
 )
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
 from cga_logs_to_kinesis_spark.session import (
-    explode_parallelism,
     tune_session,
+    widen_for_explode,
 )
 from cga_logs_to_kinesis_spark.sources import load_table
 
@@ -86,11 +86,10 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = explode_parallelism(spark)
     # Tokenize + explode bigrams ONCE (module docstring): this subtree
     # feeds the context counts, the bigram counts, the vocabulary
     # scalar, and the join probe — four evaluations without the cut.
-    bi = (docs.repartition(par, "doc_id")
+    bi = (widen_for_explode(docs, "doc_id")
           .withColumn("_toks", norm_tokens())
           .filter(F.size("_toks") >= 2)
           .select(
@@ -178,10 +177,9 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = explode_parallelism(spark)
     # Tokenize ONCE (module docstring): feeds raw counts, target
     # counts, and the join probe.
-    toks = (docs.repartition(par, "doc_id")
+    toks = (widen_for_explode(docs, "doc_id")
             .select("doc_id", "lang",
                     F.explode(norm_tokens()).alias("tok"))
             .localCheckpoint())

@@ -33,8 +33,8 @@ from cga_logs_to_kinesis_spark.operators.dedup import (
 )
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
 from cga_logs_to_kinesis_spark.session import (
-    explode_parallelism,
     tune_session,
+    widen_for_explode,
 )
 from cga_logs_to_kinesis_spark.sources import load_table
 
@@ -122,9 +122,7 @@ def heavy_hitters_report(spark: SparkSession,
     ``token_frequencies``' full groupBy shuffles all of their partial
     counts while this plan shuffles at most the candidate set.
     """
-    par = explode_parallelism(spark)
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, "doc_id")
+    docs = widen_for_explode(docs, "doc_id")
     toks = tokenize_docs(docs)
     summary = (toks.mapInPandas(_mg_partitions, MG_SUMMARY_SCHEMA)
                .localCheckpoint())            # MG runs once, feeds both

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.functions.exact import davg_sql, dsum_sql
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
-from cga_logs_to_kinesis_spark.session import explode_parallelism, tune_session
+from cga_logs_to_kinesis_spark.session import tune_session, widen_for_explode
 from cga_logs_to_kinesis_spark.sources import load_events, load_table
 
 
@@ -558,9 +558,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    par = explode_parallelism(docs.sparkSession)
-    toks = (docs
-            .repartition(par, "doc_id")
+    toks = (widen_for_explode(docs, "doc_id")
             .select("doc_id",
                     F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                       r"[ \t\n\x0B\f\r]+")).alias("tok"))

@@ -68,6 +68,25 @@ def explode_parallelism(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism
 
 
+def widen_for_explode(df, *keys: str):
+    """Repartition ONLY when the input arrives narrower than the
+    explode-parallelism knob.
+
+    The repartition ahead of a shingle/token explode is a
+    fixture-scale parallelism crutch: a small parquet file scans as
+    one partition, which would pin the whole md5/tokenize fan-out to
+    a single task.  A 100 TB scan's natural partitioning is already
+    wide, and hashing the entire corpus through an extra exchange
+    just to tokenize would be a pure waste — so the exchange is gated
+    on the input's actual width (plan-pinned by
+    tests/test_plans.py::test_wide_input_fronts_skip_repartition).
+    """
+    par = explode_parallelism(df.sparkSession)
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys) if keys else df.repartition(par)
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable inside executor Python workers.
 

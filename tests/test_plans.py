@@ -773,6 +773,51 @@ def test_heavy_hitters_wide_input_no_exchange(spark):
         spark.conf.unset(EXPLODE_PARALLELISM_CONF)
 
 
+def test_wide_input_fronts_skip_repartition(spark):
+    """Every explode front (shingle, char-shingle, simhash tokenize)
+    shares heavy_hitters' width gate: an input already at or above
+    the explode-parallelism knob (the 100 TB scan) must NOT pay a
+    full-corpus doc_id shuffle before the explode, while the narrow
+    fixture scan still gets the parallelism spread."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        char_shingle_docs,
+        shingle_docs,
+        simhash_fingerprints,
+    )
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    from cga_logs_to_kinesis_spark.session import (
+        EXPLODE_PARALLELISM_CONF,
+    )
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spark.conf.set(EXPLODE_PARALLELISM_CONF, "4")
+    try:
+        wide = docs.repartition(8)          # RoundRobin, not doc_id
+        narrow = docs.coalesce(1)
+        for front in (shingle_docs, char_shingle_docs):
+            plan = formatted_plan(front(wide))
+            assert "hashpartitioning(doc_id" not in plan, (
+                f"{front.__name__}: wide input still paid the doc_id "
+                "repartition before the explode")
+            plan = formatted_plan(front(narrow))
+            assert "hashpartitioning(doc_id" in plan, (
+                f"{front.__name__}: narrow fixture input lost its "
+                "parallelism spread")
+        # simhash's downstream per-doc aggregations hash-partition on
+        # doc_id legitimately (at shuffle.partitions width) — the
+        # GATED repartition is the only exchange carrying the explicit
+        # knob width, and only the narrow input may pay it.  (Those
+        # agg exchanges carry map-side-reduced (doc_id, bit) partials,
+        # never the text-bearing doc rows the gate saves.)
+        import re as _re
+        pat = _re.compile(r"hashpartitioning\(doc_id#\d+L?, 4\)")
+        assert not pat.search(formatted_plan(simhash_fingerprints(wide)))
+        assert pat.search(formatted_plan(simhash_fingerprints(narrow)))
+    finally:
+        spark.conf.unset(EXPLODE_PARALLELISM_CONF)
+
+
 def test_encoding_anomaly_single_pruned_scan(spark):
     """The encoding audit is one scan folded map-side: no joins, and
     the parquet scan must read ONLY (text, source) — an audit that
@@ -798,10 +843,10 @@ def test_salted_join_plan_broadcasts_totals(spark):
 
 
 def test_ngram_novelty_shuffles_fingerprints_not_text(spark):
-    """Both novelty shuffles (window MIN on fp, per-doc fold) must
-    carry bigint fingerprints + ids only — the text column never
-    crosses an exchange (the checkpointed shingle front already
-    reduced it)."""
+    """The novelty shuffles (min-per-fp, fold-by-first-doc, the
+    per-doc join) must carry bigint fingerprints + ids only — the
+    text column never crosses an exchange (the checkpointed shingle
+    front already reduced it)."""
     from cga_logs_to_kinesis_spark.plans import formatted_plan
 
     df = SPECS["ngram_novelty"].fn(spark, SF_SMOKE)
@@ -810,7 +855,22 @@ def test_ngram_novelty_shuffles_fingerprints_not_text(spark):
         if seg.strip().startswith("Exchange") or (
                 "Exchange" in seg.split("\n", 1)[0]):
             assert "text#" not in seg, seg.split("\n", 1)[0]
-    assert "Join" not in plan        # window + fold, never a join
+
+
+def test_ngram_novelty_first_occurrence_is_groupby_not_window(spark):
+    """First-occurrence must fold as groupBy(fp).min — map-side
+    partial aggregation collapses a boilerplate (maximally hot) fp to
+    one row per map partition before the exchange.  A
+    partition-only WindowExec over fp would shuffle EVERY (doc_id,
+    fp) pair to the hot fp's reducer and sort them there — the
+    classic skew collapse at 100 TB.  HashAggregate with a
+    partial_min child is the shape this pins."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["ngram_novelty"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_count" in plan, plan[:2000]
 
 
 def test_training_order_is_parallel_sort_no_window(spark):
