@@ -55,13 +55,18 @@ def replicate_hot(small: DataFrame, key: str,
     (pinned by tests/test_skew.py::test_replicate_hot_only_hot_keys).
     """
     plan = F.broadcast(hot_plan.select(key, "salt_factor"))
+    # greatest(1, factor): sequence() supports DESCENDING ranges, so a
+    # degenerate plan row with salt_factor <= 0 would silently emit
+    # salts [0, -1, ...] and DUPLICATE the row instead of failing; the
+    # clamp makes any factor < 2 behave as "not hot" (one salt-0 copy).
     return (small.join(plan, key, "left")
             .withColumn(
                 "_salt",
                 F.explode(F.sequence(
                     F.lit(0),
-                    F.coalesce(F.col("salt_factor") - 1, F.lit(0))
-                    .cast("int"))))
+                    F.coalesce(
+                        F.greatest(F.lit(1), F.col("salt_factor")) - 1,
+                        F.lit(0)).cast("int"))))
             .drop("salt_factor"))
 
 
@@ -75,7 +80,18 @@ def salted_join_hot(big: DataFrame, small: DataFrame, key: str,
     exactly as an unsalted join would.  Big-side rows of a hot key get
     a deterministic hash-derived salt in [0, salt_factor); cold rows
     get salt 0 and meet the small side's single salt-0 copy.
+
+    ``how`` must be ``inner`` or ``left`` (big side preserved): a
+    right/full outer would emit each UNMATCHED small-side hot row once
+    per salt replica — the replication is only invisible for rows the
+    join keeps matched or drops.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "leftsemi", "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join_hot supports inner/left joins only, got "
+            f"{how!r}: outer-preserving the replicated small side "
+            "would emit unmatched hot rows once per salt slice")
     plan = F.broadcast(hot_plan.select(key, "salt_factor"))
     big_s = (big.join(plan, key, "left")
              .withColumn(

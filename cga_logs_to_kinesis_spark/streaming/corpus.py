@@ -1593,8 +1593,19 @@ def encoding_anomaly_report_from_store(spark: SparkSession,
                                        store_dir: str) -> DataFrame:
     """Fold the per-batch partials into the whole-corpus per-source
     report — bit-identical to ``q_encoding_anomaly_report`` over the
-    same documents (every column is a count or sum)."""
-    s = spark.read.parquet(store_dir)
+    same documents (every column is a count or sum).  Goes through
+    ``_read_store`` like every sibling reader: a never-created or
+    zero-footer store is empty state, not a crash."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        ENC_PATTERNS,
+    )
+
+    s = _read_store(spark, store_dir)
+    if s is None:
+        cols = ["n_docs", "n_chars", *ENC_PATTERNS, "dirty_docs"]
+        return spark.createDataFrame(
+            [], "source string, " + ", ".join(f"{c} long"
+                                              for c in cols))
     sum_cols = [c for c in s.columns
                 if c not in ("source", "batch_id")]
     return (s.groupBy("source")

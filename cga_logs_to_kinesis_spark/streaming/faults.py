@@ -129,8 +129,11 @@ class FirehoseFakeTransport(Transport):
         for i, (data, _key_ignored) in enumerate(page):
             # _key_ignored: Firehose records carry Data only — a
             # transport that routed on the key would be exercising
-            # Kinesis semantics under a Firehose name
-            b = data if isinstance(data, bytes) else bytes(data)
+            # Kinesis semantics under a Firehose name.  str payloads
+            # utf-8-encode, matching the Transport contract elsewhere
+            # (DirStreamTransport.send, deliver_pages).
+            b = (data.encode() if isinstance(data, str)
+                 else bytes(data))
             if b"poison" in b:
                 n = self.seen.get(b, 0)
                 self.seen[b] = n + 1

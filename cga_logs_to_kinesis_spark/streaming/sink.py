@@ -356,7 +356,7 @@ def build_put_records_request(*, stream: str,
     body = _json.dumps({
         "StreamName": stream,
         "Records": [{"Data": base64.b64encode(
-                         d if isinstance(d, bytes) else bytes(d)
+                         d.encode() if isinstance(d, str) else bytes(d)
                      ).decode(),
                      "PartitionKey": k} for d, k in page],
     }).encode()

@@ -1365,6 +1365,25 @@ def _doc_chunks(spark, tmp_path, n=3):
     return str(src)
 
 
+def test_encoding_anomaly_reader_empty_store(spark, tmp_path):
+    """Never-created and zero-footer stores read as a typed empty
+    report (the _read_store contract every sibling reader follows),
+    not a schema-inference crash."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        encoding_anomaly_report_from_store,
+    )
+
+    df = encoding_anomaly_report_from_store(
+        spark, str(tmp_path / "never_created"))
+    assert df.count() == 0
+    assert df.columns[:3] == ["source", "n_docs", "n_chars"]
+    empty = tmp_path / "zero_footer"
+    empty.mkdir()
+    (empty / "_SUCCESS").touch()
+    assert encoding_anomaly_report_from_store(
+        spark, str(empty)).count() == 0
+
+
 def test_encoding_anomaly_sink_matches_batch(spark, tmp_path):
     """Per-batch encoding-anomaly partials must re-fold to the exact
     batch report, whatever the micro-batch split."""

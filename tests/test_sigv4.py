@@ -194,3 +194,243 @@ def test_put_records_request_signs_session_token():
     assert req["headers"]["X-Amz-Security-Token"] == "TOK"
     assert "x-amz-security-token" in \
         req["headers"]["Authorization"]
+
+
+# -- K3: the network providers against a local http.server fake -------------
+# The fetch-and-parse bodies of auth_metadata.go:25-52 and
+# auth_assumerole.go:16-23 are offline-testable: a stdlib HTTP server
+# plays the metadata endpoint / STS, the STS handler independently
+# RE-SIGNS the request it received and rejects a bad Authorization,
+# and the expiry it returns drives CachedProvider refresh end-to-end.
+
+import contextlib
+import http.server
+import threading
+
+
+@contextlib.contextmanager
+def _local_server(handler_cls):
+    srv = http.server.HTTPServer(("127.0.0.1", 0), handler_cls)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
+
+
+class _ImdsHandler(http.server.BaseHTTPRequestHandler):
+    creds_json = (b'{"AccessKeyId": "ASIAMETA", '
+                  b'"SecretAccessKey": "METASECRET", '
+                  b'"Token": "METATOKEN", '
+                  b'"Expiration": "2026-01-01T00:00:00Z"}')
+
+    def log_message(self, *a):          # keep pytest output clean
+        pass
+
+    def do_GET(self):
+        base = "/latest/meta-data/iam/security-credentials"
+        if self.path == base:
+            body = b"my-instance-role\nother-role\n"
+        elif self.path == f"{base}/my-instance-role":
+            body = self.creds_json
+        else:
+            self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_instance_metadata_two_get_dance():
+    """auth_metadata.go:25-52: role listing (first line wins), then
+    that role's credential JSON; Expiration lands in
+    Credentials.expiry as epoch seconds."""
+    from datetime import datetime, timezone
+
+    with _local_server(_ImdsHandler) as endpoint:
+        c = InstanceMetadataProvider(endpoint=endpoint).get()
+    assert (c.access_key, c.secret_key, c.session_token) == \
+        ("ASIAMETA", "METASECRET", "METATOKEN")
+    assert c.expiry == datetime(
+        2026, 1, 1, tzinfo=timezone.utc).timestamp()
+    # and the CHAIN resolves through it when static env is absent
+    with _local_server(_ImdsHandler) as endpoint:
+        c2 = ChainProvider([
+            StaticEnvProvider({}),
+            InstanceMetadataProvider(endpoint=endpoint)]).get()
+    assert c2.access_key == "ASIAMETA"
+
+
+def test_instance_metadata_env_endpoint_and_bad_payloads():
+    # the public env var wires the endpoint without code changes
+    with _local_server(_ImdsHandler) as endpoint:
+        c = InstanceMetadataProvider(
+            env={"AWS_EC2_METADATA_SERVICE_ENDPOINT": endpoint}).get()
+    assert c.secret_key == "METASECRET"
+
+    class Empty(_ImdsHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    with _local_server(Empty) as endpoint, \
+            pytest.raises(CredentialResolutionError, match="IAM role"):
+        InstanceMetadataProvider(endpoint=endpoint).get()
+
+    class NotJson(_ImdsHandler):
+        creds_json = b"<html>boom</html>"
+
+    with _local_server(NotJson) as endpoint, \
+            pytest.raises(CredentialResolutionError, match="failed"):
+        InstanceMetadataProvider(endpoint=endpoint).get()
+    # no endpoint anywhere -> gated error, no network attempt
+    with pytest.raises(CredentialResolutionError, match="falls through"):
+        InstanceMetadataProvider(env={}).get()
+
+
+_STS_XML = """<AssumeRoleResponse
+    xmlns="https://sts.amazonaws.com/doc/2011-06-15/">
+  <AssumeRoleResult>
+    <Credentials>
+      <AccessKeyId>ASIASTS</AccessKeyId>
+      <SecretAccessKey>STSSECRET</SecretAccessKey>
+      <SessionToken>STSTOKEN</SessionToken>
+      <Expiration>{expiry}</Expiration>
+    </Credentials>
+  </AssumeRoleResult>
+</AssumeRoleResponse>"""
+
+
+def _sts_handler(base_creds, expiry_box, seen):
+    """An STS fake that RE-SIGNS the incoming request with the known
+    base credentials and rejects a mismatched Authorization — the
+    strongest offline check that AssumeRoleProvider built the exact
+    auth_assumerole.go:16-23 request."""
+    import urllib.parse as up
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            parsed = up.urlparse(self.path)
+            query = sorted(up.parse_qsl(parsed.query))
+            headers = {
+                "Host": self.headers["Host"],
+                "X-Amz-Date": self.headers["X-Amz-Date"],
+            }
+            expect = sign_request(
+                access_key=base_creds.access_key,
+                secret_key=base_creds.secret_key,
+                region="us-east-1", service="sts", method="POST",
+                path=parsed.path or "/", query=query,
+                headers=headers, payload=b"",
+                session_token=self.headers["X-Amz-Security-Token"]
+                if "X-Amz-Security-Token" in self.headers else None)
+            seen.append({"query": dict(query),
+                         "auth": self.headers["Authorization"]})
+            if self.headers["Authorization"] != expect.authorization:
+                self.send_error(403, "signature mismatch")
+                return
+            body = _STS_XML.format(expiry=expiry_box["v"]).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def test_assume_role_signed_fetch_and_cached_refresh():
+    """End-to-end through the local STS fake: the request carries the
+    2011-06-15 AssumeRole query shape and a SigV4 Authorization the
+    server independently re-derives; the XML expiry propagates into
+    Credentials.expiry, so CachedProvider's window triggers a real
+    second fetch."""
+    from cga_logs_to_kinesis_spark.functions.credentials import (
+        AssumeRoleProvider,
+    )
+
+    base = StaticEnvProvider({"AWS_ACCESS_KEY_ID": "AKBASE",
+                              "AWS_SECRET_ACCESS_KEY": "SKBASE",
+                              "AWS_SESSION_TOKEN": "BASETOK"})
+    clock = {"t": 1_700_000_000.0}
+    expiry_box = {"v": "2026-01-01T00:00:00Z"}
+    seen: list[dict] = []
+    handler = _sts_handler(base.get(), expiry_box, seen)
+    with _local_server(handler) as endpoint:
+        p = AssumeRoleProvider(
+            base, "arn:aws:iam::1:role/x", session_name="sess",
+            region="us-east-1", endpoint=endpoint,
+            clock=lambda: clock["t"])
+        c = p.get()
+        assert (c.access_key, c.secret_key, c.session_token) == \
+            ("ASIASTS", "STSSECRET", "STSTOKEN")
+        from datetime import datetime, timezone
+        assert c.expiry == datetime(
+            2026, 1, 1, tzinfo=timezone.utc).timestamp()
+        assert seen[0]["query"] == {
+            "Version": "2011-06-15", "Action": "AssumeRole",
+            "RoleSessionName": "sess",
+            "RoleArn": "arn:aws:iam::1:role/x"}
+        assert seen[0]["auth"].startswith("AWS4-HMAC-SHA256 ")
+
+        # expiry-driven refresh through CachedProvider: jump the clock
+        # to inside the refresh window -> a second signed fetch
+        cached = CachedProvider(p, refresh_window=60,
+                                clock=lambda: clock["t"])
+        cached.get()
+        n_before = len(seen)
+        clock["t"] = c.expiry - 30          # inside the window
+        expiry_box["v"] = "2026-06-01T00:00:00Z"
+        c2 = cached.get()
+        assert len(seen) == n_before + 1, "no refresh fetch happened"
+        assert c2.expiry > c.expiry
+
+
+def test_assume_role_rejects_bad_data():
+    """auth_assumerole.go's sanity checks: empty SecretAccessKey,
+    missing Credentials element, and unparseable XML all raise."""
+    from cga_logs_to_kinesis_spark.functions.credentials import (
+        AssumeRoleProvider,
+    )
+
+    with pytest.raises(CredentialResolutionError, match="bad data"):
+        AssumeRoleProvider._parse_response(
+            b"<AssumeRoleResponse><AssumeRoleResult><Credentials>"
+            b"<AccessKeyId>X</AccessKeyId><SecretAccessKey/>"
+            b"</Credentials></AssumeRoleResult></AssumeRoleResponse>")
+    with pytest.raises(CredentialResolutionError, match="missing"):
+        AssumeRoleProvider._parse_response(
+            b"<AssumeRoleResponse/>")
+    with pytest.raises(CredentialResolutionError, match="unparseable"):
+        AssumeRoleProvider._parse_response(b"not xml at all <<<")
+
+
+def test_cached_provider_serves_stale_inside_window_on_blip():
+    clock = {"t": 1000.0}
+    state = {"fail": False, "n": 0}
+
+    class Flaky(Provider):
+        def get(self):
+            state["n"] += 1
+            if state["fail"]:
+                raise CredentialResolutionError("transient blip")
+            return Credentials("AK", "SK", None,
+                               expiry=clock["t"] + 300)
+
+    p = CachedProvider(Flaky(), refresh_window=60,
+                       clock=lambda: clock["t"])
+    first = p.get()
+    state["fail"] = True
+    clock["t"] += 250                   # 50s left: inside the window
+    assert p.get() is first, "stale-but-valid creds were not served"
+    clock["t"] += 100                   # past true expiry
+    with pytest.raises(CredentialResolutionError, match="blip"):
+        p.get()
+    state["fail"] = False               # recovery refreshes normally
+    assert p.get().expiry == clock["t"] + 300

@@ -162,3 +162,29 @@ def test_firehose_fake_rejects_oversized_batch():
     tp = FirehoseFakeTransport("/tmp/_unused")
     with _pytest.raises(ValueError):
         tp.send("s", [(b"x", "k")] * 501)
+
+
+def test_transports_accept_str_payloads(tmp_path):
+    """The Transport contract accepts str and utf-8-encodes it
+    (DirStreamTransport/deliver_pages do); the Firehose double and
+    the signed wire builder must match instead of crashing on
+    bytes(str)."""
+    import base64
+    import json
+
+    from cga_logs_to_kinesis_spark.streaming.faults import (
+        FirehoseFakeTransport,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        build_put_records_request,
+    )
+
+    t = FirehoseFakeTransport(str(tmp_path / "fh"))
+    assert t.send("s", [("héllo\n", "k"), (b"raw\n", "k")]) == []
+    req = build_put_records_request(
+        stream="s", page=[("héllo", "k"), (b"raw", "k")],
+        region="us-east-1", access_key="AK", secret_key="SK",
+        amz_date="20260815T000000Z")
+    records = json.loads(req["body"])["Records"]
+    assert base64.b64decode(records[0]["Data"]) == "héllo".encode()
+    assert base64.b64decode(records[1]["Data"]) == b"raw"

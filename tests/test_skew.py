@@ -224,3 +224,42 @@ def test_salted_join_plan_feeds_salted_join_hot(spark):
               .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q")))
     assert sorted(map(tuple, plain.collect())) == \
         sorted(map(tuple, salted.collect()))
+
+
+def test_replicate_hot_clamps_degenerate_factors(spark):
+    """Spark's sequence() supports descending ranges, so a plan row
+    with salt_factor <= 0 would silently emit salts [0, -1] and
+    DUPLICATE the row; the greatest(1, ...) clamp makes any factor
+    < 2 behave as 'not hot' — exactly one salt-0 copy."""
+    from cga_logs_to_kinesis_spark.functions.skew import replicate_hot
+
+    small = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "key string, w int")
+    plan = spark.createDataFrame(
+        [("a", 0), ("b", -3)], "key string, salt_factor int")
+    out = replicate_hot(small, "key", plan)
+    counts = {r["key"]: r["n"] for r in
+              out.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 1, "b": 1, "c": 1}
+    assert out.filter(F.col("_salt") != 0).count() == 0
+
+
+def test_salted_join_hot_rejects_outer_joins(spark):
+    """Right/full outer would emit each unmatched small-side hot row
+    once per salt replica — the helper must refuse, loudly."""
+    import pytest
+
+    from cga_logs_to_kinesis_spark.functions.skew import (
+        salted_join_hot,
+    )
+
+    big = _skewed_df(spark, 100)
+    small = spark.createDataFrame([("hot", 1)], "key string, w int")
+    plan = spark.createDataFrame([("hot", 4)],
+                                 "key string, salt_factor int")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join_hot(big, small, "key", plan, how=how)
+    # the supported modes still work
+    assert salted_join_hot(big, small, "key", plan,
+                           how="left").count() == 100
