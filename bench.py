@@ -87,10 +87,14 @@ HEADLINE = (
     # r12: the salting planner (shares join_key_skew's frequency
     # front), the per-source encoding-damage audit (one scan,
     # map-side folds), and the dataset-redundancy curve
-    # (fingerprint-only shuffles, window MIN)
+    # (fingerprint-only shuffles; r13 reshaped its first-occurrence
+    # fold from WindowExec-over-fp to the skew-safe groupBy-min)
     "salted_join_plan",
     "encoding_anomaly_report",
     "ngram_novelty",
+    # r13: the applied skew mitigation — planner factors feeding
+    # salted_join_hot over lineitem x orders, joined on (key, _salt)
+    "salted_join_apply",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the

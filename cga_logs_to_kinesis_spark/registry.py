@@ -43,37 +43,37 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-12 curation -----------------------------------------------
-    # Leads: the six r12-NEW oracle-paired queries (salted_join_plan,
-    # encoding_anomaly_report, and the late-r12 ngram_novelty,
-    # training_order, training_interleave, novelty_curve), then the
-    # four whose CODE
-    # CHANGED this round (heavy_hitters: input-width-gated repartition;
-    # cosine_topk_ivf_sq: search tail refactored into the shared
-    # cosine_topk_from_ivf_index used by the persisted-index serving
-    # twin; event_funnel: projection refactored into funnel_feed shared
-    # with the streaming state sink; join_key_skew: frequency front
-    # refactored into skew_key_frequencies shared with the planner),
-    # then the 13 queries deferred from the r11 window (r7-latest
-    # green rows), then the 27 stalest of the r8-window cohort in
-    # CORRECTNESS_r08.json order (31 originally; dedup_winnow_pairs,
-    # distinct_users, domain_cap and envelope_project displaced when
-    # the late-r12 ngram_novelty / training_order /
-    # training_interleave / novelty_curve took window slots).
+    # -- round-13 curation -----------------------------------------------
+    # Leads: the one r13-NEW oracle-paired query (salted_join_apply:
+    # the applied skew mitigation, hash-checked against the unsalted
+    # join), then seven whose CODE changed this round — ngram_novelty
+    # (first-occurrence fold reshaped from WindowExec-over-fp to the
+    # skew-safe groupBy-min), heavy_hitters (width gate refactored
+    # into session.widen_for_explode), and one representative per
+    # newly-gated explode front: minhash_signatures (shingle_docs),
+    # dedup_simhash (simhash tokenize), prune_frequent_tokens
+    # (distinct-token front), token_length_histogram (text tokenize),
+    # chunk_overlap (chunk spread).  Then the 21 stalest-cohort
+    # queries whose latest green row is r9 (CORRECTNESS_r09.json
+    # order; prune_frequent_tokens and token_length_histogram from
+    # that cohort already sit in the changed block, closing out all
+    # 23), then 21 of the r10 cohort in CORRECTNESS_r10.json order
+    # (minhash_signatures / dedup_simhash from it likewise already
+    # placed).  1 + 7 + 21 + 21 = 50.
     #
-    # Deferred to the r13 window (each keeps its r8 green row and
-    # full-registry pytest coverage): the remaining 21 of the r8
-    # cohort — dedup_winnow_pairs, distinct_users, domain_cap,
-    # envelope_project, funnel_conversion, global_topk, json_props,
-    # map_functions, mixture_weights, multi_resolution_rollup,
-    # passage_dedup, pivot_event_types, price_percentiles,
-    # pricing_summary, prune_frequent_tokens,
-    # range_join_error_after_purchase, running_revenue,
-    # session_windows, shipping_priority, similar_part_names,
-    # token_length_histogram, rollup_pricing, unpivot_metrics.  The
-    # r13 window should lead with any r13-new/changed queries, then
-    # these 23, then the stalest remaining cohort (r9 window, listed
-    # in CORRECTNESS_r09.json).
+    # Deferred to the r14 window: the remaining 21 of the r10 cohort
+    # in CORRECTNESS_r10.json order (gopher_quality, gopher_repetition,
+    # lang_id, large_volume_customers, multimodal_audio_features,
+    # multimodal_raw_features, multimodal_raw_resize,
+    # multimodal_video_frames, nation_set_ops, ngram_decontaminate,
+    # pack_chunks, pii_scrub, quality_features,
+    # quality_filter_survivors, returned_revenue, revenue_by_nation,
+    # segment_totals, semdedup, semi_join_customers, share_of_total,
+    # shipmode_priority, snapshot_diff, split_assign, text_stats,
+    # tfidf_top_terms, vocab_coverage, winnowing_fingerprints — 27,
+    # take the first 21 that fit), then the stalest of the r11 window
+    # (CORRECTNESS_r11.json order).  Lead with r14-new/changed as
+    # always.
     # Permanently out by convention: cosine_topk_fast (bit-exact
     # parity-pinned to cosine_topk) and the rows-only queries
     # (multimodal_features / multimodal_resize PNG-zlib;
@@ -81,60 +81,60 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # length_outliers_approx sketches, error-bound-tested against
     # their exact siblings).
     #
-    # r12-new:
-    "salted_join_plan",
-    "encoding_anomaly_report",
+    # r13-new:
+    "salted_join_apply",
+    # r13-changed:
     "ngram_novelty",
-    "training_order",
-    "training_interleave",
-    "novelty_curve",
-    # r12-changed:
     "heavy_hitters",
-    "cosine_topk_ivf_sq",
-    "event_funnel",
-    "join_key_skew",
-    # deferred from the r11 window (r7-latest green rows):
-    "shard_assign",
-    "sliding_window",
-    "small_qty_revenue",
-    "split_leakage",
-    "split_leakage_repair",
-    "split_repair",
-    "stats_tumbling",
-    "stratified_sample",
-    "top3_orders_per_customer",
-    "top_supplier",
-    "unigram_rarity",
-    "volume_shipping",
-    "waiting_suppliers",
-    # stalest 31 of the r8-window cohort (CORRECTNESS_r08.json order):
-    "curation_export_manifest",
-    "dedup_cluster_stats",
-    "dedup_threshold_sweep",
-    "forecast_revenue",
-    "table_profile",
-    "quality_percentile_calibrate",
-    "embedding_drift",
-    "min_cost_supplier",
-    "product_profit",
-    "important_stock",
-    "supplier_part_counts",
-    "excess_stock_suppliers",
-    "dedup_best_survivors",
-    "dedup_downweight",
-    "ann_incremental",
-    "dedup_components",
-    "jsonl_ingest_report",
-    "array_functions",
-    "asof_last_signup",
-    "conditional_pivot",
-    "corpus_stats",
-    "dedup_containment",
-    "dedup_events_first",
-    "dedup_exact_survivors",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_source_flow",
+    "minhash_signatures",
+    "dedup_simhash",
+    "prune_frequent_tokens",
+    "token_length_histogram",
+    "chunk_overlap",
+    # stalest cohort, latest green r9 (CORRECTNESS_r09.json order):
+    "dedup_winnow_pairs",
+    "distinct_users",
+    "domain_cap",
+    "envelope_project",
+    "funnel_conversion",
+    "global_topk",
+    "json_props",
+    "map_functions",
+    "mixture_weights",
+    "multi_resolution_rollup",
+    "passage_dedup",
+    "pivot_event_types",
+    "price_percentiles",
+    "pricing_summary",
+    "range_join_error_after_purchase",
+    "running_revenue",
+    "session_windows",
+    "shipping_priority",
+    "similar_part_names",
+    "rollup_pricing",
+    "unpivot_metrics",
+    # r10 cohort (CORRECTNESS_r10.json order, two placed above):
+    "above_nation_avg",
+    "cube_orders",
+    "date_gallery",
+    "filter_project",
+    "grouping_sets_sql",
+    "longest_doc_per_lang",
+    "orders_in_window",
+    "orders_no_bulk_item",
+    "rank_gallery",
+    "scalar_gallery",
+    "bpe_token_counts",
+    "cosine_topk_ivf",
+    "curriculum_deciles",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    "embedding_centroids",
+    "embedding_quantize",
+    "fertility_by_lang",
 )
 
 

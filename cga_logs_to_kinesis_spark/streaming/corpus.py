@@ -1717,6 +1717,61 @@ def compact_novelty_doc_store(spark: SparkSession, doc_dir: str,
                                    files_per_partition)
 
 
+def novelty_curve_from_store(spark: SparkSession, fp_dir: str,
+                             doc_dir: str,
+                             max_doc_id: int | None = None) -> DataFrame:
+    """Fold the SAME stores into the corpus-level diminishing-returns
+    curve (`operators/dedup.py::q_novelty_curve`): the novelty state —
+    (fp -> min doc_id) + (doc -> n_ngrams) — already contains
+    everything the decile fold reads, so the curve needs no extra
+    sink.  new_fps per decile groups the folded MINs; total_fps per
+    decile sums the per-doc counts (== the exploded pair count, the
+    shingle arrays being distinct); the only window is the running
+    sum over the 10 decile rows.
+
+    ``max_doc_id`` pins the decile divisor to the corpus-wide max
+    (what the batch query reads off `documents`); None derives it
+    from the doc store, which differs only if the corpus's highest
+    doc_id carries no shingles at all.
+    """
+    fps = _read_store(spark, fp_dir)
+    docs = _read_store(spark, doc_dir)
+    if fps is None or docs is None:
+        return spark.createDataFrame(
+            [], "decile int, total_fps long, new_fps long, "
+                "cum_new long, cum_total long, cum_novelty double")
+    per_doc = docs.select("doc_id", "n_ngrams").distinct()
+    n = (max_doc_id if max_doc_id is not None
+         else (per_doc.agg(F.max("doc_id")).first()[0] or 0))
+
+    def decile(col):
+        # integer DIV on both engines (the batch query's CAST trap)
+        return F.least(F.lit(9),
+                       F.expr(f"{col} * 10 DIV {int(n) + 1}")
+                       .cast("int")).alias("decile")
+
+    from pyspark.sql import Window
+
+    first = (fps.groupBy("fp")
+             .agg(F.min("first_doc").alias("first_doc"))
+             .groupBy(decile("first_doc"))
+             .agg(F.count("*").alias("new_fps")))
+    tot = (per_doc.groupBy(decile("doc_id"))
+           .agg(F.sum("n_ngrams").alias("total_fps")))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (tot.join(first, "decile", "left")
+            .select("decile", "total_fps",
+                    F.coalesce(F.col("new_fps"), F.lit(0))
+                    .alias("new_fps"))
+            .withColumn("cum_new", F.sum("new_fps").over(w))
+            .withColumn("cum_total", F.sum("total_fps").over(w))
+            .withColumn("cum_novelty",
+                        F.col("cum_new").cast("double")
+                        / F.col("cum_total"))
+            .orderBy("decile"))
+
+
 def ngram_novelty_from_store(spark: SparkSession, fp_dir: str,
                              doc_dir: str) -> DataFrame:
     """Fold the stores into the SAME per-doc report as the batch

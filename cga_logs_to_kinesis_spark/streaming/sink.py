@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -189,13 +190,23 @@ class DeliveryStats:
 
 
 def deliver_pages(df: DataFrame, transport: Transport,
-                  config: SinkConfig) -> pd.DataFrame:
-    """Deliver one (micro-)batch; returns per-page stats as pandas.
+                  config: SinkConfig,
+                  per_page: bool = False) -> pd.DataFrame:
+    """Deliver one (micro-)batch; returns delivery stats as pandas.
 
     Input needs columns (data: binary/string, partition_key: string).
     The exchange on partition_key reproduces the reference's
     key-partitioned producer (main.go:346): all records for a key land
     in one task, pages preserve within-key arrival order.
+
+    By default the per-page stats rows are aggregated SPARK-side to
+    one row per partition key (sums of sent/dropped/request_errors,
+    max attempts, page count) before collection: what returns to the
+    driver is O(keys), not records/500 rows — a large backfill batch
+    must not make the A1/A2 side-channel a driver-memory function of
+    data volume (the reference accumulates counters for the same
+    reason, main.go:28-47).  ``per_page=True`` is the debug view with
+    one row per page.
     """
     cfg = config
 
@@ -275,7 +286,15 @@ def deliver_pages(df: DataFrame, transport: Transport,
 
     stats = (df.repartition("partition_key")
              .mapInPandas(run, schema=PAGE_STATS))
-    return stats.toPandas()
+    if per_page:
+        return stats.toPandas()
+    agg = (stats.groupBy("first_key")
+           .agg(F.count("*").alias("pages"),
+                F.sum("records_sent").alias("records_sent"),
+                F.sum("records_dropped").alias("records_dropped"),
+                F.sum("request_errors").alias("request_errors"),
+                F.max("attempts").alias("attempts")))
+    return agg.toPandas()
 
 
 def foreach_batch_sink(transport: Transport, config: SinkConfig,

@@ -1475,6 +1475,45 @@ def test_novelty_sink_matches_batch_any_order(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_novelty_curve_from_store_matches_batch(spark, tmp_path):
+    """The curve is a second CONSUMER of the same novelty state — no
+    extra sink: across the 3-batch out-of-order split it must fold to
+    the exact batch novelty_curve, and compaction must not move it."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_novelty_doc_store,
+        compact_novelty_store,
+        novelty_curve_from_store,
+        novelty_sink,
+    )
+
+    src = _novelty_batches(spark, tmp_path)
+    fp_dir = str(tmp_path / "fps")
+    doc_dir = str(tmp_path / "docs")
+    # reuse the crash-replay path: die on batch 1, then finish
+    sink = novelty_sink(fp_dir, doc_dir, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, src, sink, ckpt)
+    _drain_doc_sink(spark, src, sink, ckpt)
+    n = load_table(spark, SF_SMOKE, "documents") \
+        .agg(F.max("doc_id")).first()[0]
+    got = sorted(map(tuple, novelty_curve_from_store(
+        spark, fp_dir, doc_dir, max_doc_id=n).collect()))
+    want = sorted(map(tuple, all_queries()["novelty_curve"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert got == want and len(want) == 10
+    # the store-derived divisor coincides on this corpus (its max
+    # doc_id has shingles), so the no-arg call folds identically
+    got2 = sorted(map(tuple, novelty_curve_from_store(
+        spark, fp_dir, doc_dir).collect()))
+    assert got2 == want
+    compact_novelty_store(spark, fp_dir, 2)
+    compact_novelty_doc_store(spark, doc_dir, 2)
+    got3 = sorted(map(tuple, novelty_curve_from_store(
+        spark, fp_dir, doc_dir, max_doc_id=n).collect()))
+    assert got3 == want
+
+
 def test_novelty_sink_crash_replay_and_compaction(spark, tmp_path):
     """Crash after the fp write, before the checkpoint commit: the
     replay overwrites its own partitions; MIN idempotence also makes

@@ -833,6 +833,22 @@ def test_encoding_anomaly_single_pruned_scan(spark):
                          for cols in scans), scans
 
 
+def test_salted_join_apply_joins_on_salt_slices(spark):
+    """The applied mitigation must actually join on (key, _salt) —
+    the hot key's rows spread across salt_factor slices instead of
+    meeting on one reducer — and the plan attach on both sides must
+    be a broadcast (the <=100-row planner artifact)."""
+    import re
+
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["salted_join_apply"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert re.search(r"keys \[2\]: \[l_orderkey#\d+L?, _salt#\d+", plan), (
+        "equi-join is not on (l_orderkey, _salt) — hot rows would "
+        "meet on a single reducer")
+
+
 def test_salted_join_plan_broadcasts_totals(spark):
     """The planner joins the key-frequency table to its 5-row totals:
     that join must be broadcast (a shuffle here would re-shuffle the

@@ -31,10 +31,18 @@ def test_page_cut_at_500(spark):
     # single-partition input so one task pages all 1200 records
     df = _records_df(spark, 1200).coalesce(1)
     stats = deliver_pages(df, JsonDirTransport("/tmp/_ignored"),
-                          SinkConfig())
+                          SinkConfig(), per_page=True)
     # ≤500 per page (B2, reference batchproducer.go:14): 500+500+200
     assert sorted(stats["records_sent"]) == [200, 500, 500]
     assert stats["records_dropped"].sum() == 0
+    # the default (driver-bounded) view folds those pages Spark-side:
+    # one row per partition key, O(keys) on the driver regardless of
+    # batch size, with identical counter totals
+    agg = deliver_pages(df, JsonDirTransport("/tmp/_ignored"),
+                        SinkConfig())
+    assert len(agg) == 1
+    assert int(agg["pages"].iloc[0]) == 3
+    assert int(agg["records_sent"].sum()) == 1200
 
 
 def test_per_record_retry_then_success(spark):
