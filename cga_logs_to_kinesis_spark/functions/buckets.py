@@ -1,0 +1,52 @@
+"""Bucket-size bounding without a window — the hot-bucket cap shape.
+
+Every LSH-family candidate generator needs "rows whose bucket has
+between lo and hi members": below lo a bucket can't produce pairs,
+above hi it is degenerate boilerplate whose O(n²) expansion must be
+dropped wholesale.  The obvious ``count().over(Window.partitionBy(
+bucket))`` computes that in one pass — but a partition-only WindowExec
+has NO map-side partial aggregation: every row of a hot bucket ships
+to that bucket's single reducer and is sorted there, which is exactly
+the skew collapse the cap exists to prevent (a boilerplate band
+signature at 100 TB puts a large corpus fraction in ONE bucket, so
+the cap's own computation becomes the straggler/OOM).
+
+:func:`bucket_bounded` computes the same filter as a partial-agg
+groupBy + equi-join instead:
+
+* the count fold collapses a hot bucket to ONE row per map partition
+  before its exchange (combiner-friendly — shuffle volume is
+  |distinct buckets|, skew-immune);
+* the build side after the [lo, hi] filter carries only QUALIFYING
+  buckets — the degenerate bucket never reaches the join build;
+* the probe is a plain equi-join, which AQE's skew-join splitting can
+  carve across tasks — WindowExec has no such rescue.
+
+The caller owns double-evaluation: ``df`` appears on both sides, so
+pass a localCheckpoint'ed frame when it is an expensive computed
+subtree (store-backed reads just re-scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_bounded(df: DataFrame, keys: Sequence[str],
+                   lo: int | None = None,
+                   hi: int | None = None) -> DataFrame:
+    """Rows of ``df`` whose ``keys`` bucket size n satisfies
+    ``lo <= n <= hi`` (either bound optional), same columns out."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("_bn"))
+    cond = None
+    if lo is not None:
+        cond = F.col("_bn") >= lo
+    if hi is not None:
+        c = F.col("_bn") <= hi
+        cond = c if cond is None else (cond & c)
+    if cond is not None:
+        counts = counts.filter(cond)
+    return df.join(counts.select(*keys), list(keys)).select(df.columns)

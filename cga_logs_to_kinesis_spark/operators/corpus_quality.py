@@ -512,16 +512,17 @@ WINNOW_MIN_SHARED = 2         # pairs must share >= this many prints
 
 
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnow(docs)
-    bucket_n = F.count("*").over(Window.partitionBy("fingerprint"))
-    eligible = (fps.withColumn("_bn", bucket_n)
-                .filter((F.col("_bn") > 1)
-                        & (F.col("_bn") <= WINNOW_MAX_BUCKET))
-                .drop("_bn"))
+    # checkpoint: winnowing is the expensive front and feeds the cap's
+    # count fold, its probe, and both self-join sides
+    fps = winnow(docs).localCheckpoint()
+    eligible = bucket_bounded(fps, ["fingerprint"],
+                              lo=2, hi=WINNOW_MAX_BUCKET)
     a = eligible.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = eligible.select(F.col("doc_id").alias("doc_b"), "fingerprint")
     return (a.join(b, "fingerprint")

@@ -280,21 +280,24 @@ def lsh_candidate_ids(sh: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_common_bands) candidate pairs from banded
     minhash buckets over pre-shingled docs — the shared front half of
     every minhash-family verifier (Jaccard, containment)."""
-    banded = banded_buckets(sh)
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    # Checkpoint: the bucket table feeds the count fold, the cap
+    # probe, and both sides of the candidate self-join.
+    banded = banded_buckets(sh).localCheckpoint()
     # Candidate pairs via a SELF-EQUI-JOIN on the bucket key, not a
     # per-bucket collect_list + double explode: the join streams a hot
     # bucket's pairs through normal shuffle machinery (AQE skew-join can
     # split one bucket across tasks), whereas a collected member array
     # pins the whole O(n²) expansion plus an unbounded array into a
-    # single task.  The size cap drops degenerate buckets entirely;
-    # the window count reuses the (band2, sig2) exchange the join needs
-    # anyway.
-    bucket_n = F.count("*").over(
-        Window.partitionBy("band2", "sig2"))
-    eligible = (banded
-                .withColumn("_bn", bucket_n)
-                .filter((F.col("_bn") > 1) & (F.col("_bn") <= MAX_BUCKET))
-                .drop("_bn"))
+    # single task.  The size cap drops degenerate buckets entirely —
+    # computed as the partial-agg groupBy + join of bucket_bounded,
+    # never count().over(Window(bucket)), so the degenerate bucket
+    # cannot collapse its own cap computation onto one reducer.
+    eligible = bucket_bounded(banded, ["band2", "sig2"],
+                              lo=2, hi=MAX_BUCKET)
     a = eligible.select(F.col("doc_id").alias("doc_a"), "band2", "sig2")
     b = eligible.select(F.col("doc_id").alias("doc_b"), "band2", "sig2")
     return (a.join(b, ["band2", "sig2"])
@@ -523,15 +526,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_row_hash_expr('h', 'b * 2')})), ':', "
         f"array_min(transform(shingles, h -> "
         f"{_row_hash_expr('h', 'b * 2 + 1')}))))")
-    sigs = sh.select("doc_id", F.posexplode(band_sig).alias("band", "sig"))
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    sigs = (sh.select("doc_id",
+                      F.posexplode(band_sig).alias("band", "sig"))
+            .localCheckpoint())       # feeds count fold + cap probe
     # Same hot-bucket bound as minhash_candidates: drop degenerate
     # buckets before the self-join so one boilerplate signature cannot
-    # emit O(n²) pairs.
-    sigs = (sigs
-            .withColumn("_bn", F.count("*").over(
-                Window.partitionBy("band", "sig")))
-            .filter((F.col("_bn") > 1) & (F.col("_bn") <= CHAR_MAX_BUCKET))
-            .drop("_bn"))
+    # emit O(n²) pairs — via the partial-agg bucket_bounded shape
+    # (a Window count would funnel the boilerplate bucket's rows to
+    # one reducer just to discover it must be dropped).
+    sigs = bucket_bounded(sigs, ["band", "sig"],
+                          lo=2, hi=CHAR_MAX_BUCKET)
     a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     # The verify stage is CPU-bound (array intersect/union over ~10³-
@@ -818,8 +826,11 @@ def minhash_incremental(seen_sh: DataFrame,
     """One row per batch doc with >=1 candidate: nearest seen doc by
     exact Jaccard, candidate count, and the near-dup verdict.  Both
     inputs are pre-shingled (shingle_docs) frames."""
+    # checkpoint: the computed bucket table feeds the cap's count fold
+    # AND its probe (the streaming twin passes a store read instead,
+    # which just re-scans)
     return minhash_incremental_from_index(
-        banded_buckets(seen_sh), seen_sh, batch_sh)
+        banded_buckets(seen_sh).localCheckpoint(), seen_sh, batch_sh)
 
 
 def minhash_incremental_from_index(seen_b: DataFrame,
@@ -828,9 +839,15 @@ def minhash_incremental_from_index(seen_b: DataFrame,
     """Index-level form: ``seen_b`` is the PERSISTED (doc_id, band2,
     sig2) bucket table — what the streaming twin stores between
     crawl drops so the seen corpus is never re-banded."""
-    bn = F.count("*").over(Window.partitionBy("band2", "sig2"))
-    seen_idx = (seen_b.withColumn("_bn", bn)
-                .filter(F.col("_bn") <= MAX_BUCKET).drop("_bn")
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    # hot seen buckets dropped via the partial-agg bucket_bounded
+    # shape — at index scale a boilerplate bucket must not funnel its
+    # rows through one Window reducer just to be discarded
+    seen_idx = (bucket_bounded(seen_b, ["band2", "sig2"],
+                               hi=MAX_BUCKET)
                 .select(F.col("doc_id").alias("seen_doc"),
                         "band2", "sig2"))
     batch_b = banded_buckets(batch_sh).select(
@@ -1123,11 +1140,15 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "block_id",
         F.expr(f"shiftrightunsigned(simhash, block_id * {width}) "
                f"& {(1 << width) - 1}").alias("block_val"))
-    bn = F.count("*").over(Window.partitionBy("block_id", "block_val"))
-    eligible = (blocks.withColumn("_bn", bn)
-                .filter((F.col("_bn") > 1)
-                        & (F.col("_bn") <= SIMHASH_MAX_BLOCK))
-                .drop("_bn"))
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    # hot-block cap via the partial-agg bucket_bounded shape (blocks
+    # derive from the checkpointed fps by a row-local bit explode, so
+    # the double evaluation the join implies is scan-cheap)
+    eligible = bucket_bounded(blocks, ["block_id", "block_val"],
+                              lo=2, hi=SIMHASH_MAX_BLOCK)
     a = eligible.select(F.col("doc_id").alias("doc_a"),
                         "block_id", "block_val")
     b = eligible.select(F.col("doc_id").alias("doc_b"),
@@ -1210,17 +1231,22 @@ register(QuerySpec(
 #   1. grams: row-local tokenize + slide (scan-bound, like winnowing);
 #      only (digest int64, doc_id, pos int) ever leaves the row — the
 #      digest-only-shuffle discipline of dedup_exact.
-#   2. duplicated grams: ONE exchange keyed by digest (window count).
-#      No self-join, so no pair explosion — a gram shared by n docs
-#      costs n rows, not n², and the hot-digest cap the LSH paths need
-#      is unnecessary here by construction.
+#   2. duplicated grams: groupBy(digest) occurrence counts (map-side
+#      partial aggregation — a boilerplate digest collapses to one
+#      row per map partition before the exchange) filtered to the
+#      duplicated digests, then an equi-join back to the checkpointed
+#      gram table.  NOT a count-over-Window(digest): the partition-
+#      only window would ship a hot digest's every occurrence to one
+#      reducer and sort them there (no partials), the ngram_novelty
+#      skew collapse.  No self-join either way, so no pair explosion
+#      — a gram shared by n docs costs n rows, not n² — and the probe
+#      join is a plain shuffle join AQE's skew split can carve.
 #   3. span assembly: gap-and-island per doc over int positions (ONE
-#      exchange keyed by doc_id).  Two shuffles total, both narrow.
+#      exchange keyed by doc_id).
 #
-# At 100 TB the gram table is ~tokens x 28 B; partial aggregation
-# cannot shrink a window count, so size spark.sql.shuffle.partitions
-# for it (or swap the window for groupBy(digest)+join if a deployment
-# prefers combiner-friendly shapes; semantics identical).
+# At 100 TB the gram table is ~tokens x 28 B; the digest count table
+# after the >= MIN_OCC filter is only the DUPLICATED vocabulary, so
+# the join's build side is corpus-duplication-sized, not corpus-sized.
 
 SUBSTRING_L = 20      # span threshold in tokens (Lee et al. use 50 BPE
                       # tokens; this fixture's docs average ~54 words)
@@ -1242,15 +1268,28 @@ def duplicated_spans(docs: DataFrame, spark: SparkSession,
         f"i -> struct(i AS pos, "
         f"cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {l}))), "
         f"1, 15), 16, 10) as bigint) AS digest))")
+    # localCheckpoint: the gram explode feeds both the digest counts
+    # and the probe side of the dup filter — without the cut the
+    # md5-explode subtree runs twice (the shingle-front discipline).
     g = (widen_for_explode(docs, "doc_id")
          .withColumn("_toks", norm_tokens())
          .filter(F.size("_toks") >= l)
          .select("doc_id", F.explode(grams).alias("g"))
-         .select("doc_id", "g.pos", "g.digest"))
-    n_occ = F.count("*").over(Window.partitionBy("digest"))
-    dup = (g.withColumn("_n", n_occ)
-           .filter(F.col("_n") >= SUBSTRING_MIN_OCC)
-           .select("doc_id", "pos"))
+         .select("doc_id", "g.pos", "g.digest")
+         .localCheckpoint())
+    # Occurrence counting as groupBy, NOT count().over(Window(digest)):
+    # a boilerplate 20-gram makes digest a hot key, and a
+    # partition-only WindowExec ships every one of its occurrences to
+    # one reducer and sorts them (no map-side partials) — the same
+    # skew collapse ngram_novelty's fold had.  The groupBy's partial
+    # count collapses the hot digest to one row per map partition, the
+    # filtered build side carries only DUPLICATED digests, and the
+    # probe join is a plain equi-join AQE's skew split can carve up.
+    dup_digests = (g.groupBy("digest")
+                   .agg(F.count("*").alias("_n"))
+                   .filter(F.col("_n") >= SUBSTRING_MIN_OCC)
+                   .select("digest"))
+    dup = g.join(dup_digests, "digest").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     brk = F.when(prev.isNull() | (F.col("pos") - prev > l), 1).otherwise(0)
@@ -1381,14 +1420,15 @@ def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence (min (doc_id, pos)) and drops every token covered by a
     later occurrence.  Output is the rebuilt text per document.
 
-    Topology: the digest exchange computes BOTH windows (occurrence
-    count and first-occurrence rank) in one pass — same partition key,
-    no extra shuffle over dedup_substring; loser start positions fold
-    to a per-doc int array; the single text-bearing shuffle is the
-    final doc_id join that attaches those arrays for the row-local
-    rebuild (the prune_frequent_tokens analogue, except the per-doc
-    mask genuinely cannot be a broadcast: it is corpus-fraction-sized,
-    so it rides a plain equi-join AQE can promote when small)."""
+    Topology: ONE groupBy(digest) computes both the occurrence count
+    and the first-occurrence winner (min (doc_id, pos) struct) with
+    map-side partials — no digest window, no reducer-side sort of a
+    hot digest's occurrence list; loser start positions fold to a
+    per-doc int array; the single text-bearing shuffle is the final
+    doc_id join that attaches those arrays for the row-local rebuild
+    (the prune_frequent_tokens analogue, except the per-doc mask
+    genuinely cannot be a broadcast: it is corpus-fraction-sized, so
+    it rides a plain equi-join AQE can promote when small)."""
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (
         norm_tokens,
     )
@@ -1405,13 +1445,24 @@ def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"1, 15), 16, 10) as bigint) AS digest))")
     g = (base.filter(F.size("_toks") >= l)
          .select("doc_id", F.explode(grams).alias("g"))
-         .select("doc_id", "g.pos", "g.digest"))
-    w_count = Window.partitionBy("digest")
-    w_rank = Window.partitionBy("digest").orderBy("doc_id", "pos")
-    losers = (g.withColumn("_n", F.count("*").over(w_count))
-              .withColumn("_rn", F.row_number().over(w_rank))
-              .filter((F.col("_n") >= SUBSTRING_MIN_OCC)
-                      & (F.col("_rn") >= 2))
+         .select("doc_id", "g.pos", "g.digest")
+         .localCheckpoint())        # feeds the stats AND the probe
+    # Occurrence count + first-occurrence winner as ONE partial-agg
+    # groupBy instead of the count()/row_number() window pair: "every
+    # occurrence with rn >= 2" is exactly "every occurrence that is
+    # not min (doc_id, pos)", and min over a struct folds map-side —
+    # where the windows would sort a boilerplate digest's entire
+    # occurrence list on one reducer (the ngram_novelty skew collapse,
+    # plan-pinned away by test_plans.py).  The build side keeps only
+    # duplicated digests; the probe join is AQE-skew-splittable.
+    stats = (g.groupBy("digest")
+             .agg(F.count("*").alias("_n"),
+                  F.min(F.struct("doc_id", "pos")).alias("_first"))
+             .filter(F.col("_n") >= SUBSTRING_MIN_OCC)
+             .select("digest", "_first"))
+    losers = (g.join(stats, "digest")
+              .filter((F.col("doc_id") != F.col("_first.doc_id"))
+                      | (F.col("pos") != F.col("_first.pos")))
               .groupBy("doc_id")
               .agg(F.sort_array(F.collect_list("pos")).alias("starts")))
     kept = F.expr(f"""

@@ -1226,11 +1226,17 @@ def ann_incremental_from_index(seen_b: DataFrame, seen_vecs: DataFrame,
     """``seen_b``: persisted (vec_id, bucket) index; ``seen_vecs``:
     persisted (vec_id, embedding); ``batch``: arriving vectors.
     Returns per batch vector its top-ANN_INCR_K indexed neighbors."""
-    bn = F.count("*").over(Window.partitionBy("bucket"))
-    seen_idx = (seen_b.select(F.col("vec_id").alias("seen_vec"),
-                              "bucket")
-                .withColumn("_bn", bn)
-                .filter(F.col("_bn") <= ANN_MAX_BUCKET).drop("_bn"))
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    # the cap itself computed skew-safely: partial-agg bucket counts +
+    # equi-join (bucket_bounded), never count().over(Window(bucket)) —
+    # the degenerate bucket the cap exists for must not funnel its
+    # rows through one Window reducer just to be dropped
+    seen_idx = bucket_bounded(
+        seen_b.select(F.col("vec_id").alias("seen_vec"), "bucket"),
+        ["bucket"], hi=ANN_MAX_BUCKET)
     b_ids = batch.select(
         F.col("vec_id").alias("batch_vec"),
         F.explode(lsh_table_buckets_vec("embedding")).alias("bucket"))

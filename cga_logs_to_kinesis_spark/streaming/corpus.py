@@ -1614,6 +1614,123 @@ def encoding_anomaly_report_from_store(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Streaming skew monitor: exact key frequencies as a SUM-fold store
+# ---------------------------------------------------------------------------
+# The streaming twin of operators/ingest_audit.py's skew loop
+# (join_key_skew diagnoses -> salted_join_plan plans ->
+# salted_join_hot mitigates).  A production pipeline's shuffle-key
+# frequencies drift as crawls land; re-scanning 100 TB per planning
+# decision is a non-starter, so the monitor folds each arriving
+# micro-batch's (key_col, k) projection to exact per-batch count
+# partials and the planner reads the SUM of the store — the same
+# `salt_plan_from_frequencies` tail as the batch query, so the plans
+# are bit-identical by construction.  Counts SUM, so the store uses
+# the heavy-hitters discipline end to end: per-batch dynamic-
+# overwrite partitions (replay overwrites itself — exactly-once
+# structural), compaction with the watermark-in-partition-id base so
+# a crash between base write and cleanup can never double-count
+# (_effective_mg_summaries' argument, reused verbatim).
+
+def skew_freq_sink(store_dir: str,
+                   fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink over pre-projected (key_col, k) key-value
+    batches (operators/ingest_audit.py::skew_kv rows): per-batch
+    exact frequency partials appended batch_id-keyed.  The sink reads
+    nothing across batches; per-batch work is one partial-agg groupBy
+    of the batch."""
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.groupBy("key_col", "k")
+         .agg(F.count("*").alias("f"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def skew_frequencies_from_store(spark: SparkSession,
+                                store_dir: str) -> DataFrame:
+    """Fold the partials into the exact whole-corpus (key_col, k, f)
+    frequency table — bit-identical to
+    ``ingest_audit.skew_key_frequencies`` over the same rows under
+    ANY micro-batch split (counts sum).  Reads through the
+    watermark-aware live-row filter so a crashed compaction cannot
+    double-count."""
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return spark.createDataFrame(
+            [], "key_col string, k string, f long")
+    return (_effective_mg_summaries(s)
+            .groupBy("key_col", "k").agg(F.sum("f").alias("f")))
+
+
+def compact_skew_freq_store(spark: SparkSession, store_dir: str,
+                            upto_batch_id: int,
+                            files_per_partition: int = 1) -> int:
+    """Fold frequency partials at or below ``upto_batch_id`` (plus
+    any existing base) into one merged base at
+    ``batch_id = -(max_folded + 2)`` — the heavy-hitters watermark
+    discipline, because a SUMMING consumer must never see base +
+    stale batch rows together (see _effective_mg_summaries).  Run
+    with the stream stopped; re-run to finish an interrupted
+    cleanup."""
+    df = _read_store(spark, store_dir)
+    if df is None:
+        return 0
+    live = _effective_mg_summaries(df)
+    fold_sel = (F.col("batch_id") < -1) | (F.col("batch_id")
+                                           <= upto_batch_id)
+    to_fold = live.filter(fold_sel)
+    stats = (to_fold.filter(F.col("batch_id") >= 0)
+             .agg(F.countDistinct("batch_id").alias("n"),
+                  F.max("batch_id").alias("mx")).first())
+    n_folded, max_folded = stats["n"], stats["mx"]
+    if n_folded == 0:
+        min_bid = df.agg(F.min("batch_id")).first()[0]
+        if min_bid is not None and min_bid < -1:
+            _cleanup_stale_mg_dirs(store_dir, min_bid)
+        return 0
+    new_bid = -(max_folded + 2)
+    merged = (to_fold.groupBy("key_col", "k")
+              .agg(F.sum("f").alias("f"))
+              .coalesce(files_per_partition)
+              .withColumn("batch_id", F.lit(new_bid))
+              .localCheckpoint())      # self-read: old base is input
+    (merged.write.mode("overwrite")
+     .options(partitionOverwriteMode="dynamic")
+     .partitionBy("batch_id").parquet(store_dir))
+    _cleanup_stale_mg_dirs(store_dir, new_bid)
+    return n_folded
+
+
+def salted_join_plan_from_store(spark: SparkSession,
+                                store_dir: str) -> DataFrame:
+    """The continuously-maintained mitigation plan: the batch
+    planner's exact tail (`salt_plan_from_frequencies`) over the
+    folded frequency store — bit-identical to ``salted_join_plan``
+    over the same rows, available after every crawl drop without a
+    corpus re-scan."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        salt_plan_from_frequencies,
+    )
+
+    freq = skew_frequencies_from_store(spark, store_dir)
+    return salt_plan_from_frequencies(freq.localCheckpoint())
+
+
+# ---------------------------------------------------------------------------
 # Streaming n-gram novelty: first-occurrence state as a MIN-fold store
 # ---------------------------------------------------------------------------
 # The streaming twin of operators/dedup.py::q_ngram_novelty.  Novelty

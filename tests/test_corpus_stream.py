@@ -1550,3 +1550,112 @@ def test_novelty_sink_crash_replay_and_compaction(spark, tmp_path):
     dirs = [d for d in os.listdir(doc_dir) if d.startswith("batch_id=")]
     assert dirs == ["batch_id=-1"]
     assert _novelty_report(spark, fp_dir, doc_dir) == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming skew monitor (SUM-fold frequency store -> live salt plan)
+# ---------------------------------------------------------------------------
+
+def _skew_kv_chunks(spark, tmp_path, n=3):
+    """The skew_kv projection split into n arrival chunks by a row
+    hash — deliberately NOT grouped by key, so every key's count
+    straddles batches and the SUM fold is actually exercised."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import skew_kv
+
+    kv = skew_kv(spark, SF_SMOKE)
+    src = tmp_path / "kv_chunks"
+    for k in range(n):
+        kv.filter(F.abs(F.hash("key_col", "k")) % n == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+    return str(src)
+
+
+def _drain_kv_sink(spark, src, sink, ckpt):
+    q = (spark.readStream
+         .schema("key_col string, k string")
+         .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+
+
+def test_skew_freq_store_matches_batch_and_plan(spark, tmp_path):
+    """Frequencies fold exactly under any micro-batch split, and the
+    store-backed planner emits the bit-identical salt plan the batch
+    query computes from a full scan."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        skew_key_frequencies,
+    )
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        salted_join_plan_from_store,
+        skew_freq_sink,
+        skew_frequencies_from_store,
+    )
+
+    src = _skew_kv_chunks(spark, tmp_path)
+    store = str(tmp_path / "freq_store")
+    _drain_kv_sink(spark, src, skew_freq_sink(store),
+                   str(tmp_path / "ckpt"))
+    assert (spark.read.parquet(store)
+            .select("batch_id").distinct().count()) == 3
+    got = sorted(map(tuple, skew_frequencies_from_store(
+        spark, store).collect()))
+    want = sorted(map(tuple,
+                      skew_key_frequencies(spark, SF_SMOKE).collect()))
+    assert got == want and len(want) > 0
+    plan_got = sorted(map(tuple, salted_join_plan_from_store(
+        spark, store).collect()))
+    plan_want = sorted(map(tuple, all_queries()["salted_join_plan"]
+                           .fn(spark, SF_SMOKE).collect()))
+    assert plan_got == plan_want and len(plan_want) > 0
+
+
+def test_skew_freq_store_crash_replay_and_compaction(spark, tmp_path):
+    """Replay overwrites its own partition (exactly-once for the SUM
+    fold); compaction folds to the watermark base without moving the
+    frequencies, and a re-run finishes an interrupted cleanup."""
+    import os
+
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        skew_key_frequencies,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_skew_freq_store,
+        skew_freq_sink,
+        skew_frequencies_from_store,
+    )
+
+    src = _skew_kv_chunks(spark, tmp_path)
+    store = str(tmp_path / "freq_store")
+    sink = skew_freq_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_kv_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_kv_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    want = sorted(map(tuple,
+                      skew_key_frequencies(spark, SF_SMOKE).collect()))
+    fold = lambda: sorted(map(tuple, skew_frequencies_from_store(  # noqa: E731
+        spark, store).collect()))
+    assert fold() == want
+    assert compact_skew_freq_store(spark, store, 2) == 3
+    dirs = sorted(d for d in os.listdir(store)
+                  if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-4"]           # -(max_folded 2 + 2)
+    assert fold() == want
+    # nothing new to fold -> no-op, fold unchanged
+    assert compact_skew_freq_store(spark, store, 2) == 0
+    assert fold() == want
+
+
+def test_skew_freq_store_empty_reader(spark, tmp_path):
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        skew_frequencies_from_store,
+    )
+
+    df = skew_frequencies_from_store(spark,
+                                     str(tmp_path / "never_created"))
+    assert df.columns == ["key_col", "k", "f"] and df.count() == 0

@@ -537,12 +537,54 @@ def test_rate_anomaly_single_event_scan(spark):
 
 
 def test_substring_dedup_single_scan_no_cartesian(spark):
-    """Exact-substring dedup: one documents scan feeds both windows
-    (gap-and-islands over gram digests), never a self-join."""
+    """Exact-substring dedup: the gram explode is checkpointed (one
+    documents scan total, paid at the cut) and duplicated-gram
+    detection is a partial-agg groupBy + equi-join — never a
+    self-join, and never a Window over the skew-prone digest (the
+    only window left is gap-and-islands per doc_id)."""
     from cga_logs_to_kinesis_spark.plans import formatted_plan
     plan = formatted_plan(SPECS["dedup_substring"].fn(spark, SF_SMOKE))
-    assert plan.count("documents.parquet") == 1
+    assert plan.count("documents.parquet") <= 1   # checkpointed front
     assert "CartesianProduct" not in plan
+    for seg in plan.split("\n\n"):
+        if seg.strip().startswith("Window") or (
+                "Window" in seg.split("\n", 1)[0]):
+            assert "digest#" not in seg, seg.split("\n", 1)[0]
+
+
+def test_substring_apply_no_digest_window(spark):
+    """The removal half folds count + first-occurrence winner in ONE
+    groupBy(digest) — the count/row_number window pair would sort a
+    boilerplate digest's whole occurrence list on one reducer."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    plan = formatted_plan(
+        SPECS["dedup_substring_apply"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_bucket_caps_have_no_content_key_windows(spark):
+    """Every LSH-family hot-bucket cap computes as partial-agg
+    groupBy + equi-join (functions/buckets.py), never
+    count().over(Window(bucket)): a boilerplate bucket must not
+    funnel its rows through one WindowExec reducer just to be
+    dropped.  Pins the shape for one query per family: no Window
+    node may partition on a content-derived bucket key."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    content_keys = ("band", "sig", "block_id", "block_val",
+                    "bucket#", "fingerprint#", "digest#", "fp#")
+    for q in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
+              "dedup_simhash_pairs", "ann_incremental",
+              "dedup_winnow_pairs", "dedup_minhash_incremental"):
+        plan = formatted_plan(SPECS[q].fn(spark, SF_SMOKE))
+        for seg in plan.split("\n\n"):
+            head = seg.split("\n", 1)[0]
+            if "Window" not in head:
+                continue
+            assert not any(k in seg for k in content_keys), (
+                f"{q}: Window over a content-derived bucket key: "
+                f"{head}")
 
 
 def test_simhash_pairs_block_join_no_cartesian(spark):
