@@ -367,9 +367,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     scored = bm25_scored(spark, docs)
+    # Global top-k as orderBy().limit() — TakeOrderedAndProject keeps
+    # a k-row heap per partition and merges heaps, never a global
+    # sort.  The rank window then runs over <= k rows (a bare
+    # row_number().over(Window.orderBy(...)) here would single-
+    # partition the whole scored corpus: the optimizer does not give
+    # this shape a WindowGroupLimit prune, measured on the actual
+    # plan).
+    top = (scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+           .limit(BM25_TOPK))
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= BM25_TOPK)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("doc_id", "n_terms_hit", "score", "rank"))
 
 

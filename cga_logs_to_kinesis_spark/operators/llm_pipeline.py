@@ -725,8 +725,12 @@ register(QuerySpec(
 # Rebalancing: no single domain/source may contribute more than
 # DOMAIN_CAP documents; keep the longest ones (n_chars is the quality
 # proxy the fixture carries).  One window shuffle keyed by source —
-# the same topology as any per-group top-k, skew governed by the
-# largest single domain, which AQE splits.
+# the same topology as any per-group top-k.  The rank filter compiles
+# to WindowGroupLimit (plan-pinned), so every map partition prunes to
+# its local top-DOMAIN_CAP per source BEFORE the exchange: the
+# largest domain ships at most cap x partitions rows, not its corpus
+# share.  (AQE's skew split does NOT apply to window exchanges — the
+# map-side prune is what bounds the hot source here.)
 
 DOMAIN_CAP = 15
 

@@ -44,9 +44,12 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-13 curation -----------------------------------------------
-    # Leads: the one r13-NEW oracle-paired query (salted_join_apply:
-    # the applied skew mitigation, hash-checked against the unsalted
-    # join), then seven whose CODE changed this round — ngram_novelty
+    # Leads: the three r13-NEW oracle-paired queries
+    # (salted_join_apply: the applied skew mitigation, hash-checked
+    # against the unsalted join; script_mixing_report: the
+    # homoglyph-spam audit; corpus_drift: the ingest-order
+    # distribution monitor), then seven whose CODE changed this
+    # round — ngram_novelty
     # (first-occurrence fold reshaped from WindowExec-over-fp to the
     # skew-safe groupBy-min), heavy_hitters (width gate refactored
     # into session.widen_for_explode), and one representative per
@@ -57,21 +60,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # queries whose latest green row is r9 (CORRECTNESS_r09.json
     # order; prune_frequent_tokens and token_length_histogram from
     # that cohort already sit in the changed block, closing out all
-    # 23), then 21 of the r10 cohort in CORRECTNESS_r10.json order
+    # 23), then 19 of the r10 cohort in CORRECTNESS_r10.json order
     # (minhash_signatures / dedup_simhash from it likewise already
-    # placed).  1 + 7 + 21 + 21 = 50.
+    # placed).  3 + 7 + 21 + 19 = 50.
     #
-    # Deferred to the r14 window: the remaining 21 of the r10 cohort
-    # in CORRECTNESS_r10.json order (gopher_quality, gopher_repetition,
-    # lang_id, large_volume_customers, multimodal_audio_features,
+    # Deferred to the r14 window: the remaining 23 of the r10 cohort
+    # in CORRECTNESS_r10.json order (embedding_quantize,
+    # fertility_by_lang, gopher_quality, gopher_repetition, lang_id,
+    # large_volume_customers, multimodal_audio_features,
     # multimodal_raw_features, multimodal_raw_resize,
     # multimodal_video_frames, nation_set_ops, ngram_decontaminate,
     # pack_chunks, pii_scrub, quality_features,
     # quality_filter_survivors, returned_revenue, revenue_by_nation,
     # segment_totals, semdedup, semi_join_customers, share_of_total,
     # shipmode_priority, snapshot_diff, split_assign, text_stats,
-    # tfidf_top_terms, vocab_coverage, winnowing_fingerprints — 27,
-    # take the first 21 that fit), then the stalest of the r11 window
+    # tfidf_top_terms, vocab_coverage, winnowing_fingerprints — 29,
+    # take what fits), then the stalest of the r11 window
     # (CORRECTNESS_r11.json order).  Lead with r14-new/changed as
     # always.
     # Permanently out by convention: cosine_topk_fast (bit-exact
@@ -83,6 +87,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #
     # r13-new:
     "salted_join_apply",
+    "script_mixing_report",
+    "corpus_drift",
     # r13-changed:
     "ngram_novelty",
     "heavy_hitters",
@@ -133,8 +139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "doc_fingerprint",
     "embedding_centroids",
-    "embedding_quantize",
-    "fertility_by_lang",
 )
 
 

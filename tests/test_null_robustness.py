@@ -57,7 +57,7 @@ PROBED = [
     "dedup_downweight", "heavy_hitters", "bloom_decontaminate",
     "length_outliers_approx", "encoding_anomaly_report",
     "ngram_novelty", "training_order", "training_interleave",
-    "novelty_curve",
+    "novelty_curve", "script_mixing_report", "corpus_drift",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",

@@ -563,6 +563,31 @@ def test_substring_apply_no_digest_window(spark):
     assert "partial_min" in plan or "partial_count" in plan
 
 
+def test_rank_caps_compile_to_window_group_limit(spark):
+    """Per-group top-k rank filters must ride WindowGroupLimit: each
+    map partition prunes to its local top-k per key BEFORE the window
+    exchange, so a hot group (one giant domain / customer) ships at
+    most k x partitions rows instead of its whole corpus share.  AQE
+    cannot split window skew — this prune is the only bound."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    for q in ("domain_cap", "top3_orders_per_customer"):
+        plan = formatted_plan(SPECS[q].fn(spark, SF_SMOKE))
+        assert "WindowGroupLimit" in plan, (
+            f"{q}: rank filter lost its map-side group-limit prune")
+
+
+def test_bm25_topk_is_heap_topk_not_global_window(spark):
+    """The global top-k must compile to TakeOrderedAndProject (k-row
+    heap per partition, heap merge) with any residual rank window
+    running over <= k rows — a bare global row_number would
+    single-partition the whole scored corpus."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    plan = formatted_plan(SPECS["bm25_topk"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_bucket_caps_have_no_content_key_windows(spark):
     """Every LSH-family hot-bucket cap computes as partial-agg
     groupBy + equi-join (functions/buckets.py), never

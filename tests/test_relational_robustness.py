@@ -43,6 +43,9 @@ PROBED = [
     # r12: the salting planner shares join_key_skew's frequency front;
     # NULL keys must survive the hot filter + row_number cap
     "salted_join_plan",
+    # r13: the APPLIED mitigation — NULL join keys must behave exactly
+    # like the plain join through the salt/replicate machinery
+    "salted_join_apply",
 ]
 
 _MODS = {
