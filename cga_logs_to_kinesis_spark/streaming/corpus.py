@@ -726,8 +726,15 @@ def ingest_audit_report_from_store(spark: SparkSession,
                                    store_dir: str) -> DataFrame:
     """Fold the per-batch partial audit rows into the whole-corpus
     per-shard report — bit-identical to ``q_jsonl_ingest_report`` over
-    the same files (counts/sums add, min/max fold)."""
-    s = spark.read.parquet(store_dir)
+    the same files (counts/sums add, min/max fold).  Goes through
+    ``_read_store``: a never-created store is empty state."""
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return spark.createDataFrame(
+            [], "shard long, n_lines long, n_corrupt long, "
+                "n_valid long, n_null_text long, n_missing_id long, "
+                "n_chars_liars long, min_doc_id long, "
+                "max_doc_id long, total_chars long")
     return (s.groupBy("shard")
             .agg(F.sum("n_lines").alias("n_lines"),
                  F.sum("n_corrupt").alias("n_corrupt"),
@@ -926,11 +933,16 @@ def table_profile_report_from_store(spark: SparkSession,
     from cga_logs_to_kinesis_spark.operators.ingest_audit import (
         finish_profile,
     )
-    partials = spark.read.parquet(partials_dir).drop("batch_id")
-    values = spark.read.parquet(values_dir)
+    partials = _read_store(spark, partials_dir)
+    values = _read_store(spark, values_dir)
+    if partials is None or values is None:
+        return spark.createDataFrame(
+            [], "col_name string, n_null long, n_distinct long, "
+                "min_num double, max_num double, "
+                "min_str string, max_str string")
     distincts = (values.groupBy("col_name")
                  .agg(F.count_distinct("val").alias("n_distinct")))
-    return finish_profile(partials, distincts)
+    return finish_profile(partials.drop("batch_id"), distincts)
 
 
 # ---------------------------------------------------------------------------
@@ -1603,6 +1615,65 @@ def encoding_anomaly_report_from_store(spark: SparkSession,
     s = _read_store(spark, store_dir)
     if s is None:
         cols = ["n_docs", "n_chars", *ENC_PATTERNS, "dirty_docs"]
+        return spark.createDataFrame(
+            [], "source string, " + ", ".join(f"{c} long"
+                                              for c in cols))
+    sum_cols = [c for c in s.columns
+                if c not in ("source", "batch_id")]
+    return (s.groupBy("source")
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            .orderBy("source"))
+
+
+def script_mixing_sink(store_dir: str,
+                       fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch twin of ``q_script_mixing_report`` — the
+    encoding_anomaly_sink posture verbatim: per-batch per-source
+    partial script counts appended batch_id-keyed (every aggregate a
+    count/sum over the shared ``script_counts_per_doc`` projection,
+    so the fold is exact under any micro-batch split; the single
+    dynamic-overwrite write makes replays structurally
+    exactly-once)."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        script_counts_per_doc,
+        script_mixing_aggs,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        report = (script_counts_per_doc(batch_df)
+                  .groupBy("source").agg(*script_mixing_aggs()))
+        (report.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def script_mixing_report_from_store(spark: SparkSession,
+                                    store_dir: str) -> DataFrame:
+    """Fold the per-batch partials into the whole-corpus per-source
+    report — bit-identical to ``q_script_mixing_report`` (every
+    column is a count or sum); never-created store reads as a typed
+    empty frame."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        SCRIPT_CLASSES,
+    )
+
+    s = _read_store(spark, store_dir)
+    if s is None:
+        cols = ["n_docs", *SCRIPT_CLASSES,
+                "multi_script_docs", "confusable_docs"]
         return spark.createDataFrame(
             [], "source string, " + ", ".join(f"{c} long"
                                               for c in cols))

@@ -1659,3 +1659,46 @@ def test_skew_freq_store_empty_reader(spark, tmp_path):
     df = skew_frequencies_from_store(spark,
                                      str(tmp_path / "never_created"))
     assert df.columns == ["key_col", "k", "f"] and df.count() == 0
+
+
+def test_script_mixing_sink_matches_batch(spark, tmp_path):
+    """Per-batch script-mixing partials re-fold to the exact batch
+    report under any micro-batch split, survive crash-replay, and a
+    never-created store reads as a typed empty frame."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        script_mixing_report_from_store,
+        script_mixing_sink,
+    )
+
+    empty = script_mixing_report_from_store(
+        spark, str(tmp_path / "never"))
+    assert empty.count() == 0 and empty.columns[0] == "source"
+
+    src = _doc_chunks(spark, tmp_path)
+    store = str(tmp_path / "script_store")
+    sink = script_mixing_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    got = sorted(map(tuple, script_mixing_report_from_store(
+        spark, store).collect()))
+    want = sorted(map(tuple, all_queries()["script_mixing_report"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_profile_and_audit_readers_empty_store(spark, tmp_path):
+    """The ingest-audit and table-profile store readers follow the
+    same _read_store contract as every sibling: never-created stores
+    are empty state, not a schema-inference crash."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        ingest_audit_report_from_store,
+        table_profile_report_from_store,
+    )
+
+    a = ingest_audit_report_from_store(spark, str(tmp_path / "nope"))
+    assert a.count() == 0 and a.columns[0] == "shard"
+    p = table_profile_report_from_store(
+        spark, str(tmp_path / "no_partials"), str(tmp_path / "no_vals"))
+    assert p.count() == 0 and p.columns[0] == "col_name"
