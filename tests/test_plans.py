@@ -914,6 +914,9 @@ def test_salted_join_apply_joins_on_salt_slices(spark):
     assert re.search(r"keys \[2\]: \[l_orderkey#\d+L?, _salt#\d+", plan), (
         "equi-join is not on (l_orderkey, _salt) — hot rows would "
         "meet on a single reducer")
+    # the planner front is pruned to the consumed key family: no
+    # documents tokenize (per-key_col math is independent)
+    assert "documents.parquet" not in plan
 
 
 def test_salted_join_plan_broadcasts_totals(spark):
