@@ -532,3 +532,51 @@ def test_novelty_sink_work_is_flat(spark, tmp_path):
     assert late <= 3.0 * early, (
         f"per-batch novelty work grew: early={early:.0f} "
         f"late={late:.0f} records/batch")
+
+
+def test_script_mixing_sink_work_is_flat(spark, tmp_path):
+    """The script-mixing sink folds its own batch only (no
+    cross-batch read) — strictly flat per-batch work."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        script_mixing_sink,
+    )
+
+    sink = script_mixing_sink(str(tmp_path / "scripts"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        batch = _dup_doc_batch(spark, k).withColumn(
+            "source", (F.col("doc_id") % 4).cast("string"))
+        sink(batch, k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch script-mixing work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
+
+
+def test_skew_freq_sink_work_is_flat(spark, tmp_path):
+    """The skew monitor folds its own batch's (key_col, k) projection
+    only (no cross-batch read) — strictly flat per-batch work while
+    the frequency store grows underneath."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        skew_freq_sink,
+    )
+
+    sink = skew_freq_sink(str(tmp_path / "freqs"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        batch = (_dup_doc_batch(spark, k)
+                 .select(F.lit("token").alias("key_col"),
+                         F.col("text").alias("k")))
+        sink(batch, k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch skew-monitor work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
