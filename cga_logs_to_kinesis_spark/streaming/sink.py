@@ -357,7 +357,8 @@ def build_put_records_request(*, stream: str,
                               secret_key: str, amz_date: str,
                               session_token: str | None = None,
                               service: str = "kinesis",
-                              endpoint_host: str | None = None) -> dict:
+                              endpoint_host: str | None = None,
+                              endpoint_url: str | None = None) -> dict:
     """Construct the complete signed Kinesis ``PutRecords`` REST call
     — the request the reference's vendored client assembles
     (kinesis.go:209-247 HTTP layer + sign.go): x-amz-json-1.1 body
@@ -371,7 +372,14 @@ def build_put_records_request(*, stream: str,
 
     from cga_logs_to_kinesis_spark.functions.sigv4 import sign_request
 
-    host = endpoint_host or f"{service}.{region}.amazonaws.com"
+    # endpoint_url (scheme included) wins — it is what lets the whole
+    # signed wire path run against a local http fake in tests; the
+    # Host header (and thus the signature) always matches the target.
+    if endpoint_url is not None:
+        import urllib.parse as _up
+        host = _up.urlparse(endpoint_url).netloc
+    else:
+        host = endpoint_host or f"{service}.{region}.amazonaws.com"
     body = _json.dumps({
         "StreamName": stream,
         "Records": [{"Data": base64.b64encode(
@@ -392,17 +400,25 @@ def build_put_records_request(*, stream: str,
     headers["Authorization"] = signed.authorization
     if session_token is not None:
         headers["X-Amz-Security-Token"] = session_token
-    return {"url": f"https://{host}/", "method": "POST",
+    url = (endpoint_url.rstrip("/") + "/" if endpoint_url is not None
+           else f"https://{host}/")
+    return {"url": url, "method": "POST",
             "headers": headers, "body": body}
 
 
 def sigv4_transport(stream_region: str, provider=None,
-                    endpoint_host: str | None = None) -> Transport:
+                    endpoint_host: str | None = None,
+                    endpoint_url: str | None = None,
+                    clock=None) -> Transport:
     """Kinesis PutRecords over stdlib urllib with the repo's OWN
     SigV4 signer and credential chain — the no-boto3 realization of
-    K1+K2+K3 (network-gated: this container has no AWS endpoint, so
-    only the request CONSTRUCTION is exercised by tests; prefer
-    ``boto3_transport`` in production)."""
+    K1+K2+K3.  ``endpoint_url`` (scheme included) makes the whole
+    signed wire path runnable against a local http fake — the
+    tests/test_sink.py Kinesis double independently RE-SIGNS each
+    request and 403s a mismatch, so request shape, signature, and the
+    per-record ErrorCode retry loop are all exercised offline; the
+    default https endpoint is what production would use (boto3's
+    battle-tested client is still preferred there)."""
     import time as _time
 
     from cga_logs_to_kinesis_spark.functions.credentials import (
@@ -410,21 +426,23 @@ def sigv4_transport(stream_region: str, provider=None,
     )
 
     prov = provider or default_chain()
+    now = clock or _time.time
 
-    class SigV4Transport(Transport):  # pragma: no cover - network
+    class SigV4Transport(Transport):
         def send(self, stream, page):
             import json as _json
             import urllib.request
 
             creds = prov.get()
             amz_date = _time.strftime("%Y%m%dT%H%M%SZ",
-                                      _time.gmtime())
+                                      _time.gmtime(now()))
             req = build_put_records_request(
                 stream=stream, page=page, region=stream_region,
                 access_key=creds.access_key,
                 secret_key=creds.secret_key, amz_date=amz_date,
                 session_token=creds.session_token,
-                endpoint_host=endpoint_host)
+                endpoint_host=endpoint_host,
+                endpoint_url=endpoint_url)
             r = urllib.request.Request(
                 req["url"], data=req["body"], headers=req["headers"],
                 method=req["method"])

@@ -196,3 +196,105 @@ def test_transports_accept_str_payloads(tmp_path):
     records = json.loads(req["body"])["Records"]
     assert base64.b64decode(records[0]["Data"]) == "héllo".encode()
     assert base64.b64decode(records[1]["Data"]) == b"raw"
+
+
+def test_sigv4_transport_end_to_end_against_local_kinesis_fake(spark,
+                                                               tmp_path):
+    """The full no-boto3 wire path, offline: deliver_pages pages the
+    batch, sigv4_transport signs and POSTs x-amz-json-1.1 PutRecords
+    to a local http.server whose handler independently RE-SIGNS the
+    request (403 on mismatch), throttles poison records once (per-
+    record ErrorCode slots), and persists delivered Data — so the
+    page/retry machinery, the SigV4 signature, and the response
+    decode are all exercised together."""
+    import base64
+    import contextlib
+    import http.server
+    import json as _json
+    import threading
+
+    from cga_logs_to_kinesis_spark.functions.credentials import (
+        Credentials, Provider,
+    )
+    from cga_logs_to_kinesis_spark.functions.sigv4 import sign_request
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        sigv4_transport,
+    )
+
+    creds = Credentials("AKTEST", "SKTEST", "TOKTEST")
+
+    class StaticProv(Provider):
+        def get(self):
+            return creds
+
+    delivered: list[tuple[bytes, str]] = []
+    throttled: set[bytes] = set()
+    seen_targets: list[str] = []
+
+    class KinesisFake(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            expect = sign_request(
+                access_key=creds.access_key,
+                secret_key=creds.secret_key,
+                region="us-east-1", service="kinesis", method="POST",
+                path="/", query=[],
+                headers={
+                    "Host": self.headers["Host"],
+                    "Content-Type": self.headers["Content-Type"],
+                    "X-Amz-Target": self.headers["X-Amz-Target"],
+                    "X-Amz-Date": self.headers["X-Amz-Date"],
+                },
+                payload=body, session_token=creds.session_token)
+            if self.headers["Authorization"] != expect.authorization:
+                self.send_error(403, "signature mismatch")
+                return
+            seen_targets.append(self.headers["X-Amz-Target"])
+            req = _json.loads(body)
+            out = []
+            for rec in req["Records"]:
+                data = base64.b64decode(rec["Data"])
+                if b"poison" in data and data not in throttled:
+                    throttled.add(data)
+                    out.append({"ErrorCode":
+                                "ProvisionedThroughputExceededException"})
+                else:
+                    delivered.append((data, rec["PartitionKey"]))
+                    out.append({"SequenceNumber": str(len(delivered)),
+                                "ShardId": "shardId-000000000000"})
+            resp = _json.dumps({
+                "FailedRecordCount": sum(1 for r in out
+                                         if "ErrorCode" in r),
+                "Records": out}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    @contextlib.contextmanager
+    def serve():
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0),
+                                              KinesisFake)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            yield f"http://127.0.0.1:{srv.server_address[1]}"
+        finally:
+            srv.shutdown()
+            t.join(timeout=5)
+
+    rows = [((f"rec-{i}" + ("-poison" if i % 7 == 0 else "")).encode(),
+             f"k{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "data binary, partition_key string").coalesce(1)
+    with serve() as url:
+        tp = sigv4_transport("us-east-1", provider=StaticProv(),
+                             endpoint_url=url)
+        stats = deliver_pages(df, tp, SinkConfig(base_backoff_s=0))
+    assert int(stats["records_sent"].sum()) == 30
+    assert int(stats["records_dropped"].sum()) == 0
+    assert sorted(delivered) == sorted(rows), "lost/duplicated records"
+    assert set(seen_targets) == {"Kinesis_20131202.PutRecords"}
