@@ -250,6 +250,79 @@ def boto3_consumer_client(region: str) -> ConsumerClient:
     return Boto3Consumer(region)
 
 
+def sigv4_consumer_client(region: str, provider=None,
+                          endpoint_url: str | None = None,
+                          clock=None) -> ConsumerClient:
+    """The no-boto3 consumer: ListShards / GetShardIterator /
+    GetRecords as signed x-amz-json-1.1 calls over stdlib urllib —
+    the source-side twin of ``sigv4_transport`` (reference
+    kinesis.go:374-423 paging over the kinesis.go:209-247 HTTP
+    layer).  ``endpoint_url`` points it at a local http fake in tests
+    (which RE-SIGNS each request), the default https endpoint at the
+    real service; prefer ``boto3_consumer_client`` in production."""
+    import time as _time
+
+    from cga_logs_to_kinesis_spark.functions.credentials import (
+        default_chain,
+    )
+
+    prov = provider or default_chain()
+    now = clock or _time.time
+
+    def call(target: str, body_obj: dict) -> dict:
+        import urllib.request
+
+        from cga_logs_to_kinesis_spark.streaming.sink import (
+            build_api_request,
+        )
+
+        creds = prov.get()
+        req = build_api_request(
+            target=target, body_obj=body_obj, region=region,
+            access_key=creds.access_key, secret_key=creds.secret_key,
+            amz_date=_time.strftime("%Y%m%dT%H%M%SZ",
+                                    _time.gmtime(now())),
+            session_token=creds.session_token,
+            endpoint_url=endpoint_url)
+        r = urllib.request.Request(
+            req["url"], data=req["body"], headers=req["headers"],
+            method=req["method"])
+        with urllib.request.urlopen(r, timeout=30) as resp:
+            return json.loads(resp.read())
+
+    class SigV4Consumer(ConsumerClient):
+        def shard_ids(self, stream):
+            out = call("Kinesis_20131202.ListShards",
+                       {"StreamName": stream})
+            return sorted(s["ShardId"] for s in out["Shards"])
+
+        def get_shard_iterator(self, stream, shard_id,
+                               iterator_type="TRIM_HORIZON",
+                               after_sequence=None):
+            body = {"StreamName": stream, "ShardId": shard_id,
+                    "ShardIteratorType": iterator_type}
+            if after_sequence is not None:
+                body["StartingSequenceNumber"] = after_sequence
+            return call("Kinesis_20131202.GetShardIterator",
+                        body)["ShardIterator"]
+
+        def get_records(self, iterator, limit=500):
+            out = call("Kinesis_20131202.GetRecords",
+                       {"ShardIterator": iterator, "Limit": limit})
+            return RecordsPage(
+                records=tuple(ConsumerRecord(
+                    data=base64.b64decode(rec["Data"]),
+                    partition_key=rec["PartitionKey"],
+                    sequence_number=rec["SequenceNumber"],
+                    approximate_arrival_ts=float(
+                        rec.get("ApproximateArrivalTimestamp", 0.0)))
+                    for rec in out.get("Records", [])),
+                next_shard_iterator=out.get("NextShardIterator"),
+                millis_behind_latest=out.get("MillisBehindLatest", 0))
+
+    return SigV4Consumer()
+
+
 # ---------------------------------------------------------------------------
 # Driver-side poller → spool → Spark file stream
 # ---------------------------------------------------------------------------

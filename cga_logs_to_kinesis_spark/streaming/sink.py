@@ -351,23 +351,21 @@ def firehose_boto3_transport(stream_region: str) -> Transport:
     return FirehoseBoto3Transport(stream_region)
 
 
-def build_put_records_request(*, stream: str,
-                              page: list[tuple[bytes, str]],
-                              region: str, access_key: str,
-                              secret_key: str, amz_date: str,
-                              session_token: str | None = None,
-                              service: str = "kinesis",
-                              endpoint_host: str | None = None,
-                              endpoint_url: str | None = None) -> dict:
-    """Construct the complete signed Kinesis ``PutRecords`` REST call
-    — the request the reference's vendored client assembles
-    (kinesis.go:209-247 HTTP layer + sign.go): x-amz-json-1.1 body
-    with base64 Data, the ``Kinesis_20131202.PutRecords`` target
-    header, and a SigV4 Authorization from functions/sigv4.py.  Pure
-    function of its inputs (the caller owns the clock), so the wire
-    shape is unit-testable without a network; ``sigv4_transport``
-    POSTs it via urllib when an endpoint is actually reachable."""
-    import base64
+def build_api_request(*, target: str, body_obj: dict,
+                      region: str, access_key: str,
+                      secret_key: str, amz_date: str,
+                      session_token: str | None = None,
+                      service: str = "kinesis",
+                      endpoint_host: str | None = None,
+                      endpoint_url: str | None = None) -> dict:
+    """One signed x-amz-json-1.1 API call — the request shape the
+    reference's vendored client assembles for EVERY Kinesis/Firehose
+    action (kinesis.go:209-247 HTTP layer + sign.go): JSON body, the
+    ``<Service>_<version>.<Action>`` target header, and a SigV4
+    Authorization from functions/sigv4.py.  Pure function of its
+    inputs (the caller owns the clock), so every action's wire shape
+    is unit-testable without a network; ``sigv4_transport`` (sink)
+    and ``sigv4_consumer_client`` (source) POST these via urllib."""
     import json as _json
 
     from cga_logs_to_kinesis_spark.functions.sigv4 import sign_request
@@ -380,17 +378,11 @@ def build_put_records_request(*, stream: str,
         host = _up.urlparse(endpoint_url).netloc
     else:
         host = endpoint_host or f"{service}.{region}.amazonaws.com"
-    body = _json.dumps({
-        "StreamName": stream,
-        "Records": [{"Data": base64.b64encode(
-                         d.encode() if isinstance(d, str) else bytes(d)
-                     ).decode(),
-                     "PartitionKey": k} for d, k in page],
-    }).encode()
+    body = _json.dumps(body_obj).encode()
     headers = {
         "Host": host,
         "Content-Type": "application/x-amz-json-1.1",
-        "X-Amz-Target": "Kinesis_20131202.PutRecords",
+        "X-Amz-Target": target,
         "X-Amz-Date": amz_date,
     }
     signed = sign_request(access_key=access_key, secret_key=secret_key,
@@ -404,6 +396,35 @@ def build_put_records_request(*, stream: str,
            else f"https://{host}/")
     return {"url": url, "method": "POST",
             "headers": headers, "body": body}
+
+
+def build_put_records_request(*, stream: str,
+                              page: list[tuple[bytes, str]],
+                              region: str, access_key: str,
+                              secret_key: str, amz_date: str,
+                              session_token: str | None = None,
+                              service: str = "kinesis",
+                              endpoint_host: str | None = None,
+                              endpoint_url: str | None = None) -> dict:
+    """The signed ``PutRecords`` call: base64 Data + PartitionKey
+    records under the ``Kinesis_20131202.PutRecords`` target (record
+    shape kinesis.go:477-489) — :func:`build_api_request` with the
+    PutRecords body."""
+    import base64
+
+    return build_api_request(
+        target="Kinesis_20131202.PutRecords",
+        body_obj={
+            "StreamName": stream,
+            "Records": [{"Data": base64.b64encode(
+                             d.encode() if isinstance(d, str)
+                             else bytes(d)).decode(),
+                         "PartitionKey": k} for d, k in page],
+        },
+        region=region, access_key=access_key, secret_key=secret_key,
+        amz_date=amz_date, session_token=session_token,
+        service=service, endpoint_host=endpoint_host,
+        endpoint_url=endpoint_url)
 
 
 def sigv4_transport(stream_region: str, provider=None,

@@ -248,3 +248,120 @@ def test_consumer_stream_round_trip_with_sink(spark, tmp_path):
             raw = json.loads(data)["log_message"]["message"]
             ref_msgs.add(base64.b64decode(raw).decode())
     assert ref_msgs == msgs
+
+
+def test_sigv4_consumer_against_local_kinesis_fake():
+    """The no-boto3 consumer wire path, offline: ListShards /
+    GetShardIterator / GetRecords as signed x-amz-json-1.1 calls
+    against a local http.server Kinesis double that independently
+    RE-SIGNS every request (403 on mismatch) and pages an in-memory
+    shard — TRIM_HORIZON paging, iterator continuation, and
+    AFTER_SEQUENCE_NUMBER resume all exercised."""
+    import contextlib
+    import http.server
+    import threading
+
+    from cga_logs_to_kinesis_spark.functions.credentials import (
+        Credentials, Provider,
+    )
+    from cga_logs_to_kinesis_spark.functions.sigv4 import sign_request
+    from cga_logs_to_kinesis_spark.sources.consumer import (
+        sigv4_consumer_client,
+    )
+
+    creds = Credentials("AKTEST", "SKTEST", None)
+
+    class StaticProv(Provider):
+        def get(self):
+            return creds
+
+    shard = [  # (sequence_number, data_b64, partition_key)
+        ("101", base64.b64encode(b"rec-a").decode(), "k1"),
+        ("102", base64.b64encode(b"rec-b").decode(), "k2"),
+        ("103", base64.b64encode(b"rec-c").decode(), "k1"),
+    ]
+
+    class KinesisFake(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            expect = sign_request(
+                access_key=creds.access_key,
+                secret_key=creds.secret_key,
+                region="us-east-1", service="kinesis", method="POST",
+                path="/", query=[],
+                headers={
+                    "Host": self.headers["Host"],
+                    "Content-Type": self.headers["Content-Type"],
+                    "X-Amz-Target": self.headers["X-Amz-Target"],
+                    "X-Amz-Date": self.headers["X-Amz-Date"],
+                },
+                payload=body)
+            if self.headers["Authorization"] != expect.authorization:
+                self.send_error(403, "signature mismatch")
+                return
+            target = self.headers["X-Amz-Target"].split(".")[-1]
+            req = json.loads(body)
+            if target == "ListShards":
+                out = {"Shards": [{"ShardId": "shardId-000000000000"}]}
+            elif target == "GetShardIterator":
+                if req["ShardIteratorType"] == "TRIM_HORIZON":
+                    pos = 0
+                elif req["ShardIteratorType"] == "AFTER_SEQUENCE_NUMBER":
+                    seqs = [s for s, _, _ in shard]
+                    pos = seqs.index(req["StartingSequenceNumber"]) + 1
+                else:
+                    pos = len(shard)
+                out = {"ShardIterator": f"it:{pos}"}
+            elif target == "GetRecords":
+                pos = int(req["ShardIterator"].split(":")[1])
+                limit = req.get("Limit", 500)
+                page = shard[pos:pos + limit]
+                out = {
+                    "Records": [
+                        {"Data": d, "PartitionKey": k,
+                         "SequenceNumber": s,
+                         "ApproximateArrivalTimestamp": 1.5}
+                        for s, d, k in page],
+                    "NextShardIterator": f"it:{pos + len(page)}",
+                    "MillisBehindLatest": 0,
+                }
+            else:
+                self.send_error(400, f"unknown target {target}")
+                return
+            resp = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    @contextlib.contextmanager
+    def serve():
+        srv = http.server.HTTPServer(("127.0.0.1", 0), KinesisFake)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            yield f"http://127.0.0.1:{srv.server_address[1]}"
+        finally:
+            srv.shutdown()
+            t.join(timeout=5)
+
+    with serve() as url:
+        c = sigv4_consumer_client("us-east-1", provider=StaticProv(),
+                                  endpoint_url=url)
+        assert c.shard_ids("s") == ["shardId-000000000000"]
+        it = c.get_shard_iterator("s", "shardId-000000000000")
+        page = c.get_records(it, limit=2)
+        assert [r.data for r in page.records] == [b"rec-a", b"rec-b"]
+        assert [r.partition_key for r in page.records] == ["k1", "k2"]
+        page2 = c.get_records(page.next_shard_iterator, limit=10)
+        assert [r.data for r in page2.records] == [b"rec-c"]
+        # resume AFTER_SEQUENCE_NUMBER — the poller's restart path
+        it3 = c.get_shard_iterator("s", "shardId-000000000000",
+                                   "AFTER_SEQUENCE_NUMBER",
+                                   after_sequence="101")
+        page3 = c.get_records(it3, limit=10)
+        assert [r.sequence_number for r in page3.records] == \
+            ["102", "103"]
