@@ -258,6 +258,97 @@ def route_key(ranges: list[tuple[int, int, str]],
         f"no open shard covers hash {h} — corrupt reshard metadata")
 
 
+def sigv4_stream_admin(region: str, provider=None,
+                       endpoint_url: str | None = None,
+                       clock=None) -> StreamAdmin:
+    """The no-boto3 admin client: every kinesis.go:252-372 action as
+    a signed x-amz-json-1.1 call over stdlib urllib — the admin-side
+    sibling of ``sigv4_transport`` / ``sigv4_consumer_client``.
+    ``endpoint_url`` points it at the local re-signing http fake in
+    tests; prefer ``boto3_stream_admin`` in production."""
+    import time as _time
+    import urllib.request
+
+    from cga_logs_to_kinesis_spark.functions.credentials import (
+        default_chain,
+    )
+
+    prov = provider or default_chain()
+    now = clock or _time.time
+
+    def call(target: str, body_obj: dict) -> dict:
+        from cga_logs_to_kinesis_spark.streaming.sink import (
+            build_api_request,
+        )
+
+        creds = prov.get()
+        req = build_api_request(
+            target=f"Kinesis_20131202.{target}", body_obj=body_obj,
+            region=region, access_key=creds.access_key,
+            secret_key=creds.secret_key,
+            amz_date=_time.strftime("%Y%m%dT%H%M%SZ",
+                                    _time.gmtime(now())),
+            session_token=creds.session_token,
+            endpoint_url=endpoint_url)
+        r = urllib.request.Request(
+            req["url"], data=req["body"], headers=req["headers"],
+            method=req["method"])
+        with urllib.request.urlopen(r, timeout=30) as resp:
+            body = resp.read()
+            return json.loads(body) if body else {}
+
+    class SigV4StreamAdmin(StreamAdmin):
+        def create_stream(self, name, shard_count):
+            call("CreateStream", {"StreamName": name,
+                                  "ShardCount": shard_count})
+
+        def delete_stream(self, name):
+            call("DeleteStream", {"StreamName": name})
+
+        def list_streams(self, limit=None, exclusive_start=None):
+            body = {}
+            if limit is not None:
+                body["Limit"] = limit
+            if exclusive_start is not None:
+                body["ExclusiveStartStreamName"] = exclusive_start
+            r = call("ListStreams", body)
+            return ListStreamsResp(tuple(r["StreamNames"]),
+                                   r["HasMoreStreams"])
+
+        def describe_stream(self, name):
+            d = call("DescribeStream", {"StreamName": name})
+            desc = d["StreamDescription"]
+            shards = tuple(
+                ShardInfo(s["ShardId"],
+                          int(s["HashKeyRange"]["StartingHashKey"]),
+                          int(s["HashKeyRange"]["EndingHashKey"]),
+                          "EndingSequenceNumber"
+                          not in s["SequenceNumberRange"],
+                          tuple(p for p in [s.get("ParentShardId"),
+                                            s.get(
+                                                "AdjacentParentShardId")]
+                                if p))
+                for s in desc["Shards"])
+            return DescribeStreamResp(name, desc["StreamStatus"],
+                                      shards)
+
+        def merge_shards(self, name, shard_id, adjacent_shard_id):
+            call("MergeShards", {"StreamName": name,
+                                 "ShardToMerge": shard_id,
+                                 "AdjacentShardToMerge":
+                                     adjacent_shard_id})
+            return ""
+
+        def split_shard(self, name, shard_id, new_starting_hash):
+            call("SplitShard", {"StreamName": name,
+                                "ShardToSplit": shard_id,
+                                "NewStartingHashKey":
+                                    str(new_starting_hash)})
+            return ("", "")
+
+    return SigV4StreamAdmin()
+
+
 def boto3_stream_admin(region: str) -> StreamAdmin:
     """Real Kinesis admin client, import-gated like the transports."""
     try:

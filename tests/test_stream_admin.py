@@ -156,3 +156,152 @@ def test_legacy_streams_keep_modulo_routing(tmp_path):
     assert sids and all(s in ("shard-0000", "shard-0001")
                         for s in sids)
     assert len(_all_records(client, "plain")) == 3
+
+
+def test_sigv4_admin_against_local_fake_delegating_to_dir_admin(
+        tmp_path):
+    """The no-boto3 signed admin wire path, offline: every
+    kinesis.go:252-372 action POSTs x-amz-json-1.1 to a local
+    http.server that independently RE-SIGNS the request (403 on a
+    mismatch) and DELEGATES to DirStreamAdmin — so the wire client is
+    held to the same resharding semantics the in-process fake pins:
+    create -> CREATING window -> ACTIVE, split children visible via
+    DescribeStream with real hash ranges, merge, paged ListStreams,
+    delete."""
+    import contextlib
+    import http.server
+    import json as _json
+    import threading
+
+    from cga_logs_to_kinesis_spark.functions.credentials import (
+        Credentials, Provider,
+    )
+    from cga_logs_to_kinesis_spark.functions.sigv4 import sign_request
+    from cga_logs_to_kinesis_spark.sources.admin import (
+        sigv4_stream_admin,
+    )
+
+    creds = Credentials("AKTEST", "SKTEST", None)
+
+    class StaticProv(Provider):
+        def get(self):
+            return creds
+
+    backend = DirStreamAdmin(str(tmp_path))
+
+    class AdminFake(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            expect = sign_request(
+                access_key=creds.access_key,
+                secret_key=creds.secret_key,
+                region="us-east-1", service="kinesis", method="POST",
+                path="/", query=[],
+                headers={
+                    "Host": self.headers["Host"],
+                    "Content-Type": self.headers["Content-Type"],
+                    "X-Amz-Target": self.headers["X-Amz-Target"],
+                    "X-Amz-Date": self.headers["X-Amz-Date"],
+                },
+                payload=body)
+            if self.headers["Authorization"] != expect.authorization:
+                self.send_error(403, "signature mismatch")
+                return
+            target = self.headers["X-Amz-Target"].split(".")[-1]
+            req = _json.loads(body)
+            out: dict = {}
+            if target == "CreateStream":
+                backend.create_stream(req["StreamName"],
+                                      req["ShardCount"],
+                                      creating_describes=2)
+            elif target == "DeleteStream":
+                backend.delete_stream(req["StreamName"])
+            elif target == "ListStreams":
+                r = backend.list_streams(
+                    req.get("Limit"),
+                    req.get("ExclusiveStartStreamName"))
+                out = {"StreamNames": list(r.stream_names),
+                       "HasMoreStreams": r.has_more_streams}
+            elif target == "DescribeStream":
+                d = backend.describe_stream(req["StreamName"])
+                out = {"StreamDescription": {
+                    "StreamStatus": d.stream_status,
+                    "Shards": [
+                        {"ShardId": s.shard_id,
+                         "HashKeyRange": {
+                             "StartingHashKey": str(s.hash_start),
+                             "EndingHashKey": str(s.hash_end)},
+                         "SequenceNumberRange":
+                             {} if s.open
+                             else {"EndingSequenceNumber": "1"},
+                         **({"ParentShardId": s.parents[0]}
+                            if s.parents else {}),
+                         **({"AdjacentParentShardId": s.parents[1]}
+                            if len(s.parents) > 1 else {})}
+                        for s in d.shards]}}
+            elif target == "MergeShards":
+                backend.merge_shards(req["StreamName"],
+                                     req["ShardToMerge"],
+                                     req["AdjacentShardToMerge"])
+            elif target == "SplitShard":
+                backend.split_shard(req["StreamName"],
+                                    req["ShardToSplit"],
+                                    int(req["NewStartingHashKey"]))
+            else:
+                self.send_error(400, f"unknown target {target}")
+                return
+            resp = _json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    @contextlib.contextmanager
+    def serve():
+        srv = http.server.HTTPServer(("127.0.0.1", 0), AdminFake)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            yield f"http://127.0.0.1:{srv.server_address[1]}"
+        finally:
+            srv.shutdown()
+            t.join(timeout=5)
+
+    with serve() as url:
+        admin = sigv4_stream_admin("us-east-1", provider=StaticProv(),
+                                   endpoint_url=url)
+        admin.create_stream("wire-a", 2)
+        assert wait_active(admin, "wire-a") == 3   # 2 CREATING + 1
+        d = admin.describe_stream("wire-a")
+        assert len(d.shards) == 2 and all(s.open for s in d.shards)
+        # split the low shard at its midpoint: children visible with
+        # real hash ranges, parent closed with parentage
+        low = min(d.shards, key=lambda s: s.hash_start)
+        mid = (low.hash_start + low.hash_end) // 2 + 1
+        admin.split_shard("wire-a", low.shard_id, mid)
+        d2 = admin.describe_stream("wire-a")
+        open_now = [s for s in d2.shards if s.open]
+        closed = [s for s in d2.shards if not s.open]
+        assert len(open_now) == 3 and len(closed) == 1
+        assert closed[0].shard_id == low.shard_id
+        kids = [s for s in open_now if low.shard_id in s.parents]
+        assert sorted((s.hash_start, s.hash_end) for s in kids) == \
+            [(low.hash_start, mid - 1), (mid, low.hash_end)]
+        # merge the two children back; paged ListStreams; delete
+        kids.sort(key=lambda s: s.hash_start)
+        admin.merge_shards("wire-a", kids[0].shard_id,
+                           kids[1].shard_id)
+        d3 = admin.describe_stream("wire-a")
+        assert sum(1 for s in d3.shards if s.open) == 2
+        admin.create_stream("wire-b", 1)
+        page1 = admin.list_streams(limit=1)
+        assert page1.stream_names == ("wire-a",) \
+            and page1.has_more_streams
+        page2 = admin.list_streams(limit=1, exclusive_start="wire-a")
+        assert page2.stream_names == ("wire-b",) \
+            and not page2.has_more_streams
+        admin.delete_stream("wire-b")
+        assert "wire-b" not in admin.list_streams().stream_names
