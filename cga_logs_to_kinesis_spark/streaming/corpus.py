@@ -735,6 +735,7 @@ def ingest_audit_report_from_store(spark: SparkSession,
                 "n_valid long, n_null_text long, n_missing_id long, "
                 "n_chars_liars long, min_doc_id long, "
                 "max_doc_id long, total_chars long")
+    s = _effective_mg_summaries(s)   # watermark-aware: compacted base
     return (s.groupBy("shard")
             .agg(F.sum("n_lines").alias("n_lines"),
                  F.sum("n_corrupt").alias("n_corrupt"),
@@ -1618,6 +1619,7 @@ def encoding_anomaly_report_from_store(spark: SparkSession,
         return spark.createDataFrame(
             [], "source string, " + ", ".join(f"{c} long"
                                               for c in cols))
+    s = _effective_mg_summaries(s)   # watermark-aware: compacted base
     sum_cols = [c for c in s.columns
                 if c not in ("source", "batch_id")]
     return (s.groupBy("source")
@@ -1677,6 +1679,7 @@ def script_mixing_report_from_store(spark: SparkSession,
         return spark.createDataFrame(
             [], "source string, " + ", ".join(f"{c} long"
                                               for c in cols))
+    s = _effective_mg_summaries(s)   # watermark-aware: compacted base
     sum_cols = [c for c in s.columns
                 if c not in ("source", "batch_id")]
     return (s.groupBy("source")
@@ -1747,16 +1750,20 @@ def skew_frequencies_from_store(spark: SparkSession,
             .groupBy("key_col", "k").agg(F.sum("f").alias("f")))
 
 
-def compact_skew_freq_store(spark: SparkSession, store_dir: str,
-                            upto_batch_id: int,
-                            files_per_partition: int = 1) -> int:
-    """Fold frequency partials at or below ``upto_batch_id`` (plus
-    any existing base) into one merged base at
-    ``batch_id = -(max_folded + 2)`` — the heavy-hitters watermark
-    discipline, because a SUMMING consumer must never see base +
-    stale batch rows together (see _effective_mg_summaries).  Run
-    with the stream stopped; re-run to finish an interrupted
-    cleanup."""
+def _compact_mergeable_store(spark: SparkSession, store_dir: str,
+                             upto_batch_id: int,
+                             group_cols: list[str],
+                             fold,
+                             files_per_partition: int = 1) -> int:
+    """Generic compactor for a MERGEABLE-partials store: fold batch
+    partitions at or below ``upto_batch_id`` (plus any existing base)
+    into one merged base at ``batch_id = -(max_folded + 2)`` — the
+    heavy-hitters watermark discipline, because a folding consumer
+    must never see base + stale batch rows together (see
+    _effective_mg_summaries).  ``fold(grouped)`` supplies the merge
+    aggregates (sums / mins / maxes — whatever the family's partials
+    re-fold with).  Run with the stream stopped; re-run to finish an
+    interrupted cleanup."""
     df = _read_store(spark, store_dir)
     if df is None:
         return 0
@@ -1774,8 +1781,7 @@ def compact_skew_freq_store(spark: SparkSession, store_dir: str,
             _cleanup_stale_mg_dirs(store_dir, min_bid)
         return 0
     new_bid = -(max_folded + 2)
-    merged = (to_fold.groupBy("key_col", "k")
-              .agg(F.sum("f").alias("f"))
+    merged = (fold(to_fold.groupBy(*group_cols))
               .coalesce(files_per_partition)
               .withColumn("batch_id", F.lit(new_bid))
               .localCheckpoint())      # self-read: old base is input
@@ -1784,6 +1790,70 @@ def compact_skew_freq_store(spark: SparkSession, store_dir: str,
      .partitionBy("batch_id").parquet(store_dir))
     _cleanup_stale_mg_dirs(store_dir, new_bid)
     return n_folded
+
+
+def _sum_fold(*cols: str):
+    """Merge aggregates for a pure-counts partials store."""
+    return lambda g: g.agg(*[F.sum(c).alias(c) for c in cols])
+
+
+def compact_skew_freq_store(spark: SparkSession, store_dir: str,
+                            upto_batch_id: int,
+                            files_per_partition: int = 1) -> int:
+    """Fold frequency partials into the watermark base (counts SUM)."""
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, ["key_col", "k"],
+        _sum_fold("f"), files_per_partition)
+
+
+def compact_encoding_store(spark: SparkSession, store_dir: str,
+                           upto_batch_id: int,
+                           files_per_partition: int = 1) -> int:
+    """Fold encoding-audit partials (every column a count/sum) into
+    the watermark base — without this the store grows one partition
+    set per micro-batch forever."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        ENC_PATTERNS,
+    )
+
+    cols = ["n_docs", "n_chars", *ENC_PATTERNS, "dirty_docs"]
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, ["source"],
+        _sum_fold(*cols), files_per_partition)
+
+
+def compact_script_mixing_store(spark: SparkSession, store_dir: str,
+                                upto_batch_id: int,
+                                files_per_partition: int = 1) -> int:
+    """Fold script-mixing partials (counts/sums) into the base."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        SCRIPT_CLASSES,
+    )
+
+    cols = ["n_docs", *SCRIPT_CLASSES,
+            "multi_script_docs", "confusable_docs"]
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, ["source"],
+        _sum_fold(*cols), files_per_partition)
+
+
+def compact_ingest_audit_store(spark: SparkSession, store_dir: str,
+                               upto_batch_id: int,
+                               files_per_partition: int = 1) -> int:
+    """Fold JSONL-audit partials into the base: counts SUM, the
+    doc-id extrema fold with MIN/MAX — the same merge the reader
+    itself applies, so fold-after-compaction == fold-before."""
+    sums = ["n_lines", "n_corrupt", "n_valid", "n_null_text",
+            "n_missing_id", "n_chars_liars", "total_chars"]
+
+    def fold(g):
+        return g.agg(*[F.sum(c).alias(c) for c in sums],
+                     F.min("min_doc_id").alias("min_doc_id"),
+                     F.max("max_doc_id").alias("max_doc_id"))
+
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, ["shard"], fold,
+        files_per_partition)
 
 
 def salted_join_plan_from_store(spark: SparkSession,

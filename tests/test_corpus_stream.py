@@ -1702,3 +1702,77 @@ def test_profile_and_audit_readers_empty_store(spark, tmp_path):
     p = table_profile_report_from_store(
         spark, str(tmp_path / "no_partials"), str(tmp_path / "no_vals"))
     assert p.count() == 0 and p.columns[0] == "col_name"
+
+
+def test_summing_store_compactors_do_not_move_reports(spark, tmp_path):
+    """The encoding, script-mixing, and ingest-audit stores get the
+    watermark-base compactor (the skew/HH discipline): folding batch
+    partitions into the -(max_folded+2) base must leave every
+    report bit-identical, the readers must ignore stale dirs a
+    crashed cleanup leaves behind, and a no-op re-run must finish
+    that cleanup."""
+    import os
+
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        dirty_jsonl_fixture,
+    )
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_encoding_store,
+        compact_ingest_audit_store,
+        compact_script_mixing_store,
+        encoding_anomaly_report_from_store,
+        encoding_anomaly_sink,
+        ingest_audit_report_from_store,
+        ingest_audit_sink,
+        script_mixing_report_from_store,
+        script_mixing_sink,
+        stream_documents_jsonl_audit,
+    )
+
+    qs = all_queries()
+    src = _doc_chunks(spark, tmp_path)
+
+    # encoding + script mixing over the same 3-chunk doc stream
+    enc_store = str(tmp_path / "enc")
+    scr_store = str(tmp_path / "scr")
+    _drain_doc_sink(spark, src, encoding_anomaly_sink(enc_store),
+                    str(tmp_path / "ck1"))
+    _drain_doc_sink(spark, src, script_mixing_sink(scr_store),
+                    str(tmp_path / "ck2"))
+    want_enc = sorted(map(tuple, qs["encoding_anomaly_report"]
+                          .fn(spark, SF_SMOKE).collect()))
+    want_scr = sorted(map(tuple, qs["script_mixing_report"]
+                          .fn(spark, SF_SMOKE).collect()))
+    assert compact_encoding_store(spark, enc_store, 2) == 3
+    assert compact_script_mixing_store(spark, scr_store, 2) == 3
+    for store in (enc_store, scr_store):
+        dirs = sorted(d for d in os.listdir(store)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-4"]
+    assert sorted(map(tuple, encoding_anomaly_report_from_store(
+        spark, enc_store).collect())) == want_enc
+    assert sorted(map(tuple, script_mixing_report_from_store(
+        spark, scr_store).collect())) == want_scr
+    # no-op re-run: nothing left to fold, report unmoved
+    assert compact_encoding_store(spark, enc_store, 2) == 0
+    assert sorted(map(tuple, encoding_anomaly_report_from_store(
+        spark, enc_store).collect())) == want_enc
+
+    # ingest audit (sums + MIN/MAX extrema) over the JSONL fixture
+    base = dirty_jsonl_fixture()
+    audit_store = str(tmp_path / "audit")
+    q = (stream_documents_jsonl_audit(spark, base,
+                                      max_files_per_trigger=1)
+         .writeStream.foreachBatch(ingest_audit_sink(audit_store))
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    want_audit = sorted(map(tuple, ingest_audit_report_from_store(
+        spark, audit_store).collect()))
+    n_batches = (spark.read.parquet(audit_store)
+                 .select("batch_id").distinct().count())
+    assert compact_ingest_audit_store(
+        spark, audit_store, n_batches - 1) == n_batches
+    assert sorted(map(tuple, ingest_audit_report_from_store(
+        spark, audit_store).collect())) == want_audit
