@@ -44,11 +44,12 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-13 curation -----------------------------------------------
-    # Leads: the three r13-NEW oracle-paired queries
+    # Leads: the four r13-NEW oracle-paired queries
     # (salted_join_apply: the applied skew mitigation, hash-checked
     # against the unsalted join; script_mixing_report: the
     # homoglyph-spam audit; corpus_drift: the ingest-order
-    # distribution monitor), then seven whose CODE changed this
+    # distribution monitor; homoglyph_scrub: the confusable repair),
+    # then seven whose CODE changed this
     # round — ngram_novelty
     # (first-occurrence fold reshaped from WindowExec-over-fp to the
     # skew-safe groupBy-min), heavy_hitters (width gate refactored
@@ -60,12 +61,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # queries whose latest green row is r9 (CORRECTNESS_r09.json
     # order; prune_frequent_tokens and token_length_histogram from
     # that cohort already sit in the changed block, closing out all
-    # 23), then 19 of the r10 cohort in CORRECTNESS_r10.json order
+    # 23), then 18 of the r10 cohort in CORRECTNESS_r10.json order
     # (minhash_signatures / dedup_simhash from it likewise already
-    # placed).  3 + 7 + 21 + 19 = 50.
+    # placed).  4 + 7 + 21 + 18 = 50.
     #
-    # Deferred to the r14 window: the remaining 23 of the r10 cohort
-    # in CORRECTNESS_r10.json order (embedding_quantize,
+    # Deferred to the r14 window: the remaining 30 of the r10 cohort
+    # in CORRECTNESS_r10.json order (embedding_centroids,
+    # embedding_quantize,
     # fertility_by_lang, gopher_quality, gopher_repetition, lang_id,
     # large_volume_customers, multimodal_audio_features,
     # multimodal_raw_features, multimodal_raw_resize,
@@ -89,6 +91,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "salted_join_apply",
     "script_mixing_report",
     "corpus_drift",
+    "homoglyph_scrub",
     # r13-changed:
     "ngram_novelty",
     "heavy_hitters",
@@ -138,7 +141,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_minhash_lsh",
     "doc_fingerprint",
-    "embedding_centroids",
 )
 
 
