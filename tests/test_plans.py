@@ -900,6 +900,46 @@ def test_encoding_anomaly_single_pruned_scan(spark):
                          for cols in scans), scans
 
 
+def test_script_mixing_single_pruned_scan(spark):
+    """Like the encoding audit: one scan reading ONLY (text, source),
+    counts folded map-side, no joins."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["script_mixing_report"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    scans = scan_read_schema_columns(df)
+    assert scans and all(set(cols) <= {"text", "source"}
+                         for cols in scans), scans
+
+
+def test_corpus_drift_single_scan_no_joins(spark):
+    """The drift monitor is one row-local projection + a 10-key
+    groupBy: no joins, and the scan must not drag unused columns
+    (doc_id/text/source/lang only — n_chars is recomputed from text
+    because the fixture's n_chars column can lie)."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["corpus_drift"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    scans = scan_read_schema_columns(df)
+    assert scans and all(
+        set(cols) <= {"doc_id", "text", "source", "lang"}
+        for cols in scans), scans
+
+
+def test_homoglyph_scrub_is_row_local(spark):
+    """The repair is a pure projection: no joins, no exchanges, no
+    windows — translate is row-local."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["homoglyph_scrub"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for bad in ("Join", "Exchange", "Window"):
+        assert bad not in plan, bad
+
+
 def test_salted_join_apply_joins_on_salt_slices(spark):
     """The applied mitigation must actually join on (key, _salt) —
     the hot key's rows spread across salt_factor slices instead of
