@@ -109,24 +109,116 @@ CANARY = "stats_tumbling"
 REGRESSION_FACTOR = 1.5
 
 
+def _recover_from_tail(record: dict, sf: float) -> dict | None:
+    """Recover per-query timings from a driver record whose ``parsed``
+    is null (the driver keeps only the LAST 2000 stdout chars, so a
+    long bench line loses its head and fails json.loads — every round
+    since r11 recorded this way, which silently staled the regression
+    base to r10; r13 verdict #1).
+
+    The bench line's key order is fixed (``queries`` immediately
+    precedes ``"sf"``), so the queries region is everything before the
+    first ``}, "sf":`` — the ``deltas`` dict (whose pairs look
+    identical) comes after and can never leak in.  A pair beheaded by
+    the truncation point cannot false-match: the tail is a SUFFIX, so
+    a surviving opening quote always has its complete key after it
+    (r13's tail starts ``minhash_lsh": 1.31`` — no opening quote, the
+    regex skips it and the first recovered pair is the next intact
+    one).
+    """
+    tail = record.get("tail")
+    if not isinstance(tail, str):
+        return None
+    rec_sf = record.get("sf")
+    if rec_sf is not None and rec_sf != sf:
+        return None
+    end = tail.find('}, "sf":')
+    if end < 0:
+        return None
+    region = tail[:end]
+    if '"queries": {' in region:
+        region = region.split('"queries": {', 1)[1]
+    pairs = re.findall(r'"([A-Za-z0-9_]+)": ([0-9][0-9.]*)', region)
+    if len(pairs) < 5:
+        return None
+    return {"sf": rec_sf if rec_sf is not None else sf,
+            "queries": {k: float(v) for k, v in pairs},
+            "recovered_from_tail": True}
+
+
 def previous_round_bench(repo_dir: str, sf: float) -> dict | None:
-    """Latest BENCH_r*.json for the same scale factor, if any."""
-    rounds = []
+    """The newest prior round's per-query record at the same sf.
+
+    Resolution order per round, newest round first (r13 verdict #1 —
+    the driver's own BENCH_r*.json carried ``parsed: null`` from r11
+    on, so the naive "latest parseable driver record" base silently
+    regressed to r10 and the 1.5x gate measured against a 3-round-old
+    host-inflated run):
+
+    1. the builder's complete ``docs/bench/r{N}_final_run*.json``
+       records (per-query MIN across that round's runs — same robust
+       estimator the in-run passes use);
+    2. the driver's ``BENCH_r{N}.json`` when its ``parsed`` survived;
+    3. timings regex-recovered from the driver record's ``tail``.
+
+    The returned dict carries ``base`` (human-readable provenance) so
+    the printed record shows WHAT the deltas were computed against.
+    """
+    by_round: dict[int, dict[str, list[str] | str]] = {}
+    for p in glob.glob(os.path.join(repo_dir, "docs", "bench",
+                                    "r*_final_run*.json")):
+        m = re.search(r"r(\d+)_final_run\d+\.json$", p)
+        if m:
+            by_round.setdefault(int(m.group(1)), {}) \
+                .setdefault("builder", []).append(p)
     for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
-            rounds.append((int(m.group(1)), p))
-    for _, path in sorted(rounds, reverse=True):
-        try:
-            with open(path) as f:
-                prev = json.load(f)
-        except (OSError, ValueError):
-            continue
-        # driver-recorded rounds wrap the bench line under "parsed"
-        if isinstance(prev.get("parsed"), dict):
-            prev = prev["parsed"]
-        if prev.get("sf") == sf and isinstance(prev.get("queries"), dict):
-            return prev
+            by_round.setdefault(int(m.group(1)), {})["driver"] = p
+    for rnd in sorted(by_round, reverse=True):
+        sources = by_round[rnd]
+        merged: dict[str, float] = {}
+        used = []
+        for path in sorted(sources.get("builder", [])):
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if rec.get("sf") != sf or not isinstance(
+                    rec.get("queries"), dict):
+                continue
+            used.append(os.path.basename(path))
+            for k, v in rec["queries"].items():
+                if k not in merged or v < merged[k]:
+                    merged[k] = v
+        if merged:
+            return {"sf": sf, "queries": merged,
+                    "base": f"r{rnd}:min({len(used)}runs)",
+                    "base_files": used}
+        driver_path = sources.get("driver")
+        if driver_path:
+            try:
+                with open(driver_path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            parsed = rec.get("parsed")
+            if isinstance(parsed, dict) and parsed.get("sf") == sf \
+                    and isinstance(parsed.get("queries"), dict):
+                parsed = dict(parsed)
+                parsed["base"] = f"r{rnd}:driver"
+                return parsed
+            # bare bench-format file (tests / hand-recorded)
+            if rec.get("sf") == sf and isinstance(
+                    rec.get("queries"), dict):
+                rec = dict(rec)
+                rec["base"] = f"r{rnd}:driver"
+                return rec
+            recovered = _recover_from_tail(rec, sf)
+            if recovered is not None:
+                recovered["base"] = f"r{rnd}:tail"
+                return recovered
     return None
 
 
@@ -174,30 +266,33 @@ def main() -> None:
     canary_last = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # The stdout line MUST stay under the driver's 2000-char stdout
+    # tail or the driver records "parsed: null" and the next round's
+    # regression base goes stale (this exact failure shipped r11-r13:
+    # the full per-query deltas dict pushed the line to ~3.5 KB).  So
+    # the line carries per-query TIMINGS (the contract) plus a compact
+    # delta SUMMARY; the complete record — per-query deltas, canary,
+    # provenance — goes to docs/bench/last_run.json.
     out = {
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # r8's uniform 1.21x comparable-set drift vs r7 did NOT
-        # reproduce: r9 deltas were ~1.0, and two back-to-back sf0.1
-        # runs in r10 (docs/bench/r10_backtoback_run{1,2}.json) show
-        # run2/run1 median 0.967 with both ~1.01-1.05x of r9 —
-        # consistent with the documented bursty host interference,
-        # not an engine regression.
-        "note": "r8 1.21x drift attributed to host noise; see "
-                "docs/bench/r10_backtoback_run*.json",
-        # last/first far from 1.0 = the host's load changed DURING
-        # this run; read per-query deltas with that in mind
-        "drift_canary": {
-            "query": CANARY,
-            "first_sec": canary_first,
-            "last_sec": canary_last,
-            "last_over_first": (round(canary_last / canary_first, 3)
-                                if canary_first else None),
-        },
     }
+    full = dict(out)
+    # last/first far from 1.0 = the host's load changed DURING this
+    # run; read per-query deltas with that in mind.  (r8's apparent
+    # 1.21x cross-round drift was exactly this — see
+    # docs/bench/r10_backtoback_run*.json.)
+    full["drift_canary"] = {
+        "query": CANARY,
+        "first_sec": canary_first,
+        "last_sec": canary_last,
+        "last_over_first": (round(canary_last / canary_first, 3)
+                            if canary_first else None),
+    }
+    out["canary_drift"] = full["drift_canary"]["last_over_first"]
     prev = previous_round_bench(os.path.dirname(os.path.abspath(__file__)),
                                 sf)
     if prev is not None:
@@ -214,9 +309,32 @@ def main() -> None:
                       f"{ratio:.2f}x the previous round's "
                       f"{before:.2f}s (threshold "
                       f"{REGRESSION_FACTOR}x)", file=sys.stderr)
-        out["deltas"] = deltas
+        ordered = sorted(deltas.values())
+        full["deltas"] = deltas
+        full["delta_base"] = prev.get("base")
+        full["delta_base_files"] = prev.get("base_files")
+        full["regressions"] = regressions
+        out["delta_median"] = (
+            round(ordered[len(ordered) // 2], 3) if ordered else None)
+        out["delta_base"] = prev.get("base")
         out["regressions"] = regressions
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:  # headroom under the driver's 2000-char tail
+        print(f"BENCH WARNING: stdout line {len(line)} chars exceeds "
+              f"the driver's parse window — trim the headline set or "
+              f"the summary fields", file=sys.stderr)
+    print(line)
+    try:
+        os.makedirs(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "docs", "bench"), exist_ok=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "bench", "last_run.json"),
+                  "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as exc:
+        print(f"BENCH WARNING: could not write last_run.json: {exc}",
+              file=sys.stderr)
     spark.stop()
 
 
