@@ -39,8 +39,25 @@ def bucket_bounded(df: DataFrame, keys: Sequence[str],
                    lo: int | None = None,
                    hi: int | None = None) -> DataFrame:
     """Rows of ``df`` whose ``keys`` bucket size n satisfies
-    ``lo <= n <= hi`` (either bound optional), same columns out."""
+    ``lo <= n <= hi`` (either bound optional), same columns out.
+
+    Join strategy follows which bucket list is SMALL:
+
+    * ``lo`` set (the pair-generator callers use ``lo=2``): the
+      qualifying list is only collision buckets — a sliver of all
+      buckets under realistic LSH skew — so the inner join's build
+      side is tiny and AQE broadcast-converts it.
+    * ``hi`` only (the index-cap callers): qualifying ≈ ALL distinct
+      buckets (unbroadcastable at scale), but the EXCLUDED list is
+      bounded by n_rows/hi regardless of skew — so anti-join against
+      the over-cap buckets instead.  AQE sizes the tiny build side at
+      runtime and typically broadcasts it, skipping the probe-side
+      exchange entirely (r13 verdict next-#2).
+    """
     counts = df.groupBy(*keys).agg(F.count("*").alias("_bn"))
+    if lo is None and hi is not None:
+        bad = counts.filter(F.col("_bn") > hi)
+        return df.join(bad.select(*keys), list(keys), "left_anti")
     cond = None
     if lo is not None:
         cond = F.col("_bn") >= lo

@@ -263,3 +263,56 @@ def test_salted_join_hot_rejects_outer_joins(spark):
     # the supported modes still work
     assert salted_join_hot(big, small, "key", plan,
                            how="left").count() == 100
+
+
+def _bucketed_df(spark):
+    """Bucket sizes: k0->1, k1->2, k2->5, k3->60 rows."""
+    sizes = {"k0": 1, "k1": 2, "k2": 5, "k3": 60}
+    rows = [(k, i) for k, n in sizes.items() for i in range(n)]
+    return spark.createDataFrame(rows, "bucket string, v int")
+
+
+def test_bucket_bounded_hi_only_matches_filter_semantics(spark):
+    """hi-only bound (the index-cap shape) computes via anti-join
+    against the over-cap bucket list; results must equal the naive
+    'bucket size <= hi' filter, columns unchanged."""
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    df = _bucketed_df(spark)
+    out = bucket_bounded(df, ["bucket"], hi=10)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted((k, i) for k, n in
+                  {"k0": 1, "k1": 2, "k2": 5}.items() for i in range(n))
+    assert got == want
+    assert out.columns == df.columns
+
+
+def test_bucket_bounded_lo_and_both_bounds(spark):
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    df = _bucketed_df(spark)
+    lo_only = {r["bucket"] for r in
+               bucket_bounded(df, ["bucket"], lo=2).collect()}
+    assert lo_only == {"k1", "k2", "k3"}
+    both = {r["bucket"] for r in
+            bucket_bounded(df, ["bucket"], lo=2, hi=10).collect()}
+    assert both == {"k1", "k2"}
+
+
+def test_bucket_bounded_hi_only_is_anti_join(spark):
+    """The hi-only path must plan as a LEFT ANTI join (build side =
+    over-cap buckets, bounded by n/hi regardless of skew, so AQE can
+    broadcast it) — never an inner join whose build side is the
+    unbroadcastable all-qualifying-buckets list."""
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    df = _bucketed_df(spark)
+    plan = bucket_bounded(df, ["bucket"], hi=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
