@@ -365,3 +365,172 @@ def test_sigv4_consumer_against_local_kinesis_fake():
         page3 = c.get_records(it3, limit=10)
         assert [r.sequence_number for r in page3.records] == \
             ["102", "103"]
+
+
+def test_sigv4_consumer_drives_full_streaming_ingest(spark, tmp_path):
+    """S7 end-to-end on the SIGNED wire path (r13 verdict next-#4):
+    producer pipeline → dir stream → a local http.server Kinesis fake
+    that independently RE-SIGNS every request (403 on mismatch) and
+    DELEGATES paging to DirStreamClient → ShardPoller driving
+    sigv4_consumer_client → spool → Spark file stream → envelope
+    decode.  Then a poller RESTART picks up a late record via a
+    wire-signed AFTER_SEQUENCE_NUMBER resume — the same round-trip +
+    resume contract the DirStreamClient path pins, now proven through
+    the stdlib signed client end to end."""
+    import contextlib
+    import http.server
+    import threading
+
+    from cga_logs_to_kinesis_spark.functions.credentials import (
+        Credentials,
+        Provider,
+    )
+    from cga_logs_to_kinesis_spark.functions.sigv4 import sign_request
+    from cga_logs_to_kinesis_spark.sources.consumer import (
+        sigv4_consumer_client,
+    )
+
+    creds = Credentials("AKTEST", "SKTEST", None)
+
+    class StaticProv(Provider):
+        def get(self):
+            return creds
+
+    stream_dir = tmp_path / "stream"
+    delegate = DirStreamClient(str(stream_dir))
+
+    class KinesisFake(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            expect = sign_request(
+                access_key=creds.access_key,
+                secret_key=creds.secret_key,
+                region="us-east-1", service="kinesis", method="POST",
+                path="/", query=[],
+                headers={
+                    "Host": self.headers["Host"],
+                    "Content-Type": self.headers["Content-Type"],
+                    "X-Amz-Target": self.headers["X-Amz-Target"],
+                    "X-Amz-Date": self.headers["X-Amz-Date"],
+                },
+                payload=body)
+            if self.headers["Authorization"] != expect.authorization:
+                self.send_error(403, "signature mismatch")
+                return
+            target = self.headers["X-Amz-Target"].split(".")[-1]
+            req = json.loads(body)
+            if target == "ListShards":
+                out = {"Shards": [
+                    {"ShardId": s}
+                    for s in delegate.shard_ids(req["StreamName"])]}
+            elif target == "GetShardIterator":
+                out = {"ShardIterator": delegate.get_shard_iterator(
+                    req["StreamName"], req["ShardId"],
+                    req["ShardIteratorType"],
+                    after_sequence=req.get("StartingSequenceNumber"))}
+            elif target == "GetRecords":
+                page = delegate.get_records(
+                    req["ShardIterator"], limit=req.get("Limit", 500))
+                out = {
+                    "Records": [
+                        {"Data": base64.b64encode(r.data).decode(),
+                         "PartitionKey": r.partition_key,
+                         "SequenceNumber": r.sequence_number,
+                         "ApproximateArrivalTimestamp":
+                             r.approximate_arrival_ts}
+                        for r in page.records],
+                    "NextShardIterator": page.next_shard_iterator,
+                    "MillisBehindLatest": page.millis_behind_latest,
+                }
+            else:
+                self.send_error(400, f"unknown target {target}")
+                return
+            resp = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    @contextlib.contextmanager
+    def serve():
+        srv = http.server.HTTPServer(("127.0.0.1", 0), KinesisFake)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            yield f"http://127.0.0.1:{srv.server_address[1]}"
+        finally:
+            srv.shutdown()
+            t.join(timeout=5)
+
+    # 1. produce through the real pipeline into the dir stream
+    watch = tmp_path / "logs"
+    watch.mkdir()
+    (watch / "a.log").write_text("alpha\nbeta\n")
+    (watch / "b.log").write_text("gamma\n")
+    query, stats = build_pipeline(
+        spark,
+        PipelineConfig(watch_dir=str(watch), glob="*.log",
+                       origin="inst-s7",
+                       checkpoint_dir=str(tmp_path / "ckpt1"),
+                       available_now=True),
+        DirStreamTransport(str(stream_dir), n_shards=2))
+    query.awaitTermination(120)
+    assert stats.records_sent == 3
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    with serve() as url:
+        wire_client = sigv4_consumer_client(
+            "us-east-1", provider=StaticProv(), endpoint_url=url)
+
+        # 2. poll over the signed wire, drain the spool as a stream
+        p1 = ShardPoller(client=wire_client, stream="logs",
+                         spool_dir=str(spool))
+        p1._load_state()
+        assert p1.poll_once() == 3
+        p1._save_state()
+
+        decoded = decode_envelopes(
+            read_consumer_stream(spark, str(spool)), col="wire")
+        q = (decoded.writeStream.format("memory")
+             .queryName("sigv4_consumed")
+             .option("checkpointLocation", str(tmp_path / "ckpt2"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sigv4_consumed").collect()
+        assert len(got) == 3
+        assert all(not r.is_corrupt for r in got)
+        assert {bytes(r.log_message.message).decode() for r in got} \
+            == {"alpha", "beta", "gamma"}
+
+        # 3. restart: a late record arrives through the producer
+        # pipeline (its checkpoint ships only the new file); a FRESH
+        # poller resumes from saved state — an AFTER_SEQUENCE_NUMBER
+        # iterator over the signed wire — and fetches exactly it
+        (watch / "c.log").write_text("delta\n")
+        query2, stats2 = build_pipeline(
+            spark,
+            PipelineConfig(watch_dir=str(watch), glob="*.log",
+                           origin="inst-s7",
+                           checkpoint_dir=str(tmp_path / "ckpt1"),
+                           available_now=True),
+            DirStreamTransport(str(stream_dir), n_shards=2))
+        query2.awaitTermination(120)
+        assert stats2.records_sent == 1
+        p2 = ShardPoller(client=wire_client, stream="logs",
+                         spool_dir=str(spool))
+        p2._load_state()
+        assert p2.poll_once() == 1          # only the new record
+        q2 = (decoded.writeStream.format("memory")
+              .queryName("sigv4_consumed2")
+              .option("checkpointLocation", str(tmp_path / "ckpt3"))
+              .trigger(availableNow=True).start())
+        q2.awaitTermination(120)
+        full = spark.sql("SELECT * FROM sigv4_consumed2").collect()
+        assert len(full) == 4               # no dupes from the resume
+        assert all(not r.is_corrupt for r in full)
+        assert {bytes(r.log_message.message).decode() for r in full} \
+            == {"alpha", "beta", "gamma", "delta"}
