@@ -1872,6 +1872,149 @@ def salted_join_plan_from_store(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Streaming corpus-drift monitor: per-decile mergeable partials
+# ---------------------------------------------------------------------------
+# The streaming twin of operators/ingest_audit.py::q_corpus_drift —
+# the most streaming-native audit in the registry: a crawl monitor
+# alarms per tranche, not per full rescan.  Deciles are keyed by
+# FIXED doc_id ranges from a pinned max-doc-id snapshot (the novelty
+# store's convention: bucket on a stable id domain, never arrival
+# order, so any micro-batch split folds exactly).  Two stores:
+#
+# * sums: per-(batch, decile) count/sum partials — n_docs,
+#   blank_docs, total_chars, plus the DECIMAL(38,6) char sum that
+#   makes the folded avg_chars bit-identical to the batch query's
+#   davg (decimal addition is exact and order-independent);
+# * values: distinct (decile, col, val) rows for the two
+#   countDistinct columns (source, lang) — countDistinct is not
+#   sum-mergeable, so the spread folds from a distinct-consumed
+#   store exactly like table_profile's values store.
+#
+# The sums store uses the heavy-hitters watermark-base discipline
+# (_compact_mergeable_store); the values store the shared distinct
+# compactor.  Per-batch work is one scan of the batch with map-side
+# folds into at most 10 sum rows + the batch's distinct spread — at
+# 100 TB the monitor's state is 10 rows per store generation plus
+# |distinct (decile, source/lang)|, and a producer drifting (blank
+# flood, char collapse, source churn) is visible as soon as its
+# tranche lands, with no corpus re-scan.
+
+def corpus_drift_sink(sum_dir: str, values_dir: str, max_doc_id: int,
+                      fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink over document batches: per-batch per-decile
+    drift partials, decile divisor pinned to ``max_doc_id`` (the
+    corpus-wide snapshot the batch query reads off `documents`).
+    The sink reads nothing across batches; both writes are batch_id
+    dynamic-overwrite partitions, so a replay overwrites itself
+    identically (structurally exactly-once)."""
+    from cga_logs_to_kinesis_spark.functions.exact import _DEC
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        drift_per_doc,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pd = drift_per_doc(batch_df, max_doc_id).localCheckpoint()
+        conf = {"partitionOverwriteMode": "dynamic"}
+        (pd.groupBy("decile")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum("is_blank").alias("blank_docs"),
+              F.sum("chars").alias("total_chars"),
+              F.sum(F.col("chars").cast("double").cast(_DEC))
+              .cast(_DEC).alias("sum_chars_dec"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(sum_dir))
+        vals = None
+        for col in ("source", "lang"):
+            part = (pd.select("decile", F.lit(col).alias("col"),
+                              F.col(col).alias("val"))
+                    .filter(F.col("val").isNotNull()).distinct())
+            vals = part if vals is None else vals.unionByName(part)
+        (vals.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(values_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def corpus_drift_from_store(spark: SparkSession, sum_dir: str,
+                            values_dir: str) -> DataFrame:
+    """Fold both stores into the whole-corpus per-decile drift report
+    — bit-identical to ``q_corpus_drift`` over the same documents
+    when the sink's ``max_doc_id`` matches the batch query's snapshot
+    (counts/sums re-fold; avg_chars folds through the exact decimal
+    sum; the spreads count the distinct-consumed values store).
+    Never-created stores read as a typed empty frame."""
+    schema = ("decile int, n_docs long, blank_docs long, "
+              "total_chars long, avg_chars double, n_sources long, "
+              "n_langs long")
+    s = _read_store(spark, sum_dir)
+    v = _read_store(spark, values_dir)
+    if s is None or v is None:
+        return spark.createDataFrame([], schema)
+    s = _effective_mg_summaries(s)   # watermark-aware: compacted base
+    sums = (s.groupBy("decile")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("blank_docs").alias("blank_docs"),
+                 F.sum("total_chars").alias("total_chars"),
+                 (F.sum("sum_chars_dec").cast("double")
+                  / F.sum("n_docs")).alias("avg_chars")))
+    spread = (v.select("decile", "col", "val").distinct()
+              .groupBy("decile")
+              .agg(F.count(F.when(F.col("col") == "source", 1))
+                   .alias("n_sources"),
+                   F.count(F.when(F.col("col") == "lang", 1))
+                   .alias("n_langs")))
+    return (sums.join(spread, "decile", "left")
+            .select("decile", "n_docs", "blank_docs", "total_chars",
+                    "avg_chars",
+                    F.coalesce("n_sources", F.lit(0))
+                    .alias("n_sources"),
+                    F.coalesce("n_langs", F.lit(0)).alias("n_langs"))
+            .orderBy("decile"))
+
+
+def compact_corpus_drift_sums(spark: SparkSession, store_dir: str,
+                              upto_batch_id: int,
+                              files_per_partition: int = 1) -> int:
+    """Fold drift sum partials into the watermark base — counts and
+    the exact decimal char sum both SUM, so the shared mergeable
+    compactor applies with a type-pinning cast on the decimal."""
+    from cga_logs_to_kinesis_spark.functions.exact import _DEC
+
+    def fold(g):
+        return g.agg(F.sum("n_docs").alias("n_docs"),
+                     F.sum("blank_docs").alias("blank_docs"),
+                     F.sum("total_chars").alias("total_chars"),
+                     F.sum("sum_chars_dec").cast(_DEC)
+                     .alias("sum_chars_dec"))
+
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, ["decile"], fold,
+        files_per_partition)
+
+
+def compact_corpus_drift_values(spark: SparkSession, values_dir: str,
+                                upto_batch_id: int,
+                                files_per_partition: int = 1) -> int:
+    """The values store is DISTINCT-consumed — the shared distinct
+    base compactor applies verbatim."""
+    return _compact_distinct_store(spark, values_dir, upto_batch_id,
+                                   ["decile", "col", "val"],
+                                   files_per_partition)
+
+
+# ---------------------------------------------------------------------------
 # Streaming n-gram novelty: first-occurrence state as a MIN-fold store
 # ---------------------------------------------------------------------------
 # The streaming twin of operators/dedup.py::q_ngram_novelty.  Novelty

@@ -1776,3 +1776,85 @@ def test_summing_store_compactors_do_not_move_reports(spark, tmp_path):
         spark, audit_store, n_batches - 1) == n_batches
     assert sorted(map(tuple, ingest_audit_report_from_store(
         spark, audit_store).collect())) == want_audit
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus-drift monitor (per-decile mergeable partials)
+# ---------------------------------------------------------------------------
+
+def test_corpus_drift_store_matches_batch(spark, tmp_path):
+    """Per-decile drift partials re-fold to the exact batch report —
+    counts/sums, the decimal-exact avg_chars, AND the countDistinct
+    spreads — under a 3-batch split with a crash-replay on batch 1;
+    never-created stores read as a typed empty frame."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        corpus_drift_from_store,
+        corpus_drift_sink,
+    )
+
+    empty = corpus_drift_from_store(
+        spark, str(tmp_path / "no_sums"), str(tmp_path / "no_vals"))
+    assert empty.count() == 0
+    assert empty.columns == ["decile", "n_docs", "blank_docs",
+                             "total_chars", "avg_chars", "n_sources",
+                             "n_langs"]
+
+    n = (load_table(spark, SF_SMOKE, "documents")
+         .agg(F.max("doc_id")).first()[0])
+    src = _doc_chunks(spark, tmp_path)
+    sum_dir = str(tmp_path / "drift_sums")
+    val_dir = str(tmp_path / "drift_vals")
+    sink = corpus_drift_sink(sum_dir, val_dir, n,
+                             fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    assert (spark.read.parquet(sum_dir)
+            .select("batch_id").distinct().count()) == 3
+    got = sorted(map(tuple, corpus_drift_from_store(
+        spark, sum_dir, val_dir).collect()))
+    want = sorted(map(tuple, all_queries()["corpus_drift"]
+                      .fn(spark, SF_SMOKE).collect()))
+    assert got == want and len(want) == 10
+
+
+def test_corpus_drift_store_compaction(spark, tmp_path):
+    """Both drift stores compact without moving the report: the sums
+    store through the watermark base (counts + decimal char sum all
+    SUM), the values store through the shared distinct base; no-op
+    re-runs return 0 and leave the fold unchanged."""
+    import os
+
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_corpus_drift_sums,
+        compact_corpus_drift_values,
+        corpus_drift_from_store,
+        corpus_drift_sink,
+    )
+
+    n = (load_table(spark, SF_SMOKE, "documents")
+         .agg(F.max("doc_id")).first()[0])
+    src = _doc_chunks(spark, tmp_path)
+    sum_dir = str(tmp_path / "drift_sums")
+    val_dir = str(tmp_path / "drift_vals")
+    _drain_doc_sink(spark, src, corpus_drift_sink(sum_dir, val_dir, n),
+                    str(tmp_path / "ckpt"))
+    fold = lambda: sorted(map(tuple, corpus_drift_from_store(  # noqa: E731
+        spark, sum_dir, val_dir).collect()))
+    want = fold()
+    assert len(want) == 10
+    assert compact_corpus_drift_sums(spark, sum_dir, 2) == 3
+    dirs = sorted(d for d in os.listdir(sum_dir)
+                  if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-4"]           # -(max_folded 2 + 2)
+    assert fold() == want
+    assert compact_corpus_drift_values(spark, val_dir, 2) == 3
+    dirs = sorted(d for d in os.listdir(val_dir)
+                  if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-1"]           # distinct-store base
+    assert fold() == want
+    # nothing new to fold -> no-ops, fold unchanged
+    assert compact_corpus_drift_sums(spark, sum_dir, 2) == 0
+    assert compact_corpus_drift_values(spark, val_dir, 2) == 0
+    assert fold() == want

@@ -580,3 +580,30 @@ def test_skew_freq_sink_work_is_flat(spark, tmp_path):
     assert late <= 3.0 * early, (
         f"per-batch skew-monitor work grew: early={early:.0f} "
         f"late={late:.0f} records/batch")
+
+
+def test_corpus_drift_sink_work_is_flat(spark, tmp_path):
+    """The drift monitor folds its own batch only (no cross-batch
+    read): per-batch work stays flat while the sum store grows one
+    10-row partition set per batch underneath."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        corpus_drift_sink,
+    )
+
+    sink = corpus_drift_sink(str(tmp_path / "sums"),
+                             str(tmp_path / "vals"),
+                             max_doc_id=HH_BATCHES * 1000)
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        batch = _dup_doc_batch(spark, k).withColumn(
+            "source", (F.col("doc_id") % 4).cast("string")) \
+            .withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+        sink(batch, k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch drift-monitor work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
