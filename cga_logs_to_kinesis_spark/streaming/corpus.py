@@ -453,6 +453,23 @@ def streaming_text_normalize(docs: DataFrame) -> DataFrame:
         F.length(norm).cast("long").alias("n_chars_norm"))
 
 
+def streaming_homoglyph_scrub(docs: DataFrame) -> DataFrame:
+    """Confusable-homoglyph repair over a document stream — the APPLY
+    half of the script-mixing gate running continuously next to
+    ``script_mixing_sink``'s report half.  The batch operator
+    (``operators/ingest_audit.py::confusable_scrub_columns``) is a
+    row-local 1:1 translate + count, so it composes unchanged
+    (stateless) and parity is bit-for-bit by construction."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        confusable_scrub_columns,
+    )
+    n_conf, scrubbed = confusable_scrub_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_conf.alias("n_confusables"),
+        scrubbed.alias("scrubbed_text"))
+
+
 def streaming_weighted_sample(docs: DataFrame) -> DataFrame:
     """Quality-weighted sampling over a document stream — the keep
     decision is a salted-md5 draw (row-local, no RNG state), so the

@@ -1858,3 +1858,39 @@ def test_corpus_drift_store_compaction(spark, tmp_path):
     assert compact_corpus_drift_sums(spark, sum_dir, 2) == 0
     assert compact_corpus_drift_values(spark, val_dir, 2) == 0
     assert fold() == want
+
+
+def test_streaming_homoglyph_scrub_matches_batch(spark, tmp_path):
+    """The confusable repair runs continuously: a poisoned document
+    stream scrubs to the batch query's exact (n_confusables,
+    scrubbed_text) per doc — and the scrub restores the clean fixture
+    text byte-for-byte (the batch query's restoration proof, held
+    through the streaming path)."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        _POISON_CYR,
+        _POISON_LAT,
+    )
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        streaming_homoglyph_scrub,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    poisoned = docs.withColumn(
+        "text", F.translate("text", _POISON_LAT, _POISON_CYR))
+    src = tmp_path / "poisoned"
+    for k in range(3):
+        poisoned.filter(F.abs(F.hash("doc_id")) % 3 == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+    stream = stream_documents(spark, str(src) + "/*")
+    got = _drain(streaming_homoglyph_scrub(stream), tmp_path, "scrub")
+    g = {r.doc_id: (r.n_confusables, r.scrubbed_text)
+         for r in got.collect()}
+    want = all_queries()["homoglyph_scrub"].fn(spark, SF_SMOKE)
+    w = {r.doc_id: (r.n_confusables, r.scrubbed_text)
+         for r in want.collect()}
+    assert g == w and len(g) > 0
+    assert any(n > 0 for n, _ in g.values())   # poison exercised
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert all(orig[d] == t for d, (_, t) in g.items()
+               if orig[d] is not None)         # restored byte-for-byte
