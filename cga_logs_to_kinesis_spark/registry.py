@@ -159,6 +159,7 @@ def all_queries() -> dict[str, QuerySpec]:
         export,
         graph,
         ingest_audit,
+        line_dedup,
         llm_pipeline,
         lm_quality,
         multimodal,

@@ -2032,6 +2032,116 @@ def compact_corpus_drift_values(spark: SparkSession, values_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# Streaming line-frequency store: boilerplate mining as a SUM fold
+# ---------------------------------------------------------------------------
+# The streaming twin of operators/line_dedup.py — the shape a crawl
+# actually needs: boilerplate (nav bars, footers, cookie banners)
+# accretes as new sites land, and re-scanning 100 TB per blocklist
+# refresh is a non-starter.  Each arriving micro-batch folds to
+# per-(fp, line) distinct-document counts; because a document arrives
+# in exactly ONE batch (the document-stream contract every doc-keyed
+# store here shares), per-batch distinct (fp, doc) counts SUM to the
+# corpus-wide distinct-doc frequency.  The report and the scrub both
+# read the folded store: the report is the batch query's exact tail,
+# the scrub reuses operators/line_dedup.py::scrub_with_fps, so
+# neither can drift from the batch semantics.  Counts SUM -> the
+# watermark-base compactor discipline applies.
+
+def line_df_sink(store_dir: str,
+                 fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink over document batches: per-batch
+    (fp, line, n_docs) partials appended batch_id-keyed.  The sink
+    reads nothing across batches; per-batch work is the row-local
+    line explode plus two partial-agg groupBys of the batch."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        LINE_MIN_CHARS,
+        line_flat,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        flat = line_flat(batch_df)
+        (flat.filter(F.length("line") >= LINE_MIN_CHARS)
+         .select("fp", "line", "doc_id").distinct()
+         .groupBy("fp", "line").agg(F.count("*").alias("n_docs"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def _line_df_folded(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return None
+    return (_effective_mg_summaries(s)
+            .groupBy("fp", "line").agg(F.sum("n_docs").alias("n_docs")))
+
+
+def boilerplate_report_from_store(spark: SparkSession,
+                                  store_dir: str) -> DataFrame:
+    """Fold the store into the batch ``boilerplate_lines`` report —
+    bit-identical over the same documents (each doc arrives once, so
+    the per-batch distinct-doc counts SUM exactly)."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        BOILER_DF,
+    )
+
+    folded = _line_df_folded(spark, store_dir)
+    if folded is None:
+        return spark.createDataFrame([], "line string, n_docs long")
+    return (folded.filter(F.col("n_docs") >= BOILER_DF)
+            .select("line", "n_docs")
+            .orderBy(F.desc("n_docs"), "line")
+            .limit(20))
+
+
+def line_scrub_from_store(spark: SparkSession, docs: DataFrame,
+                          store_dir: str) -> DataFrame:
+    """Scrub ``docs`` (doc_id, text, ...) against the continuously-
+    maintained line-frequency store — the batch scrub's exact tail
+    (``scrub_with_fps``) fed by the folded drop list instead of a
+    fresh corpus scan.  ``orig_text`` is the incoming text, so
+    ``restored`` here means "nothing was dropped"."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        BOILER_DF,
+        scrub_with_fps,
+    )
+
+    folded = _line_df_folded(spark, store_dir)
+    base = docs.select("doc_id", F.col("text").alias("orig_text"),
+                       "text")
+    if folded is None:
+        fps = spark.createDataFrame([], "fp string")
+    else:
+        fps = (folded.filter(F.col("n_docs") >= BOILER_DF)
+               .select("fp"))
+    return scrub_with_fps(base, fps)
+
+
+def compact_line_df_store(spark: SparkSession, store_dir: str,
+                          upto_batch_id: int,
+                          files_per_partition: int = 1) -> int:
+    """Fold line-frequency partials into the watermark base (counts
+    SUM; line is functionally dependent on fp, so it rides the group
+    key)."""
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, ["fp", "line"],
+        _sum_fold("n_docs"), files_per_partition)
+
+
+# ---------------------------------------------------------------------------
 # Streaming n-gram novelty: first-occurrence state as a MIN-fold store
 # ---------------------------------------------------------------------------
 # The streaming twin of operators/dedup.py::q_ngram_novelty.  Novelty

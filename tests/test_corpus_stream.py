@@ -1894,3 +1894,89 @@ def test_streaming_homoglyph_scrub_matches_batch(spark, tmp_path):
     orig = {r.doc_id: r.text for r in docs.collect()}
     assert all(orig[d] == t for d, (_, t) in g.items()
                if orig[d] is not None)         # restored byte-for-byte
+
+
+# ---------------------------------------------------------------------------
+# Streaming line-frequency store (boilerplate mining as a SUM fold)
+# ---------------------------------------------------------------------------
+
+def _poisoned_doc_chunks(spark, tmp_path, n=3):
+    """The fixture corpus with the line-dedup poison applied, split
+    into n arrival chunks — each doc arrives exactly once (the
+    contract that makes per-batch distinct-doc counts SUM)."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        poison_boilerplate,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents") \
+        .withColumn("text", poison_boilerplate())
+    src = tmp_path / "poisoned_chunks"
+    for k in range(n):
+        docs.filter(F.abs(F.hash("doc_id")) % n == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+    return docs, str(src)
+
+
+def test_line_df_store_matches_batch_report_and_scrub(spark, tmp_path):
+    """The folded store reproduces the batch boilerplate report
+    bit-for-bit under a 3-batch split with a crash-replay, and the
+    store-fed scrub drops exactly what the batch scrub drops."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        boilerplate_report_from_store,
+        line_df_sink,
+        line_scrub_from_store,
+    )
+
+    empty = boilerplate_report_from_store(spark,
+                                          str(tmp_path / "never"))
+    assert empty.count() == 0 and empty.columns == ["line", "n_docs"]
+
+    docs, src = _poisoned_doc_chunks(spark, tmp_path)
+    store = str(tmp_path / "line_df")
+    sink = line_df_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    qs = all_queries()
+    got = [tuple(r) for r in boilerplate_report_from_store(
+        spark, store).collect()]
+    want = [tuple(r) for r in qs["boilerplate_lines"]
+            .fn(spark, SF_SMOKE).collect()]
+    assert got == want and len(want) == 3
+
+    scrub_got = {r.doc_id: (r.n_lines, r.n_dropped, r.scrubbed_text)
+                 for r in line_scrub_from_store(
+                     spark, docs, store).collect()}
+    scrub_want = {r.doc_id: (r.n_lines, r.n_dropped, r.scrubbed_text)
+                  for r in qs["line_dedup_scrub"]
+                  .fn(spark, SF_SMOKE).collect()}
+    assert scrub_got == scrub_want and len(scrub_want) == 500
+
+
+def test_line_df_store_compaction(spark, tmp_path):
+    """Counts SUM -> the watermark-base compactor folds the store
+    without moving the report; no-op re-runs return 0."""
+    import os
+
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        boilerplate_report_from_store,
+        compact_line_df_store,
+        line_df_sink,
+    )
+
+    _docs, src = _poisoned_doc_chunks(spark, tmp_path)
+    store = str(tmp_path / "line_df")
+    _drain_doc_sink(spark, src, line_df_sink(store),
+                    str(tmp_path / "ckpt"))
+    fold = lambda: [tuple(r) for r in boilerplate_report_from_store(  # noqa: E731
+        spark, store).collect()]
+    want = fold()
+    assert len(want) == 3
+    assert compact_line_df_store(spark, store, 2) == 3
+    dirs = sorted(d for d in os.listdir(store)
+                  if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-4"]           # -(max_folded 2 + 2)
+    assert fold() == want
+    assert compact_line_df_store(spark, store, 2) == 0
+    assert fold() == want

@@ -1,0 +1,116 @@
+"""Line-level boilerplate dedup: behavior on a hand-built corpus with
+known boilerplate, NULL/edge handling, and the plan shapes that make
+it survive 100 TB (anti-join cap, no content-key windows, heap top-k,
+checkpointed front)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.operators.line_dedup import (
+    BOILER_DF,
+    boilerplate_fps,
+    line_flat,
+)
+from cga_logs_to_kinesis_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def _corpus(spark):
+    """8 docs share a footer line (df=8 >= BOILER_DF); one pair
+    shares a line at df=2 (< threshold, must survive); short common
+    lines (< LINE_MIN_CHARS) must survive at any frequency."""
+    footer = "this footer appears on every single page"
+    rows = []
+    for i in range(8):
+        rows.append((i, f"unique body of document number {i}\n"
+                        f"second unique line {i}\n"
+                        "ok\n"                       # short, df=8
+                        f"{footer}"))
+    rows += [(100, "a line shared by exactly two documents\nbody a"),
+             (101, "a line shared by exactly two documents\nbody b"),
+             (102, None),
+             (103, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_fps_threshold_and_min_length(spark):
+    flat = line_flat(_corpus(spark))
+    fps = boilerplate_fps(flat)
+    got = {r.fp for r in fps.collect()}
+    want = {r.fp for r in flat.filter(
+        F.col("line") == "this footer appears on every single page")
+        .select("fp").distinct().collect()}
+    assert got == want            # footer only: df-2 line and the
+    assert len(got) == 1          # short "ok" line both survive
+
+
+def test_scrub_on_known_corpus(spark):
+    """The scrub pipeline (the exact composition the registered query
+    wires) over the hand-built corpus: the natural footer drops,
+    per-doc reassembly preserves line order, NULL and empty texts
+    pass through."""
+    corpus = _corpus(spark)
+    base = corpus.select("doc_id", F.col("text").alias("orig_text"),
+                         F.col("text").alias("text")).localCheckpoint()
+    flat = line_flat(base)
+    kept = flat.join(boilerplate_fps(flat), "fp", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"]),
+            "\n").alias("scrubbed"))
+    got = {r.doc_id: r.scrubbed for r in rebuilt.collect()}
+    # footer stripped, order preserved, short + df-2 lines kept
+    assert got[3] == ("unique body of document number 3\n"
+                      "second unique line 3\nok")
+    assert got[100] == ("a line shared by exactly two documents\n"
+                        "body a")
+    assert got[103] == ""         # empty text -> one empty kept line
+    assert 102 not in got         # NULL text never explodes
+
+
+def test_registered_queries_restore_and_report(spark):
+    """Over the real fixtures the scrub must restore EVERY document
+    byte-for-byte (no natural line reaches the threshold) and the
+    report must surface exactly the three poison lines with their
+    deterministic class sizes."""
+    qs = all_queries()
+    scrub = qs["line_dedup_scrub"].fn(spark, SF_SMOKE)
+    agg = scrub.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("restored").cast("int")).alias("n_restored"),
+        F.sum("n_dropped").alias("dropped")).first()
+    assert agg.n == agg.n_restored and agg.n == 500
+    assert agg.dropped > 0
+    report = qs["boilerplate_lines"].fn(spark, SF_SMOKE).collect()
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        FOOTER_A,
+        FOOTER_B,
+        HEADER,
+    )
+    assert [r.line for r in report] == [FOOTER_A, FOOTER_B, HEADER]
+    assert [r.n_docs for r in report] == [216, 92, 39]
+
+
+def test_line_dedup_plans(spark):
+    """Scale pins: the scrub's cap is a LEFT ANTI join (AQE can
+    broadcast the tiny over-threshold list — the bucket_bounded
+    hi-only argument), no content-key Window anywhere, the
+    checkpointed base means the final plan re-reads NO parquet, and
+    the report's top-k is TakeOrderedAndProject."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    qs = all_queries()
+    scrub = formatted_plan(qs["line_dedup_scrub"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in scrub
+    assert "Window" not in scrub
+    assert "CartesianProduct" not in scrub
+    assert scrub.count("documents.parquet") == 0   # checkpointed once
+    assert "Scan ExistingRDD" in scrub
+    report = formatted_plan(
+        qs["boilerplate_lines"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in report
+    assert "Window" not in report
+    assert report.count("documents.parquet") == 1

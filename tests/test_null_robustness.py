@@ -58,7 +58,7 @@ PROBED = [
     "length_outliers_approx", "encoding_anomaly_report",
     "ngram_novelty", "training_order", "training_interleave",
     "novelty_curve", "script_mixing_report", "corpus_drift",
-    "homoglyph_scrub",
+    "homoglyph_scrub", "boilerplate_lines", "line_dedup_scrub",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",
