@@ -90,16 +90,18 @@ POISON_SQL = f"""
 """
 
 
-def line_flat(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, line, fp) — one row per line, position kept for
-    order-preserving reassembly, fp = md5(line) so downstream folds
-    and joins ship a fixed 32-char digest instead of arbitrary-length
-    line text.  Row-local; width-gated like every explode front."""
+def line_flat(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, pos, line, fp) — one row per line,
+    position kept for order-preserving reassembly, fp = md5(line) so
+    downstream folds and joins ship a fixed 32-char digest instead of
+    arbitrary-length line text.  ``extra_cols`` ride the row-local
+    explode (cheaper than re-attaching them with a doc_id join).
+    Width-gated like every explode front."""
     wide = widen_for_explode(
         docs.filter(F.col("text").isNotNull())
-        .select("doc_id", "text"))
+        .select("doc_id", *extra_cols, "text"))
     return (wide.select(
-        "doc_id",
+        "doc_id", *extra_cols,
         F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"))
         .withColumn("fp", F.md5("line")))
 
@@ -270,4 +272,91 @@ register(QuerySpec(
         "reassemble each document in order; restoration proven "
         "byte-for-byte against the pre-poison text",
     tags=("dedup", "text", "quality", "apply"),
+))
+
+
+def q_boilerplate_ratio_by_source(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-source boilerplate exposure — the gating metric: a source
+    whose line volume is mostly corpus-frequent lines is template
+    spam, not content.  One semi-join of the exploded lines against
+    the tiny drop list (broadcastable, same argument as the scrub's
+    anti-join), then per-source sums — all partial-agg.  The base is
+    localCheckpoint'ed because it feeds the frequency fold and the
+    per-source fold."""
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = (docs.select("doc_id", "source",
+                        poison_boilerplate().alias("text"))
+            .localCheckpoint())
+    flat = line_flat(base, "source")
+    boiler = boilerplate_fps(line_flat(base))
+    # left join + flag rather than a semi-join: the ratio needs both
+    # the boiler count AND the total from one pass over the lines
+    marked = (flat.join(boiler.withColumn("_b", F.lit(1)),
+                        "fp", "left")
+              .withColumn("is_boiler",
+                          F.coalesce(F.col("_b"), F.lit(0))
+                          .cast("long")))
+    return (marked.groupBy("source")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum("is_boiler").alias("n_boiler_lines"),
+                 F.try_divide(
+                     F.sum("is_boiler").cast("double"),
+                     F.count("*").cast("double"))
+                 .alias("boiler_ratio"))
+            .orderBy("source"))
+
+
+register(QuerySpec(
+    "boilerplate_ratio_by_source", q_boilerplate_ratio_by_source,
+    oracle=f"""
+        WITH poisoned AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL ELSE
+                       CASE WHEN doc_id % 13 = 0
+                            THEN '{HEADER}' || chr(10) ELSE '' END
+                       || text
+                       || CASE WHEN doc_id % 7 < 3
+                               THEN chr(10) || '{FOOTER_A}'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 < 2
+                               THEN chr(10) || '{FOOTER_B}'
+                               ELSE '' END
+                   END AS text,
+                   source
+            FROM documents
+        ),
+        flat AS (
+            SELECT doc_id, source,
+                   UNNEST(string_split(text, chr(10))) AS line
+            FROM poisoned WHERE text IS NOT NULL
+        ),
+        boiler AS (
+            SELECT line FROM (
+                SELECT line, COUNT(*) AS nd
+                FROM (SELECT DISTINCT line, doc_id FROM flat
+                      WHERE len(line) >= {LINE_MIN_CHARS})
+                GROUP BY line)
+            WHERE nd >= {BOILER_DF}
+        )
+        SELECT source,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN line IN (SELECT line FROM boiler)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler_lines,
+               CAST(SUM(CASE WHEN line IN (SELECT line FROM boiler)
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS boiler_ratio
+        FROM flat
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="per-source boilerplate exposure: share of a source's line "
+        "volume that is corpus-frequent boilerplate — the gating "
+        "metric for template-spam sources; one marked join against "
+        "the tiny drop list, per-source partial-agg sums",
+    tags=("dedup", "text", "quality", "audit"),
 ))
