@@ -43,43 +43,34 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-13 curation -----------------------------------------------
-    # Leads: the four r13-NEW oracle-paired queries
-    # (salted_join_apply: the applied skew mitigation, hash-checked
-    # against the unsalted join; script_mixing_report: the
-    # homoglyph-spam audit; corpus_drift: the ingest-order
-    # distribution monitor; homoglyph_scrub: the confusable repair),
-    # then seven whose CODE changed this
-    # round — ngram_novelty
-    # (first-occurrence fold reshaped from WindowExec-over-fp to the
-    # skew-safe groupBy-min), heavy_hitters (width gate refactored
-    # into session.widen_for_explode), and one representative per
-    # newly-gated explode front: minhash_signatures (shingle_docs),
-    # dedup_simhash (simhash tokenize), prune_frequent_tokens
-    # (distinct-token front), token_length_histogram (text tokenize),
-    # chunk_overlap (chunk spread).  Then the 21 stalest-cohort
-    # queries whose latest green row is r9 (CORRECTNESS_r09.json
-    # order; prune_frequent_tokens and token_length_histogram from
-    # that cohort already sit in the changed block, closing out all
-    # 23), then 18 of the r10 cohort in CORRECTNESS_r10.json order
-    # (minhash_signatures / dedup_simhash from it likewise already
-    # placed).  4 + 7 + 21 + 18 = 50.
+    # -- round-14 curation -----------------------------------------------
+    # Leads: the three r14-NEW oracle-paired queries (the line-level
+    # boilerplate dedup family: boilerplate_lines report,
+    # line_dedup_scrub apply, boilerplate_ratio_by_source gate), then
+    # four whose CODE changed this round — corpus_drift (per-doc
+    # projection factored into drift_per_doc for the streaming twin),
+    # homoglyph_scrub (scrub factored into confusable_scrub_columns),
+    # and the two hi-only bucket_bounded callers whose cap became a
+    # LEFT ANTI join against the over-cap bucket list
+    # (ann_incremental, dedup_minhash_incremental).  Then the 30
+    # remaining r10-cohort queries (CORRECTNESS_r10.json order), then
+    # the 13 stalest of the r11 cohort (CORRECTNESS_r11.json order;
+    # latest green r11 — not re-checked in r12 or r13).
+    # 3 + 4 + 30 + 13 = 50.
     #
-    # Deferred to the r14 window: the remaining 30 of the r10 cohort
-    # in CORRECTNESS_r10.json order (embedding_centroids,
-    # embedding_quantize,
-    # fertility_by_lang, gopher_quality, gopher_repetition, lang_id,
-    # large_volume_customers, multimodal_audio_features,
-    # multimodal_raw_features, multimodal_raw_resize,
-    # multimodal_video_frames, nation_set_ops, ngram_decontaminate,
-    # pack_chunks, pii_scrub, quality_features,
-    # quality_filter_survivors, returned_revenue, revenue_by_nation,
-    # segment_totals, semdedup, semi_join_customers, share_of_total,
-    # shipmode_priority, snapshot_diff, split_assign, text_stats,
-    # tfidf_top_terms, vocab_coverage, winnowing_fingerprints — 29,
-    # take what fits), then the stalest of the r11 window
-    # (CORRECTNESS_r11.json order).  Lead with r14-new/changed as
-    # always.
+    # Deferred to the r15 window: the remaining 31 stale-r11 queries
+    # in CORRECTNESS_r11.json order (ann_recall_report,
+    # ann_truncation_recall, batch_pages, bigram_surprisal, bm25_topk,
+    # bpe_learn_merges, bpe_tokenize, char_diversity, cosine_topk,
+    # cosine_topk_lsh, customer_distribution, dedup_near_survivors,
+    # dedup_recall_report, dedup_substring, dedup_substring_apply,
+    # dedup_substring_stats, disjunctive_revenue, dsir_importance,
+    # embedding_covariance, embedding_validity, idle_customers,
+    # kmeans_embeddings, lang_mismatch_report, length_outliers,
+    # market_share, modal_agreement, pagerank_docs, pca_project,
+    # quality_weighted_sample, rate_anomaly, retention_cohorts),
+    # then the stalest of the r12 window (CORRECTNESS_r12.json
+    # order).  Lead with r15-new/changed as always.
     # Permanently out by convention: cosine_topk_fast (bit-exact
     # parity-pinned to cosine_topk) and the rows-only queries
     # (multimodal_features / multimodal_resize PNG-zlib;
@@ -87,60 +78,60 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # length_outliers_approx sketches, error-bound-tested against
     # their exact siblings).
     #
-    # r13-new:
-    "salted_join_apply",
-    "script_mixing_report",
+    # r14-new:
+    "boilerplate_lines",
+    "line_dedup_scrub",
+    "boilerplate_ratio_by_source",
+    # r14-changed:
     "corpus_drift",
     "homoglyph_scrub",
-    # r13-changed:
-    "ngram_novelty",
-    "heavy_hitters",
-    "minhash_signatures",
-    "dedup_simhash",
-    "prune_frequent_tokens",
-    "token_length_histogram",
-    "chunk_overlap",
-    # stalest cohort, latest green r9 (CORRECTNESS_r09.json order):
-    "dedup_winnow_pairs",
-    "distinct_users",
-    "domain_cap",
-    "envelope_project",
-    "funnel_conversion",
-    "global_topk",
-    "json_props",
-    "map_functions",
-    "mixture_weights",
-    "multi_resolution_rollup",
-    "passage_dedup",
-    "pivot_event_types",
-    "price_percentiles",
-    "pricing_summary",
-    "range_join_error_after_purchase",
-    "running_revenue",
-    "session_windows",
-    "shipping_priority",
-    "similar_part_names",
-    "rollup_pricing",
-    "unpivot_metrics",
-    # r10 cohort (CORRECTNESS_r10.json order, two placed above):
-    "above_nation_avg",
-    "cube_orders",
-    "date_gallery",
-    "filter_project",
-    "grouping_sets_sql",
-    "longest_doc_per_lang",
-    "orders_in_window",
-    "orders_no_bulk_item",
-    "rank_gallery",
-    "scalar_gallery",
-    "bpe_token_counts",
-    "cosine_topk_ivf",
-    "curriculum_deciles",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "doc_fingerprint",
+    "ann_incremental",
+    "dedup_minhash_incremental",
+    # r10 cohort, latest green r10 (CORRECTNESS_r10.json order):
+    "embedding_centroids",
+    "embedding_quantize",
+    "fertility_by_lang",
+    "gopher_quality",
+    "gopher_repetition",
+    "lang_id",
+    "large_volume_customers",
+    "multimodal_audio_features",
+    "multimodal_raw_features",
+    "multimodal_raw_resize",
+    "multimodal_video_frames",
+    "nation_set_ops",
+    "ngram_decontaminate",
+    "pack_chunks",
+    "pii_scrub",
+    "quality_features",
+    "quality_filter_survivors",
+    "returned_revenue",
+    "revenue_by_nation",
+    "segment_totals",
+    "semdedup",
+    "semi_join_customers",
+    "share_of_total",
+    "shipmode_priority",
+    "snapshot_diff",
+    "split_assign",
+    "text_stats",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "winnowing_fingerprints",
+    # stalest r11 cohort (CORRECTNESS_r11.json order):
+    "bloom_decontaminate",
+    "cosine_topk_pq",
+    "anti_join_customers",
+    "bulk_orders",
+    "curation_funnel",
+    "curation_manifest",
+    "date_trunc_buckets",
+    "envelope_json_roundtrip",
+    "priority_count",
+    "promo_share",
+    "text_normalize",
+    "token_frequencies",
+    "union_by_name",
 )
 
 
