@@ -44,9 +44,11 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-14 curation -----------------------------------------------
-    # Leads: the three r14-NEW oracle-paired queries (the line-level
-    # boilerplate dedup family: boilerplate_lines report,
-    # line_dedup_scrub apply, boilerplate_ratio_by_source gate), then
+    # Leads: the four r14-NEW oracle-paired queries (the line-level
+    # boilerplate dedup family — boilerplate_lines report,
+    # line_dedup_scrub apply, boilerplate_ratio_by_source gate — plus
+    # source_divergence, the integer-exact per-source
+    # total-variation audit), then
     # four whose CODE changed this round — corpus_drift (per-doc
     # projection factored into drift_per_doc for the streaming twin),
     # homoglyph_scrub (scrub factored into confusable_scrub_columns),
@@ -54,12 +56,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LEFT ANTI join against the over-cap bucket list
     # (ann_incremental, dedup_minhash_incremental).  Then the 30
     # remaining r10-cohort queries (CORRECTNESS_r10.json order), then
-    # the 13 stalest of the r11 cohort (CORRECTNESS_r11.json order;
+    # the 12 stalest of the r11 cohort (CORRECTNESS_r11.json order;
     # latest green r11 — not re-checked in r12 or r13).
-    # 3 + 4 + 30 + 13 = 50.
+    # 4 + 4 + 30 + 12 = 50.
     #
-    # Deferred to the r15 window: the remaining 31 stale-r11 queries
-    # in CORRECTNESS_r11.json order (ann_recall_report,
+    # Deferred to the r15 window: the remaining 32 stale-r11 queries
+    # in CORRECTNESS_r11.json order (union_by_name, ann_recall_report,
     # ann_truncation_recall, batch_pages, bigram_surprisal, bm25_topk,
     # bpe_learn_merges, bpe_tokenize, char_diversity, cosine_topk,
     # cosine_topk_lsh, customer_distribution, dedup_near_survivors,
@@ -82,6 +84,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "boilerplate_lines",
     "line_dedup_scrub",
     "boilerplate_ratio_by_source",
+    "source_divergence",
     # r14-changed:
     "corpus_drift",
     "homoglyph_scrub",
@@ -131,7 +134,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "promo_share",
     "text_normalize",
     "token_frequencies",
-    "union_by_name",
 )
 
 

@@ -59,7 +59,7 @@ PROBED = [
     "ngram_novelty", "training_order", "training_interleave",
     "novelty_curve", "script_mixing_report", "corpus_drift",
     "homoglyph_scrub", "boilerplate_lines", "line_dedup_scrub",
-    "boilerplate_ratio_by_source",
+    "boilerplate_ratio_by_source", "source_divergence",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",
