@@ -95,6 +95,11 @@ HEADLINE = (
     # r13: the applied skew mitigation — planner factors feeding
     # salted_join_hot over lineitem x orders, joined on (key, _salt)
     "salted_join_apply",
+    # r14: line-level boilerplate dedup (explode + df fold + anti-join
+    # + per-doc reassembly) and the integer-exact per-source
+    # total-variation audit (tokenize + two folds + token equi-join)
+    "line_dedup_scrub",
+    "source_divergence",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the

@@ -2141,6 +2141,85 @@ def compact_line_df_store(spark: SparkSession, store_dir: str,
         _sum_fold("n_docs"), files_per_partition)
 
 
+def line_source_sink(store_dir: str,
+                     fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink for the ratio gate's second store: per-batch
+    (source, fp) line counts — ALL lines, no length filter, because
+    the ratio's denominator is a source's total line volume.  Counts
+    SUM under any split (plain occurrence counts, not per-doc
+    distincts, so no arrival assumption is even needed here)."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        line_flat,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        flat = line_flat(batch_df, "source")
+        (flat.groupBy("source", "fp")
+         .agg(F.count("*").alias("n_lines"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def boilerplate_ratio_from_store(spark: SparkSession,
+                                 source_store: str,
+                                 df_store: str) -> DataFrame:
+    """The continuously-maintained per-source boilerplate gate: fold
+    the (source, fp) line counts, mark fps the folded line-frequency
+    store puts at/over the threshold, and emit the batch query's
+    exact per-source report (``boilerplate_ratio_by_source``) — the
+    whole line-dedup family (report, apply, gate) now runs without a
+    corpus re-scan."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        BOILER_DF,
+    )
+
+    schema = ("source string, n_lines long, n_boiler_lines long, "
+              "boiler_ratio double")
+    s = _read_store(spark, source_store)
+    folded = _line_df_folded(spark, df_store)
+    if s is None or folded is None:
+        return spark.createDataFrame([], schema)
+    sf = (_effective_mg_summaries(s)
+          .groupBy("source", "fp").agg(F.sum("n_lines").alias("n")))
+    boiler = (folded.filter(F.col("n_docs") >= BOILER_DF)
+              .select("fp").withColumn("_b", F.lit(1)))
+    marked = sf.join(boiler, "fp", "left")
+    return (marked.groupBy("source")
+            .agg(F.sum("n").alias("n_lines"),
+                 F.sum(F.when(F.col("_b") == 1, F.col("n"))
+                       .otherwise(F.lit(0))).alias("n_boiler_lines"),
+                 F.try_divide(
+                     F.sum(F.when(F.col("_b") == 1, F.col("n"))
+                           .otherwise(F.lit(0))).cast("double"),
+                     F.sum("n").cast("double"))
+                 .alias("boiler_ratio"))
+            .orderBy("source"))
+
+
+def compact_line_source_store(spark: SparkSession, store_dir: str,
+                              upto_batch_id: int,
+                              files_per_partition: int = 1) -> int:
+    """Fold (source, fp) line-count partials into the watermark base
+    (counts SUM)."""
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, ["source", "fp"],
+        _sum_fold("n_lines"), files_per_partition)
+
+
 # ---------------------------------------------------------------------------
 # Streaming n-gram novelty: first-occurrence state as a MIN-fold store
 # ---------------------------------------------------------------------------

@@ -1980,3 +1980,53 @@ def test_line_df_store_compaction(spark, tmp_path):
     assert fold() == want
     assert compact_line_df_store(spark, store, 2) == 0
     assert fold() == want
+
+
+def test_line_source_store_matches_batch_ratio(spark, tmp_path):
+    """The store-backed per-source gate reproduces the batch
+    boilerplate_ratio_by_source report bit-for-bit under a 3-batch
+    split with crash-replay, and both stores compact without moving
+    it — the whole line-dedup family (report, apply, gate) runs
+    continuously."""
+    import os
+
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        boilerplate_ratio_from_store,
+        compact_line_df_store,
+        compact_line_source_store,
+        line_df_sink,
+        line_source_sink,
+    )
+
+    empty = boilerplate_ratio_from_store(
+        spark, str(tmp_path / "no_src"), str(tmp_path / "no_df"))
+    assert empty.count() == 0
+    assert empty.columns == ["source", "n_lines", "n_boiler_lines",
+                             "boiler_ratio"]
+
+    _docs, src = _poisoned_doc_chunks(spark, tmp_path)
+    df_store = str(tmp_path / "line_df")
+    src_store = str(tmp_path / "line_src")
+    _drain_doc_sink(spark, src, line_df_sink(df_store),
+                    str(tmp_path / "ck1"))
+    sink = line_source_sink(src_store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ck2")
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    fold = lambda: [tuple(r) for r in boilerplate_ratio_from_store(  # noqa: E731
+        spark, src_store, df_store).collect()]
+    want = [tuple(r) for r in
+            all_queries()["boilerplate_ratio_by_source"]
+            .fn(spark, SF_SMOKE).collect()]
+    got = fold()
+    assert got == want and len(want) == 20
+    assert compact_line_source_store(spark, src_store, 2) == 3
+    dirs = sorted(d for d in os.listdir(src_store)
+                  if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-4"]
+    assert fold() == want
+    assert compact_line_df_store(spark, df_store, 2) == 3
+    assert fold() == want
+    assert compact_line_source_store(spark, src_store, 2) == 0
+    assert fold() == want

@@ -632,3 +632,29 @@ def test_line_df_sink_work_is_flat(spark, tmp_path):
     assert late <= 3.0 * early, (
         f"per-batch line-df work grew: early={early:.0f} "
         f"late={late:.0f} records/batch")
+
+
+def test_line_source_sink_work_is_flat(spark, tmp_path):
+    """The ratio gate's (source, fp) counter folds its own batch only
+    — strictly flat per-batch work."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        line_source_sink,
+    )
+
+    sink = line_source_sink(str(tmp_path / "line_src"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        batch = _dup_doc_batch(spark, k).withColumn(
+            "source", (F.col("doc_id") % 4).cast("string")) \
+            .withColumn("text",
+                        F.concat("text", F.lit("\nshared footer line "
+                                               "for every document")))
+        sink(batch, k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch line-source work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
