@@ -88,7 +88,12 @@ HEADLINE = (
     # front), the per-source encoding-damage audit (one scan,
     # map-side folds), and the dataset-redundancy curve
     # (fingerprint-only shuffles; r13 reshaped its first-occurrence
-    # fold from WindowExec-over-fp to the skew-safe groupBy-min)
+    # fold from WindowExec-over-fp to the skew-safe groupBy-min).
+    # NOTE: the dedup family runs 1.1-1.3x its r12 times BY DESIGN —
+    # the r13 window->groupBy rewrites trade ~15-30% at sf0.1 for
+    # skew immunity at 100 TB; measured against the corrected base
+    # and adjudicated in docs/bench/r14_dedup_family_note.md.  Do not
+    # "optimize" it back with a content-key window (plan tests fail).
     "salted_join_plan",
     "encoding_anomaly_report",
     "ngram_novelty",
