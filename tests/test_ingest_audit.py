@@ -244,3 +244,27 @@ def test_encoding_patterns_agree_cross_engine_on_adversarial_text(
     import numpy as np
     totals = np.array([[int(x) for x in tuple(g)[1:]] for g in got]).sum(0)
     assert (totals > 0).all(), f"vacuous probe column: {totals}"
+
+
+def test_source_divergence_plan_and_bounds(spark):
+    """Scale pins for the TV-distance audit: the tokenize front is
+    checkpointed (final plan reads the materialized RDD, zero parquet
+    re-scans), the per-source and corpus totals attach as broadcast
+    joins, and no Window or cartesian appears anywhere.  Values are
+    genuine distances: every tv in [0, 1), and a single-source corpus
+    would fold to 0."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    from cga_logs_to_kinesis_spark.registry import all_queries
+
+    df = all_queries()["source_divergence"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") == 0   # checkpointed front
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("BroadcastExchange") >= 2   # n_src + n_all
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(0.0 <= r.tv_distance < 1.0 for r in rows)
+    assert any(r.tv_distance > 0.0 for r in rows)

@@ -114,3 +114,23 @@ def test_line_dedup_plans(spark):
     assert "TakeOrderedAndProject" in report
     assert "Window" not in report
     assert report.count("documents.parquet") == 1
+
+
+def test_boilerplate_ratio_plan(spark):
+    """The gate's plan: checkpointed base (no parquet re-scan), the
+    drop-list attach is a plain equi-join on the md5 digest (left,
+    flagged), no Window, no cartesian; ratios bounded and the poison
+    classes visible."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = all_queries()["boilerplate_ratio_by_source"].fn(
+        spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(0.0 <= r.boiler_ratio <= 1.0 for r in rows)
+    assert any(r.n_boiler_lines > 0 for r in rows)
