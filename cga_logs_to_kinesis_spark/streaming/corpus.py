@@ -2221,6 +2221,87 @@ def compact_line_source_store(spark: SparkSession, store_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# Streaming token-count store: source divergence without a re-scan
+# ---------------------------------------------------------------------------
+# The streaming twin of operators/ingest_audit.py::q_source_divergence
+# — the drift alarm a crawl needs continuously: per-source
+# total-variation distance from the corpus token distribution,
+# recomputable after every tranche.  ONE store of per-batch
+# (source, tok) count partials carries everything: the per-source
+# counts are its direct fold, the corpus counts are the same fold
+# re-grouped by tok — plain occurrence counts SUM under any split
+# with no arrival assumption at all.  The reader feeds both folds to
+# the batch query's exact algebra tail (tv_from_token_counts), so the
+# integer-exact TV is bit-identical by construction.  State is
+# |distinct (source, token)| — vocabulary-sized, the same envelope as
+# the prune/stop-token models; the watermark-base compactor applies.
+
+def token_count_sink(store_dir: str,
+                     fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink over document batches: per-batch
+    (source, tok, cnt) partials appended batch_id-keyed.  Per-batch
+    work is the shared width-gated tokenize (source_tokens — the
+    batch query's exact front) plus one partial-agg groupBy."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        source_tokens,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (source_tokens(batch_df)
+         .groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def source_divergence_from_store(spark: SparkSession,
+                                 store_dir: str) -> DataFrame:
+    """Fold the token-count store into the batch query's exact
+    per-source TV report (``tv_from_token_counts`` over the folded
+    counts) — bit-identical over the same documents, with no corpus
+    re-scan."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        tv_from_token_counts,
+    )
+
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return spark.createDataFrame(
+            [], "source string, n_tokens long, n_distinct_tokens "
+                "long, tv_distance double")
+    live = _effective_mg_summaries(s)
+    per_src = (live.groupBy("source", "tok")
+               .agg(F.sum("cnt").alias("cnt_s"))
+               .localCheckpoint())   # feeds corpus fold + TV join
+    corpus = per_src.groupBy("tok").agg(
+        F.sum("cnt_s").alias("cnt_all"))
+    return tv_from_token_counts(corpus, per_src)
+
+
+def compact_token_count_store(spark: SparkSession, store_dir: str,
+                              upto_batch_id: int,
+                              files_per_partition: int = 1) -> int:
+    """Fold token-count partials into the watermark base (counts
+    SUM)."""
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, ["source", "tok"],
+        _sum_fold("cnt"), files_per_partition)
+
+
+# ---------------------------------------------------------------------------
 # Streaming n-gram novelty: first-occurrence state as a MIN-fold store
 # ---------------------------------------------------------------------------
 # The streaming twin of operators/dedup.py::q_ngram_novelty.  Novelty

@@ -2030,3 +2030,43 @@ def test_line_source_store_matches_batch_ratio(spark, tmp_path):
     assert fold() == want
     assert compact_line_source_store(spark, src_store, 2) == 0
     assert fold() == want
+
+
+def test_token_count_store_matches_batch_divergence(spark, tmp_path):
+    """ONE (source, tok) count store reproduces the batch
+    source_divergence report bit-for-bit (integer-exact TV through
+    the shared tv_from_token_counts tail) under a 3-batch split with
+    crash-replay; the watermark compactor doesn't move it."""
+    import os
+
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_token_count_store,
+        source_divergence_from_store,
+        token_count_sink,
+    )
+
+    empty = source_divergence_from_store(spark, str(tmp_path / "no"))
+    assert empty.count() == 0
+    assert empty.columns == ["source", "n_tokens",
+                             "n_distinct_tokens", "tv_distance"]
+
+    src = _doc_chunks(spark, tmp_path)
+    store = str(tmp_path / "tok_counts")
+    sink = token_count_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    fold = lambda: [tuple(r) for r in source_divergence_from_store(  # noqa: E731
+        spark, store).collect()]
+    want = [tuple(r) for r in all_queries()["source_divergence"]
+            .fn(spark, SF_SMOKE).collect()]
+    got = fold()
+    assert got == want and len(want) == 20
+    assert compact_token_count_store(spark, store, 2) == 3
+    dirs = sorted(d for d in os.listdir(store)
+                  if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-4"]
+    assert fold() == want
+    assert compact_token_count_store(spark, store, 2) == 0
+    assert fold() == want

@@ -658,3 +658,27 @@ def test_line_source_sink_work_is_flat(spark, tmp_path):
     assert late <= 3.0 * early, (
         f"per-batch line-source work grew: early={early:.0f} "
         f"late={late:.0f} records/batch")
+
+
+def test_token_count_sink_work_is_flat(spark, tmp_path):
+    """The divergence monitor's token counter folds its own batch
+    only — strictly flat per-batch work while the vocabulary store
+    grows underneath."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        token_count_sink,
+    )
+
+    sink = token_count_sink(str(tmp_path / "tok_counts"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        batch = _dup_doc_batch(spark, k).withColumn(
+            "source", (F.col("doc_id") % 4).cast("string"))
+        sink(batch, k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch token-count work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
