@@ -881,6 +881,23 @@ def test_wide_input_fronts_skip_repartition(spark):
         pat = _re.compile(r"hashpartitioning\(doc_id#\d+L?, 4\)")
         assert not pat.search(formatted_plan(simhash_fingerprints(wide)))
         assert pat.search(formatted_plan(simhash_fingerprints(narrow)))
+        # the r14 fronts gate a keyless repartition (RoundRobin):
+        # wide inputs must not pay it, narrow fixtures must
+        from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+            source_tokens,
+        )
+        from cga_logs_to_kinesis_spark.operators.line_dedup import (
+            line_flat,
+        )
+        for front in (line_flat, source_tokens):
+            assert "RoundRobinPartitioning(4" not in \
+                formatted_plan(front(wide)), (
+                    f"{front.__name__}: wide input still paid the "
+                    "pre-explode repartition")
+            assert "RoundRobinPartitioning(4" in \
+                formatted_plan(front(narrow)), (
+                    f"{front.__name__}: narrow fixture input lost "
+                    "its parallelism spread")
     finally:
         spark.conf.unset(EXPLODE_PARALLELISM_CONF)
 
