@@ -328,3 +328,71 @@ def test_funnel_fold_matches_batch_for_any_split(events, batch_of):
         batches[b].append(ev)
     assert _fold_incrementally(batches) == _brute_reached(scaled), (
         scaled, batches)
+
+
+def brute_force_line_scrub(docs, min_chars, boiler_df):
+    """Reference model of line-level dedup: a line is boilerplate
+    when len >= min_chars and it appears in >= boiler_df distinct
+    docs; scrub drops exactly those lines, order preserved."""
+    from collections import defaultdict
+
+    df_count = defaultdict(set)
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        for line in text.split("\n"):
+            if len(line) >= min_chars:
+                df_count[line].add(doc_id)
+    boiler = {ln for ln, ids in df_count.items()
+              if len(ids) >= boiler_df}
+    out = {}
+    for doc_id, text in docs:
+        if text is None:
+            out[doc_id] = (0, 0, None)
+            continue
+        lines = text.split("\n")
+        kept = [ln for ln in lines if ln not in boiler]
+        out[doc_id] = (len(lines), len(lines) - len(kept),
+                       "\n".join(kept))
+    return out
+
+
+LINE = st.sampled_from([
+    "", "x", "short ln",                       # under min_chars
+    "alpha beta gamma delta line",             # candidates:
+    "epsilon zeta eta theta line",
+    "iota kappa lambda mu line",
+    "shared footer line appears everywhere",
+])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(LINE, min_size=0, max_size=6)),
+                min_size=1, max_size=25))
+def test_line_scrub_matches_brute_force(spark, doc_lines):
+    """The scrub pipeline (the registered query's composition) equals
+    the Python reference on arbitrary small corpora — repeated lines
+    cross the distinct-doc threshold, short lines never drop, NULL
+    and empty docs pass through."""
+    from pyspark.sql import functions as F
+
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        BOILER_DF,
+        LINE_MIN_CHARS,
+        boilerplate_fps,
+        line_flat,
+        scrub_with_fps,
+    )
+
+    docs = [(i, None if ls is None else "\n".join(ls))
+            for i, ls in enumerate(doc_lines)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    base = sdf.select("doc_id", F.col("text").alias("orig_text"),
+                      "text").localCheckpoint()
+    got = {r.doc_id: (r.n_lines, r.n_dropped, r.scrubbed_text)
+           for r in scrub_with_fps(
+               base, boilerplate_fps(line_flat(base))).collect()}
+    want = brute_force_line_scrub(docs, LINE_MIN_CHARS, BOILER_DF)
+    assert got == want
