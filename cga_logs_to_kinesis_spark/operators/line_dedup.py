@@ -76,7 +76,7 @@ def poison_boilerplate(text: Column | None = None) -> Column:
 
 # the byte-identical DuckDB twin, as a CTE body over `documents`
 POISON_SQL = f"""
-    SELECT doc_id,
+    SELECT doc_id, source,
            CASE WHEN text IS NULL THEN NULL ELSE
                CASE WHEN doc_id % 13 = 0
                     THEN '{HEADER}' || chr(10) ELSE '' END
@@ -313,22 +313,7 @@ def q_boilerplate_ratio_by_source(spark: SparkSession,
 register(QuerySpec(
     "boilerplate_ratio_by_source", q_boilerplate_ratio_by_source,
     oracle=f"""
-        WITH poisoned AS (
-            SELECT doc_id,
-                   CASE WHEN text IS NULL THEN NULL ELSE
-                       CASE WHEN doc_id % 13 = 0
-                            THEN '{HEADER}' || chr(10) ELSE '' END
-                       || text
-                       || CASE WHEN doc_id % 7 < 3
-                               THEN chr(10) || '{FOOTER_A}'
-                               ELSE '' END
-                       || CASE WHEN doc_id % 11 < 2
-                               THEN chr(10) || '{FOOTER_B}'
-                               ELSE '' END
-                   END AS text,
-                   source
-            FROM documents
-        ),
+        WITH poisoned AS ({POISON_SQL}),
         flat AS (
             SELECT doc_id, source,
                    UNNEST(string_split(text, chr(10))) AS line
