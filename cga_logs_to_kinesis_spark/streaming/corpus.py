@@ -2484,3 +2484,135 @@ def ngram_novelty_from_store(spark: SparkSession, fp_dir: str,
                         F.col("n_novel").cast("double")
                         / F.col("n_ngrams"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Store-family registry: the auditable index of every incremental store
+# ---------------------------------------------------------------------------
+# One entry per batch_id-versioned store family in this module.  The
+# registry is executable documentation: tests/test_store_registry.py
+# verifies every referenced function exists, that every public *_sink
+# here is claimed by exactly one family, and that docs/STORES.md
+# (tools/gen_stores_md.py) matches — so the family count the docs
+# claim can never drift from the code.
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class StoreFamily:
+    name: str
+    fold: str                  # how partials merge at read time
+    sinks: tuple[str, ...]     # foreachBatch factories (this module)
+    readers: tuple[str, ...]   # store -> DataFrame consumers (this module)
+    compactors: tuple[str, ...]
+    note: str
+
+
+STORE_FAMILIES: tuple[StoreFamily, ...] = (
+    StoreFamily(
+        "exact-dedup digest", "distinct",
+        ("incremental_dedup_sink",), (), ("compact_digest_store",),
+        "first-seen survivors; the anti-join consumer is idempotent "
+        "under duplicate digests, which is what makes the crash "
+        "window of compaction harmless"),
+    StoreFamily(
+        "minhash band index", "append (count-consumed)",
+        ("minhash_incremental_sink",), (), (),
+        "NO compactor by design: the consumer counts rows per bucket "
+        "key (n_common_bands), so duplicate rows would change "
+        "results — see compact_digest_store's docstring"),
+    StoreFamily(
+        "ANN bucket index", "append (distinct-consumed)",
+        ("ann_index_sink",), (), (),
+        "candidates are .distinct()ed by the reader "
+        "(similarity.ann_incremental_from_index), so replay "
+        "duplicates are harmless; hot buckets capped via "
+        "bucket_bounded's anti-join"),
+    StoreFamily(
+        "ingest audit", "sum + min/max extrema",
+        ("ingest_audit_sink",), ("ingest_audit_report_from_store",),
+        ("compact_ingest_audit_store",),
+        "per-shard JSONL-ingest health counters"),
+    StoreFamily(
+        "connected-components labels", "state (two versions kept)",
+        ("components_incremental_sink",), (), ("compact_label_store",),
+        "pointer-doubled labels; uncommitted-newest replay safety "
+        "keeps the previous version until the next batch commits"),
+    StoreFamily(
+        "table profile", "sum partials + distinct values",
+        ("table_profile_sink",), ("table_profile_report_from_store",),
+        ("compact_profile_values",),
+        "two stores: per-batch fold partials and the distinct-value "
+        "store that makes COUNT(DISTINCT) re-foldable"),
+    StoreFamily(
+        "heavy hitters (Misra-Gries)", "sum (watermark base)",
+        ("heavy_hitters_sink",), ("heavy_hitters_from_store",),
+        ("compact_heavy_hitters_store",),
+        "per-batch MG summaries; the -(upto+2) watermark-base "
+        "discipline every summing store reuses started here"),
+    StoreFamily(
+        "bloom blocklist", "distinct",
+        ("bloom_positions_sink",),
+        ("bloom_bitmap_from_store", "bloom_decontaminate_from_store"),
+        ("compact_bloom_store",),
+        "set-bit positions; OR-fold is idempotent"),
+    StoreFamily(
+        "event-funnel state", "state (per-user candidate times)",
+        ("funnel_state_sink",), ("event_funnel_from_store",),
+        ("compact_funnel_state_store",),
+        "late earlier-stage events can DEMOTE a reached stage — "
+        "candidate times, not greedy stages, make the fold exact"),
+    StoreFamily(
+        "IVF index", "append (replay rewrites identical bytes)",
+        ("ivf_index_sink",), ("cosine_topk_from_ivf_store",), (),
+        "assignments + SQ8 codes + vectors; the sink reads nothing, "
+        "so a replay overwrites its own partition byte-identically"),
+    StoreFamily(
+        "encoding audit", "sum (watermark base)",
+        ("encoding_anomaly_sink",),
+        ("encoding_anomaly_report_from_store",),
+        ("compact_encoding_store",),
+        "per-source encoding-damage counters"),
+    StoreFamily(
+        "script mixing", "sum (watermark base)",
+        ("script_mixing_sink",), ("script_mixing_report_from_store",),
+        ("compact_script_mixing_store",),
+        "per-source confusable/homoglyph counters; shares "
+        "script_counts_per_doc with the batch query"),
+    StoreFamily(
+        "skew monitor", "sum (watermark base)",
+        ("skew_freq_sink",),
+        ("skew_frequencies_from_store", "salted_join_plan_from_store"),
+        ("compact_skew_freq_store",),
+        "exact shuffle-key frequencies; the live salt planner reads "
+        "the fold through the batch planner's exact tail"),
+    StoreFamily(
+        "n-gram novelty", "min (fp first-occurrence) + distinct docs",
+        ("novelty_sink",),
+        ("novelty_curve_from_store", "ngram_novelty_from_store"),
+        ("compact_novelty_store", "compact_novelty_doc_store"),
+        "novelty defined on doc_id, not arrival order, so any "
+        "arrival permutation folds exactly"),
+    StoreFamily(
+        "corpus drift", "sum + decimal char-sum + distinct values",
+        ("corpus_drift_sink",), ("corpus_drift_from_store",),
+        ("compact_corpus_drift_sums", "compact_corpus_drift_values"),
+        "per-decile tranche monitor; deciles keyed by a pinned "
+        "max-doc-id snapshot"),
+    StoreFamily(
+        "line frequency / boilerplate", "sum (watermark base)",
+        ("line_df_sink", "line_source_sink"),
+        ("boilerplate_report_from_store", "line_scrub_from_store",
+         "boilerplate_ratio_from_store"),
+        ("compact_line_df_store", "compact_line_source_store"),
+        "report, apply, and per-source gate all run from the stores; "
+        "per-batch distinct-doc counts SUM because a doc arrives in "
+        "exactly one batch"),
+    StoreFamily(
+        "token-count divergence", "sum (watermark base)",
+        ("token_count_sink",), ("source_divergence_from_store",),
+        ("compact_token_count_store",),
+        "one (source, tok) store; corpus counts are the same fold "
+        "re-grouped, then the batch TV algebra applies"),
+)
