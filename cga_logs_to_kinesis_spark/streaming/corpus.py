@@ -2615,4 +2615,89 @@ STORE_FAMILIES: tuple[StoreFamily, ...] = (
         ("compact_token_count_store",),
         "one (source, tok) store; corpus counts are the same fold "
         "re-grouped, then the batch TV algebra applies"),
+    StoreFamily(
+        "HLL distinct sketch", "union (register-wise MAX)",
+        ("hll_distinct_sink",), ("approx_distinct_from_store",),
+        ("compact_hll_store",),
+        "per-key COUNT(DISTINCT) without keeping the values: "
+        "DataSketches HLL binaries, ~2^lg_k registers per (batch, "
+        "key); union is idempotent so replay/crash leftovers cannot "
+        "move a fold"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL distinct-count store: mergeable sketch state
+# ---------------------------------------------------------------------------
+# The one aggregate the summing stores can't carry: COUNT(DISTINCT x)
+# per group, continuously, WITHOUT keeping every distinct value.  The
+# distinct-value stores (table-profile, corpus-drift) are exact but
+# their state is |distinct values|; at 100 TB a per-group distinct-id
+# count wants the sketch form instead: per-batch Apache DataSketches
+# HLL sketches (Spark's hll_sketch_agg — binary, fixed ~2^lg_k
+# registers per group), folded with hll_union_agg.  Union is the
+# register-wise MAX: idempotent AND commutative, so the store shares
+# the MIN-fold family's algebra — replay duplicates cannot move a
+# fold, crash-leftover rows are harmless, and the watermark-base
+# compactor applies with the union as the merge.  Spark's own partial
+# aggregation IS union-of-partials, so the folded estimate equals the
+# single-shot batch sketch by construction (pinned by test).
+
+def hll_distinct_sink(store_dir: str, key_col: str = "lang",
+                      value_col: str = "doc_id", lg_k: int = 12,
+                      fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink: per-batch per-key HLL sketches of
+    ``value_col``, appended batch_id-keyed.  State per (batch, key)
+    is one ~2^lg_k-register binary — independent of batch size."""
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.filter(F.col(key_col).isNotNull())
+         .groupBy(key_col)
+         .agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sk"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def approx_distinct_from_store(spark: SparkSession, store_dir: str,
+                               key_col: str = "lang") -> DataFrame:
+    """Fold the sketch store into per-key approximate distinct counts
+    (union then estimate) — equal to the single-shot batch sketch
+    over the same rows because Spark's partial aggregation is itself
+    union-of-partials."""
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return spark.createDataFrame(
+            [], f"{key_col} string, approx_distinct long")
+    return (_effective_mg_summaries(s)
+            .groupBy(key_col)
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_distinct"))
+            .orderBy(key_col))
+
+
+def compact_hll_store(spark: SparkSession, store_dir: str,
+                      upto_batch_id: int, key_col: str = "lang",
+                      files_per_partition: int = 1) -> int:
+    """Fold sketch partials into the watermark base — HLL union is
+    register-wise MAX (idempotent + commutative), so the shared
+    mergeable compactor applies with the union as the merge."""
+    def fold(g):
+        return g.agg(F.hll_union_agg("sk").alias("sk"))
+
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, [key_col], fold,
+        files_per_partition)

@@ -2070,3 +2070,55 @@ def test_token_count_store_matches_batch_divergence(spark, tmp_path):
     assert fold() == want
     assert compact_token_count_store(spark, store, 2) == 0
     assert fold() == want
+
+
+def test_hll_store_matches_batch_sketch_and_bounds(spark, tmp_path):
+    """The sketch store's folded estimate equals the single-shot
+    batch sketch (Spark's partial agg IS union-of-partials) under a
+    3-batch split with crash-replay, sits within the lg_k=12 error
+    envelope of the exact distinct counts, and survives compaction
+    unchanged (union is idempotent)."""
+    import os
+
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        approx_distinct_from_store,
+        compact_hll_store,
+        hll_distinct_sink,
+    )
+
+    empty = approx_distinct_from_store(spark, str(tmp_path / "no"))
+    assert empty.count() == 0
+    assert empty.columns == ["lang", "approx_distinct"]
+
+    src = _doc_chunks(spark, tmp_path)
+    store = str(tmp_path / "hll")
+    sink = hll_distinct_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    fold = lambda: {r["lang"]: r["approx_distinct"] for r in  # noqa: E731
+                    approx_distinct_from_store(spark, store).collect()}
+    got = fold()
+
+    docs = load_table(spark, SF_SMOKE, "documents") \
+        .filter(F.col("lang").isNotNull())
+    batch = {r["lang"]: r["est"] for r in
+             docs.groupBy("lang")
+             .agg(F.hll_sketch_estimate(
+                 F.hll_sketch_agg("doc_id", F.lit(12))).alias("est"))
+             .collect()}
+    assert got == batch                       # union-of-partials
+    exact = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang")
+             .agg(F.countDistinct("doc_id").alias("n")).collect()}
+    for lang, n in exact.items():
+        assert abs(got[lang] - n) <= max(2, 0.05 * n), (
+            f"{lang}: sketch {got[lang]} vs exact {n}")
+
+    assert compact_hll_store(spark, store, 2) == 3
+    dirs = sorted(d for d in os.listdir(store)
+                  if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-4"]
+    assert fold() == got
+    assert compact_hll_store(spark, store, 2) == 0
+    assert fold() == got

@@ -682,3 +682,27 @@ def test_token_count_sink_work_is_flat(spark, tmp_path):
     assert late <= 3.0 * early, (
         f"per-batch token-count work grew: early={early:.0f} "
         f"late={late:.0f} records/batch")
+
+
+def test_hll_sink_work_is_flat(spark, tmp_path):
+    """The sketch sink folds its own batch only; per-(batch, key)
+    state is a fixed-register binary — strictly flat per-batch
+    work AND constant per-batch store growth."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        hll_distinct_sink,
+    )
+
+    sink = hll_distinct_sink(str(tmp_path / "hll"), key_col="source")
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        batch = _dup_doc_batch(spark, k).withColumn(
+            "source", (F.col("doc_id") % 4).cast("string"))
+        sink(batch, k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch HLL work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
