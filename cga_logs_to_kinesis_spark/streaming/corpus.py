@@ -2113,7 +2113,10 @@ def line_scrub_from_store(spark: SparkSession, docs: DataFrame,
     maintained line-frequency store — the batch scrub's exact tail
     (``scrub_with_fps``) fed by the folded drop list instead of a
     fresh corpus scan.  ``orig_text`` is the incoming text, so
-    ``restored`` here means "nothing was dropped"."""
+    ``restored`` here means "nothing was dropped".  ``docs`` is
+    evaluated twice (the line explode and the final per-doc join —
+    the scrub_with_fps contract); pass a localCheckpoint'ed frame if
+    it is an expensive computed subtree (plain scans just re-read)."""
     from cga_logs_to_kinesis_spark.operators.line_dedup import (
         BOILER_DF,
         scrub_with_fps,
