@@ -124,6 +124,14 @@ def test_real_r13_driver_record_recovers():
     assert got is not None
     assert got["queries"]["pagerank_docs"] == 2.483
     assert "minhash_lsh" not in got["queries"]
-    # ... but the full chain prefers the complete builder records
+    # ... but the full chain prefers the complete builder records of
+    # the NEWEST recorded round (r13 when this test was written; the
+    # current round once its final runs are committed)
+    import glob
+    import re
+
+    newest = max(int(re.search(r"r(\d+)_final_run", p).group(1))
+                 for p in glob.glob(
+                     "/root/repo/docs/bench/r*_final_run*.json"))
     prev = previous_round_bench("/root/repo", 0.1)
-    assert prev["base"] == "r13:min(4runs)"
+    assert prev["base"].startswith(f"r{newest}:min(")
