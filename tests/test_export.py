@@ -119,3 +119,53 @@ def test_shard_assign_query_covers_all_shards(spark):
     assert [r.shard for r in rows] == list(range(N_SHARDS))
     total = sum(r.n_docs for r in rows)
     assert total == load_table(spark, SF_SMOKE, "documents").count()
+
+
+def test_jsonl_gz_ingest_matches_plain(spark, tmp_path):
+    """Crawl dumps arrive gzip-compressed; Spark's text/json sources
+    decode .gz by extension with no loader change.  The compressed
+    round-trip must yield the identical corpus — including a corrupt
+    line surfacing as a NULL row (PERMISSIVE), not a crash — and the
+    audit loader must agree on the corruption counts."""
+    import gzip
+    import json as _json
+
+    from cga_logs_to_kinesis_spark.sources import (
+        load_documents_jsonl,
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50).collect()
+    lines = [_json.dumps({"doc_id": r.doc_id, "text": r.text,
+                          "lang": r.lang, "source": r.source,
+                          "n_chars": r.n_chars})
+             for r in docs]
+    lines.insert(3, '{"doc_id": 999, "text": "broken')   # corrupt
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    (plain / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+    gz = tmp_path / "gz"
+    gz.mkdir()
+    with gzip.open(gz / "part-0.jsonl.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    a = load_documents_jsonl(spark, str(plain))
+    b = load_documents_jsonl(spark, str(gz))
+    rows_a = sorted(map(tuple, a.collect()), key=key)
+    rows_b = sorted(map(tuple, b.collect()), key=key)
+    assert rows_a == rows_b and len(rows_b) == 51
+    assert sum(1 for r in rows_b if r[1] is None) == 1  # NULL text row
+
+    # the audit loader decodes .gz identically
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        load_documents_jsonl_audit,
+    )
+    audit_a = load_documents_jsonl_audit(spark, str(plain))
+    audit_b = load_documents_jsonl_audit(spark, str(gz))
+    # agg-count the corrupt column (filtering on it alone is the
+    # Spark-disallowed internal-column access pattern)
+    agg = [F.count("doc_id").alias("total"),
+           F.count("_corrupt_record").alias("n")]
+    ra, rb = audit_a.agg(*agg).first(), audit_b.agg(*agg).first()
+    assert (ra.total, ra.n) == (rb.total, rb.n) == (50, 1)
