@@ -345,3 +345,124 @@ register(QuerySpec(
         "the tiny drop list, per-source partial-agg sums",
     tags=("dedup", "text", "quality", "audit"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Intra-document line dedup: the within-doc half
+# ---------------------------------------------------------------------------
+# Corpus-level dedup drops lines COMMON ACROSS documents; listing and
+# spam pages also repeat lines WITHIN one document (RefinedWeb removes
+# both).  Keep the first occurrence of each >= LINE_MIN_CHARS line per
+# document; short lines are structure (blank separators, bullets) and
+# always survive.  Everything is doc_id-keyed — a per-doc groupBy and
+# join, uniform by construction, no content-key skew story at all.
+
+INTRA_SPAM = "repeated spam line for the intra dedup proof"
+
+
+def q_line_dedup_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal, first occurrence kept.
+    Clean fixtures are single-line, so the query poisons doc_id%5<2
+    with a doubled spam line (must collapse to one copy) and every
+    doc with a doubled short line 'ok' (must BOTH survive — the
+    min-length exemption)."""
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    poison = F.when(F.col("text").isNull(),
+                    F.lit(None).cast("string")) \
+        .otherwise(F.concat(
+            "text",
+            F.when(F.col("doc_id") % 5 < 2,
+                   F.lit("\n" + INTRA_SPAM + "\n" + INTRA_SPAM))
+            .otherwise(F.lit("")),
+            F.lit("\nok\nok")))
+    base = (docs.select("doc_id", poison.alias("text"))
+            .localCheckpoint())     # feeds first-pos fold + rebuild
+    flat = line_flat(base)
+    firsts = (flat.filter(F.length("line") >= LINE_MIN_CHARS)
+              .groupBy("doc_id", "fp")
+              .agg(F.min("pos").alias("first_pos")))
+    kept = (flat.join(firsts, ["doc_id", "fp"], "left")
+            .filter(F.col("first_pos").isNull()
+                    | (F.col("pos") == F.col("first_pos"))))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"]),
+            "\n").alias("scrubbed"),
+        F.count("*").alias("n_kept"))
+    n_lines = F.coalesce(F.size(F.split("text", "\n", -1)), F.lit(0)) \
+        .cast("long")
+    return (base.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    n_lines.alias("n_lines"),
+                    (n_lines - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("long").alias("n_dropped"),
+                    F.when(F.col("text").isNull(),
+                           F.lit(None).cast("string"))
+                    .otherwise(F.coalesce(F.col("scrubbed"), F.lit("")))
+                    .alias("scrubbed_text")))
+
+
+register(QuerySpec(
+    "line_dedup_intra", q_line_dedup_intra,
+    oracle=f"""
+        WITH poisoned AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL ELSE
+                       text
+                       || CASE WHEN doc_id % 5 < 2
+                               THEN chr(10) || '{INTRA_SPAM}'
+                                    || chr(10) || '{INTRA_SPAM}'
+                               ELSE '' END
+                       || chr(10) || 'ok' || chr(10) || 'ok'
+                   END AS text
+            FROM documents
+        ),
+        split AS (
+            SELECT doc_id, text, string_split(text, chr(10)) AS ls
+            FROM poisoned
+        ),
+        flat AS (
+            SELECT doc_id, u['pos'] AS pos, u['line'] AS line
+            FROM (SELECT doc_id,
+                         UNNEST(list_transform(range(len(ls)), i ->
+                             struct_pack(pos := i,
+                                         line := ls[i + 1]))) AS u
+                  FROM split WHERE text IS NOT NULL)
+        ),
+        firsts AS (
+            SELECT doc_id, line, MIN(pos) AS first_pos
+            FROM flat WHERE len(line) >= {LINE_MIN_CHARS}
+            GROUP BY doc_id, line
+        ),
+        kept AS (
+            SELECT f.doc_id, f.pos, f.line
+            FROM flat f LEFT JOIN firsts m
+              ON f.doc_id = m.doc_id AND f.line = m.line
+            WHERE m.first_pos IS NULL OR f.pos = m.first_pos
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS scrubbed,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+               CAST(COALESCE(len(string_split(p.text, chr(10))), 0)
+                    AS BIGINT) AS n_lines,
+               CAST(COALESCE(len(string_split(p.text, chr(10))), 0)
+                    - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+               CASE WHEN p.text IS NULL THEN NULL
+                    ELSE COALESCE(r.scrubbed, '') END AS scrubbed_text
+        FROM poisoned p LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="within-document repeated-line removal (first occurrence "
+        "kept, short lines exempt) — the RefinedWeb intra-doc half "
+        "of line dedup; doc_id-keyed groupBy + join, no content-key "
+        "skew surface",
+    tags=("dedup", "text", "quality", "apply"),
+))

@@ -44,11 +44,11 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-14 curation -----------------------------------------------
-    # Leads: the four r14-NEW oracle-paired queries (the line-level
+    # Leads: the five r14-NEW oracle-paired queries (the line-level
     # boilerplate dedup family — boilerplate_lines report,
-    # line_dedup_scrub apply, boilerplate_ratio_by_source gate — plus
-    # source_divergence, the integer-exact per-source
-    # total-variation audit), then
+    # line_dedup_scrub apply, boilerplate_ratio_by_source gate,
+    # line_dedup_intra within-doc half — plus source_divergence, the
+    # integer-exact per-source total-variation audit), then
     # four whose CODE changed this round — corpus_drift (per-doc
     # projection factored into drift_per_doc for the streaming twin),
     # homoglyph_scrub (scrub factored into confusable_scrub_columns),
@@ -56,12 +56,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LEFT ANTI join against the over-cap bucket list
     # (ann_incremental, dedup_minhash_incremental).  Then the 30
     # remaining r10-cohort queries (CORRECTNESS_r10.json order), then
-    # the 12 stalest of the r11 cohort (CORRECTNESS_r11.json order;
+    # the 11 stalest of the r11 cohort (CORRECTNESS_r11.json order;
     # latest green r11 — not re-checked in r12 or r13).
-    # 4 + 4 + 30 + 12 = 50.
+    # 5 + 4 + 30 + 11 = 50.
     #
-    # Deferred to the r15 window: the remaining 32 stale-r11 queries
-    # in CORRECTNESS_r11.json order (union_by_name, ann_recall_report,
+    # Deferred to the r15 window: the remaining 33 stale-r11 queries
+    # in CORRECTNESS_r11.json order (token_frequencies, union_by_name,
+    # ann_recall_report,
     # ann_truncation_recall, batch_pages, bigram_surprisal, bm25_topk,
     # bpe_learn_merges, bpe_tokenize, char_diversity, cosine_topk,
     # cosine_topk_lsh, customer_distribution, dedup_near_survivors,
@@ -85,6 +86,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "line_dedup_scrub",
     "boilerplate_ratio_by_source",
     "source_divergence",
+    "line_dedup_intra",
     # r14-changed:
     "corpus_drift",
     "homoglyph_scrub",
@@ -133,7 +135,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "priority_count",
     "promo_share",
     "text_normalize",
-    "token_frequencies",
 )
 
 

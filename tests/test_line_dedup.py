@@ -134,3 +134,23 @@ def test_boilerplate_ratio_plan(spark):
     assert len(rows) == 20
     assert all(0.0 <= r.boiler_ratio <= 1.0 for r in rows)
     assert any(r.n_boiler_lines > 0 for r in rows)
+
+
+def test_intra_dedup_semantics(spark):
+    """The doubled spam line collapses to one copy for the poisoned
+    class, the doubled short 'ok' line survives everywhere (the
+    min-length exemption), and line order is preserved."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        INTRA_SPAM,
+    )
+
+    rows = {r.doc_id: r for r in
+            all_queries()["line_dedup_intra"].fn(spark, SF_SMOKE)
+            .collect()}
+    poisoned = [r for i, r in rows.items() if i % 5 < 2]
+    clean = [r for i, r in rows.items() if i % 5 >= 2]
+    assert all(r.n_dropped == 1 for r in poisoned)
+    assert all(r.n_dropped == 0 for r in clean)
+    sample = next(r for i, r in rows.items() if i % 5 < 2)
+    assert sample.scrubbed_text.count(INTRA_SPAM) == 1
+    assert sample.scrubbed_text.endswith("\nok\nok")   # exempt shorts
