@@ -360,25 +360,54 @@ register(QuerySpec(
 INTRA_SPAM = "repeated spam line for the intra dedup proof"
 
 
-def q_line_dedup_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repeated-line removal, first occurrence kept.
-    Clean fixtures are single-line, so the query poisons doc_id%5<2
-    with a doubled spam line (must collapse to one copy) and every
-    doc with a doubled short line 'ok' (must BOTH survive — the
-    min-length exemption)."""
-    from cga_logs_to_kinesis_spark.sources import load_table
-
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    poison = F.when(F.col("text").isNull(),
-                    F.lit(None).cast("string")) \
+def poison_intra(text=None):
+    """The intra-dedup poison: doc_id%5<2 docs get a doubled spam
+    line (must collapse to one copy), every doc a doubled short 'ok'
+    line (must BOTH survive — the min-length exemption)."""
+    text = F.col("text") if text is None else text
+    return F.when(text.isNull(), F.lit(None).cast("string")) \
         .otherwise(F.concat(
-            "text",
+            text,
             F.when(F.col("doc_id") % 5 < 2,
                    F.lit("\n" + INTRA_SPAM + "\n" + INTRA_SPAM))
             .otherwise(F.lit("")),
             F.lit("\nok\nok")))
-    base = (docs.select("doc_id", poison.alias("text"))
+
+
+def intra_dedup_columns(text_col) -> tuple:
+    """(n_lines, n_dropped, scrubbed) computed ROW-LOCALLY with
+    higher-order functions: keep line i iff it is short (exempt) or
+    absent from the line prefix before i — zero shuffle, so it
+    composes over a pure stream (``streaming_line_dedup_intra``).
+    The prefix probe is O(L²) in a document's line count; for typical
+    web documents (10²-10³ lines) that is far cheaper than shuffling
+    the exploded lines, which is why the streaming twin uses it —
+    the registered batch query keeps the groupBy+join form, whose
+    L·log L shuffle is the safe bound for pathological million-line
+    documents.  Parity between the two implementations is pinned by
+    test (same semantics, independent algorithms)."""
+    lines = F.split(text_col, "\n", -1)
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(x) < LINE_MIN_CHARS)
+        | (F.array_position(F.slice(lines, F.lit(1), i), x) == 0))
+    n_lines = F.coalesce(F.size(lines), F.lit(0)).cast("long")
+    n_dropped = (n_lines
+                 - F.coalesce(F.size(kept), F.lit(0))).cast("long")
+    scrubbed = F.when(text_col.isNull(),
+                      F.lit(None).cast("string")) \
+        .otherwise(F.array_join(kept, "\n"))
+    return n_lines, n_dropped, scrubbed
+
+
+def q_line_dedup_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal, first occurrence kept
+    (poison proves the collapse; see :func:`poison_intra`)."""
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = (docs.select("doc_id", poison_intra().alias("text"))
             .localCheckpoint())     # feeds first-pos fold + rebuild
     flat = line_flat(base)
     firsts = (flat.filter(F.length("line") >= LINE_MIN_CHARS)

@@ -470,6 +470,25 @@ def streaming_homoglyph_scrub(docs: DataFrame) -> DataFrame:
         scrubbed.alias("scrubbed_text"))
 
 
+def streaming_line_dedup_intra(docs: DataFrame) -> DataFrame:
+    """Within-document repeated-line removal over a document stream —
+    stateless, because the computation needs only the document's own
+    lines: the higher-order-function form
+    (``operators/line_dedup.py::intra_dedup_columns``) probes each
+    line against its in-array prefix, zero shuffle, so it composes
+    over a pure stream.  An independent ALGORITHM from the batch
+    query's groupBy+join — the parity test is a cross-check of both."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        intra_dedup_columns,
+    )
+    n_lines, n_dropped, scrubbed = intra_dedup_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_dropped.alias("n_dropped"),
+        scrubbed.alias("scrubbed_text"))
+
+
 def streaming_weighted_sample(docs: DataFrame) -> DataFrame:
     """Quality-weighted sampling over a document stream — the keep
     decision is a salted-md5 draw (row-local, no RNG state), so the

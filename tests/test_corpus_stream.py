@@ -2122,3 +2122,32 @@ def test_hll_store_matches_batch_sketch_and_bounds(spark, tmp_path):
     assert fold() == got
     assert compact_hll_store(spark, store, 2) == 0
     assert fold() == got
+
+
+def test_streaming_intra_dedup_matches_batch(spark, tmp_path):
+    """Two independent algorithms, one semantics: the stream twin's
+    row-local prefix probe must equal the batch query's groupBy+join
+    on every doc of the poisoned corpus."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        poison_intra,
+    )
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        streaming_line_dedup_intra,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents") \
+        .withColumn("text", poison_intra())
+    src = tmp_path / "intra_chunks"
+    for k in range(3):
+        docs.filter(F.abs(F.hash("doc_id")) % 3 == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+    stream = stream_documents(spark, str(src) + "/*")
+    got = {r.doc_id: (r.n_lines, r.n_dropped, r.scrubbed_text)
+           for r in _drain(streaming_line_dedup_intra(stream),
+                           tmp_path, "intra").collect()}
+    want = {r.doc_id: (r.n_lines, r.n_dropped, r.scrubbed_text)
+            for r in all_queries()["line_dedup_intra"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert got == want and len(got) == 500
+    assert any(v[1] > 0 for v in got.values())
