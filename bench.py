@@ -156,8 +156,102 @@ def _recover_from_tail(record: dict, sf: float) -> dict | None:
             "recovered_from_tail": True}
 
 
-def previous_round_bench(repo_dir: str, sf: float) -> dict | None:
-    """The newest prior round's per-query record at the same sf.
+def detect_current_round(repo_dir: str) -> int | None:
+    """The round number THIS bench run belongs to.
+
+    ``SPARK_GRAFT_ROUND`` overrides; otherwise it is max(N) of the
+    driver's ``CORRECTNESS_r*.json`` + 1 — those land when a round
+    FINISHES, so during round N the newest is r(N-1).  Needed because
+    the builder commits ``docs/bench/r{N}_final_run*.json`` DURING
+    round N: without the cut-off, "previous round" resolves to the
+    current round's own runs and the driver record's deltas become
+    same-code host-drift numbers wearing a round-over-round label
+    (exactly what BENCH_r14 recorded — r14 verdict #1).
+    """
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    ns = [int(m.group(1))
+          for p in glob.glob(os.path.join(repo_dir,
+                                          "CORRECTNESS_r*.json"))
+          if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+    return max(ns) + 1 if ns else None
+
+
+def _round_sources(repo_dir: str) -> dict[int, dict]:
+    by_round: dict[int, dict[str, list[str] | str]] = {}
+    for p in glob.glob(os.path.join(repo_dir, "docs", "bench",
+                                    "r*_final_run*.json")):
+        m = re.search(r"r(\d+)_final_run\d+\.json$", p)
+        if m:
+            by_round.setdefault(int(m.group(1)), {}) \
+                .setdefault("builder", []).append(p)
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            by_round.setdefault(int(m.group(1)), {})["driver"] = p
+    return by_round
+
+
+def _resolve_round(sources: dict, rnd: int, sf: float) -> dict | None:
+    """One round's best per-query record: builder min-of-runs, then
+    the driver's parsed record, then tail recovery."""
+    merged: dict[str, float] = {}
+    used = []
+    for path in sorted(sources.get("builder", [])):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if rec.get("sf") != sf or not isinstance(
+                rec.get("queries"), dict):
+            continue
+        used.append(os.path.basename(path))
+        for k, v in rec["queries"].items():
+            if k not in merged or v < merged[k]:
+                merged[k] = v
+    if merged:
+        return {"sf": sf, "queries": merged,
+                "base": f"r{rnd}:min({len(used)}runs)",
+                "base_files": used}
+    driver_path = sources.get("driver")
+    if driver_path:
+        try:
+            with open(driver_path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            return None
+        parsed = rec.get("parsed")
+        if isinstance(parsed, dict) and parsed.get("sf") == sf \
+                and isinstance(parsed.get("queries"), dict):
+            parsed = dict(parsed)
+            parsed["base"] = f"r{rnd}:driver"
+            return parsed
+        # bare bench-format file (tests / hand-recorded)
+        if rec.get("sf") == sf and isinstance(
+                rec.get("queries"), dict):
+            rec = dict(rec)
+            rec["base"] = f"r{rnd}:driver"
+            return rec
+        recovered = _recover_from_tail(rec, sf)
+        if recovered is not None:
+            recovered["base"] = f"r{rnd}:tail"
+            return recovered
+    return None
+
+
+def previous_round_bench(repo_dir: str, sf: float,
+                         before_round: int | None = None) -> dict | None:
+    """The newest prior round's per-query record at the same sf —
+    rounds ``>= before_round`` are SKIPPED when given, so the deltas
+    computed against the result are true round-over-round (r14
+    verdict #1: the builder's current-round final runs are committed
+    before the driver runs bench, and without the cut-off they win
+    the newest-first walk).
 
     Resolution order per round, newest round first (r13 verdict #1 —
     the driver's own BENCH_r*.json carried ``parsed: null`` from r11
@@ -174,62 +268,27 @@ def previous_round_bench(repo_dir: str, sf: float) -> dict | None:
     The returned dict carries ``base`` (human-readable provenance) so
     the printed record shows WHAT the deltas were computed against.
     """
-    by_round: dict[int, dict[str, list[str] | str]] = {}
-    for p in glob.glob(os.path.join(repo_dir, "docs", "bench",
-                                    "r*_final_run*.json")):
-        m = re.search(r"r(\d+)_final_run\d+\.json$", p)
-        if m:
-            by_round.setdefault(int(m.group(1)), {}) \
-                .setdefault("builder", []).append(p)
-    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
-            by_round.setdefault(int(m.group(1)), {})["driver"] = p
+    by_round = _round_sources(repo_dir)
     for rnd in sorted(by_round, reverse=True):
-        sources = by_round[rnd]
-        merged: dict[str, float] = {}
-        used = []
-        for path in sorted(sources.get("builder", [])):
-            try:
-                with open(path) as f:
-                    rec = json.load(f)
-            except (OSError, ValueError):
-                continue
-            if rec.get("sf") != sf or not isinstance(
-                    rec.get("queries"), dict):
-                continue
-            used.append(os.path.basename(path))
-            for k, v in rec["queries"].items():
-                if k not in merged or v < merged[k]:
-                    merged[k] = v
-        if merged:
-            return {"sf": sf, "queries": merged,
-                    "base": f"r{rnd}:min({len(used)}runs)",
-                    "base_files": used}
-        driver_path = sources.get("driver")
-        if driver_path:
-            try:
-                with open(driver_path) as f:
-                    rec = json.load(f)
-            except (OSError, ValueError):
-                continue
-            parsed = rec.get("parsed")
-            if isinstance(parsed, dict) and parsed.get("sf") == sf \
-                    and isinstance(parsed.get("queries"), dict):
-                parsed = dict(parsed)
-                parsed["base"] = f"r{rnd}:driver"
-                return parsed
-            # bare bench-format file (tests / hand-recorded)
-            if rec.get("sf") == sf and isinstance(
-                    rec.get("queries"), dict):
-                rec = dict(rec)
-                rec["base"] = f"r{rnd}:driver"
-                return rec
-            recovered = _recover_from_tail(rec, sf)
-            if recovered is not None:
-                recovered["base"] = f"r{rnd}:tail"
-                return recovered
+        if before_round is not None and rnd >= before_round:
+            continue
+        got = _resolve_round(by_round[rnd], rnd, sf)
+        if got is not None:
+            return got
     return None
+
+
+def current_round_bench(repo_dir: str, sf: float,
+                        rnd: int) -> dict | None:
+    """The CURRENT round's own builder record (min across the
+    committed ``r{rnd}_final_run*.json``), for the host-drift
+    comparison: same code, different host/run — a looser,
+    canary-scaled gate, reported separately from the round-over-round
+    deltas so the two can never be conflated again."""
+    sources = _round_sources(repo_dir).get(rnd)
+    if not sources or not sources.get("builder"):
+        return None
+    return _resolve_round({"builder": sources["builder"]}, rnd, sf)
 
 
 def main() -> None:
@@ -303,8 +362,13 @@ def main() -> None:
                             if canary_first else None),
     }
     out["canary_drift"] = full["drift_canary"]["last_over_first"]
-    prev = previous_round_bench(os.path.dirname(os.path.abspath(__file__)),
-                                sf)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cur = detect_current_round(repo)
+    full["current_round"] = cur
+    # TRUE round-over-round deltas: base strictly before the current
+    # round (r14 verdict #1 — the current round's own builder runs are
+    # on disk at driver time and must not be the base).
+    prev = previous_round_bench(repo, sf, before_round=cur)
     if prev is not None:
         deltas, regressions = {}, []
         for name, sec in timings.items():
@@ -327,12 +391,54 @@ def main() -> None:
         out["delta_median"] = (
             round(ordered[len(ordered) // 2], 3) if ordered else None)
         out["delta_base"] = prev.get("base")
-        out["regressions"] = regressions
+        # the stdout line caps the list (a bad round with many names
+        # could push the line past the driver's 2000-char tail and
+        # re-create the parsed:null failure — r14 advice); the full
+        # list is in docs/bench/last_run.json.
+        out["n_regressions"] = len(regressions)
+        out["regressions"] = regressions[:8]
+    # SAME-round host drift: this run vs the current round's own
+    # builder min — same code, so any ratio here is host/run noise,
+    # reported under an honest name with a looser canary-scaled
+    # threshold (r14's "1.92x regression" shout was exactly this).
+    host = current_round_bench(repo, sf, cur) if cur is not None \
+        else None
+    if host is not None:
+        canary = out.get("canary_drift") or 1.0
+        host_threshold = max(2.0, REGRESSION_FACTOR * max(1.0, canary))
+        hd = {}
+        for name, sec in timings.items():
+            before = host["queries"].get(name)
+            if not before:
+                continue
+            hd[name] = round(sec / before, 3)
+            if hd[name] > host_threshold:
+                print(f"BENCH HOST-DRIFT: {name} {sec:.2f}s is "
+                      f"{hd[name]:.2f}x this round's builder min "
+                      f"{before:.2f}s (same code — host noise, "
+                      f"threshold {host_threshold:.2f}x)",
+                      file=sys.stderr)
+        hs = sorted(hd.values())
+        full["host_drift"] = hd
+        full["host_base"] = host.get("base")
+        full["host_base_files"] = host.get("base_files")
+        out["host_drift_median"] = (
+            round(hs[len(hs) // 2], 3) if hs else None)
+        out["host_base"] = host.get("base")
     line = json.dumps(out)
     if len(line) > 1900:  # headroom under the driver's 2000-char tail
+        # drop optional summary fields (never timings — they are the
+        # contract) until the line fits; full record persists below.
+        for fld in ("regressions", "host_base", "host_drift_median",
+                    "delta_base", "n_regressions", "delta_median"):
+            out.pop(fld, None)
+            line = json.dumps(out)
+            if len(line) <= 1900:
+                break
+    if len(line) > 1900:
         print(f"BENCH WARNING: stdout line {len(line)} chars exceeds "
-              f"the driver's parse window — trim the headline set or "
-              f"the summary fields", file=sys.stderr)
+              f"the driver's parse window — trim the headline set",
+              file=sys.stderr)
     print(line)
     try:
         os.makedirs(os.path.join(os.path.dirname(

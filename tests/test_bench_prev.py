@@ -18,7 +18,12 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bench import _recover_from_tail, previous_round_bench  # noqa: E402
+from bench import (  # noqa: E402
+    _recover_from_tail,
+    current_round_bench,
+    detect_current_round,
+    previous_round_bench,
+)
 
 
 def _write(path: str, obj: dict) -> None:
@@ -135,3 +140,51 @@ def test_real_r13_driver_record_recovers():
                      "/root/repo/docs/bench/r*_final_run*.json"))
     prev = previous_round_bench("/root/repo", 0.1)
     assert prev["base"].startswith(f"r{newest}:min(")
+
+
+# ---------------------------------------------------------------------------
+# r14 verdict #1: the round-over-round / host-drift split
+# ---------------------------------------------------------------------------
+
+def test_before_round_skips_current_rounds_own_runs(tmp_path):
+    """With before_round set, the current round's own builder runs —
+    on disk at driver time — must NOT become the "previous round":
+    the base resolves to the newest round STRICTLY BEFORE it."""
+    tmp = str(tmp_path)
+    _builder(tmp, 14, 1, {"q1": 2.0})
+    _builder(tmp, 15, 1, {"q1": 1.0})   # current round, already committed
+    prev = previous_round_bench(tmp, 0.1, before_round=15)
+    assert prev["base"] == "r14:min(1runs)"
+    assert prev["queries"] == {"q1": 2.0}
+    # unbounded call still returns the newest (the host-drift base)
+    assert previous_round_bench(tmp, 0.1)["base"] == "r15:min(1runs)"
+
+
+def test_detect_current_round_from_correctness_files(tmp_path,
+                                                     monkeypatch):
+    """During round N the newest CORRECTNESS file is r(N-1) — those
+    land when a round finishes — so current = max + 1; the env var
+    overrides; neither present -> None."""
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    tmp = str(tmp_path)
+    assert detect_current_round(tmp) is None
+    _write(os.path.join(tmp, "CORRECTNESS_r03.json"), {})
+    _write(os.path.join(tmp, "CORRECTNESS_r14.json"), {})
+    assert detect_current_round(tmp) == 15
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "9")
+    assert detect_current_round(tmp) == 9
+
+
+def test_current_round_bench_is_builder_only(tmp_path):
+    """The host-drift base is the current round's own builder min —
+    and never falls back to a driver record (same-round driver
+    records don't exist at run time; a stray one must not leak in)."""
+    tmp = str(tmp_path)
+    _driver_parsed(tmp, 15, {"q1": 9.0})
+    assert current_round_bench(tmp, 0.1, 15) is None   # no builder runs
+    _builder(tmp, 15, 1, {"q1": 3.0})
+    _builder(tmp, 15, 2, {"q1": 2.5})
+    host = current_round_bench(tmp, 0.1, 15)
+    assert host["queries"] == {"q1": 2.5}
+    assert host["base"] == "r15:min(2runs)"
+    assert current_round_bench(tmp, 0.1, 16) is None
