@@ -1960,7 +1960,12 @@ def corpus_drift_sink(sum_dir: str, values_dir: str, max_doc_id: int,
          .agg(F.count("*").alias("n_docs"),
               F.sum("is_blank").alias("blank_docs"),
               F.sum("chars").alias("total_chars"),
-              F.sum(F.col("chars").cast("double").cast(_DEC))
+              # cast the long DIRECTLY to decimal — the exact same
+              # conversion path as the batch query's davg (a double
+              # intermediate is exact only below 2^53, so sharing the
+              # cast chain, not just the target type, is what makes
+              # the folded avg bit-identical by construction)
+              F.sum(F.col("chars").cast(_DEC))
               .cast(_DEC).alias("sum_chars_dec"))
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite").options(**conf)
@@ -2067,11 +2072,24 @@ def compact_corpus_drift_values(spark: SparkSession, values_dir: str,
 # watermark-base compactor discipline applies.
 
 def line_df_sink(store_dir: str,
-                 fail_after_write_for: tuple[int, ...] = ()):
+                 fail_after_write_for: tuple[int, ...] = (),
+                 seen_dir: str | None = None):
     """foreachBatch sink over document batches: per-batch
     (fp, line, n_docs) partials appended batch_id-keyed.  The sink
     reads nothing across batches; per-batch work is the row-local
-    line explode plus two partial-agg groupBys of the batch."""
+    line explode plus two partial-agg groupBys of the batch.
+
+    The SUM-fold is exact only under the each-doc-arrives-in-exactly-
+    one-batch contract every doc-keyed store here shares; a re-crawled
+    document arriving in a SECOND batch would double-count its lines
+    and can push a sub-threshold line over BOILER_DF — and the
+    consumer that then corrupts data is ``line_scrub_from_store``,
+    which would drop legitimate content (r14 advice).  Pass
+    ``seen_dir`` to ENFORCE the contract instead of assuming it: a
+    tiny batch_id-keyed doc_id store, anti-joined (pre-batch state
+    only, ``batch_id < current`` — the ``incremental_dedup_sink``
+    replay discipline) so a re-arriving doc_id contributes nothing.
+    The guard state is 8 B/doc; the anti-join ships doc_ids only."""
     from cga_logs_to_kinesis_spark.operators.line_dedup import (
         LINE_MIN_CHARS,
         line_flat,
@@ -2083,7 +2101,18 @@ def line_df_sink(store_dir: str,
     already_failed: set[int] = set()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        flat = line_flat(batch_df)
+        spark = batch_df.sparkSession
+        docs = batch_df
+        if seen_dir is not None:
+            seen = _read_store(spark, seen_dir)
+            if seen is not None:
+                docs = docs.join(
+                    seen.filter(F.col("batch_id") < F.lit(batch_id))
+                    .select("doc_id"),
+                    "doc_id", "left_anti")
+            # fresh docs feed the fold AND the seen-store write
+            docs = docs.localCheckpoint()
+        flat = line_flat(docs)
         (flat.filter(F.length("line") >= LINE_MIN_CHARS)
          .select("fp", "line", "doc_id").distinct()
          .groupBy("fp", "line").agg(F.count("*").alias("n_docs"))
@@ -2091,6 +2120,12 @@ def line_df_sink(store_dir: str,
          .write.mode("overwrite")
          .options(partitionOverwriteMode="dynamic")
          .partitionBy("batch_id").parquet(store_dir))
+        if seen_dir is not None:
+            (docs.select("doc_id")
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .options(partitionOverwriteMode="dynamic")
+             .partitionBy("batch_id").parquet(seen_dir))
         if (batch_id in fail_after_write_for
                 and batch_id not in already_failed):
             already_failed.add(batch_id)
@@ -2135,7 +2170,14 @@ def line_scrub_from_store(spark: SparkSession, docs: DataFrame,
     ``restored`` here means "nothing was dropped".  ``docs`` is
     evaluated twice (the line explode and the final per-doc join —
     the scrub_with_fps contract); pass a localCheckpoint'ed frame if
-    it is an expensive computed subtree (plain scans just re-read)."""
+    it is an expensive computed subtree (plain scans just re-read).
+
+    Correctness rests on the store's each-doc-in-one-batch contract:
+    if a re-crawled document fed ``line_df_sink`` twice, its lines
+    double-count and a sub-threshold line can cross BOILER_DF — and
+    THIS function is where that corruption lands (legitimate content
+    silently dropped).  Feed the sink with ``seen_dir`` set to make
+    the contract enforced rather than assumed."""
     from cga_logs_to_kinesis_spark.operators.line_dedup import (
         BOILER_DF,
         scrub_with_fps,

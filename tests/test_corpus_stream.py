@@ -1954,6 +1954,42 @@ def test_line_df_store_matches_batch_report_and_scrub(spark, tmp_path):
     assert scrub_got == scrub_want and len(scrub_want) == 500
 
 
+def test_line_df_store_seen_guard_drops_recrawled_docs(spark, tmp_path):
+    """``seen_dir`` ENFORCES the each-doc-in-one-batch contract (r14
+    advice): a re-crawled chunk arriving a second time contributes
+    nothing, so the folded report equals the single-arrival report —
+    while the unguarded sink double-counts (proving the guard is
+    load-bearing, not decorative)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        boilerplate_report_from_store,
+        line_df_sink,
+    )
+
+    _docs, src = _poisoned_doc_chunks(spark, tmp_path)
+    # re-crawl: chunk 0's docs arrive AGAIN as a fourth file
+    spark.read.parquet(src + "/chunk=0").coalesce(1) \
+        .write.parquet(src + "/chunk=recrawl")
+    want = [tuple(r) for r in all_queries()["boilerplate_lines"]
+            .fn(spark, SF_SMOKE).collect()]
+
+    guarded = str(tmp_path / "guarded")
+    _drain_doc_sink(
+        spark, src,
+        line_df_sink(guarded, seen_dir=str(tmp_path / "seen")),
+        str(tmp_path / "ckpt_g"))
+    got = [tuple(r) for r in boilerplate_report_from_store(
+        spark, guarded).collect()]
+    assert got == want and len(want) == 3
+
+    unguarded = str(tmp_path / "unguarded")
+    _drain_doc_sink(spark, src, line_df_sink(unguarded),
+                    str(tmp_path / "ckpt_u"))
+    bad = {r.line: r.n_docs for r in boilerplate_report_from_store(
+        spark, unguarded).collect()}
+    assert any(bad[line] > n for line, n in want)   # double-counted
+
+
 def test_line_df_store_compaction(spark, tmp_path):
     """Counts SUM -> the watermark-base compactor folds the store
     without moving the report; no-op re-runs return 0."""
