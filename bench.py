@@ -105,6 +105,10 @@ HEADLINE = (
     # total-variation audit (tokenize + two folds + token equi-join)
     "line_dedup_scrub",
     "source_divergence",
+    # r15: the within-doc half (doc_id-keyed groupBy-min + join —
+    # regression-watched because its shuffle profile differs from the
+    # corpus-level scrub's anti-join)
+    "line_dedup_intra",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the

@@ -22,9 +22,13 @@ groupBy + equi-join instead:
 * the probe is a plain equi-join, which AQE's skew-join splitting can
   carve across tasks — WindowExec has no such rescue.
 
-The caller owns double-evaluation: ``df`` appears on both sides, so
-pass a localCheckpoint'ed frame when it is an expensive computed
-subtree (store-backed reads just re-scan).
+``df`` appears on both sides (the count fold and the probe), so it is
+evaluated twice.  The contract is ENFORCED, not just documented (r14
+verdict #3): a computed subtree passed un-checkpointed is
+auto-materialized by :func:`~cga_logs_to_kinesis_spark.plans.guards.
+cheap_front` with a loud DoubleEvaluationWarning; scan-rooted and
+already-checkpointed frames pass through untouched (store-backed
+reads keep their deliberate re-scan).
 """
 
 from __future__ import annotations
@@ -53,11 +57,29 @@ def bucket_bounded(df: DataFrame, keys: Sequence[str],
       the over-cap buckets instead.  AQE sizes the tiny build side at
       runtime and typically broadcasts it, skipping the probe-side
       exchange entirely (r13 verdict next-#2).
+
+    ``df`` is enforced cheap-to-re-evaluate (module docstring): a
+    computed front is auto-checkpointed with a warning.
+
+    NULL bucket keys: rows with a NULL in any key column are DROPPED
+    on every path.  The lo/both path does this implicitly (an inner
+    equi-join never matches NULL); the hi-only path must do it
+    explicitly, because its LEFT ANTI join KEEPS non-matching rows —
+    without the filter the two paths would disagree on nullable keys
+    (r14 advice).  The semantics are right as well as consistent: a
+    NULL bucket is "no bucket" — it can't form candidate pairs, so no
+    caller wants those rows.
     """
+    from cga_logs_to_kinesis_spark.plans.guards import cheap_front
+
+    df = cheap_front(df, "bucket_bounded")
     counts = df.groupBy(*keys).agg(F.count("*").alias("_bn"))
     if lo is None and hi is not None:
         bad = counts.filter(F.col("_bn") > hi)
-        return df.join(bad.select(*keys), list(keys), "left_anti")
+        keyed = df
+        for k in keys:
+            keyed = keyed.filter(F.col(k).isNotNull())
+        return keyed.join(bad.select(*keys), list(keys), "left_anti")
     cond = None
     if lo is not None:
         cond = F.col("_bn") >= lo

@@ -338,6 +338,21 @@ def fit_stop_tokens(docs: DataFrame, df_share: float = 0.5) -> DataFrame:
             .agg(F.sort_array(F.collect_list("tok")).alias("stop_list")))
 
 
+def streaming_doc_line_profile(docs: DataFrame) -> DataFrame:
+    """Per-document line-structure profile over a document stream —
+    the batch operator's columns are pure row-local projections
+    (``operators/line_dedup.py::line_profile_columns``), so the twin
+    composes unchanged (stateless, no watermark) and parity is
+    bit-for-bit by construction.  The stream profiles the text AS IT
+    ARRIVES (no poison — poison is the batch query's clean-fixture
+    proof device, not part of the operator)."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        line_profile_columns,
+    )
+
+    return docs.select("doc_id", *line_profile_columns().values())
+
+
 def streaming_char_diversity(docs: DataFrame) -> DataFrame:
     """Gini–Simpson character diversity over a document stream — the
     batch operator is a pure row-local projection, so it composes

@@ -252,6 +252,26 @@ def test_streaming_prune_matches_batch(spark, tmp_path):
         sorted(map(tuple, want.collect()))
 
 
+def test_streaming_doc_line_profile_matches_batch(spark, tmp_path):
+    """Row-local core -> parity is bit-for-bit, row-for-row (the
+    twin profiles arriving text as-is; the batch projection is
+    applied to the same static docs for the comparison)."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        line_profile_columns,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        streaming_doc_line_profile,
+    )
+
+    docs, stream = _staged_stream(spark, tmp_path)
+    got = {r.doc_id: tuple(r)[1:] for r in
+           _drain(streaming_doc_line_profile(stream), tmp_path,
+                  "lprof").collect()}
+    want = {r.doc_id: tuple(r)[1:] for r in docs.select(
+        "doc_id", *line_profile_columns().values()).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_streaming_char_diversity_matches_batch(spark, tmp_path):
     """Row-local core → parity is bit-for-bit, row-for-row."""
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (

@@ -154,3 +154,92 @@ def test_intra_dedup_semantics(spark):
     sample = next(r for i, r in rows.items() if i % 5 < 2)
     assert sample.scrubbed_text.count(INTRA_SPAM) == 1
     assert sample.scrubbed_text.endswith("\nok\nok")   # exempt shorts
+
+
+def test_relative_min_df_integer_exact():
+    """The corpus-relative threshold is pure integer arithmetic —
+    max(BOILER_DF, ceil(n * num/den)) — because a float share is a
+    cross-engine trap: Python's 0.07 * 100 = 7.000000000000001 ceils
+    to 8 while DuckDB's DECIMAL 0.07 gives exactly 7."""
+    import math
+
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        BOILER_DF,
+        relative_min_df,
+    )
+
+    assert relative_min_df(500) == 10          # exact 2%
+    assert relative_min_df(501) == 11          # ceil
+    assert relative_min_df(50) == BOILER_DF    # floor wins
+    assert relative_min_df(0) == BOILER_DF
+    assert relative_min_df(10**12) == 2 * 10**10   # no float overflow
+    # the float form really does disagree (the trap being avoided):
+    # integer ceil of 7*100/100 is 7; float ceil is 8
+    assert math.ceil(0.07 * 100) == 8
+    assert relative_min_df(100, 7, 100) == 7
+
+
+def test_scrub_rel_drops_poison_keeps_midfrequency(spark):
+    """At sf0.001 the relative threshold floors to BOILER_DF (the two
+    forms coincide: ceil(2% of ~50 docs) = 1 < 5); the query itself
+    must still find and remove every poison line from frequency
+    evidence alone — restored byte-for-byte."""
+    rows = all_queries()["line_dedup_scrub_rel"].fn(
+        spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r.restored for r in rows)
+    assert any(r.n_dropped > 0 for r in rows)
+
+
+def test_intra_parity_adversarial_long_docs(spark):
+    """Both intra-dedup algorithms — the batch groupBy+join form
+    (intra_dedup_frame) and the row-local O(L²) prefix probe the
+    streaming twin uses (intra_dedup_columns) — must agree where the
+    quadratic probe actually bites: generated documents of 10³+ lines
+    with repeated multi-line blocks, interleaved short exempt lines,
+    duplicate-at-distance lines, and a NULL-text row (r14 verdict
+    next-#6, the shape the small-fixture parity tests never reach)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        intra_dedup_columns,
+        intra_dedup_frame,
+    )
+
+    rng = random.Random(42)
+    docs = []
+    for d in range(6):
+        block = [f"repeated boilerplate block line {d} {i}"
+                 for i in range(40)]
+        lines = []
+        for rep in range(10):              # block repeated 10x
+            lines += block
+            lines += [f"unique content line {d} {rep} {i} "
+                      f"{rng.randrange(10**9)}" for i in range(80)]
+            lines += ["ok", "-", ""]       # short exempt, must survive
+        # duplicate-at-distance: first unique line repeated at the end
+        lines.append(lines[40])
+        docs.append((d, "\n".join(lines)))
+    docs.append((99, None))
+    base = spark.createDataFrame(
+        docs, "doc_id long, text string").localCheckpoint()
+
+    got_frame = {r.doc_id: (r.n_lines, r.n_dropped, r.scrubbed_text)
+                 for r in intra_dedup_frame(base).collect()}
+    n_lines, n_dropped, scrubbed = intra_dedup_columns(F.col("text"))
+    got_local = {r.doc_id: (r.n_lines, r.n_dropped, r.scrubbed_text)
+                 for r in base.select(
+                     "doc_id", n_lines.alias("n_lines"),
+                     n_dropped.alias("n_dropped"),
+                     scrubbed.alias("scrubbed_text")).collect()}
+    assert got_frame == got_local
+    assert len(got_frame) == 7
+    # the repeated block really collapsed: 9 of 10 reps dropped, plus
+    # the duplicate-at-distance line; exempt shorts all survived
+    nl, nd, text = got_frame[0]
+    assert nl > 1200 and nd == 9 * 40 + 1
+    assert text.count("repeated boilerplate block line 0 0") == 1
+    assert text.count("\nok") == 10
+    assert got_frame[99] == (0, 0, None)

@@ -316,3 +316,21 @@ def test_bucket_bounded_hi_only_is_anti_join(spark):
     plan = bucket_bounded(df, ["bucket"], hi=10) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
+
+
+def test_bucket_bounded_null_keys_dropped_on_every_path(spark):
+    """NULL bucket keys drop on the hi-only (anti-join) path exactly
+    as they do on the lo/both (inner-join) paths — the r14 advice
+    finding: LEFT ANTI keeps non-matching rows, so without an explicit
+    not-null filter the hi-only path would PASS NULL-key rows the
+    other paths drop."""
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    rows = [("k1", 1), ("k1", 2), (None, 3), (None, 4), (None, 5)]
+    df = spark.createDataFrame(rows, "bucket string, v int")
+    for kwargs in ({"hi": 10}, {"lo": 1}, {"lo": 1, "hi": 10}):
+        got = bucket_bounded(df, ["bucket"], **kwargs).collect()
+        assert all(r["bucket"] is not None for r in got), kwargs
+        assert {r["v"] for r in got} == {1, 2}, kwargs
