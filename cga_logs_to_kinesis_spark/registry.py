@@ -43,37 +43,40 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-14 curation -----------------------------------------------
-    # Leads: the five r14-NEW oracle-paired queries (the line-level
-    # boilerplate dedup family — boilerplate_lines report,
-    # line_dedup_scrub apply, boilerplate_ratio_by_source gate,
-    # line_dedup_intra within-doc half — plus source_divergence, the
-    # integer-exact per-source total-variation audit), then
-    # four whose CODE changed this round — corpus_drift (per-doc
-    # projection factored into drift_per_doc for the streaming twin),
-    # homoglyph_scrub (scrub factored into confusable_scrub_columns),
-    # and the two hi-only bucket_bounded callers whose cap became a
-    # LEFT ANTI join against the over-cap bucket list
-    # (ann_incremental, dedup_minhash_incremental).  Then the 30
-    # remaining r10-cohort queries (CORRECTNESS_r10.json order), then
-    # the 11 stalest of the r11 cohort (CORRECTNESS_r11.json order;
-    # latest green r11 — not re-checked in r12 or r13).
-    # 5 + 4 + 30 + 11 = 50.
+    # -- round-15 curation -----------------------------------------------
+    # Leads: the three r15-NEW oracle-paired queries
+    # (line_dedup_scrub_rel — the corpus-relative df-share threshold
+    # form; line_dedup_pipeline — intra-doc dedup then corpus scrub
+    # fitted on the intra-deduped corpus, in one plan;
+    # doc_line_profile — per-doc line-structure gating metrics), then
+    # five whose CODE changed this round — line_dedup_scrub and
+    # line_dedup_intra (cheap_front guard + intra_dedup_frame
+    # factoring), boilerplate_ratio_by_source (shares the guarded
+    # scrub front), and the two hi-only bucket_bounded callers that
+    # gained the explicit NULL-key filter (ann_incremental,
+    # dedup_minhash_incremental).  Then the 33 stale-r11 queries
+    # exactly as the r14 plan deferred them (CORRECTNESS_r11.json
+    # order — verified programmatically: green in r11, absent from
+    # r12/r13/r14), then the 9 stalest of the r12 window
+    # (CORRECTNESS_r12.json order).  3 + 5 + 33 + 9 = 50.
     #
-    # Deferred to the r15 window: the remaining 33 stale-r11 queries
-    # in CORRECTNESS_r11.json order (token_frequencies, union_by_name,
-    # ann_recall_report,
-    # ann_truncation_recall, batch_pages, bigram_surprisal, bm25_topk,
-    # bpe_learn_merges, bpe_tokenize, char_diversity, cosine_topk,
-    # cosine_topk_lsh, customer_distribution, dedup_near_survivors,
-    # dedup_recall_report, dedup_substring, dedup_substring_apply,
-    # dedup_substring_stats, disjunctive_revenue, dsir_importance,
-    # embedding_covariance, embedding_validity, idle_customers,
-    # kmeans_embeddings, lang_mismatch_report, length_outliers,
-    # market_share, modal_agreement, pagerank_docs, pca_project,
-    # quality_weighted_sample, rate_anomaly, retention_cohorts),
-    # then the stalest of the r12 window (CORRECTNESS_r12.json
-    # order).  Lead with r15-new/changed as always.
+    # Deferred to the r16 window: the remaining 38 stale-r12 queries
+    # in CORRECTNESS_r12.json order (sliding_window,
+    # small_qty_revenue, split_leakage, split_leakage_repair,
+    # split_repair, stats_tumbling, stratified_sample,
+    # top3_orders_per_customer, top_supplier, unigram_rarity,
+    # volume_shipping, waiting_suppliers, curation_export_manifest,
+    # dedup_cluster_stats, dedup_threshold_sweep, forecast_revenue,
+    # table_profile, quality_percentile_calibrate, embedding_drift,
+    # min_cost_supplier, product_profit, important_stock,
+    # supplier_part_counts, excess_stock_suppliers,
+    # dedup_best_survivors, dedup_downweight, dedup_components,
+    # jsonl_ingest_report, array_functions, asof_last_signup,
+    # conditional_pivot, corpus_stats, dedup_containment,
+    # dedup_events_first, dedup_exact_survivors, dedup_ngram_jaccard,
+    # dedup_simhash_pairs, dedup_source_flow), then the stalest of
+    # the r13 window (CORRECTNESS_r13.json order).  Lead with
+    # r16-new/changed as always.
     # Permanently out by convention: cosine_topk_fast (bit-exact
     # parity-pinned to cosine_topk) and the rows-only queries
     # (multimodal_features / multimodal_resize PNG-zlib;
@@ -81,60 +84,61 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # length_outliers_approx sketches, error-bound-tested against
     # their exact siblings).
     #
-    # r14-new:
-    "boilerplate_lines",
+    # r15-new:
+    "line_dedup_scrub_rel",
+    "line_dedup_pipeline",
+    "doc_line_profile",
+    # r15-changed:
     "line_dedup_scrub",
-    "boilerplate_ratio_by_source",
-    "source_divergence",
     "line_dedup_intra",
-    # r14-changed:
-    "corpus_drift",
-    "homoglyph_scrub",
+    "boilerplate_ratio_by_source",
     "ann_incremental",
     "dedup_minhash_incremental",
-    # r10 cohort, latest green r10 (CORRECTNESS_r10.json order):
-    "embedding_centroids",
-    "embedding_quantize",
-    "fertility_by_lang",
-    "gopher_quality",
-    "gopher_repetition",
-    "lang_id",
-    "large_volume_customers",
-    "multimodal_audio_features",
-    "multimodal_raw_features",
-    "multimodal_raw_resize",
-    "multimodal_video_frames",
-    "nation_set_ops",
-    "ngram_decontaminate",
-    "pack_chunks",
-    "pii_scrub",
-    "quality_features",
-    "quality_filter_survivors",
-    "returned_revenue",
-    "revenue_by_nation",
-    "segment_totals",
-    "semdedup",
-    "semi_join_customers",
-    "share_of_total",
-    "shipmode_priority",
-    "snapshot_diff",
-    "split_assign",
-    "text_stats",
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "winnowing_fingerprints",
-    # stalest r11 cohort (CORRECTNESS_r11.json order):
-    "bloom_decontaminate",
-    "cosine_topk_pq",
-    "anti_join_customers",
-    "bulk_orders",
-    "curation_funnel",
-    "curation_manifest",
-    "date_trunc_buckets",
-    "envelope_json_roundtrip",
-    "priority_count",
-    "promo_share",
-    "text_normalize",
+    # stale-r11 cohort, exactly as the r14 plan deferred it
+    # (CORRECTNESS_r11.json order):
+    "token_frequencies",
+    "union_by_name",
+    "ann_recall_report",
+    "ann_truncation_recall",
+    "batch_pages",
+    "bigram_surprisal",
+    "bm25_topk",
+    "bpe_learn_merges",
+    "bpe_tokenize",
+    "char_diversity",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "customer_distribution",
+    "dedup_near_survivors",
+    "dedup_recall_report",
+    "dedup_substring",
+    "dedup_substring_apply",
+    "dedup_substring_stats",
+    "disjunctive_revenue",
+    "dsir_importance",
+    "embedding_covariance",
+    "embedding_validity",
+    "idle_customers",
+    "kmeans_embeddings",
+    "lang_mismatch_report",
+    "length_outliers",
+    "market_share",
+    "modal_agreement",
+    "pagerank_docs",
+    "pca_project",
+    "quality_weighted_sample",
+    "rate_anomaly",
+    "retention_cohorts",
+    # stalest r12 cohort (CORRECTNESS_r12.json order):
+    "salted_join_plan",
+    "encoding_anomaly_report",
+    "training_order",
+    "training_interleave",
+    "novelty_curve",
+    "cosine_topk_ivf_sq",
+    "event_funnel",
+    "join_key_skew",
+    "shard_assign",
 )
 
 

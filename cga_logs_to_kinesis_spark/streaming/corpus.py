@@ -2209,6 +2209,37 @@ def line_scrub_from_store(spark: SparkSession, docs: DataFrame,
     return scrub_with_fps(base, fps)
 
 
+def line_pipeline_from_store(spark: SparkSession, docs: DataFrame,
+                             store_dir: str) -> DataFrame:
+    """The full line-hygiene pipeline (``line_dedup_pipeline``
+    semantics) over the continuously-maintained line-frequency store:
+    intra-doc repeated-line removal ROW-LOCALLY (the streaming form —
+    zero shuffle), then the corpus-level scrub against the folded
+    drop list.  Matches the batch pipeline bit-for-bit over the same
+    corpus PROVIDED the store was fed the same intra-scrubbed
+    documents — the fit-after-intra order the batch query pins (fit
+    the frequency model on post-intra lines, or a single spam page's
+    thousandfold-repeated line votes itself over the threshold): feed
+    ``line_df_sink`` with ``streaming_line_dedup_intra(...)`` output
+    renamed back to (doc_id, text).  ``restored`` preserves the
+    store-scrub convention: True iff the CORPUS pass dropped nothing
+    beyond what intra already removed."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        intra_dedup_columns,
+    )
+
+    _n_lines, n_dropped, scrubbed = intra_dedup_columns(F.col("text"))
+    intra = docs.select(
+        "doc_id", n_dropped.alias("n_dropped_intra"),
+        scrubbed.alias("text")).localCheckpoint()
+    out = line_scrub_from_store(spark, intra, store_dir)
+    return (out.join(intra.select("doc_id", "n_dropped_intra"),
+                     "doc_id")
+            .select("doc_id", "n_dropped_intra", "n_lines",
+                    F.col("n_dropped").alias("n_dropped_boiler"),
+                    "scrubbed_text", "restored"))
+
+
 def compact_line_df_store(spark: SparkSession, store_dir: str,
                           upto_batch_id: int,
                           files_per_partition: int = 1) -> int:
@@ -2683,11 +2714,12 @@ STORE_FAMILIES: tuple[StoreFamily, ...] = (
         "line frequency / boilerplate", "sum (watermark base)",
         ("line_df_sink", "line_source_sink"),
         ("boilerplate_report_from_store", "line_scrub_from_store",
-         "boilerplate_ratio_from_store"),
+         "boilerplate_ratio_from_store", "line_pipeline_from_store"),
         ("compact_line_df_store", "compact_line_source_store"),
-        "report, apply, and per-source gate all run from the stores; "
-        "per-batch distinct-doc counts SUM because a doc arrives in "
-        "exactly one batch"),
+        "report, apply, per-source gate, and the full intra+corpus "
+        "pipeline all run from the stores; per-batch distinct-doc "
+        "counts SUM because a doc arrives in exactly one batch "
+        "(enforceable via line_df_sink's seen_dir guard)"),
     StoreFamily(
         "token-count divergence", "sum (watermark base)",
         ("token_count_sink",), ("source_divergence_from_store",),

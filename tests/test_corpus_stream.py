@@ -1974,6 +1974,64 @@ def test_line_df_store_matches_batch_report_and_scrub(spark, tmp_path):
     assert scrub_got == scrub_want and len(scrub_want) == 500
 
 
+def test_line_pipeline_from_store_matches_batch(spark, tmp_path):
+    """The store-backed full pipeline (row-local intra dedup, then
+    scrub against the folded line-frequency store) reproduces the
+    batch ``line_dedup_pipeline`` bit-for-bit over the same corpus —
+    the store fed with INTRA-SCRUBBED documents, the fit-after-intra
+    order the batch query pins.  ``restored`` is excluded from the
+    row compare (the batch query proves restoration against the
+    pre-poison text — a proof device the stream doesn't know; the
+    twin's restored means "the corpus pass dropped nothing" and is
+    checked on its own terms)."""
+    from cga_logs_to_kinesis_spark.operators.line_dedup import (
+        poison_boilerplate,
+        poison_intra,
+    )
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        line_df_sink,
+        line_pipeline_from_store,
+        streaming_line_dedup_intra,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    poisoned = docs.select(
+        "doc_id", poison_intra(poison_boilerplate()).alias("text"))
+    src = tmp_path / "pipeline_chunks"
+    for k in range(3):
+        poisoned.filter(F.abs(F.hash("doc_id")) % 3 == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+
+    store = str(tmp_path / "line_df")
+    sink = line_df_sink(store)
+
+    def intra_then_sink(batch_df, batch_id):
+        scrubbed = streaming_line_dedup_intra(batch_df).select(
+            "doc_id", F.col("scrubbed_text").alias("text"))
+        sink(scrubbed, batch_id)
+
+    _drain_doc_sink(spark, str(src), intra_then_sink,
+                    str(tmp_path / "ckpt"))
+
+    got_df = line_pipeline_from_store(spark, poisoned, store)
+    got = {r.doc_id: (r.n_dropped_intra, r.n_lines,
+                      r.n_dropped_boiler, r.scrubbed_text)
+           for r in got_df.collect()}
+    want_rows = all_queries()["line_dedup_pipeline"] \
+        .fn(spark, SF_SMOKE).collect()
+    want = {r.doc_id: (r.n_dropped_intra, r.n_lines,
+                       r.n_dropped_boiler, r.scrubbed_text)
+            for r in want_rows}
+    assert got == want and len(want) == 500
+    assert all(r.restored for r in want_rows)   # batch proof device
+    # twin restored = corpus pass was a no-op for that doc
+    twin = {r.doc_id: r.restored for r in got_df.collect()}
+    boilered = {r.doc_id for r in want_rows if r.n_dropped_boiler > 0}
+    assert all((d not in boilered) == twin[d]
+               for d in twin if twin[d] is not None)
+
+
 def test_line_df_store_seen_guard_drops_recrawled_docs(spark, tmp_path):
     """``seen_dir`` ENFORCES the each-doc-in-one-batch contract (r14
     advice): a re-crawled chunk arriving a second time contributes
