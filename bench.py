@@ -107,8 +107,10 @@ HEADLINE = (
     "source_divergence",
     # r15: the within-doc half (doc_id-keyed groupBy-min + join —
     # regression-watched because its shuffle profile differs from the
-    # corpus-level scrub's anti-join)
+    # corpus-level scrub's anti-join) and the flagship composition
+    # (row-local intra pass + corpus scrub fitted on its output)
     "line_dedup_intra",
+    "line_dedup_pipeline",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the

@@ -75,3 +75,19 @@ def test_readme_counts_are_current():
     assert stated == actual, (
         f"README.md counts line says {stated[0]}/{stated[1]} but the "
         f"registry has {actual[0]}/{actual[1]} — update README.md")
+
+
+def test_bench_headline_names_resolve():
+    """Every bench headline query must exist in the registry — a
+    typo'd or renamed entry would otherwise only surface as a bench
+    crash at driver time (KeyError in the warm loop)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import CANARY, HEADLINE
+
+    specs = all_queries()
+    missing = [n for n in HEADLINE if n not in specs]
+    assert not missing, missing
+    assert len(set(HEADLINE)) == len(HEADLINE)
+    assert CANARY in HEADLINE
