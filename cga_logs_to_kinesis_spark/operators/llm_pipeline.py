@@ -1110,6 +1110,100 @@ register(QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# Source mixture APPLY (deterministic temperature downsampling)
+# ---------------------------------------------------------------------------
+# The apply half of mixture_weights: realize the w ∝ tokens^0.5
+# mixture by per-source Bernoulli keeps at p_s = min(1, target_s /
+# n_s), target_s = w_s * (total_tokens div 2) — downsample the corpus
+# to half its token volume AT the temperature mixture, so
+# over-represented sources shed mass while upweighted small sources
+# keep everything.  The draw is the quality_weighted_sample
+# convention: salted md5 prefix vs a per-source hex cap — pure string
+# comparison, cluster-layout independent, identical in both engines.
+# Plan: one partial-agg per-source fold (+ the same bounded global
+# window as mixture_weights, |sources| rows), then a broadcast join
+# of the ~|sources|-row rate table back onto the corpus — no
+# corpus-sized shuffle anywhere.  Cross-engine exactness: decimal
+# sqrt sum (order-free), integer div for the budget, and the
+# remaining float ops are single multiplications/divisions written as
+# the identical expression tree; division by a zero/NULL token count
+# uses try_divide <-> DuckDB's NULL-on-zero semantics.
+
+MIX_DOWNSAMPLE_DEN = 2
+
+
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (docs.groupBy("source")
+               .agg(F.sum(_ntok()).alias("n_tokens")))
+    sq = (F.sqrt(F.col("n_tokens").cast("double"))
+          .cast("decimal(38,6)"))
+    win = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    weight = sq.cast("double") / F.sum(sq).over(win).cast("double")
+    srcs = per_src.select(
+        "source", "n_tokens", weight.alias("weight"),
+        F.sum("n_tokens").over(win).alias("total_tokens"))
+    p_keep = F.least(
+        F.lit(1.0),
+        F.try_divide(
+            F.col("weight")
+            * F.expr(f"total_tokens div {MIX_DOWNSAMPLE_DEN}"),
+            F.col("n_tokens").cast("double")))
+    rates = srcs.select("source", p_keep.alias("p_keep"))
+    cap_hex = F.lower(F.lpad(
+        F.hex(F.floor(F.col("p_keep") * F.lit(4294967295.0))
+              .cast("bigint")), 8, "0"))
+    draw = F.substring(
+        F.md5(F.concat(F.lit("mix:"),
+                       F.col("doc_id").cast("string"))), 1, 8)
+    return (docs.join(F.broadcast(rates), "source", "left")
+            .select("doc_id", "source", "p_keep",
+                    (draw <= cap_hex).alias("kept")))
+
+
+register(QuerySpec(
+    "mixture_apply", q_mixture_apply,
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                   CAST(SUM(len(regexp_split_to_array(TRIM(text),
+                       '[ \\t\\n\\x0B\\f\\r]+'))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), q AS (
+            SELECT source, n_tokens,
+                   CAST(sqrt(CAST(n_tokens AS DOUBLE))
+                        AS DECIMAL(38,6)) AS sq,
+                   CAST(SUM(n_tokens) OVER () AS BIGINT)
+                       AS total_tokens
+            FROM s
+        ), rates AS (
+            SELECT source,
+                   LEAST(1.0,
+                         (CAST(sq AS DOUBLE)
+                          / CAST(SUM(sq) OVER () AS DOUBLE))
+                         * (total_tokens // {MIX_DOWNSAMPLE_DEN})
+                         / CAST(n_tokens AS DOUBLE)) AS p_keep
+            FROM q
+        )
+        SELECT d.doc_id, d.source, r.p_keep,
+               substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                         1, 8)
+               <= lower(lpad(hex(CAST(FLOOR(r.p_keep * 4294967295.0)
+                                      AS BIGINT)), 8, '0')) AS kept
+        FROM documents d LEFT JOIN rates r USING (source)
+    """,
+    doc="temperature-mixture apply: deterministic per-source "
+        "downsampling to half the corpus token volume at the "
+        "w ∝ tokens^0.5 mixture — per-source keep rates from one "
+        "bounded fold, salted-md5 draws vs hex caps, broadcast rate "
+        "join (no corpus-sized shuffle)",
+    tags=("llm-pipeline", "sample", "apply"),
+))
+
+
+# ---------------------------------------------------------------------------
 # Tokenizer vocabulary coverage
 # ---------------------------------------------------------------------------
 # Vocab-size selection for tokenizer training: how much of the corpus

@@ -44,11 +44,13 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-15 curation -----------------------------------------------
-    # Leads: the three r15-NEW oracle-paired queries
+    # Leads: the four r15-NEW oracle-paired queries
     # (line_dedup_scrub_rel — the corpus-relative df-share threshold
     # form; line_dedup_pipeline — intra-doc dedup then corpus scrub
     # fitted on the intra-deduped corpus, in one plan;
-    # doc_line_profile — per-doc line-structure gating metrics), then
+    # doc_line_profile — per-doc line-structure gating metrics;
+    # mixture_apply — deterministic temperature-mixture
+    # downsampling, the apply half of mixture_weights), then
     # five whose CODE changed this round — line_dedup_scrub and
     # line_dedup_intra (cheap_front guard + intra_dedup_frame
     # factoring), boilerplate_ratio_by_source (shares the guarded
@@ -57,11 +59,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_minhash_incremental).  Then the 33 stale-r11 queries
     # exactly as the r14 plan deferred them (CORRECTNESS_r11.json
     # order — verified programmatically: green in r11, absent from
-    # r12/r13/r14), then the 9 stalest of the r12 window
-    # (CORRECTNESS_r12.json order).  3 + 5 + 33 + 9 = 50.
+    # r12/r13/r14), then the 8 stalest of the r12 window
+    # (CORRECTNESS_r12.json order; shard_assign yielded its slot to
+    # the late-round mixture_apply and leads the r16 stale-r12 pool).
+    # 4 + 5 + 33 + 8 = 50.
     #
-    # Deferred to the r16 window: the remaining 38 stale-r12 queries
-    # in CORRECTNESS_r12.json order (sliding_window,
+    # Deferred to the r16 window: the remaining 39 stale-r12 queries
+    # in CORRECTNESS_r12.json order (shard_assign, sliding_window,
     # small_qty_revenue, split_leakage, split_leakage_repair,
     # split_repair, stats_tumbling, stratified_sample,
     # top3_orders_per_customer, top_supplier, unigram_rarity,
@@ -88,6 +92,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "line_dedup_scrub_rel",
     "line_dedup_pipeline",
     "doc_line_profile",
+    "mixture_apply",
     # r15-changed:
     "line_dedup_scrub",
     "line_dedup_intra",
@@ -138,7 +143,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cosine_topk_ivf_sq",
     "event_funnel",
     "join_key_skew",
-    "shard_assign",
 )
 
 

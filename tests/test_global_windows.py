@@ -31,6 +31,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #   bm25_topk             - top-k scored docs (LIMIT upstream)
 #   dedup_threshold_sweep - one row per threshold in the sweep grid
 #   mixture_weights       - one row per source (curated dimension)
+#   mixture_apply         - same per-source fold (rates table)
 #   novelty_curve         - 10 decile rows
 ALLOWED: dict[str, tuple[int, int]] = {
     "share_of_total": (1, 8),
@@ -38,6 +39,7 @@ ALLOWED: dict[str, tuple[int, int]] = {
     "bm25_topk": (1, 12),
     "dedup_threshold_sweep": (1, 8),
     "mixture_weights": (1, 24),
+    "mixture_apply": (1, 24),
     "novelty_curve": (1, 12),
 }
 

@@ -61,7 +61,7 @@ PROBED = [
     "homoglyph_scrub", "boilerplate_lines", "line_dedup_scrub",
     "boilerplate_ratio_by_source", "source_divergence",
     "line_dedup_intra", "line_dedup_scrub_rel",
-    "doc_line_profile", "line_dedup_pipeline",
+    "doc_line_profile", "line_dedup_pipeline", "mixture_apply",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",

@@ -176,6 +176,37 @@ def test_mixture_weights_single_corpus_shuffle(spark):
     assert len(re.findall(r"hashpartitioning\(source", plan)) >= 1
 
 
+def test_mixture_apply_broadcast_rates_and_realized_keeps(spark):
+    """The apply joins a ~|sources|-row rate table back onto the
+    corpus by BROADCAST (no corpus-sized shuffle for the keep
+    decision), upweighted small sources keep everything (p = 1.0),
+    the largest source downsamples (p < 1), and realized keep rates
+    track p_keep (deterministic draws, law-of-large-numbers band)."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["mixture_apply"].fn(spark, "/root/testdata/sf0.01")
+    assert "BroadcastHashJoin" in formatted_plan(df)
+    rows = df.collect()
+    assert len(rows) == 500
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    ps = {s: rs[0].p_keep for s, rs in by_src.items()}
+    # near-uniform fixture sources -> every p sits near the half-
+    # budget rate (the cap to 1.0 only binds on a skewed corpus; the
+    # oracle pair pins the exact arithmetic either way)
+    assert all(0.0 < p <= 1.0 for p in ps.values())
+    assert max(ps.values()) < 1.0          # all sources downsample
+    # p_keep is constant within a source and realized rates track it
+    for s, rs in by_src.items():
+        assert len({r.p_keep for r in rs}) == 1
+        keep = sum(1 for r in rs if r.kept) / len(rs)
+        assert abs(keep - ps[s]) < 0.35    # small per-source n
+    # the downsampling is real and in the budget's ballpark
+    kept_frac = sum(1 for r in rows if r.kept) / len(rows)
+    assert 0.3 < kept_frac < 0.7
+
+
 def test_embedding_quantize_is_map_only(spark):
     """Quantization fidelity is per-row array math — no shuffle at
     any scale."""
