@@ -1,0 +1,197 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-style).
+
+Every near-dup member of the dedup family so far is *approximate* on
+the candidate side: banded MinHash (``dedup_minhash_lsh``,
+``dedup_containment``), banded char-shingle signatures
+(``dedup_ngram_jaccard``), SimHash radius probing.  Banding trades
+false negatives for pruning — a pair can clear the Jaccard threshold
+yet never share a band bucket.  ``setjoin_prefix`` is the exact
+counterpart: the prefix-filtering join of Chaudhuri/Ganti/Kaushik
+(SSJoin, ICDE 2006) and Bayardo et al. (All-Pairs, WWW 2007) — ZERO
+false negatives at the same word-shingle granularity as the MinHash
+family, so it doubles as the ground truth those approximations are
+recalled against (``dedup_recall_report`` estimates recall; this
+operator *defines* it).
+
+The filter: order every document's shingle set by a single global
+total order (document frequency ascending, fingerprint ascending —
+rarest first), and keep only the first ``p = n - ceil(T*n) + 1``
+elements as the *prefix*.  For any pair with Jaccard >= T, the
+smallest-ordered common shingle provably lies in BOTH prefixes: if it
+escaped A's prefix, the whole intersection would fit inside A's
+suffix, |A∩B| <= n_a - p_a = ceil(T*n_a) - 1 < T*n_a <= T*|A∪B| —
+contradicting J >= T.  So an equi-join on prefix elements loses
+nothing, and rare-first ordering makes the join keys the LEAST
+skewed elements of every set.
+
+100 TB topology: shingles travel as 60-bit md5-prefix fingerprints
+(the ``char_shingle_docs`` convention — digests shuffle, never text;
+an fp collision merges two shingles IDENTICALLY on both engines, so
+cross-engine parity survives even that).  One vocabulary-keyed count
+(partial aggs absorb the Zipf head), one doc_id-keyed rebuild (id
+keys — skew-free; per-doc state is bounded by document length), an
+equi-join on rare-by-construction prefix fps, then the same
+width-pinned verify stage as ``dedup_ngram_jaccard``.  The length
+filter (T*n_big <= n_small, checked in exact integer arithmetic)
+prunes cross-size candidates inside the join.  Residual prefix-key
+skew (a corpus that is mostly ONE boilerplate template puts common
+fps into prefixes) is AQE skew-join territory — a bucket cap like
+``bucket_bounded`` is deliberately NOT applied, because dropping a
+hot bucket would reintroduce the false negatives this operator
+exists to rule out; pathological boilerplate belongs to the
+line-dedup family upstream.
+
+Threshold arithmetic is integer-exact end to end: J >= TNUM/TDEN is
+evaluated as ``n_inter * TDEN >= n_union * TNUM`` and the prefix
+length uses ``ceil(T*n) = (n*TNUM + TDEN - 1) div TDEN`` — no float
+threshold edge can diverge between engines; the reported ``jaccard``
+is one division of exact integers.
+
+Reference behavioral scope: the reference engine (main.go:1-426)
+ships log lines and has no similarity surface; this operator is part
+of the training-data-curation extension mandated for the Spark
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cga_logs_to_kinesis_spark.operators.dedup import (
+    SHINGLES_SQL,
+    shingle_docs,
+)
+from cga_logs_to_kinesis_spark.registry import QuerySpec, register
+from cga_logs_to_kinesis_spark.session import (
+    explode_parallelism,
+    tune_session,
+)
+from cga_logs_to_kinesis_spark.sources import load_table
+
+# J >= 1/2: the same separation band the fixture's planted near-dups
+# sit in (word-shingle Jaccard of true pairs ~0.5-1.0, background
+# pairs ~0) — and midway between dedup_minhash_lsh's banding target
+# and dedup_source_flow's 0.5 verify.
+SETJOIN_TNUM = 1
+SETJOIN_TDEN = 2
+
+_FP = ("transform(shingles, s -> "
+       "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))")
+
+
+def shingle_fp_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, fps: array<bigint>) — distinct 60-bit fingerprints of
+    the word-K-shingle set, the join's working representation."""
+    return (shingle_docs(docs)
+            .select("doc_id",
+                    F.array_distinct(F.expr(_FP)).alias("fps")))
+
+
+def setjoin_pairs(docs: DataFrame) -> DataFrame:
+    """All document pairs with word-shingle-set Jaccard >=
+    SETJOIN_TNUM/SETJOIN_TDEN — EXACT (prefix-filtered candidates,
+    full verify).  Columns: doc_a, doc_b, n_inter, n_union, jaccard."""
+    spark = docs.sparkSession
+    # One shingle+fingerprint pass feeds the frequency fold, the
+    # ordered-prefix rebuild, and both verify sides (4 evaluations
+    # without the cut — same discipline as minhash_candidates).
+    sets = shingle_fp_sets(docs).localCheckpoint()
+    flat = sets.select("doc_id", F.explode("fps").alias("fp"))
+    dfreq = flat.groupBy("fp").agg(F.count("*").alias("df"))
+    # Rebuild each document's set ordered by the GLOBAL (df, fp)
+    # order.  collect_list is bounded by the document's own shingle
+    # count; array_sort on struct(df, fp) is the lexicographic sort
+    # both engines define identically.
+    ordered = (flat.join(dfreq, "fp")
+               .groupBy("doc_id")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("df", "fp"))).alias("o")))
+    p_len = (f"size(o) - ((size(o) * {SETJOIN_TNUM} "
+             f"+ {SETJOIN_TDEN - 1}) div {SETJOIN_TDEN}) + 1")
+    pref = (ordered
+            .select("doc_id", F.size("o").alias("n"),
+                    F.expr(f"slice(o, 1, {p_len})").alias("pref"))
+            .select("doc_id", "n",
+                    F.explode("pref").alias("e"))
+            .select("doc_id", "n", F.col("e.fp").alias("fp")))
+    a = pref.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n").alias("n_a"), "fp")
+    b = pref.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n").alias("n_b"), "fp")
+    # Length filter inside the join: J >= T forces
+    # T * n_big <= n_small, as exact integers.
+    cand = (a.join(b, "fp")
+            .filter((F.col("doc_a") < F.col("doc_b"))
+                    & (F.col("n_a") * SETJOIN_TDEN
+                       >= F.col("n_b") * SETJOIN_TNUM)
+                    & (F.col("n_b") * SETJOIN_TDEN
+                       >= F.col("n_a") * SETJOIN_TNUM))
+            .select("doc_a", "doc_b").distinct()
+            # CPU-bound verify over byte-small input: pin the width so
+            # AQE's size-based coalescing cannot collapse it to one
+            # task (same reasoning as dedup_ngram_jaccard's verify).
+            .repartition(explode_parallelism(spark), "doc_a"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("fps").alias("f_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("fps").alias("f_b"))
+    inter = F.size(F.array_intersect("f_a", "f_b")).cast("long")
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("n_inter", inter)
+            .withColumn("n_union",
+                        (F.size("f_a") + F.size("f_b")).cast("long")
+                        - F.col("n_inter"))
+            .filter(F.col("n_inter") * SETJOIN_TDEN
+                    >= F.col("n_union") * SETJOIN_TNUM)
+            .select("doc_a", "doc_b", "n_inter", "n_union",
+                    (F.col("n_inter").cast("double")
+                     / F.col("n_union")).alias("jaccard")))
+
+
+def q_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return setjoin_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# The oracle is the BRUTE-FORCE join (candidates = any shared
+# fingerprint, exact group-count intersection) — algorithm-independent
+# of the prefix filter, so a filtering bug that loses a pair cannot
+# cancel out: the driver compare would catch it as a missing row.
+register(QuerySpec(
+    "setjoin_prefix", q_setjoin_prefix,
+    oracle=f"""
+        WITH {SHINGLES_SQL.strip()},
+        fsets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(shingles,
+                       s -> CAST(('0x' || substr(md5(s), 1, 15))
+                                 AS BIGINT))) AS fps
+            FROM shingled_ne
+        ),
+        flat AS (
+            SELECT doc_id, u.fp FROM fsets, UNNEST(fps) AS u(fp)
+        ),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM flat GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_inter
+            FROM flat a JOIN flat b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(na.n + nb.n - n_inter AS BIGINT) AS n_union,
+               CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter)
+                   AS jaccard
+        FROM pairs
+        JOIN n na ON doc_a = na.doc_id
+        JOIN n nb ON doc_b = nb.doc_id
+        WHERE n_inter * {SETJOIN_TDEN}
+              >= (na.n + nb.n - n_inter) * {SETJOIN_TNUM}
+    """,
+    doc="EXACT word-shingle Jaccard self-join (prefix filtering, "
+        "SSJoin/All-Pairs): zero false negatives, unlike every "
+        "banded-LSH member — the dedup family's ground truth",
+    tags=("dedup", "north-star", "join", "exact"),
+))

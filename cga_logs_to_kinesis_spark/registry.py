@@ -171,6 +171,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        setjoin,
         similarity,
         sketches,
         temporal,
