@@ -49,7 +49,7 @@ extra full scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.functions.exact import davg, davg_sql
@@ -69,8 +69,11 @@ from cga_logs_to_kinesis_spark.sources import load_table
 # bigram_surprisal
 # ---------------------------------------------------------------------------
 
-def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean inverse conditional bigram probability.
+def surprisal_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, surprisal_score) — the bigram-LM scoring
+    core, shared by ``bigram_surprisal`` (the report) and
+    ``perplexity_split`` (the CCNet bucketing built on it) so the LM
+    definition cannot drift between them.
 
     score(doc) = mean over bigrams (prev,w) of (C(prev)+V)/(C(prev,w)+1)
     under add-one smoothing: ≥1, small for documents whose word
@@ -84,8 +87,6 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional distribution sums to 1 over w.  V is the corpus
     vocabulary (distinct types over bigram positions).
     """
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
     # Tokenize + explode bigrams ONCE (module docstring): this subtree
     # feeds the context counts, the bigram counts, the vocabulary
     # scalar, and the join probe — four evaluations without the cut.
@@ -119,10 +120,16 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                  davg("inv", "surprisal_score")))
 
 
-register(QuerySpec(
-    "bigram_surprisal", q_bigram_surprisal,
-    oracle=f"""
-        WITH d AS (
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return surprisal_scores(load_table(spark, sf_dir, "documents"))
+
+
+# The scoring pipeline as a reusable CTE block ending in a
+# ``surprisal`` relation (doc_id, n_bigrams, surprisal_score) — the
+# SQL twin of :func:`surprisal_scores`.
+SURPRISAL_SQL_CTES = f"""
+        d AS (
             SELECT doc_id, toks FROM
                 (SELECT doc_id, {NORM_TOKENS_SQL} AS toks FROM documents)
             WHERE len(toks) >= 2
@@ -138,14 +145,23 @@ register(QuerySpec(
         vocab AS (
             SELECT COUNT(*) AS v FROM
                 (SELECT prev AS t FROM bi UNION SELECT w FROM bi)
+        ),
+        surprisal AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   {davg_sql('CAST(c_prev + v AS DOUBLE)'
+                             ' / CAST(c_bg + 1 AS DOUBLE)',
+                             'surprisal_score')}
+            FROM bi JOIN freq2 USING (prev, w) JOIN ctx USING (prev)
+                 CROSS JOIN vocab
+            GROUP BY doc_id
         )
-        SELECT doc_id, COUNT(*) AS n_bigrams,
-               {davg_sql('CAST(c_prev + v AS DOUBLE)'
-                         ' / CAST(c_bg + 1 AS DOUBLE)',
-                         'surprisal_score')}
-        FROM bi JOIN freq2 USING (prev, w) JOIN ctx USING (prev)
-             CROSS JOIN vocab
-        GROUP BY doc_id
+"""
+
+register(QuerySpec(
+    "bigram_surprisal", q_bigram_surprisal,
+    oracle=f"""
+        WITH {SURPRISAL_SQL_CTES.strip()}
+        SELECT doc_id, n_bigrams, surprisal_score FROM surprisal
     """,
     doc="CCNet-style conditional bigram-LM quality score "
         "(mean inverse add-one-smoothed p(w|prev), log-free exact)",
@@ -345,4 +361,78 @@ register(QuerySpec(
     doc="Gopher rule battery: word-count bounds, mean word length, "
         "alphabetic-word ratio, stop-word minimum",
     tags=("text", "north-star", "quality"),
+))
+
+
+# ---------------------------------------------------------------------------
+# perplexity_split — the CCNet head/middle/tail bucketing
+# ---------------------------------------------------------------------------
+# CCNet's defining move (Wenzek et al. 2020 §4.3): score every document
+# with the LM, then split EACH LANGUAGE into equal thirds by score —
+# head (most fluent), middle, tail (usually discarded) — so the cutoffs
+# self-calibrate per language instead of importing an absolute
+# threshold that means different things for en and zh.  Built directly
+# on the shared ``surprisal_scores`` core (ascending score = CCNet's
+# ascending perplexity).
+#
+# Tertile mechanics are integer-exact: rank*3 <= n (head),
+# rank*3 <= 2n (middle) with rank = ROW_NUMBER ordered by
+# (surprisal_score, doc_id) — the score is bit-identical across
+# engines (davg decimal algebra), the doc_id tiebreak makes the order
+# total, and no float percentile function (whose boundary semantics
+# differ between engines) is involved.  Documents too short to score
+# (< 2 tokens) are excluded by the LM core on both engines — they
+# belong to the quarantine report (`jsonl_ingest_report`), same
+# convention as quality_percentile_calibrate's NULL exclusion.
+#
+# 100 TB: the split adds one lang-keyed window over the DOC-level
+# score frame (3 narrow columns, |docs| rows — tiny next to the LM
+# scoring it follows).  Skewed language mix is the known hazard; the
+# documented swap is approx_percentile cutoffs per lang broadcast
+# back (quality_percentile_calibrate's note) — exact-for-oracle,
+# sketch-at-scale.
+
+def q_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (surprisal_scores(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    w = Window.partitionBy("lang").orderBy("surprisal_score", "doc_id")
+    part = Window.partitionBy("lang")
+    rank = F.row_number().over(w)
+    n = F.count("*").over(part)
+    bucket = (F.when(rank * 3 <= n, "head")
+              .when(rank * 3 <= 2 * n, "middle")
+              .otherwise("tail"))
+    return (scored
+            .select("doc_id", "lang", "surprisal_score",
+                    bucket.alias("bucket"))
+            .withColumn("keep", F.col("bucket") != "tail"))
+
+
+register(QuerySpec(
+    "perplexity_split", q_perplexity_split,
+    oracle=f"""
+        WITH {SURPRISAL_SQL_CTES.strip()},
+        scored AS (
+            SELECT s.doc_id, d.lang, s.surprisal_score
+            FROM surprisal s JOIN documents d ON s.doc_id = d.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, lang, surprisal_score,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY surprisal_score, doc_id) AS rank,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM scored
+        )
+        SELECT doc_id, lang, surprisal_score,
+               CASE WHEN rank * 3 <= n THEN 'head'
+                    WHEN rank * 3 <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               NOT (rank * 3 > 2 * n) AS keep
+        FROM ranked
+    """,
+    doc="CCNet head/middle/tail split: per-language LM-score tertiles "
+        "(integer-exact ranks, no float percentile boundary)",
+    tags=("text", "north-star", "quality", "window"),
 ))

@@ -175,3 +175,43 @@ def test_streaming_gopher_matches_batch(spark, tmp_path):
     assert got.keys() == want.keys()
     for doc_id in want:
         assert tuple(got[doc_id]) == tuple(want[doc_id])
+
+
+def test_perplexity_split_tertiles_per_lang(spark):
+    """Bucket sizes are exact integer tertiles WITHIN each language,
+    ordering follows the LM score ascending (head = most fluent), and
+    unscoreable (<2 token) docs are absent."""
+    from cga_logs_to_kinesis_spark.operators.lm_quality import (
+        q_perplexity_split,
+    )
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = []
+    # en: 7 scoreable docs -> head 2, middle 2 (ranks 3-4), tail 3
+    for i in range(5):
+        rows.append((i, common, "en"))
+    rows.append((5, "zebra quark vortex nebula prism", "en"))
+    rows.append((6, "plasma glyph rune obelisk cairn", "en"))
+    # fr: 3 scoreable docs -> 1/1/1
+    rows.append((10, common, "fr"))
+    rows.append((11, common + " encore", "fr"))
+    rows.append((12, "unique mots jamais vus ensemble ici", "fr"))
+    rows.append((13, "solo", "fr"))          # unscoreable
+    tmp = _fixture_dir(spark, "ppsplit", rows)
+    got = {r.doc_id: (r.lang, r.bucket, r.keep, r.surprisal_score)
+           for r in q_perplexity_split(spark, tmp).collect()}
+    assert 13 not in got
+    from collections import Counter
+    en = Counter(b for (lang, b, _, _) in got.values() if lang == "en")
+    fr = Counter(b for (lang, b, _, _) in got.values() if lang == "fr")
+    assert en == {"head": 2, "middle": 2, "tail": 3}
+    assert fr == {"head": 1, "middle": 1, "tail": 1}
+    # the corpus-unique-transition docs score worst -> tail
+    assert got[5][1] == "tail" and got[6][1] == "tail"
+    assert got[12][1] == "tail"
+    # keep == (bucket != tail), everywhere
+    assert all((b != "tail") == k for (_, b, k, _) in got.values())
+    # head docs score <= tail docs within the same lang
+    en_scores = {b: [s for (lang, bb, _, s) in got.values()
+                     if lang == "en" and bb == b] for b in en}
+    assert max(en_scores["head"]) <= min(en_scores["tail"])
