@@ -268,3 +268,39 @@ def test_source_divergence_plan_and_bounds(spark):
     assert len(rows) == 20
     assert all(0.0 <= r.tv_distance < 1.0 for r in rows)
     assert any(r.tv_distance > 0.0 for r in rows)
+
+
+def test_markup_scrub_on_real_html_shapes(spark):
+    """The scrub handles the shapes real WARC text contains: nested
+    and attribute-laden tags, all six named entities, double-encoded
+    entities (&amp;lt; must become &lt;, NOT <), angle brackets
+    produced BY decoding (must survive — decode runs after the strip),
+    and NULL text."""
+    from pyspark.sql import functions as F
+
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        markup_scrub_columns,
+    )
+
+    rows = [
+        (1, '<div class="a"><b>bold</b> and <i>ital</i></div>'),
+        (2, "5 &lt; 6 &amp;&amp; 7 &gt; 2"),
+        (3, "a&amp;lt;b"),                    # double-encoded
+        (4, "&quot;q&quot; &apos;s&apos;&nbsp;end"),
+        (5, "<p>x &lt;tag&gt; y</p>"),        # decoded brackets survive
+        (6, None),
+        (7, "plain text, no markup"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    n_tags, n_entities, clean = markup_scrub_columns(F.col("text"))
+    got = {r.doc_id: (r.nt, r.ne, r.c)
+           for r in sdf.select("doc_id", n_tags.alias("nt"),
+                               n_entities.alias("ne"),
+                               clean.alias("c")).collect()}
+    assert got[1] == (6, 0, "bold and ital")
+    assert got[2] == (0, 4, "5 < 6 && 7 > 2")
+    assert got[3] == (0, 1, "a&lt;b")          # single decode only
+    assert got[4] == (0, 5, '"q" \'s\' end')
+    assert got[5] == (2, 2, "x <tag> y")
+    assert got[6] == (0, 0, None)
+    assert got[7] == (0, 0, "plain text, no markup")

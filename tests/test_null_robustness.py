@@ -62,7 +62,7 @@ PROBED = [
     "boilerplate_ratio_by_source", "source_divergence",
     "line_dedup_intra", "line_dedup_scrub_rel",
     "doc_line_profile", "line_dedup_pipeline", "mixture_apply",
-    "setjoin_prefix", "perplexity_split",
+    "setjoin_prefix", "perplexity_split", "markup_scrub",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",
