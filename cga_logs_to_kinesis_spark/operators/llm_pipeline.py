@@ -1063,12 +1063,13 @@ register(QuerySpec(
 MIX_TOKEN_BUDGET = 1_000_000
 
 
-def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    per_src = (docs.groupBy("source")
-               .agg(F.count("*").alias("n_docs"),
-                    F.sum(_ntok()).alias("n_tokens")))
+def mixture_weight_columns(per_src: DataFrame) -> DataFrame:
+    """Append (weight, expected_epochs) to a per-source totals frame
+    carrying at least (source, n_tokens) — the temperature-mixture
+    algebra, shared by the batch query and
+    ``streaming/corpus.py::mixture_from_store`` so the decimal-sqrt
+    normalization cannot drift between one-shot and continuous use.
+    Extra columns (the batch query's n_docs) pass through."""
     sq = (F.sqrt(F.col("n_tokens").cast("double"))
           .cast("decimal(38,6)"))
     tot = F.sum(sq).over(
@@ -1076,10 +1077,19 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                            Window.unboundedFollowing))
     weight = sq.cast("double") / tot.cast("double")
     return (per_src
-            .select("source", "n_docs", "n_tokens",
-                    weight.alias("weight"),
-                    ((weight * MIX_TOKEN_BUDGET)
-                     / F.col("n_tokens")).alias("expected_epochs")))
+            .withColumn("weight", weight)
+            .withColumn("expected_epochs",
+                        (F.col("weight") * MIX_TOKEN_BUDGET)
+                        / F.col("n_tokens")))
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (docs.groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(_ntok()).alias("n_tokens")))
+    return mixture_weight_columns(per_src)
 
 
 register(QuerySpec(

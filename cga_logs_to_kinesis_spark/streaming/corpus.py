@@ -2411,6 +2411,37 @@ def compact_token_count_store(spark: SparkSession, store_dir: str,
         _sum_fold("cnt"), files_per_partition)
 
 
+def mixture_from_store(spark: SparkSession,
+                       store_dir: str) -> DataFrame:
+    """Continuous temperature-mixture weights: fold the SAME
+    token-count store that feeds ``source_divergence_from_store``
+    down to per-source totals and apply the batch mixture algebra
+    (``llm_pipeline.mixture_weight_columns`` — the decimal-sqrt
+    order-free normalization), so the crawl's resampling rates
+    (w ∝ tokens^0.5) are recomputable after every tranche with no
+    corpus re-scan and no second store.
+
+    Token definition is the store's (``source_tokens``: lowercased,
+    empties dropped, NULL text/source filtered) — the registry's
+    batch ``mixture_weights`` counts raw whitespace tokens instead;
+    the parity target is the shared ALGEBRA over the same counts
+    (bit-identical, pinned by
+    tests/test_corpus_stream.py::test_mixture_from_store_matches_batch_algebra),
+    not the tokenizer choice."""
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        mixture_weight_columns,
+    )
+
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return spark.createDataFrame(
+            [], "source string, n_tokens long, weight double, "
+                "expected_epochs double")
+    per_src = (_effective_mg_summaries(s)
+               .groupBy("source").agg(F.sum("cnt").alias("n_tokens")))
+    return mixture_weight_columns(per_src).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Streaming n-gram novelty: first-occurrence state as a MIN-fold store
 # ---------------------------------------------------------------------------
@@ -2722,10 +2753,14 @@ STORE_FAMILIES: tuple[StoreFamily, ...] = (
         "(enforceable via line_df_sink's seen_dir guard)"),
     StoreFamily(
         "token-count divergence", "sum (watermark base)",
-        ("token_count_sink",), ("source_divergence_from_store",),
+        ("token_count_sink",),
+        ("source_divergence_from_store", "mixture_from_store"),
         ("compact_token_count_store",),
         "one (source, tok) store; corpus counts are the same fold "
-        "re-grouped, then the batch TV algebra applies"),
+        "re-grouped, then the batch TV algebra applies — and the "
+        "same store's per-source totals feed the temperature-mixture "
+        "algebra (mixture_from_store), so divergence AND resampling "
+        "rates ride one state"),
     StoreFamily(
         "HLL distinct sketch", "union (register-wise MAX)",
         ("hll_distinct_sink",), ("approx_distinct_from_store",),

@@ -2265,3 +2265,52 @@ def test_streaming_intra_dedup_matches_batch(spark, tmp_path):
             .fn(spark, SF_SMOKE).collect()}
     assert got == want and len(got) == 500
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_mixture_from_store_matches_batch_algebra(spark, tmp_path):
+    """The token-count store's per-source totals, pushed through the
+    SHARED mixture_weight_columns algebra, equal the batch algebra
+    over the same counts (source_tokens over the whole corpus)
+    bit-for-bit — under a 3-batch split with crash-replay, and
+    unmoved by the watermark compactor.  One store carries both
+    divergence and resampling rates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        source_tokens,
+    )
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        mixture_weight_columns,
+    )
+    from cga_logs_to_kinesis_spark.sources import load_table
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        compact_token_count_store,
+        mixture_from_store,
+        token_count_sink,
+    )
+
+    empty = mixture_from_store(spark, str(tmp_path / "no"))
+    assert empty.count() == 0
+    assert empty.columns == ["source", "n_tokens", "weight",
+                             "expected_epochs"]
+
+    src = _doc_chunks(spark, tmp_path)
+    store = str(tmp_path / "tok_counts")
+    sink = token_count_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    fold = lambda: [tuple(r) for r in  # noqa: E731
+                    mixture_from_store(spark, store).collect()]
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = [tuple(r) for r in mixture_weight_columns(
+        source_tokens(docs).groupBy("source")
+        .agg(F.count("*").alias("n_tokens")))
+        .orderBy("source").collect()]
+    got = fold()
+    assert got == want and len(want) == 20
+    assert abs(sum(r[2] for r in got) - 1.0) < 1e-12
+    assert compact_token_count_store(spark, store, 2) == 3
+    assert fold() == want
