@@ -59,7 +59,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cga_logs_to_kinesis_spark.operators.dedup import (
+    MAX_BUCKET,
+    N_BANDS,
     SHINGLES_SQL,
+    lsh_candidate_ids,
     shingle_docs,
 )
 from cga_logs_to_kinesis_spark.registry import QuerySpec, register
@@ -194,4 +197,116 @@ register(QuerySpec(
         "SSJoin/All-Pairs): zero false negatives, unlike every "
         "banded-LSH member — the dedup family's ground truth",
     tags=("dedup", "north-star", "join", "exact"),
+))
+
+
+# ---------------------------------------------------------------------------
+# lsh_recall_exact: the production LSH path audited against FULL truth
+# ---------------------------------------------------------------------------
+# dedup_recall_report measures the banding S-curve against exact
+# all-pairs on a bounded SAMPLE (doc_id < 300 — all-pairs on the
+# corpus was intractable, so the bound was the design).
+# setjoin_prefix removes that constraint: prefix filtering makes the
+# FULL-corpus exact pair set tractable, so the recall of the
+# production banded-minhash candidates (the front half of
+# dedup_minhash_lsh / dedup_containment / the component builder) can
+# be measured against complete ground truth, not an extrapolated
+# sample.  Verification makes the LSH path's precision 1.0 by
+# construction; recall is the number that decides whether the b=8/r=2
+# surface (collision prob 1-(1-J²)^8 ≈ 0.90 at J=0.5) plus the
+# MAX_BUCKET cap is losing real duplicates.
+#
+# 100 TB: both inputs are the already-scale-judged pipelines; the
+# audit itself is a LEFT join of two pair tables on (doc_a, doc_b) —
+# id-keyed, skew-free — folded to ONE row.  The corpus is scanned
+# once per pipeline (the two fronts shingle differently: fp sets vs
+# minhash signatures); sharing the shingle pass across them is
+# possible but would couple the audit to both internals — two narrow
+# scans is the honest cost.
+
+def q_lsh_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    truth = setjoin_pairs(docs).select("doc_a", "doc_b")
+    sh = shingle_docs(docs).localCheckpoint()
+    cand = (lsh_candidate_ids(sh)
+            .select("doc_a", "doc_b", F.lit(1).alias("_found")))
+    marked = truth.join(cand, ["doc_a", "doc_b"], "left")
+    n_found = F.sum(F.when(F.col("_found") == 1, 1)
+                    .otherwise(0)).cast("long")
+    return marked.agg(
+        F.count("*").cast("long").alias("n_truth"),
+        n_found.alias("n_found"),
+        F.try_divide(n_found.cast("double"),
+                     F.count("*").cast("double")).alias("recall"))
+
+
+register(QuerySpec(
+    "lsh_recall_exact", q_lsh_recall_exact,
+    oracle=f"""
+        WITH {SHINGLES_SQL.strip()},
+        fsets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(shingles,
+                       s -> CAST(('0x' || substr(md5(s), 1, 15))
+                                 AS BIGINT))) AS fps
+            FROM shingled_ne
+        ),
+        flat AS (
+            SELECT doc_id, u.fp FROM fsets, UNNEST(fps) AS u(fp)
+        ),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM flat GROUP BY doc_id),
+        bpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_inter
+            FROM flat a JOIN flat b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT doc_a, doc_b
+            FROM bpairs
+            JOIN n na ON doc_a = na.doc_id
+            JOIN n nb ON doc_b = nb.doc_id
+            WHERE n_inter * {SETJOIN_TDEN}
+                  >= (na.n + nb.n - n_inter) * {SETJOIN_TNUM}
+        ),
+        sigs AS (
+            SELECT doc_id, b.band,
+                   list_min(list_transform(shingles,
+                            s -> md5(b.band || ':' || s))) AS sig
+            FROM shingled_ne,
+                 (SELECT unnest(range(0, {N_BANDS})) AS band) b
+        ),
+        banded AS (
+            SELECT doc_id, band // 2 AS band2,
+                   md5(array_to_string(
+                       list_sort(list(band || ':' || sig)), '')) AS sig2
+            FROM sigs
+            GROUP BY doc_id, band // 2
+        ),
+        eligible AS (
+            SELECT doc_id, band2, sig2 FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band2, sig2) AS bn
+                FROM banded
+            ) WHERE bn > 1 AND bn <= {MAX_BUCKET}
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS _found
+            FROM eligible a JOIN eligible b
+              ON a.band2 = b.band2 AND a.sig2 = b.sig2
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(SUM(CASE WHEN _found = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_found,
+               CAST(SUM(CASE WHEN _found = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM truth LEFT JOIN cand USING (doc_a, doc_b)
+    """,
+    doc="recall of the production banded-minhash candidate surface "
+        "against the FULL-corpus exact pair set (setjoin_prefix "
+        "ground truth, no sample bound) — one-row audit",
+    tags=("dedup", "north-star", "audit", "agg"),
 ))

@@ -122,3 +122,13 @@ def test_setjoin_plan_properties(spark):
     front = shingle_fp_sets(load_table(spark, SF_SMOKE, "documents"))
     scans = scan_read_schema_columns(front)
     assert scans and all(set(c) <= {"doc_id", "text"} for c in scans)
+
+
+def test_lsh_recall_exact_consistent_with_parts(spark):
+    """n_truth equals the exact join's own pair count; n_found never
+    exceeds it; recall is their exact ratio."""
+    row = SPECS["lsh_recall_exact"].fn(spark, SF_SMOKE).collect()[0]
+    n_pairs = SPECS["setjoin_prefix"].fn(spark, SF_SMOKE).count()
+    assert row.n_truth == n_pairs
+    assert 0 <= row.n_found <= row.n_truth
+    assert row.recall == row.n_found / row.n_truth
