@@ -44,28 +44,36 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-15 curation -----------------------------------------------
-    # Leads: the four r15-NEW oracle-paired queries
-    # (line_dedup_scrub_rel — the corpus-relative df-share threshold
+    # Leads: the eight r15-NEW oracle-paired queries
+    # (setjoin_prefix — EXACT prefix-filtered set-similarity join;
+    # lsh_recall_exact — the banded-minhash surface audited against
+    # that full-corpus truth; perplexity_split — CCNet per-language
+    # LM tertiles; markup_scrub — HTML tag strip + entity decode;
+    # line_dedup_scrub_rel — the corpus-relative df-share threshold
     # form; line_dedup_pipeline — intra-doc dedup then corpus scrub
     # fitted on the intra-deduped corpus, in one plan;
     # doc_line_profile — per-doc line-structure gating metrics;
     # mixture_apply — deterministic temperature-mixture
     # downsampling, the apply half of mixture_weights), then
-    # five whose CODE changed this round — line_dedup_scrub and
-    # line_dedup_intra (cheap_front guard + intra_dedup_frame
-    # factoring), boilerplate_ratio_by_source (shares the guarded
-    # scrub front), and the two hi-only bucket_bounded callers that
-    # gained the explicit NULL-key filter (ann_incremental,
-    # dedup_minhash_incremental).  Then the 33 stale-r11 queries
-    # exactly as the r14 plan deferred them (CORRECTNESS_r11.json
-    # order — verified programmatically: green in r11, absent from
-    # r12/r13/r14), then the 8 stalest of the r12 window
-    # (CORRECTNESS_r12.json order; shard_assign yielded its slot to
-    # the late-round mixture_apply and leads the r16 stale-r12 pool).
-    # 4 + 5 + 33 + 8 = 50.
+    # six whose CODE changed this round — mixture_weights (algebra
+    # factored through mixture_weight_columns for the store reader),
+    # line_dedup_scrub and line_dedup_intra (cheap_front guard +
+    # intra_dedup_frame factoring), boilerplate_ratio_by_source
+    # (shares the guarded scrub front), and the two hi-only
+    # bucket_bounded callers that gained the explicit NULL-key filter
+    # (ann_incremental, dedup_minhash_incremental).  Then the 33
+    # stale-r11 queries exactly as the r14 plan deferred them
+    # (CORRECTNESS_r11.json order — verified programmatically: green
+    # in r11, absent from r12/r13/r14; bigram_surprisal, whose code
+    # also changed this round, already sits in this cohort), then the
+    # 3 stalest of the r12 window (CORRECTNESS_r12.json order;
+    # shard_assign yielded its slot to the late-round mixture_apply
+    # and leads the r16 stale-r12 pool).  8 + 6 + 33 + 3 = 50.
     #
-    # Deferred to the r16 window: the remaining 39 stale-r12 queries
-    # in CORRECTNESS_r12.json order (shard_assign, sliding_window,
+    # Deferred to the r16 window: the remaining 44 stale-r12 queries
+    # in CORRECTNESS_r12.json order (shard_assign, training_interleave,
+    # novelty_curve, cosine_topk_ivf_sq, event_funnel, join_key_skew,
+    # sliding_window,
     # small_qty_revenue, split_leakage, split_leakage_repair,
     # split_repair, stats_tumbling, stratified_sample,
     # top3_orders_per_customer, top_supplier, unigram_rarity,
@@ -88,12 +96,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # length_outliers_approx sketches, error-bound-tested against
     # their exact siblings).
     #
-    # r15-new:
+    # r15-new (late-round additions first):
+    "setjoin_prefix",
+    "lsh_recall_exact",
+    "perplexity_split",
+    "markup_scrub",
     "line_dedup_scrub_rel",
     "line_dedup_pipeline",
     "doc_line_profile",
     "mixture_apply",
-    # r15-changed:
+    # r15-changed (mixture_weights: algebra factored through
+    # mixture_weight_columns for the streaming store reader;
+    # bigram_surprisal's same-kind refactor is already in-window via
+    # the r11 cohort below):
+    "mixture_weights",
     "line_dedup_scrub",
     "line_dedup_intra",
     "boilerplate_ratio_by_source",
@@ -134,15 +150,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_weighted_sample",
     "rate_anomaly",
     "retention_cohorts",
-    # stalest r12 cohort (CORRECTNESS_r12.json order):
+    # stalest r12 cohort (CORRECTNESS_r12.json order; the next five —
+    # training_interleave, novelty_curve, cosine_topk_ivf_sq,
+    # event_funnel, join_key_skew — yielded their slots to the
+    # late-round r15-new/changed queries above and now LEAD the r16
+    # stale-r12 pool):
     "salted_join_plan",
     "encoding_anomaly_report",
     "training_order",
-    "training_interleave",
-    "novelty_curve",
-    "cosine_topk_ivf_sq",
-    "event_funnel",
-    "join_key_skew",
 )
 
 

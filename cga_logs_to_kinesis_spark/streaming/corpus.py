@@ -485,6 +485,28 @@ def streaming_homoglyph_scrub(docs: DataFrame) -> DataFrame:
         scrubbed.alias("scrubbed_text"))
 
 
+def streaming_markup_scrub(docs: DataFrame) -> DataFrame:
+    """HTML-to-text over a document stream — the ingest-time position
+    this scrub actually occupies in a crawl pipeline (extract BEFORE
+    any dedup/quality state is built, so every downstream store sees
+    clean text).  The batch operator
+    (``operators/ingest_audit.py::markup_scrub_columns``) is a
+    row-local regexp + literal replace chain, so it composes unchanged
+    (stateless) and parity is bit-for-bit by construction."""
+    from cga_logs_to_kinesis_spark.operators.ingest_audit import (
+        markup_scrub_columns,
+    )
+    n_tags, n_entities, clean = markup_scrub_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_tags.alias("n_tags"),
+        n_entities.alias("n_entities"),
+        clean.alias("clean_text"),
+        F.try_divide(
+            (F.length("text") - F.length(clean)).cast("double"),
+            F.length("text").cast("double")).alias("markup_ratio"))
+
+
 def streaming_line_dedup_intra(docs: DataFrame) -> DataFrame:
     """Within-document repeated-line removal over a document stream —
     stateless, because the computation needs only the document's own

@@ -2314,3 +2314,42 @@ def test_mixture_from_store_matches_batch_algebra(spark, tmp_path):
     assert abs(sum(r[2] for r in got) - 1.0) < 1e-12
     assert compact_token_count_store(spark, store, 2) == 3
     assert fold() == want
+
+
+def test_streaming_markup_scrub_matches_batch(spark, tmp_path):
+    """The WARC-to-text scrub runs continuously at ingest: a
+    markup-poisoned document stream scrubs to the batch query's exact
+    (n_tags, n_entities, clean_text, markup_ratio) per doc — and the
+    clean text equals the fixture original byte-for-byte (the batch
+    restoration proof, held through the streaming path)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        streaming_markup_scrub,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # the batch query's exact poison (tag wrap + &nbsp;-encoded spaces)
+    poisoned = docs.withColumn(
+        "text",
+        F.concat(F.lit('<html><body class="c"><p id="'),
+                 F.col("doc_id").cast("string"), F.lit('">'),
+                 F.replace(F.col("text"), F.lit(" "), F.lit("&nbsp;")),
+                 F.lit("<br/></p></body></html>")))
+    src = tmp_path / "marked"
+    for k in range(3):
+        poisoned.filter(F.abs(F.hash("doc_id")) % 3 == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+    stream = stream_documents(spark, str(src) + "/*")
+    got = _drain(streaming_markup_scrub(stream), tmp_path, "mscrub")
+    g = {r.doc_id: (r.n_tags, r.n_entities, r.clean_text,
+                    r.markup_ratio)
+         for r in got.collect()}
+    want = all_queries()["markup_scrub"].fn(spark, SF_SMOKE)
+    w = {r.doc_id: (r.n_tags, r.n_entities, r.clean_text,
+                    r.markup_ratio)
+         for r in want.collect()}
+    assert g == w and len(g) > 0
+    assert all(nt >= 4 for nt, _, _, _ in g.values())  # poison seen
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert all(orig[d] == c for d, (_, _, c, _) in g.items()
+               if orig[d] is not None)
