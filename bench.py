@@ -111,6 +111,13 @@ HEADLINE = (
     # (row-local intra pass + corpus scrub fitted on its output)
     "line_dedup_intra",
     "line_dedup_pipeline",
+    # r15 late round: the EXACT set-similarity join — dfreq fold +
+    # ordered-prefix rebuild + prefix equi-join + width-pinned verify;
+    # the heaviest new shuffle profile of the round, and the ground
+    # truth the LSH members are audited against (lsh_recall_exact is
+    # NOT benched separately: it recomputes this plus
+    # lsh_candidate_ids, both already watched).
+    "setjoin_prefix",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the

@@ -310,3 +310,133 @@ register(QuerySpec(
         "ground truth, no sample bound) — one-row audit",
     tags=("dedup", "north-star", "audit", "agg"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# setjoin_incremental: exact near-dup of NEW docs vs the EXISTING corpus
+# ---------------------------------------------------------------------------
+# dedup_minhash_incremental answers "which new docs duplicate the seen
+# corpus" with banding false negatives; this is the EXACT form.  The
+# persisted state is a PREFIX INDEX — and that forces one deliberate
+# design change vs the batch self-join above: the global order here is
+# fp ASCENDING, not (df, fp).  Document frequencies SHIFT as the
+# corpus grows, so a df-ordered prefix computed at batch k is not a
+# valid prefix under batch k+n's order — the exactness proof needs ONE
+# total order shared by every prefix ever written, and the fp order is
+# the only one that never moves.  The price is candidate pruning
+# (hash-random prefixes instead of rarest-first); the length filter
+# and T itself still bound the fan-out, and exactness is what this
+# operator sells.  Intra-batch pairs are deliberately out of scope
+# (that is setjoin_prefix's self-join); index entries per doc are
+# n - ceil(T*n) + 1 ≈ half its distinct shingles — sub-linear state,
+# same envelope as the minhash band index + shingle store.
+
+def prefix_entries(sets: DataFrame) -> DataFrame:
+    """(doc_id, n, fp): the fp-ascending-order prefix of each set —
+    the incremental-stable index representation (see above).  Narrow:
+    sort + slice + explode inside the row, no dfreq fold."""
+    p_len = (f"size(fps) - ((size(fps) * {SETJOIN_TNUM} "
+             f"+ {SETJOIN_TDEN - 1}) div {SETJOIN_TDEN}) + 1")
+    return (sets.select("doc_id", F.size("fps").alias("n"),
+                        F.explode(F.expr(
+                            f"slice(array_sort(fps), 1, {p_len})"))
+                        .alias("fp")))
+
+
+def setjoin_incremental_from_index(seen_idx: DataFrame,
+                                   seen_sets: DataFrame,
+                                   batch_sets: DataFrame) -> DataFrame:
+    """Index-level form: ``seen_idx`` is the PERSISTED (doc_id, n, fp)
+    prefix-entry table — what the streaming twin stores between crawl
+    drops so the seen corpus is never re-shingled or re-indexed.
+    Returns every (batch_doc, seen_doc) pair with exact Jaccard >= T:
+    (batch_doc, seen_doc, n_inter, n_union, jaccard)."""
+    sp = seen_idx.select(F.col("doc_id").alias("seen_doc"),
+                         F.col("n").alias("n_s"), "fp")
+    bp = (prefix_entries(batch_sets)
+          .select(F.col("doc_id").alias("batch_doc"),
+                  F.col("n").alias("n_b"), "fp"))
+    # batch_doc != seen_doc: disjoint sides in the batch operator;
+    # the guard exists for the streaming twin, where an at-least-once
+    # replay may present an index already containing the batch's own
+    # docs (belt to the sink's batch_id < current read filter).
+    cand = (bp.join(sp, "fp")
+            .filter((F.col("batch_doc") != F.col("seen_doc"))
+                    & (F.col("n_b") * SETJOIN_TDEN
+                       >= F.col("n_s") * SETJOIN_TNUM)
+                    & (F.col("n_s") * SETJOIN_TDEN
+                       >= F.col("n_b") * SETJOIN_TNUM))
+            .select("batch_doc", "seen_doc").distinct())
+    sa = batch_sets.select(F.col("doc_id").alias("batch_doc"),
+                           F.col("fps").alias("f_a"))
+    sb = seen_sets.select(F.col("doc_id").alias("seen_doc"),
+                          F.col("fps").alias("f_b"))
+    inter = F.size(F.array_intersect("f_a", "f_b")).cast("long")
+    return (cand.join(sa, "batch_doc").join(sb, "seen_doc")
+            .withColumn("n_inter", inter)
+            .withColumn("n_union",
+                        (F.size("f_a") + F.size("f_b")).cast("long")
+                        - F.col("n_inter"))
+            .filter(F.col("n_inter") * SETJOIN_TDEN
+                    >= F.col("n_union") * SETJOIN_TNUM)
+            .select("batch_doc", "seen_doc", "n_inter", "n_union",
+                    (F.col("n_inter").cast("double")
+                     / F.col("n_union")).alias("jaccard")))
+
+
+def setjoin_incremental(seen_sets: DataFrame,
+                        batch_sets: DataFrame) -> DataFrame:
+    """Batch form over two pre-fingerprinted (shingle_fp_sets) frames;
+    both are evaluated twice (prefix + verify) — checkpoint upstream."""
+    return setjoin_incremental_from_index(
+        prefix_entries(seen_sets), seen_sets, batch_sets)
+
+
+def q_setjoin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # One shingle+fp pass; each side feeds its prefix AND its verify.
+    sets = shingle_fp_sets(docs).localCheckpoint()
+    return setjoin_incremental(
+        sets.filter(F.col("doc_id") % 4 < 3),
+        sets.filter(F.col("doc_id") % 4 == 3))
+
+
+register(QuerySpec(
+    "setjoin_incremental", q_setjoin_incremental,
+    oracle=f"""
+        WITH {SHINGLES_SQL.strip()},
+        fsets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(shingles,
+                       s -> CAST(('0x' || substr(md5(s), 1, 15))
+                                 AS BIGINT))) AS fps
+            FROM shingled_ne
+        ),
+        flat AS (
+            SELECT doc_id, u.fp FROM fsets, UNNEST(fps) AS u(fp)
+        ),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM flat GROUP BY doc_id),
+        pairs AS (
+            SELECT b.doc_id AS batch_doc, s.doc_id AS seen_doc,
+                   COUNT(*) AS n_inter
+            FROM flat b JOIN flat s ON b.fp = s.fp
+            WHERE b.doc_id % 4 = 3 AND s.doc_id % 4 < 3
+            GROUP BY 1, 2
+        )
+        SELECT batch_doc, seen_doc,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(nb.n + ns.n - n_inter AS BIGINT) AS n_union,
+               CAST(n_inter AS DOUBLE) / (nb.n + ns.n - n_inter)
+                   AS jaccard
+        FROM pairs
+        JOIN n nb ON batch_doc = nb.doc_id
+        JOIN n ns ON seen_doc = ns.doc_id
+        WHERE n_inter * {SETJOIN_TDEN}
+              >= (nb.n + ns.n - n_inter) * {SETJOIN_TNUM}
+    """,
+    doc="EXACT incremental near-dup: new batch vs the persisted "
+        "corpus prefix index, zero false negatives (fp-order prefixes "
+        "stay valid as the corpus grows — df order would not)",
+    tags=("dedup", "north-star", "join", "exact", "incremental"),
+))

@@ -44,8 +44,10 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-15 curation -----------------------------------------------
-    # Leads: the eight r15-NEW oracle-paired queries
+    # Leads: the nine r15-NEW oracle-paired queries
     # (setjoin_prefix — EXACT prefix-filtered set-similarity join;
+    # setjoin_incremental — its batch-vs-persisted-corpus form under
+    # the incremental-stable fp order;
     # lsh_recall_exact — the banded-minhash surface audited against
     # that full-corpus truth; perplexity_split — CCNet per-language
     # LM tertiles; markup_scrub — HTML tag strip + entity decode;
@@ -66,12 +68,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (CORRECTNESS_r11.json order — verified programmatically: green
     # in r11, absent from r12/r13/r14; bigram_surprisal, whose code
     # also changed this round, already sits in this cohort), then the
-    # 3 stalest of the r12 window (CORRECTNESS_r12.json order;
+    # 2 stalest of the r12 window (CORRECTNESS_r12.json order;
     # shard_assign yielded its slot to the late-round mixture_apply
-    # and leads the r16 stale-r12 pool).  8 + 6 + 33 + 3 = 50.
+    # and leads the r16 stale-r12 pool).  9 + 6 + 33 + 2 = 50.
     #
-    # Deferred to the r16 window: the remaining 44 stale-r12 queries
-    # in CORRECTNESS_r12.json order (shard_assign, training_interleave,
+    # Deferred to the r16 window: the remaining 45 stale-r12 queries
+    # in CORRECTNESS_r12.json order (shard_assign, training_order,
+    # training_interleave,
     # novelty_curve, cosine_topk_ivf_sq, event_funnel, join_key_skew,
     # sliding_window,
     # small_qty_revenue, split_leakage, split_leakage_repair,
@@ -98,6 +101,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #
     # r15-new (late-round additions first):
     "setjoin_prefix",
+    "setjoin_incremental",
     "lsh_recall_exact",
     "perplexity_split",
     "markup_scrub",
@@ -157,7 +161,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stale-r12 pool):
     "salted_join_plan",
     "encoding_anomaly_report",
-    "training_order",
 )
 
 

@@ -275,6 +275,75 @@ def minhash_incremental_sink(index_dir: str, shingle_dir: str,
     return process
 
 
+def setjoin_index_sink(index_dir: str, sets_dir: str, out_dir: str,
+                       fail_after_all_writes_for:
+                       tuple[int, ...] = ()):
+    """foreachBatch twin of ``setjoin_incremental``: each crawl drop
+    is fingerprinted ONCE, exact-joined against the PERSISTED prefix
+    index (never re-shingling the seen corpus), then merged into the
+    index and the fp-set store — ``minhash_incremental_sink``'s
+    three-write exactly-once discipline, with the EXACT operator:
+    zero false negatives against everything already seen.  The index
+    stays valid as batches accumulate because prefixes are cut under
+    the fixed fp order (operators/setjoin.py::prefix_entries — a
+    df-ordered prefix would be invalidated by every shift in document
+    frequencies).  All three writes are batch_id-keyed
+    dynamic-overwrite partitions; the ``batch_id < current`` read
+    filter plus the operator's batch_doc != seen_doc guard cover the
+    at-least-once replay window exactly as in the minhash sink.
+
+    Store sizing: index entries per doc = n - ceil(T*n) + 1 ≈ half
+    its distinct shingles (8 B fps); the fp-set store is ~1x the
+    fingerprint volume (needed only for the exact verify)."""
+    from cga_logs_to_kinesis_spark.operators.setjoin import (
+        prefix_entries,
+        setjoin_incremental_from_index,
+        shingle_fp_sets,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sets = shingle_fp_sets(batch_df).localCheckpoint()
+        idx_store = _read_store(spark, index_dir)
+        set_store = _read_store(spark, sets_dir)
+        if idx_store is None or set_store is None:
+            idx = spark.createDataFrame(
+                [], "doc_id long, n int, fp long")
+            seen_sets = spark.createDataFrame(
+                [], "doc_id long, fps array<bigint>")
+        else:
+            idx = (idx_store
+                   .filter(F.col("batch_id") < F.lit(batch_id))
+                   .select("doc_id", "n", "fp"))
+            seen_sets = (set_store
+                         .filter(F.col("batch_id") < F.lit(batch_id))
+                         .select("doc_id", "fps"))
+        report = setjoin_incremental_from_index(idx, seen_sets, sets) \
+            .localCheckpoint()
+        conf = {"partitionOverwriteMode": "dynamic"}
+        (report.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(out_dir))
+        (prefix_entries(sets).withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(index_dir))
+        (sets.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(sets_dir))
+        if (batch_id in fail_after_all_writes_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after last write, batch {batch_id}")
+
+    return process
+
+
 def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
     """Per-language running totals — streaming twin of the batch
     ``corpus_stats`` report (works in update/complete output modes)."""
@@ -2685,6 +2754,15 @@ STORE_FAMILIES: tuple[StoreFamily, ...] = (
         "NO compactor by design: the consumer counts rows per bucket "
         "key (n_common_bands), so duplicate rows would change "
         "results — see compact_digest_store's docstring"),
+    StoreFamily(
+        "exact-setjoin prefix index", "append (join-consumed)",
+        ("setjoin_index_sink",), (), (),
+        "the minhash band index's EXACT sibling: fp-order prefix "
+        "entries + fp-set store, consumed by "
+        "operators/setjoin.py::setjoin_incremental_from_index — "
+        "zero-false-negative incremental near-dup; NO compactor "
+        "(append-only index, batch_id < current read filter covers "
+        "replays)"),
     StoreFamily(
         "ANN bucket index", "append (distinct-consumed)",
         ("ann_index_sink",), (), (),

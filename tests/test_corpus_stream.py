@@ -2353,3 +2353,56 @@ def test_streaming_markup_scrub_matches_batch(spark, tmp_path):
     orig = {r.doc_id: r.text for r in docs.collect()}
     assert all(orig[d] == c for d, (_, _, c, _) in g.items()
                if orig[d] is not None)
+
+
+def test_setjoin_index_sink_crash_is_exactly_once(spark, tmp_path):
+    """The EXACT incremental join's streaming twin holds the same
+    at-least-once window discipline as the minhash sink: after a
+    crash past all three writes, the replayed batch joins against an
+    index + set store already containing its own docs — un-filtered,
+    every batch doc would match itself at jaccard 1.0.  The report
+    must instead converge to exactly the batch operator's output
+    (which the DuckDB oracle pins as brute-force-exact)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        setjoin_index_sink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = tmp_path / "arrivals"
+    args = (str(tmp_path / "prefix_index"),
+            str(tmp_path / "set_store"),
+            str(tmp_path / "reports"))
+
+    def drain(sink):
+        q = (stream_documents(spark, str(src) + "/*")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    docs.filter(F.col("doc_id") % 4 < 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    drain(setjoin_index_sink(*args))
+
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    crashed = False
+    try:
+        drain(setjoin_index_sink(*args, fail_after_all_writes_for=(1,)))
+    except Exception:
+        crashed = True
+    assert crashed
+    assert spark.read.parquet(args[0]).filter("batch_id = 1").count() > 0
+    assert spark.read.parquet(args[1]).filter("batch_id = 1").count() > 0
+
+    drain(setjoin_index_sink(*args))            # replay batch 1
+
+    got = {(r.batch_doc, r.seen_doc): (r.n_inter, r.n_union, r.jaccard)
+           for r in spark.read.parquet(args[2])
+           .filter("batch_id = 1").collect()}
+    want = {(r.batch_doc, r.seen_doc): (r.n_inter, r.n_union, r.jaccard)
+            for r in all_queries()["setjoin_incremental"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert got == want and len(want) > 0
+    assert all(b != s for b, s in got)          # nothing self-matched

@@ -706,3 +706,46 @@ def test_hll_sink_work_is_flat(spark, tmp_path):
     assert late <= 3.0 * early, (
         f"per-batch HLL work grew: early={early:.0f} "
         f"late={late:.0f} records/batch")
+
+
+def test_setjoin_index_sink_work_grows_linearly_not_quadratically(
+        spark, tmp_path):
+    """20 crawl drops through the EXACT prefix-index sink.  Per-batch
+    work is O(|batch| + |index store|): the index read grows linearly
+    as docs accumulate, but the candidate join touches only
+    same-prefix-fp rows — with unique pseudo-random texts the prefix
+    fps are essentially distinct, so candidates stay near zero while
+    the store grows 20x.  A rescore-the-corpus shape would grow the
+    join records with |store| x |batch|.  Same envelope bound as the
+    minhash sibling (store ~4.5x larger between windows: linear work
+    may grow ~4.5x + slack; quadratic would be ~20x)."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        setjoin_index_sink,
+    )
+
+    idx = str(tmp_path / "pidx")
+    sets_dir = str(tmp_path / "sets")
+    sink = setjoin_index_sink(idx, sets_dir, str(tmp_path / "out"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(MH_BATCHES):
+        sink(_mh_doc_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[3:6]) / 3
+    late = sum(work[17:20]) / 3
+    assert late <= 8.0 * early, (
+        f"per-batch setjoin-index work grew superlinearly: "
+        f"early={early:.0f} late={late:.0f} records/batch — the "
+        f"prefix index is supposed to keep the exact join off the "
+        f"full corpus")
+    # the fp-set store is one row per doc; the prefix index is
+    # n - ceil(n/2) + 1 entries per doc — strictly sub-set-size,
+    # linear in docs seen, never in pairs
+    n_docs = MH_BATCHES * MH_DOCS_PER_BATCH
+    assert spark.read.parquet(sets_dir).count() == n_docs
+    idx_rows = spark.read.parquet(idx).count()
+    sizes = spark.read.parquet(sets_dir).select(
+        F.size("fps").alias("n")).agg(
+        F.sum(F.expr("n - ((n + 1) div 2) + 1"))).collect()[0][0]
+    assert idx_rows == sizes

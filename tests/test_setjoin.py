@@ -132,3 +132,33 @@ def test_lsh_recall_exact_consistent_with_parts(spark):
     assert row.n_truth == n_pairs
     assert 0 <= row.n_found <= row.n_truth
     assert row.recall == row.n_found / row.n_truth
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(_PHRASES, min_size=0, max_size=3)),
+                min_size=2, max_size=20))
+def test_setjoin_incremental_matches_brute_force(spark, doc_phrases):
+    """The fp-order incremental form is exactly the cross-set subset
+    of the brute-force pairs: batch docs (id % 4 == 3) against seen
+    docs (id % 4 < 3), nothing more, nothing less."""
+    from cga_logs_to_kinesis_spark.operators.setjoin import (
+        setjoin_incremental,
+        shingle_fp_sets,
+    )
+
+    docs = [(i, None if ps is None else " ".join(ps))
+            for i, ps in enumerate(doc_phrases)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = shingle_fp_sets(sdf).localCheckpoint()
+    got = {(r.batch_doc, r.seen_doc): (r.n_inter, r.n_union)
+           for r in setjoin_incremental(
+               sets.filter("doc_id % 4 < 3"),
+               sets.filter("doc_id % 4 = 3")).collect()}
+    want = {}
+    for (a, b), iu in brute_force_pairs(docs).items():
+        for batch, seen in ((a, b), (b, a)):
+            if batch % 4 == 3 and seen % 4 < 3:
+                want[(batch, seen)] = iu
+    assert got == want
