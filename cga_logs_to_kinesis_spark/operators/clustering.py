@@ -118,6 +118,16 @@ def _kmeans_oracle(k: int = K_CLUSTERS, n_iters: int = N_ITERS) -> str:
     iterative algorithm normally escapes SQL oracles; pinning the
     iteration count turns it into straight-line dataflow.
     """
+    ctes, final = _kmeans_oracle_ctes(k, n_iters)
+    return (f"WITH {ctes} "
+            f"SELECT vec_id, cluster, sqdist FROM {final}")
+
+
+def _kmeans_oracle_ctes(k: int = K_CLUSTERS,
+                        n_iters: int = N_ITERS) -> tuple[str, str]:
+    """The unrolled-Lloyd CTE block and the name of its final
+    assignment relation — reusable by queries composed ON the
+    clustering (cluster_mixture)."""
     sqd = ("list_sum(list_transform(range(1, len(e.embedding) + 1), "
            "d -> (CAST(e.embedding[d] AS DOUBLE) - c.cent[d]) "
            "* (CAST(e.embedding[d] AS DOUBLE) - c.cent[d])))")
@@ -160,8 +170,7 @@ def _kmeans_oracle(k: int = K_CLUSTERS, n_iters: int = N_ITERS) -> str:
             SELECT c.cluster, COALESCE(cl.cent, c.cent) AS cent
             FROM c{i} c LEFT JOIN cl{i} cl USING (cluster)
         )""")
-    return ("WITH " + ",".join(parts)
-            + f" SELECT vec_id, cluster, sqdist FROM a{n_iters}")
+    return ",".join(parts), f"a{n_iters}"
 
 
 register(QuerySpec(
@@ -171,6 +180,68 @@ register(QuerySpec(
         f"{N_ITERS} iters, exact-decimal centroid updates; oracle = "
         "fixed-iteration unrolled CTE chain, bit-exact)",
     tags=("similarity", "north-star", "iterative", "pandas-udf"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced mixture: temperature weights over TOPIC mass
+# ---------------------------------------------------------------------------
+# mixture_weights rebalances by SOURCE; at web scale the sources are
+# few and coarse, and the balancing production pipelines actually run
+# (DCLM, SemDeDup §4) is by embedding-cluster — topics the metadata
+# doesn't label.  Composition: the k-means assignment above reduces
+# the corpus to k cluster sizes, and the SAME decimal-sqrt mixture
+# algebra (llm_pipeline.mixture_weight_columns, mass = vector count)
+# turns them into w ∝ n^0.5 resampling weights + expected epochs at
+# the fixed budget.  Plan: the clustering's own Arrow-map assignment,
+# one k-key groupBy (k=8 — partial aggs reduce map-side), and the
+# bounded global window over k rows (allowlisted, the
+# mixture_weights shape).
+
+def q_cluster_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        mixture_weight_columns,
+    )
+
+    tune_session(spark)
+    emb = load_embeddings(spark, sf_dir)
+    sizes = (kmeans(emb).groupBy("cluster")
+             .agg(F.count("*").alias("n_vecs")))
+    return (mixture_weight_columns(sizes, mass_col="n_vecs")
+            .orderBy("cluster"))
+
+
+from cga_logs_to_kinesis_spark.operators.llm_pipeline import (  # noqa: E402
+    MIX_TOKEN_BUDGET as _CM_BUDGET,
+)
+
+_CM_CTES, _CM_FINAL = _kmeans_oracle_ctes()
+
+register(QuerySpec(
+    "cluster_mixture", q_cluster_mixture,
+    oracle=f"""
+        WITH {_CM_CTES},
+        sizes AS (
+            SELECT cluster, COUNT(*) AS n_vecs
+            FROM {_CM_FINAL} GROUP BY cluster
+        ),
+        q AS (
+            SELECT cluster, n_vecs,
+                   CAST(sqrt(CAST(n_vecs AS DOUBLE))
+                        AS DECIMAL(38,6)) AS sq
+            FROM sizes
+        )
+        SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
+               CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE)
+                   AS weight,
+               (CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE)
+                * {_CM_BUDGET}) / n_vecs AS expected_epochs
+        FROM q
+    """,
+    doc="cluster-balanced temperature mixture (w ∝ cluster_size^0.5 "
+        "over the k-means topics) — the embedding-space twin of "
+        "mixture_weights, shared decimal-sqrt algebra",
+    tags=("similarity", "llm-pipeline", "agg", "ratio"),
 ))
 
 
@@ -464,7 +535,8 @@ from cga_logs_to_kinesis_spark.sources.tables import (  # noqa: E402
     gate_registered_oracles as _gate_oracles,
 )
 
-_gate_oracles("kmeans_embeddings", "embedding_covariance", "pca_project")
+_gate_oracles("kmeans_embeddings", "cluster_mixture",
+              "embedding_covariance", "pca_project")
 
 
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1063,14 +1063,17 @@ register(QuerySpec(
 MIX_TOKEN_BUDGET = 1_000_000
 
 
-def mixture_weight_columns(per_src: DataFrame) -> DataFrame:
-    """Append (weight, expected_epochs) to a per-source totals frame
-    carrying at least (source, n_tokens) — the temperature-mixture
-    algebra, shared by the batch query and
-    ``streaming/corpus.py::mixture_from_store`` so the decimal-sqrt
-    normalization cannot drift between one-shot and continuous use.
-    Extra columns (the batch query's n_docs) pass through."""
-    sq = (F.sqrt(F.col("n_tokens").cast("double"))
+def mixture_weight_columns(per_src: DataFrame,
+                           mass_col: str = "n_tokens") -> DataFrame:
+    """Append (weight, expected_epochs) to a per-group totals frame
+    carrying a positive ``mass_col`` — the temperature-mixture
+    algebra (w ∝ mass^0.5), shared by the batch query,
+    ``streaming/corpus.py::mixture_from_store``, and the
+    cluster-balanced variant (``clustering.py::cluster_mixture``,
+    mass = vector count) so the decimal-sqrt normalization cannot
+    drift between its uses.  Extra columns (the batch query's
+    n_docs) pass through."""
+    sq = (F.sqrt(F.col(mass_col).cast("double"))
           .cast("decimal(38,6)"))
     tot = F.sum(sq).over(
         Window.rowsBetween(Window.unboundedPreceding,
@@ -1080,7 +1083,7 @@ def mixture_weight_columns(per_src: DataFrame) -> DataFrame:
             .withColumn("weight", weight)
             .withColumn("expected_epochs",
                         (F.col("weight") * MIX_TOKEN_BUDGET)
-                        / F.col("n_tokens")))
+                        / F.col(mass_col)))
 
 
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

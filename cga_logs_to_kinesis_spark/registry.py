@@ -44,13 +44,14 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-15 curation -----------------------------------------------
-    # Leads: the nine r15-NEW oracle-paired queries
+    # Leads: the ten r15-NEW oracle-paired queries
     # (setjoin_prefix — EXACT prefix-filtered set-similarity join;
     # setjoin_incremental — its batch-vs-persisted-corpus form under
     # the incremental-stable fp order;
     # lsh_recall_exact — the banded-minhash surface audited against
     # that full-corpus truth; perplexity_split — CCNet per-language
     # LM tertiles; markup_scrub — HTML tag strip + entity decode;
+    # cluster_mixture — temperature weights over k-means topic mass;
     # line_dedup_scrub_rel — the corpus-relative df-share threshold
     # form; line_dedup_pipeline — intra-doc dedup then corpus scrub
     # fitted on the intra-deduped corpus, in one plan;
@@ -68,12 +69,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (CORRECTNESS_r11.json order — verified programmatically: green
     # in r11, absent from r12/r13/r14; bigram_surprisal, whose code
     # also changed this round, already sits in this cohort), then the
-    # 2 stalest of the r12 window (CORRECTNESS_r12.json order;
+    # single stalest r12 survivor (CORRECTNESS_r12.json order;
     # shard_assign yielded its slot to the late-round mixture_apply
-    # and leads the r16 stale-r12 pool).  9 + 6 + 33 + 2 = 50.
+    # and leads the r16 stale-r12 pool).  10 + 6 + 33 + 1 = 50.
     #
-    # Deferred to the r16 window: the remaining 45 stale-r12 queries
-    # in CORRECTNESS_r12.json order (shard_assign, training_order,
+    # Deferred to the r16 window: the remaining 46 stale-r12 queries
+    # in CORRECTNESS_r12.json order (shard_assign,
+    # encoding_anomaly_report, training_order,
     # training_interleave,
     # novelty_curve, cosine_topk_ivf_sq, event_funnel, join_key_skew,
     # sliding_window,
@@ -105,6 +107,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lsh_recall_exact",
     "perplexity_split",
     "markup_scrub",
+    "cluster_mixture",
     "line_dedup_scrub_rel",
     "line_dedup_pipeline",
     "doc_line_profile",
@@ -154,13 +157,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_weighted_sample",
     "rate_anomaly",
     "retention_cohorts",
-    # stalest r12 cohort (CORRECTNESS_r12.json order; the next five —
+    # stalest r12 survivor (CORRECTNESS_r12.json order; the next
+    # seven — encoding_anomaly_report, training_order,
     # training_interleave, novelty_curve, cosine_topk_ivf_sq,
     # event_funnel, join_key_skew — yielded their slots to the
     # late-round r15-new/changed queries above and now LEAD the r16
     # stale-r12 pool):
     "salted_join_plan",
-    "encoding_anomaly_report",
 )
 
 

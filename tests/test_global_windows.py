@@ -33,6 +33,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #   mixture_weights       - one row per source (curated dimension)
 #   mixture_apply         - same per-source fold (rates table)
 #   novelty_curve         - 10 decile rows
+#   cluster_mixture       - one row per k-means cluster (k = 8)
 ALLOWED: dict[str, tuple[int, int]] = {
     "share_of_total": (1, 8),
     "vocab_coverage": (1, 40),
@@ -41,6 +42,7 @@ ALLOWED: dict[str, tuple[int, int]] = {
     "mixture_weights": (1, 24),
     "mixture_apply": (1, 24),
     "novelty_curve": (1, 12),
+    "cluster_mixture": (1, 8),
 }
 
 
