@@ -112,12 +112,17 @@ def setjoin_pairs(docs: DataFrame) -> DataFrame:
                    F.collect_list(F.struct("df", "fp"))).alias("o")))
     p_len = (f"size(o) - ((size(o) * {SETJOIN_TNUM} "
              f"+ {SETJOIN_TDEN - 1}) div {SETJOIN_TDEN}) + 1")
+    # Checkpoint: pref feeds BOTH sides of the candidate self-join —
+    # without the cut the dfreq join + doc_id rebuild (the plan's two
+    # heaviest exchanges) run twice, once per side.  Measured 1.55x
+    # at sf0.1; at scale it halves the occurrence-sized shuffle.
     pref = (ordered
             .select("doc_id", F.size("o").alias("n"),
                     F.expr(f"slice(o, 1, {p_len})").alias("pref"))
             .select("doc_id", "n",
                     F.explode("pref").alias("e"))
-            .select("doc_id", "n", F.col("e.fp").alias("fp")))
+            .select("doc_id", "n", F.col("e.fp").alias("fp"))
+            .localCheckpoint())
     a = pref.select(F.col("doc_id").alias("doc_a"),
                     F.col("n").alias("n_a"), "fp")
     b = pref.select(F.col("doc_id").alias("doc_b"),
