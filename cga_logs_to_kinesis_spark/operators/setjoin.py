@@ -445,3 +445,109 @@ register(QuerySpec(
         "stay valid as the corpus grows — df order would not)",
     tags=("dedup", "north-star", "join", "exact", "incremental"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# lsh_recall_curve: the banding S-curve MEASURED, per Jaccard band
+# ---------------------------------------------------------------------------
+# lsh_recall_exact gives the one-number verdict; tuning b/r needs the
+# CURVE — banded minhash recall is ~1-(1-J^r)^b, so misses concentrate
+# just above the threshold and a single aggregate recall can hide a
+# hole at J≈0.5 behind perfect recall at J≈1.  Same two fronts, the
+# exact pairs bucketed by floor(jaccard*10) (floor of a bit-identical
+# double times ten — integer on both engines), LEFT-joined against the
+# LSH candidate surface, folded per band.
+
+def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    truth = setjoin_pairs(docs).select("doc_a", "doc_b", "jaccard")
+    sh = shingle_docs(docs).localCheckpoint()
+    cand = (lsh_candidate_ids(sh)
+            .select("doc_a", "doc_b", F.lit(1).alias("_found")))
+    jband = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)) \
+        .cast("long")
+    n_found = F.sum(F.when(F.col("_found") == 1, 1)
+                    .otherwise(0)).cast("long")
+    return (truth.join(cand, ["doc_a", "doc_b"], "left")
+            .groupBy(jband.alias("jband"))
+            .agg(F.count("*").cast("long").alias("n_truth"),
+                 n_found.alias("n_found"),
+                 F.try_divide(n_found.cast("double"),
+                              F.count("*").cast("double"))
+                 .alias("recall")))
+
+
+register(QuerySpec(
+    "lsh_recall_curve", q_lsh_recall_curve,
+    oracle=f"""
+        WITH {SHINGLES_SQL.strip()},
+        fsets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(shingles,
+                       s -> CAST(('0x' || substr(md5(s), 1, 15))
+                                 AS BIGINT))) AS fps
+            FROM shingled_ne
+        ),
+        flat AS (
+            SELECT doc_id, u.fp FROM fsets, UNNEST(fps) AS u(fp)
+        ),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM flat GROUP BY doc_id),
+        bpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_inter
+            FROM flat a JOIN flat b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT doc_a, doc_b,
+                   CAST(n_inter AS DOUBLE)
+                       / (na.n + nb.n - n_inter) AS jaccard
+            FROM bpairs
+            JOIN n na ON doc_a = na.doc_id
+            JOIN n nb ON doc_b = nb.doc_id
+            WHERE n_inter * {SETJOIN_TDEN}
+                  >= (na.n + nb.n - n_inter) * {SETJOIN_TNUM}
+        ),
+        sigs AS (
+            SELECT doc_id, b.band,
+                   list_min(list_transform(shingles,
+                            s -> md5(b.band || ':' || s))) AS sig
+            FROM shingled_ne,
+                 (SELECT unnest(range(0, {N_BANDS})) AS band) b
+        ),
+        banded AS (
+            SELECT doc_id, band // 2 AS band2,
+                   md5(array_to_string(
+                       list_sort(list(band || ':' || sig)), '')) AS sig2
+            FROM sigs
+            GROUP BY doc_id, band // 2
+        ),
+        eligible AS (
+            SELECT doc_id, band2, sig2 FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band2, sig2) AS bn
+                FROM banded
+            ) WHERE bn > 1 AND bn <= {MAX_BUCKET}
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS _found
+            FROM eligible a JOIN eligible b
+              ON a.band2 = b.band2 AND a.sig2 = b.sig2
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS jband,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(SUM(CASE WHEN _found = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_found,
+               CAST(SUM(CASE WHEN _found = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM truth LEFT JOIN cand USING (doc_a, doc_b)
+        GROUP BY 1
+    """,
+    doc="banded-minhash recall per exact-Jaccard decile band "
+        "(the measured S-curve vs full-corpus ground truth — misses "
+        "concentrate just above threshold; one number can hide them)",
+    tags=("dedup", "north-star", "audit", "agg"),
+))

@@ -44,12 +44,13 @@ def register(spec: QuerySpec) -> QuerySpec:
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-15 curation -----------------------------------------------
-    # Leads: the ten r15-NEW oracle-paired queries
+    # Leads: the eleven r15-NEW oracle-paired queries
     # (setjoin_prefix — EXACT prefix-filtered set-similarity join;
     # setjoin_incremental — its batch-vs-persisted-corpus form under
     # the incremental-stable fp order;
     # lsh_recall_exact — the banded-minhash surface audited against
-    # that full-corpus truth; perplexity_split — CCNet per-language
+    # that full-corpus truth; lsh_recall_curve — the same audit per
+    # exact-Jaccard decile band; perplexity_split — CCNet per-language
     # LM tertiles; markup_scrub — HTML tag strip + entity decode;
     # cluster_mixture — temperature weights over k-means topic mass;
     # line_dedup_scrub_rel — the corpus-relative df-share threshold
@@ -69,12 +70,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (CORRECTNESS_r11.json order — verified programmatically: green
     # in r11, absent from r12/r13/r14; bigram_surprisal, whose code
     # also changed this round, already sits in this cohort), then the
-    # single stalest r12 survivor (CORRECTNESS_r12.json order;
-    # shard_assign yielded its slot to the late-round mixture_apply
-    # and leads the r16 stale-r12 pool).  10 + 6 + 33 + 1 = 50.
+    # r12 block: fully deferred — the late-round wave displaced its
+    # last survivors (shard_assign yielded in the first rotation and
+    # leads the r16 stale-r12 pool).  11 + 6 + 33 = 50.
     #
-    # Deferred to the r16 window: the remaining 46 stale-r12 queries
-    # in CORRECTNESS_r12.json order (shard_assign,
+    # Deferred to the r16 window: the remaining 47 stale-r12 queries
+    # in CORRECTNESS_r12.json order (shard_assign, salted_join_plan,
     # encoding_anomaly_report, training_order,
     # training_interleave,
     # novelty_curve, cosine_topk_ivf_sq, event_funnel, join_key_skew,
@@ -105,6 +106,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "setjoin_prefix",
     "setjoin_incremental",
     "lsh_recall_exact",
+    "lsh_recall_curve",
     "perplexity_split",
     "markup_scrub",
     "cluster_mixture",
@@ -157,13 +159,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_weighted_sample",
     "rate_anomaly",
     "retention_cohorts",
-    # stalest r12 survivor (CORRECTNESS_r12.json order; the next
-    # seven — encoding_anomaly_report, training_order,
-    # training_interleave, novelty_curve, cosine_topk_ivf_sq,
-    # event_funnel, join_key_skew — yielded their slots to the
-    # late-round r15-new/changed queries above and now LEAD the r16
-    # stale-r12 pool):
-    "salted_join_plan",
 )
 
 

@@ -63,7 +63,7 @@ PROBED = [
     "line_dedup_intra", "line_dedup_scrub_rel",
     "doc_line_profile", "line_dedup_pipeline", "mixture_apply",
     "setjoin_prefix", "perplexity_split", "markup_scrub",
-    "lsh_recall_exact", "setjoin_incremental",
+    "lsh_recall_exact", "setjoin_incremental", "lsh_recall_curve",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",

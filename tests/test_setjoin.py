@@ -162,3 +162,50 @@ def test_setjoin_incremental_matches_brute_force(spark, doc_phrases):
             if batch % 4 == 3 and seen % 4 < 3:
                 want[(batch, seen)] = iu
     assert got == want
+
+
+def test_lsh_recall_curve_bands_and_consistency(spark):
+    """On a corpus with pairs at different Jaccard levels the curve
+    separates them into the right decile bands, every band's
+    n_found <= n_truth, and the bands sum to lsh_recall_exact's
+    totals."""
+    from cga_logs_to_kinesis_spark.operators.setjoin import (
+        q_lsh_recall_curve,
+        setjoin_pairs,
+    )
+    import math
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # pair 1: identical docs -> J = 1.0 (band 9)
+    # pair 2: J = 2/4 = 0.5  (band 5) — the construction from
+    # test_setjoin_finds_lsh_misses
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (10, "a b c d e"),
+        (11, "b c d e f"),
+        (20, "entirely different words with no overlap at all here"),
+    ]
+    d = {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows],
+         "lang": ["en"] * len(rows), "source": ["s"] * len(rows),
+         "n_chars": [len(r[1]) for r in rows]}
+    tmp = str(spark._sc._temp_dir) + "/recall_curve"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.table(d), f"{tmp}/documents.parquet")
+
+    curve = {r.jband: (r.n_truth, r.n_found, r.recall)
+             for r in q_lsh_recall_curve(spark, tmp).collect()}
+    assert set(curve) == {5, 9}
+    assert curve[9][0] == 1 and curve[5][0] == 1
+    for nt, nf, rec in curve.values():
+        assert 0 <= nf <= nt
+        assert rec == nf / nt or (math.isnan(rec) if nt == 0 else False)
+    # identical docs share every band bucket -> always found
+    assert curve[9][1] == 1
+    # totals agree with the whole-corpus truth
+    n_pairs = setjoin_pairs(
+        spark.read.parquet(f"{tmp}/documents.parquet")).count()
+    assert sum(nt for nt, _, _ in curve.values()) == n_pairs == 2
