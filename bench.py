@@ -186,7 +186,14 @@ def detect_current_round(repo_dir: str) -> int | None:
         try:
             return int(env)
         except ValueError:
-            pass
+            # Loud fallback: a natural typo like SPARK_GRAFT_ROUND=r15
+            # silently reverting to the glob heuristic could resolve
+            # the wrong round in a worktree with stale CORRECTNESS
+            # files — recreating the same-code-drift-as-regression
+            # confusion the env override exists to prevent.
+            print(f"BENCH WARNING: SPARK_GRAFT_ROUND={env!r} is not "
+                  f"an integer — ignoring it and deriving the round "
+                  f"from CORRECTNESS_r*.json", file=sys.stderr)
     ns = [int(m.group(1))
           for p in glob.glob(os.path.join(repo_dir,
                                           "CORRECTNESS_r*.json"))

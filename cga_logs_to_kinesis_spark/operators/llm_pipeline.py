@@ -1146,18 +1146,20 @@ MIX_DOWNSAMPLE_DEN = 2
 
 
 def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cga_logs_to_kinesis_spark.operators.normalize import md5_keep
+
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     per_src = (docs.groupBy("source")
                .agg(F.sum(_ntok()).alias("n_tokens")))
-    sq = (F.sqrt(F.col("n_tokens").cast("double"))
-          .cast("decimal(38,6)"))
+    # Weight comes from the SHARED mixture algebra (the decimal-sqrt
+    # normalization, one definition for batch / store / cluster
+    # variants); this apply additionally needs the corpus token total
+    # over the same bounded global window.
     win = Window.rowsBetween(Window.unboundedPreceding,
                              Window.unboundedFollowing)
-    weight = sq.cast("double") / F.sum(sq).over(win).cast("double")
-    srcs = per_src.select(
-        "source", "n_tokens", weight.alias("weight"),
-        F.sum("n_tokens").over(win).alias("total_tokens"))
+    srcs = (mixture_weight_columns(per_src)
+            .withColumn("total_tokens", F.sum("n_tokens").over(win)))
     p_keep = F.least(
         F.lit(1.0),
         F.try_divide(
@@ -1165,15 +1167,9 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.expr(f"total_tokens div {MIX_DOWNSAMPLE_DEN}"),
             F.col("n_tokens").cast("double")))
     rates = srcs.select("source", p_keep.alias("p_keep"))
-    cap_hex = F.lower(F.lpad(
-        F.hex(F.floor(F.col("p_keep") * F.lit(4294967295.0))
-              .cast("bigint")), 8, "0"))
-    draw = F.substring(
-        F.md5(F.concat(F.lit("mix:"),
-                       F.col("doc_id").cast("string"))), 1, 8)
     return (docs.join(F.broadcast(rates), "source", "left")
             .select("doc_id", "source", "p_keep",
-                    (draw <= cap_hex).alias("kept")))
+                    md5_keep("mix", F.col("p_keep")).alias("kept")))
 
 
 register(QuerySpec(

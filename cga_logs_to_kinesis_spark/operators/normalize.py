@@ -112,17 +112,27 @@ register(QuerySpec(
 _MAX32 = 4294967295
 
 
+def md5_keep(salt: str, p: F.Column) -> F.Column:
+    """Deterministic Bernoulli(p) keep decision: salted md5 prefix of
+    doc_id compared against p rendered as a hex cap — a pure string
+    compare, so the draw is cluster-layout independent and identical
+    in both engines.  ONE definition, shared by every sampling apply
+    (quality_weighted_sample, mixture_apply, their streaming twins)
+    so the cap rendering cannot drift between them."""
+    cap_hex = F.lower(F.lpad(
+        F.hex(F.floor(p * F.lit(float(_MAX32))).cast("bigint")),
+        8, "0"))
+    draw = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col("doc_id").cast("string"))), 1, 8)
+    return draw <= cap_hex
+
+
 def weighted_sample_columns() -> dict[str, F.Column]:
     """The weight and keep-decision Columns, shared by the batch query
     and the streaming twin (row-local, so parity is by construction)."""
     w = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 2000.0)
-    cap_hex = F.lower(F.lpad(
-        F.hex(F.floor(w * F.lit(float(_MAX32))).cast("bigint")),
-        8, "0"))
-    draw = F.substring(
-        F.md5(F.concat(F.lit("wsample:"),
-                       F.col("doc_id").cast("string"))), 1, 8)
-    return {"weight": w, "kept": draw <= cap_hex}
+    return {"weight": w, "kept": md5_keep("wsample", w)}
 
 
 def q_quality_weighted_sample(spark: SparkSession,

@@ -83,6 +83,79 @@ _FP = ("transform(shingles, s -> "
        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))")
 
 
+# Shared oracle CTE blocks (the lm_quality.SURPRISAL_SQL_CTES
+# convention): ONE definition of the fingerprint sets, the
+# brute-force truth pairs, and the banded-minhash candidate surface,
+# composed by the four oracles below — so a change to the fp cast,
+# the threshold arithmetic, or dedup.py's banding constants cannot
+# leave a stale hand-kept copy silently auditing a different surface.
+_FSETS_CTES = """fsets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(shingles,
+                       s -> CAST(('0x' || substr(md5(s), 1, 15))
+                                 AS BIGINT))) AS fps
+            FROM shingled_ne
+        ),
+        flat AS (
+            SELECT doc_id, u.fp FROM fsets, UNNEST(fps) AS u(fp)
+        ),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM flat GROUP BY doc_id)"""
+
+# Brute-force self-join truth at J >= T (algorithm-independent of the
+# prefix filter, so a filtering bug that loses a pair cannot cancel
+# out — the driver compare catches it as a missing row).
+_TRUTH_CTES = f"""bpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_inter
+            FROM flat a JOIN flat b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT doc_a, doc_b,
+                   CAST(n_inter AS BIGINT) AS n_inter,
+                   CAST(na.n + nb.n - n_inter AS BIGINT) AS n_union,
+                   CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter)
+                       AS jaccard
+            FROM bpairs
+            JOIN n na ON doc_a = na.doc_id
+            JOIN n nb ON doc_b = nb.doc_id
+            WHERE n_inter * {SETJOIN_TDEN}
+                  >= (na.n + nb.n - n_inter) * {SETJOIN_TNUM}
+        )"""
+
+# The production banded-minhash candidate surface — the SQL replica
+# of dedup.py's sigs/banded/eligible pipeline that the recall audits
+# score (same constants, imported).
+_LSH_CAND_CTES = f"""sigs AS (
+            SELECT doc_id, b.band,
+                   list_min(list_transform(shingles,
+                            s -> md5(b.band || ':' || s))) AS sig
+            FROM shingled_ne,
+                 (SELECT unnest(range(0, {N_BANDS})) AS band) b
+        ),
+        banded AS (
+            SELECT doc_id, band // 2 AS band2,
+                   md5(array_to_string(
+                       list_sort(list(band || ':' || sig)), '')) AS sig2
+            FROM sigs
+            GROUP BY doc_id, band // 2
+        ),
+        eligible AS (
+            SELECT doc_id, band2, sig2 FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band2, sig2) AS bn
+                FROM banded
+            ) WHERE bn > 1 AND bn <= {MAX_BUCKET}
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS _found
+            FROM eligible a JOIN eligible b
+              ON a.band2 = b.band2 AND a.sig2 = b.sig2
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )"""
+
+
 def shingle_fp_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, fps: array<bigint>) — distinct 60-bit fingerprints of
     the word-K-shingle set, the join's working representation."""
@@ -170,33 +243,9 @@ register(QuerySpec(
     "setjoin_prefix", q_setjoin_prefix,
     oracle=f"""
         WITH {SHINGLES_SQL.strip()},
-        fsets AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(shingles,
-                       s -> CAST(('0x' || substr(md5(s), 1, 15))
-                                 AS BIGINT))) AS fps
-            FROM shingled_ne
-        ),
-        flat AS (
-            SELECT doc_id, u.fp FROM fsets, UNNEST(fps) AS u(fp)
-        ),
-        n AS (SELECT doc_id, COUNT(*) AS n FROM flat GROUP BY doc_id),
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   COUNT(*) AS n_inter
-            FROM flat a JOIN flat b
-              ON a.fp = b.fp AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
-               CAST(na.n + nb.n - n_inter AS BIGINT) AS n_union,
-               CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter)
-                   AS jaccard
-        FROM pairs
-        JOIN n na ON doc_a = na.doc_id
-        JOIN n nb ON doc_b = nb.doc_id
-        WHERE n_inter * {SETJOIN_TDEN}
-              >= (na.n + nb.n - n_inter) * {SETJOIN_TNUM}
+        {_FSETS_CTES},
+        {_TRUTH_CTES}
+        SELECT doc_a, doc_b, n_inter, n_union, jaccard FROM truth
     """,
     doc="EXACT word-shingle Jaccard self-join (prefix filtering, "
         "SSJoin/All-Pairs): zero false negatives, unlike every "
@@ -229,16 +278,27 @@ register(QuerySpec(
 # possible but would couple the audit to both internals — two narrow
 # scans is the honest cost.
 
-def q_lsh_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    truth = setjoin_pairs(docs).select("doc_a", "doc_b")
+def lsh_truth_marked(docs: DataFrame) -> DataFrame:
+    """Exact truth pairs LEFT-marked by the production LSH candidate
+    surface — the shared front of the one-number audit and the
+    per-band curve below (each query is one fold over this frame, so
+    the two audits cannot drift onto different surfaces)."""
+    truth = setjoin_pairs(docs).select("doc_a", "doc_b", "jaccard")
     sh = shingle_docs(docs).localCheckpoint()
     cand = (lsh_candidate_ids(sh)
             .select("doc_a", "doc_b", F.lit(1).alias("_found")))
-    marked = truth.join(cand, ["doc_a", "doc_b"], "left")
-    n_found = F.sum(F.when(F.col("_found") == 1, 1)
-                    .otherwise(0)).cast("long")
+    return truth.join(cand, ["doc_a", "doc_b"], "left")
+
+
+def _n_found() -> F.Column:
+    return (F.sum(F.when(F.col("_found") == 1, 1)
+                  .otherwise(0)).cast("long"))
+
+
+def q_lsh_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    marked = lsh_truth_marked(load_table(spark, sf_dir, "documents"))
+    n_found = _n_found()
     return marked.agg(
         F.count("*").cast("long").alias("n_truth"),
         n_found.alias("n_found"),
@@ -250,59 +310,9 @@ register(QuerySpec(
     "lsh_recall_exact", q_lsh_recall_exact,
     oracle=f"""
         WITH {SHINGLES_SQL.strip()},
-        fsets AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(shingles,
-                       s -> CAST(('0x' || substr(md5(s), 1, 15))
-                                 AS BIGINT))) AS fps
-            FROM shingled_ne
-        ),
-        flat AS (
-            SELECT doc_id, u.fp FROM fsets, UNNEST(fps) AS u(fp)
-        ),
-        n AS (SELECT doc_id, COUNT(*) AS n FROM flat GROUP BY doc_id),
-        bpairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   COUNT(*) AS n_inter
-            FROM flat a JOIN flat b
-              ON a.fp = b.fp AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        truth AS (
-            SELECT doc_a, doc_b
-            FROM bpairs
-            JOIN n na ON doc_a = na.doc_id
-            JOIN n nb ON doc_b = nb.doc_id
-            WHERE n_inter * {SETJOIN_TDEN}
-                  >= (na.n + nb.n - n_inter) * {SETJOIN_TNUM}
-        ),
-        sigs AS (
-            SELECT doc_id, b.band,
-                   list_min(list_transform(shingles,
-                            s -> md5(b.band || ':' || s))) AS sig
-            FROM shingled_ne,
-                 (SELECT unnest(range(0, {N_BANDS})) AS band) b
-        ),
-        banded AS (
-            SELECT doc_id, band // 2 AS band2,
-                   md5(array_to_string(
-                       list_sort(list(band || ':' || sig)), '')) AS sig2
-            FROM sigs
-            GROUP BY doc_id, band // 2
-        ),
-        eligible AS (
-            SELECT doc_id, band2, sig2 FROM (
-                SELECT *, COUNT(*) OVER (PARTITION BY band2, sig2) AS bn
-                FROM banded
-            ) WHERE bn > 1 AND bn <= {MAX_BUCKET}
-        ),
-        cand AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS _found
-            FROM eligible a JOIN eligible b
-              ON a.band2 = b.band2 AND a.sig2 = b.sig2
-             AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
+        {_FSETS_CTES},
+        {_TRUTH_CTES},
+        {_LSH_CAND_CTES}
         SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
                CAST(SUM(CASE WHEN _found = 1 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_found,
@@ -411,17 +421,7 @@ register(QuerySpec(
     "setjoin_incremental", q_setjoin_incremental,
     oracle=f"""
         WITH {SHINGLES_SQL.strip()},
-        fsets AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(shingles,
-                       s -> CAST(('0x' || substr(md5(s), 1, 15))
-                                 AS BIGINT))) AS fps
-            FROM shingled_ne
-        ),
-        flat AS (
-            SELECT doc_id, u.fp FROM fsets, UNNEST(fps) AS u(fp)
-        ),
-        n AS (SELECT doc_id, COUNT(*) AS n FROM flat GROUP BY doc_id),
+        {_FSETS_CTES},
         pairs AS (
             SELECT b.doc_id AS batch_doc, s.doc_id AS seen_doc,
                    COUNT(*) AS n_inter
@@ -460,16 +460,11 @@ register(QuerySpec(
 
 def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    truth = setjoin_pairs(docs).select("doc_a", "doc_b", "jaccard")
-    sh = shingle_docs(docs).localCheckpoint()
-    cand = (lsh_candidate_ids(sh)
-            .select("doc_a", "doc_b", F.lit(1).alias("_found")))
+    marked = lsh_truth_marked(load_table(spark, sf_dir, "documents"))
     jband = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)) \
         .cast("long")
-    n_found = F.sum(F.when(F.col("_found") == 1, 1)
-                    .otherwise(0)).cast("long")
-    return (truth.join(cand, ["doc_a", "doc_b"], "left")
+    n_found = _n_found()
+    return (marked
             .groupBy(jband.alias("jband"))
             .agg(F.count("*").cast("long").alias("n_truth"),
                  n_found.alias("n_found"),
@@ -482,61 +477,9 @@ register(QuerySpec(
     "lsh_recall_curve", q_lsh_recall_curve,
     oracle=f"""
         WITH {SHINGLES_SQL.strip()},
-        fsets AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(shingles,
-                       s -> CAST(('0x' || substr(md5(s), 1, 15))
-                                 AS BIGINT))) AS fps
-            FROM shingled_ne
-        ),
-        flat AS (
-            SELECT doc_id, u.fp FROM fsets, UNNEST(fps) AS u(fp)
-        ),
-        n AS (SELECT doc_id, COUNT(*) AS n FROM flat GROUP BY doc_id),
-        bpairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   COUNT(*) AS n_inter
-            FROM flat a JOIN flat b
-              ON a.fp = b.fp AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        truth AS (
-            SELECT doc_a, doc_b,
-                   CAST(n_inter AS DOUBLE)
-                       / (na.n + nb.n - n_inter) AS jaccard
-            FROM bpairs
-            JOIN n na ON doc_a = na.doc_id
-            JOIN n nb ON doc_b = nb.doc_id
-            WHERE n_inter * {SETJOIN_TDEN}
-                  >= (na.n + nb.n - n_inter) * {SETJOIN_TNUM}
-        ),
-        sigs AS (
-            SELECT doc_id, b.band,
-                   list_min(list_transform(shingles,
-                            s -> md5(b.band || ':' || s))) AS sig
-            FROM shingled_ne,
-                 (SELECT unnest(range(0, {N_BANDS})) AS band) b
-        ),
-        banded AS (
-            SELECT doc_id, band // 2 AS band2,
-                   md5(array_to_string(
-                       list_sort(list(band || ':' || sig)), '')) AS sig2
-            FROM sigs
-            GROUP BY doc_id, band // 2
-        ),
-        eligible AS (
-            SELECT doc_id, band2, sig2 FROM (
-                SELECT *, COUNT(*) OVER (PARTITION BY band2, sig2) AS bn
-                FROM banded
-            ) WHERE bn > 1 AND bn <= {MAX_BUCKET}
-        ),
-        cand AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS _found
-            FROM eligible a JOIN eligible b
-              ON a.band2 = b.band2 AND a.sig2 = b.sig2
-             AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
+        {_FSETS_CTES},
+        {_TRUTH_CTES},
+        {_LSH_CAND_CTES}
         SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS jband,
                CAST(COUNT(*) AS BIGINT) AS n_truth,
                CAST(SUM(CASE WHEN _found = 1 THEN 1 ELSE 0 END)

@@ -67,15 +67,25 @@ def is_cheap_front(df: DataFrame) -> bool:
 
 
 def cheap_front(df: DataFrame, caller: str) -> DataFrame:
-    """Return ``df`` if it is cheap to re-evaluate, else a
+    """Return ``df`` if it is cheap to re-evaluate, else a LAZY
     localCheckpoint of it — with a :class:`DoubleEvaluationWarning`
-    naming ``caller`` so the cost is visible, not silent."""
+    naming ``caller`` so the cost is visible, not silent.
+
+    ``eager=False`` matters: the guard fires during PLAN CONSTRUCTION
+    (inside bucket_bounded / scrub_with_fps), and an eager checkpoint
+    there would run a full Spark job — and pin its blocks in executor
+    storage — for a caller that only wanted to inspect the plan
+    (formatted_plan, the plan-test sweeps).  Lazy keeps plan building
+    free; the materialization happens at the first real action, which
+    is when the double-evaluation saving is actually needed."""
     if is_cheap_front(df):
         return df
     warnings.warn(
         f"{caller} evaluates its input twice, but the frame passed is "
-        f"a computed subtree (join/aggregate/explode in its plan) — "
-        f"auto-materializing with localCheckpoint.  Checkpoint the "
-        f"frame yourself at the narrowest boundary to choose what is "
-        f"cached.", DoubleEvaluationWarning, stacklevel=3)
-    return df.localCheckpoint()
+        f"a computed subtree (join/aggregate/shuffle in its plan — "
+        f"explode alone is exempt, the documented "
+        f"recompute-don't-materialize pattern) — auto-materializing "
+        f"with a lazy localCheckpoint.  Checkpoint the frame yourself "
+        f"at the narrowest boundary to choose what is cached.",
+        DoubleEvaluationWarning, stacklevel=3)
+    return df.localCheckpoint(eager=False)
