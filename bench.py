@@ -169,6 +169,31 @@ def _recover_from_tail(record: dict, sf: float) -> dict | None:
             "recovered_from_tail": True}
 
 
+def _git_head_sha(repo_dir: str) -> str | None:
+    """HEAD SHA of the benched tree, stamped into every bench record.
+
+    Round arithmetic alone cannot tell the driver's post-round run
+    apart from a true round-over-round comparison (r15 verdict #1:
+    the driver benches AFTER CORRECTNESS_rN lands, self-identifies as
+    round N+1, and round N's own builder runs resolve as "previous
+    round" — so same-code host drift shipped wearing a BENCH
+    REGRESSION label in r14 AND r15).  The ground truth is the CODE:
+    a delta base whose records all carry the benched tree's SHA is by
+    construction the same code, and its deltas are host drift.
+    """
+    import subprocess
+    try:
+        res = subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    sha = (res.stdout or "").strip()
+    if res.returncode == 0 and re.fullmatch(r"[0-9a-f]{40}", sha):
+        return sha
+    return None
+
+
 def detect_current_round(repo_dir: str) -> int | None:
     """The round number THIS bench run belongs to.
 
@@ -221,6 +246,7 @@ def _resolve_round(sources: dict, rnd: int, sf: float) -> dict | None:
     the driver's parsed record, then tail recovery."""
     merged: dict[str, float] = {}
     used = []
+    shas: list[str | None] = []
     for path in sorted(sources.get("builder", [])):
         try:
             with open(path) as f:
@@ -231,13 +257,17 @@ def _resolve_round(sources: dict, rnd: int, sf: float) -> dict | None:
                 rec.get("queries"), dict):
             continue
         used.append(os.path.basename(path))
+        # None for pre-r16 records (no stamp): a base containing any
+        # unstamped record can never be PROVEN same-code, so the
+        # same-sha host-drift reroute stays conservative.
+        shas.append(rec.get("git_sha"))
         for k, v in rec["queries"].items():
             if k not in merged or v < merged[k]:
                 merged[k] = v
     if merged:
         return {"sf": sf, "queries": merged,
                 "base": f"r{rnd}:min({len(used)}runs)",
-                "base_files": used}
+                "base_files": used, "shas": shas}
     driver_path = sources.get("driver")
     if driver_path:
         try:
@@ -309,6 +339,108 @@ def current_round_bench(repo_dir: str, sf: float,
     if not sources or not sources.get("builder"):
         return None
     return _resolve_round({"builder": sources["builder"]}, rnd, sf)
+
+
+def delta_sections(repo_dir: str, sf: float, cur: int | None,
+                   timings: dict[str, float],
+                   canary: float | None,
+                   head_sha: str | None) -> tuple[dict, dict]:
+    """The round-over-round and host-drift sections of the record.
+
+    Returns ``(full_fields, out_fields)`` — merged into the persisted
+    record and the stdout line respectively — and prints the shouts.
+
+    Two independent defenses against mislabeling same-code drift as a
+    regression (r14 verdict #1 fixed the builder context; r15 verdict
+    #1 showed the driver context still conflated):
+
+    1. round arithmetic — rounds >= ``cur`` are excluded from the
+       round-over-round base (builder context: the current round's
+       own final runs are on disk before the driver benches);
+    2. SHA identity — since r16 every final-run record is stamped
+       with the git HEAD SHA at record time; when EVERY record of the
+       resolved base carries the benched tree's SHA, the base is the
+       same code no matter what round arithmetic says (driver
+       context: CORRECTNESS_rN has landed, the run self-identifies as
+       round N+1, and round N's builder runs — same SHA — resolve as
+       "previous").  Such a base is rerouted to the host-drift
+       section: canary-scaled threshold, HOST-DRIFT shout, never
+       REGRESSION.
+    """
+    full: dict = {}
+    out: dict = {}
+    prev = previous_round_bench(repo_dir, sf, before_round=cur)
+    prev_same_sha = (
+        prev is not None and head_sha is not None
+        and bool(prev.get("shas"))
+        and all(s == head_sha for s in prev["shas"]))
+    if prev is not None and not prev_same_sha:
+        deltas, regressions = {}, []
+        for name, sec in timings.items():
+            before = prev["queries"].get(name)
+            if not before:
+                continue
+            ratio = round(sec / before, 3)
+            deltas[name] = ratio
+            if ratio > REGRESSION_FACTOR:
+                regressions.append(name)
+                print(f"BENCH REGRESSION: {name} {sec:.2f}s is "
+                      f"{ratio:.2f}x the previous round's "
+                      f"{before:.2f}s (threshold "
+                      f"{REGRESSION_FACTOR}x)", file=sys.stderr)
+        ordered = sorted(deltas.values())
+        full["deltas"] = deltas
+        full["delta_base"] = prev.get("base")
+        full["delta_base_files"] = prev.get("base_files")
+        full["regressions"] = regressions
+        out["delta_median"] = (
+            round(ordered[len(ordered) // 2], 3) if ordered else None)
+        out["delta_base"] = prev.get("base")
+        # the stdout line caps the list (a bad round with many names
+        # could push the line past the driver's 2000-char tail and
+        # re-create the parsed:null failure — r14 advice); the full
+        # list is in docs/bench/last_run.json.
+        out["n_regressions"] = len(regressions)
+        out["regressions"] = regressions[:8]
+    elif prev_same_sha:
+        full["delta_skipped"] = (
+            f"base {prev.get('base')} carries the benched tree's SHA "
+            f"{head_sha[:12]} — same code, reported as host_drift")
+    # SAME-code host drift: this run vs a builder min of the SAME
+    # tree — any ratio here is host/run noise, reported under an
+    # honest name with a looser canary-scaled threshold (r14's
+    # "1.92x regression" and r15's four driver-record shouts were
+    # exactly this).  Two ways a base qualifies: the current round's
+    # own builder runs (round arithmetic), or a "previous"-round base
+    # whose records all carry HEAD's SHA (driver context).
+    host = current_round_bench(repo_dir, sf, cur) \
+        if cur is not None else None
+    if host is None and prev_same_sha:
+        host = dict(prev)
+        host["base"] = f"{prev.get('base')}:same-sha"
+    if host is not None:
+        host_threshold = max(
+            2.0, REGRESSION_FACTOR * max(1.0, canary or 1.0))
+        hd = {}
+        for name, sec in timings.items():
+            before = host["queries"].get(name)
+            if not before:
+                continue
+            hd[name] = round(sec / before, 3)
+            if hd[name] > host_threshold:
+                print(f"BENCH HOST-DRIFT: {name} {sec:.2f}s is "
+                      f"{hd[name]:.2f}x the same-code builder min "
+                      f"{before:.2f}s (same code — host noise, "
+                      f"threshold {host_threshold:.2f}x)",
+                      file=sys.stderr)
+        hs = sorted(hd.values())
+        full["host_drift"] = hd
+        full["host_base"] = host.get("base")
+        full["host_base_files"] = host.get("base_files")
+        out["host_drift_median"] = (
+            round(hs[len(hs) // 2], 3) if hs else None)
+        out["host_base"] = host.get("base")
+    return full, out
 
 
 def main() -> None:
@@ -385,66 +517,12 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     cur = detect_current_round(repo)
     full["current_round"] = cur
-    # TRUE round-over-round deltas: base strictly before the current
-    # round (r14 verdict #1 — the current round's own builder runs are
-    # on disk at driver time and must not be the base).
-    prev = previous_round_bench(repo, sf, before_round=cur)
-    if prev is not None:
-        deltas, regressions = {}, []
-        for name, sec in timings.items():
-            before = prev["queries"].get(name)
-            if not before:
-                continue
-            ratio = round(sec / before, 3)
-            deltas[name] = ratio
-            if ratio > REGRESSION_FACTOR:
-                regressions.append(name)
-                print(f"BENCH REGRESSION: {name} {sec:.2f}s is "
-                      f"{ratio:.2f}x the previous round's "
-                      f"{before:.2f}s (threshold "
-                      f"{REGRESSION_FACTOR}x)", file=sys.stderr)
-        ordered = sorted(deltas.values())
-        full["deltas"] = deltas
-        full["delta_base"] = prev.get("base")
-        full["delta_base_files"] = prev.get("base_files")
-        full["regressions"] = regressions
-        out["delta_median"] = (
-            round(ordered[len(ordered) // 2], 3) if ordered else None)
-        out["delta_base"] = prev.get("base")
-        # the stdout line caps the list (a bad round with many names
-        # could push the line past the driver's 2000-char tail and
-        # re-create the parsed:null failure — r14 advice); the full
-        # list is in docs/bench/last_run.json.
-        out["n_regressions"] = len(regressions)
-        out["regressions"] = regressions[:8]
-    # SAME-round host drift: this run vs the current round's own
-    # builder min — same code, so any ratio here is host/run noise,
-    # reported under an honest name with a looser canary-scaled
-    # threshold (r14's "1.92x regression" shout was exactly this).
-    host = current_round_bench(repo, sf, cur) if cur is not None \
-        else None
-    if host is not None:
-        canary = out.get("canary_drift") or 1.0
-        host_threshold = max(2.0, REGRESSION_FACTOR * max(1.0, canary))
-        hd = {}
-        for name, sec in timings.items():
-            before = host["queries"].get(name)
-            if not before:
-                continue
-            hd[name] = round(sec / before, 3)
-            if hd[name] > host_threshold:
-                print(f"BENCH HOST-DRIFT: {name} {sec:.2f}s is "
-                      f"{hd[name]:.2f}x this round's builder min "
-                      f"{before:.2f}s (same code — host noise, "
-                      f"threshold {host_threshold:.2f}x)",
-                      file=sys.stderr)
-        hs = sorted(hd.values())
-        full["host_drift"] = hd
-        full["host_base"] = host.get("base")
-        full["host_base_files"] = host.get("base_files")
-        out["host_drift_median"] = (
-            round(hs[len(hs) // 2], 3) if hs else None)
-        out["host_base"] = host.get("base")
+    head_sha = _git_head_sha(repo)
+    full["git_sha"] = head_sha
+    d_full, d_out = delta_sections(repo, sf, cur, timings,
+                                   out.get("canary_drift"), head_sha)
+    full.update(d_full)
+    out.update(d_out)
     line = json.dumps(out)
     if len(line) > 1900:  # headroom under the driver's 2000-char tail
         # drop optional summary fields (never timings — they are the

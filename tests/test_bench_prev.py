@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -188,3 +189,124 @@ def test_current_round_bench_is_builder_only(tmp_path):
     assert host["queries"] == {"q1": 2.5}
     assert host["base"] == "r15:min(2runs)"
     assert current_round_bench(tmp, 0.1, 16) is None
+
+
+# ---------------------------------------------------------------------------
+# r15 verdict #1: same-SHA bases are host drift, never REGRESSION
+# ---------------------------------------------------------------------------
+
+from bench import _git_head_sha, delta_sections  # noqa: E402
+
+SHA_A = "a" * 40
+SHA_B = "b" * 40
+
+
+def _builder_sha(tmp, rnd, run, queries, sha, sf=0.1):
+    _write(os.path.join(tmp, "docs", "bench",
+                        f"r{rnd}_final_run{run}.json"),
+           {"metric": "headline_suite_wall_clock", "sf": sf,
+            "queries": queries, "git_sha": sha})
+
+
+def test_driver_context_same_sha_base_reroutes_to_host_drift(
+        tmp_path, capsys, monkeypatch):
+    """The exact driver scenario from the r15 verdict: the driver
+    benches AFTER CORRECTNESS_r16 lands (so the run self-identifies
+    as round 17), round 16's own builder runs resolve as the
+    "previous round", and their code IS the benched tree — the record
+    must say HOST-DRIFT, never BENCH REGRESSION."""
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    tmp = str(tmp_path)
+    _write(os.path.join(tmp, "CORRECTNESS_r16.json"), {})
+    cur = detect_current_round(tmp)
+    assert cur == 17  # the post-round self-identification
+    _builder_sha(tmp, 16, 1, {"q1": 2.0, "q2": 1.0}, SHA_A)
+    full, out = delta_sections(tmp, 0.1, cur,
+                               {"q1": 4.2, "q2": 1.05},
+                               canary=1.3, head_sha=SHA_A)
+    err = capsys.readouterr().err
+    assert "BENCH REGRESSION" not in err
+    # 4.2/2.0 = 2.1x > threshold max(2.0, 1.5*1.3) = 2.0 -> shout,
+    # under its honest name
+    assert "BENCH HOST-DRIFT: q1" in err
+    assert "q2" not in err  # 1.05x is under every threshold
+    assert "deltas" not in full and "regressions" not in full
+    assert full["host_drift"] == {"q1": 2.1, "q2": 1.05}
+    assert full["host_base"] == "r16:min(1runs):same-sha"
+    assert "same code" in full["delta_skipped"]
+    assert out["host_base"] == "r16:min(1runs):same-sha"
+    assert "delta_base" not in out
+
+
+def test_different_sha_base_keeps_the_regression_label(
+        tmp_path, capsys):
+    tmp = str(tmp_path)
+    _builder_sha(tmp, 15, 1, {"q1": 2.0}, SHA_B)
+    full, out = delta_sections(tmp, 0.1, 16, {"q1": 4.2},
+                               canary=1.0, head_sha=SHA_A)
+    assert "BENCH REGRESSION: q1" in capsys.readouterr().err
+    assert full["regressions"] == ["q1"]
+    assert full["deltas"] == {"q1": 2.1}
+    assert "host_drift" not in full
+
+
+def test_unstamped_base_cannot_be_proven_same_code(tmp_path, capsys):
+    """Pre-r16 final-run records carry no git_sha: the reroute must
+    stay conservative and keep the round-over-round label."""
+    tmp = str(tmp_path)
+    _builder(tmp, 15, 1, {"q1": 2.0})
+    full, _ = delta_sections(tmp, 0.1, 16, {"q1": 4.2},
+                             canary=1.0, head_sha=SHA_A)
+    assert "BENCH REGRESSION: q1" in capsys.readouterr().err
+    assert full["deltas"] == {"q1": 2.1}
+
+
+def test_mixed_stamped_and_unstamped_base_is_not_same_code(
+        tmp_path, capsys):
+    """EVERY record of the base must carry HEAD's SHA — one unstamped
+    run in the min-merge and the base may include foreign code."""
+    tmp = str(tmp_path)
+    _builder_sha(tmp, 16, 1, {"q1": 2.0}, SHA_A)
+    _builder(tmp, 16, 2, {"q1": 2.5})
+    full, _ = delta_sections(tmp, 0.1, 17, {"q1": 4.2},
+                             canary=1.0, head_sha=SHA_A)
+    assert "BENCH REGRESSION: q1" in capsys.readouterr().err
+    assert "host_drift" not in full
+
+
+def test_builder_context_unchanged_by_sha_stamping(tmp_path, capsys):
+    """Mid-round builder run: current round's own runs are the host
+    base (round arithmetic), the prior round (different SHA) keeps
+    the regression label — both sections present, no crosstalk."""
+    tmp = str(tmp_path)
+    _builder_sha(tmp, 15, 1, {"q1": 2.0}, SHA_B)   # previous round
+    _builder_sha(tmp, 16, 1, {"q1": 2.2}, SHA_A)   # current round
+    full, out = delta_sections(tmp, 0.1, 16, {"q1": 2.3},
+                               canary=1.0, head_sha=SHA_A)
+    err = capsys.readouterr().err
+    assert "BENCH REGRESSION" not in err  # 2.3/2.0 = 1.15x, fine
+    assert full["deltas"] == {"q1": 1.15}
+    assert full["delta_base"] == "r15:min(1runs)"
+    assert full["host_base"] == "r16:min(1runs)"
+    assert round(full["host_drift"]["q1"], 3) == 1.045
+
+
+def test_same_sha_prev_yields_to_current_round_host_base(tmp_path):
+    """When both qualify (current-round runs exist AND the resolved
+    prev is same-SHA), the current round's own min is the host base
+    and the round-over-round section is still skipped."""
+    tmp = str(tmp_path)
+    _builder_sha(tmp, 16, 1, {"q1": 2.0}, SHA_A)
+    _builder_sha(tmp, 17, 1, {"q1": 2.2}, SHA_A)
+    full, _ = delta_sections(tmp, 0.1, 17, {"q1": 2.3},
+                             canary=1.0, head_sha=SHA_A)
+    assert "deltas" not in full
+    assert full["host_base"] == "r17:min(1runs)"
+
+
+def test_git_head_sha_of_this_repo():
+    sha = _git_head_sha("/root/repo")
+    assert sha is not None
+    assert re.fullmatch(r"[0-9a-f]{40}", sha)
+    assert _git_head_sha("/tmp") is None  # not a repo -> None, no raise
+
