@@ -207,7 +207,11 @@ def q_cluster_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     sizes = (kmeans(emb).groupBy("cluster")
              .agg(F.count("*").alias("n_vecs")))
-    return (mixture_weight_columns(sizes, mass_col="n_vecs")
+    # budget_per_vec, not expected_epochs: the shared budget constant
+    # is a TOKEN budget and the mass here is a vector count, so the
+    # ratio's units are budget-tokens per cluster vector (r15 advice).
+    return (mixture_weight_columns(sizes, mass_col="n_vecs",
+                                   budget_col="budget_per_vec")
             .orderBy("cluster"))
 
 
@@ -235,7 +239,7 @@ register(QuerySpec(
                CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE)
                    AS weight,
                (CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE)
-                * {_CM_BUDGET}) / n_vecs AS expected_epochs
+                * {_CM_BUDGET}) / n_vecs AS budget_per_vec
         FROM q
     """,
     doc="cluster-balanced temperature mixture (w ∝ cluster_size^0.5 "

@@ -1064,15 +1064,24 @@ MIX_TOKEN_BUDGET = 1_000_000
 
 
 def mixture_weight_columns(per_src: DataFrame,
-                           mass_col: str = "n_tokens") -> DataFrame:
-    """Append (weight, expected_epochs) to a per-group totals frame
+                           mass_col: str = "n_tokens",
+                           budget_col: str = "expected_epochs",
+                           ) -> DataFrame:
+    """Append (weight, ``budget_col``) to a per-group totals frame
     carrying a positive ``mass_col`` — the temperature-mixture
     algebra (w ∝ mass^0.5), shared by the batch query,
     ``streaming/corpus.py::mixture_from_store``, and the
     cluster-balanced variant (``clustering.py::cluster_mixture``,
     mass = vector count) so the decimal-sqrt normalization cannot
     drift between its uses.  Extra columns (the batch query's
-    n_docs) pass through."""
+    n_docs) pass through.
+
+    ``budget_col`` names the budget-share-over-mass column: when mass
+    is tokens the units are genuinely epochs (budget tokens / corpus
+    tokens per group), so the default name holds; a caller whose mass
+    is NOT tokens (cluster_mixture's vector counts) must rename it —
+    the value is then budget-tokens-per-mass-unit, not epochs, and
+    keeping the default name would mislabel the units (r15 advice)."""
     sq = (F.sqrt(F.col(mass_col).cast("double"))
           .cast("decimal(38,6)"))
     tot = F.sum(sq).over(
@@ -1081,7 +1090,7 @@ def mixture_weight_columns(per_src: DataFrame,
     weight = sq.cast("double") / tot.cast("double")
     return (per_src
             .withColumn("weight", weight)
-            .withColumn("expected_epochs",
+            .withColumn(budget_col,
                         (F.col("weight") * MIX_TOKEN_BUDGET)
                         / F.col(mass_col)))
 

@@ -77,7 +77,7 @@ def test_prune_preserves_order_and_counts(spark, tmp_path):
     assert sum(r.n_removed for r in out) > 0
 
 
-def test_unigram_rarity_orders_rare_above_common(spark):
+def test_unigram_rarity_orders_rare_above_common(spark, tmp_path):
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (
         q_unigram_rarity,
     )
@@ -93,7 +93,7 @@ def test_unigram_rarity_orders_rare_above_common(spark):
          "n_chars": [20] * 4}
     import pyarrow as pa
     import pyarrow.parquet as pq
-    os.makedirs(tmp := str(spark._sc._temp_dir) + "/rarity", exist_ok=True)
+    os.makedirs(tmp := str(tmp_path / "rarity"), exist_ok=True)
     pq.write_table(pa.table(d), f"{tmp}/documents.parquet")
     rows = {r.doc_id: r.rarity_score
             for r in q_unigram_rarity(spark, tmp).collect()}

@@ -22,16 +22,15 @@ from cga_logs_to_kinesis_spark.operators.lm_quality import (
 )
 
 
-def _fixture_dir(spark, name, rows):
-    """documents.parquet shaped like the fixtures, under the session
-    temp dir; rows = list of (doc_id, text, lang)."""
+def _fixture_dir(tmp_path, name, rows):
+    """documents.parquet shaped like the fixtures, under pytest's
+    tmp_path; rows = list of (doc_id, text, lang)."""
     d = {"doc_id": [r[0] for r in rows],
          "text": [r[1] for r in rows],
          "lang": [r[2] for r in rows],
          "source": ["s"] * len(rows),
          "n_chars": [len(r[1]) for r in rows]}
-    os.makedirs(tmp := str(spark._sc._temp_dir) + f"/{name}",
-                exist_ok=True)
+    os.makedirs(tmp := str(tmp_path / name), exist_ok=True)
     pq.write_table(pa.table(d), f"{tmp}/documents.parquet")
     return tmp
 
@@ -59,7 +58,7 @@ def _brute_surprisal(corpus: dict[int, str]) -> dict[int, float]:
             for doc_id, pairs in bigrams.items()}
 
 
-def test_bigram_surprisal_matches_textbook_model(spark):
+def test_bigram_surprisal_matches_textbook_model(spark, tmp_path):
     corpus = {
         1: "the cat sat on the mat",
         2: "the cat sat on the cat",
@@ -68,7 +67,7 @@ def test_bigram_surprisal_matches_textbook_model(spark):
         5: "solo",                      # < 2 tokens: no row
     }
     tmp = _fixture_dir(
-        spark, "bisurp", [(i, t, "en") for i, t in corpus.items()])
+        tmp_path, "bisurp", [(i, t, "en") for i, t in corpus.items()])
     got = {r.doc_id: (r.n_bigrams, r.surprisal_score)
            for r in q_bigram_surprisal(spark, tmp).collect()}
     want = _brute_surprisal(corpus)
@@ -79,9 +78,9 @@ def test_bigram_surprisal_matches_textbook_model(spark):
         assert s == pytest.approx(score, rel=1e-5)
 
 
-def test_bigram_surprisal_orders_unusual_transitions(spark):
+def test_bigram_surprisal_orders_unusual_transitions(spark, tmp_path):
     common = "alpha beta " * 20
-    tmp = _fixture_dir(spark, "biorder", [
+    tmp = _fixture_dir(tmp_path, "biorder", [
         (1, common.strip(), "en"),
         (2, common.strip(), "en"),
         (3, "alpha beta alpha zzz beta alpha beta alpha beta", "en"),
@@ -93,9 +92,9 @@ def test_bigram_surprisal_orders_unusual_transitions(spark):
     assert got[1] == got[2]
 
 
-def test_dsir_weights_favor_target_like_docs(spark):
+def test_dsir_weights_favor_target_like_docs(spark, tmp_path):
     # target (en) vocabulary: targetish; raw-only vocabulary: rawish
-    tmp = _fixture_dir(spark, "dsir", [
+    tmp = _fixture_dir(tmp_path, "dsir", [
         (1, "targetish targetish targetish", "en"),
         (2, "targetish targetish targetish", "en"),
         (3, "targetish targetish targetish", "zh"),   # target-like raw doc
@@ -112,7 +111,7 @@ def _gopher_doc(n_words=50, stop_hits=2, word="token"):
     return " ".join(stops + [word] * (n_words - len(stops)))
 
 
-def test_gopher_each_rule_drops_individually(spark):
+def test_gopher_each_rule_drops_individually(spark, tmp_path):
     base = _gopher_doc()
     violations = {
         2: _gopher_doc(n_words=GOPHER_MIN_WORDS - 1),        # too short
@@ -125,7 +124,7 @@ def test_gopher_each_rule_drops_individually(spark):
     }
     rows = [(1, base, "en")] + [(i, t, "en")
                                 for i, t in violations.items()]
-    tmp = _fixture_dir(spark, "gopher", rows)
+    tmp = _fixture_dir(tmp_path, "gopher", rows)
     got = {r.doc_id: r for r in q_gopher_quality(spark, tmp).collect()}
     assert got[1].keep is True
     for doc_id in violations:
@@ -136,10 +135,10 @@ def test_gopher_each_rule_drops_individually(spark):
     assert got[1].alpha_word_ratio == pytest.approx(1.0)
 
 
-def test_gopher_stop_hits_count_distinct_presence(spark):
+def test_gopher_stop_hits_count_distinct_presence(spark, tmp_path):
     # repeating one stopword many times still counts as 1 hit
     text = " ".join([GOPHER_STOPWORDS[0]] * 30 + ["token"] * 20)
-    tmp = _fixture_dir(spark, "gopherstop", [(1, text, "en")])
+    tmp = _fixture_dir(tmp_path, "gopherstop", [(1, text, "en")])
     [r] = q_gopher_quality(spark, tmp).collect()
     assert r.stop_hits == 1
     assert r.keep is False
@@ -177,7 +176,7 @@ def test_streaming_gopher_matches_batch(spark, tmp_path):
         assert tuple(got[doc_id]) == tuple(want[doc_id])
 
 
-def test_perplexity_split_tertiles_per_lang(spark):
+def test_perplexity_split_tertiles_per_lang(spark, tmp_path):
     """Bucket sizes are exact integer tertiles WITHIN each language,
     ordering follows the LM score ascending (head = most fluent), and
     unscoreable (<2 token) docs are absent."""
@@ -197,7 +196,7 @@ def test_perplexity_split_tertiles_per_lang(spark):
     rows.append((11, common + " encore", "fr"))
     rows.append((12, "unique mots jamais vus ensemble ici", "fr"))
     rows.append((13, "solo", "fr"))          # unscoreable
-    tmp = _fixture_dir(spark, "ppsplit", rows)
+    tmp = _fixture_dir(tmp_path, "ppsplit", rows)
     got = {r.doc_id: (r.lang, r.bucket, r.keep, r.surprisal_score)
            for r in q_perplexity_split(spark, tmp).collect()}
     assert 13 not in got

@@ -164,7 +164,7 @@ def test_setjoin_incremental_matches_brute_force(spark, doc_phrases):
     assert got == want
 
 
-def test_lsh_recall_curve_bands_and_consistency(spark):
+def test_lsh_recall_curve_bands_and_consistency(spark, tmp_path):
     """On a corpus with pairs at different Jaccard levels the curve
     separates them into the right decile bands, every band's
     n_found <= n_truth, and the bands sum to lsh_recall_exact's
@@ -192,7 +192,7 @@ def test_lsh_recall_curve_bands_and_consistency(spark):
     d = {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows],
          "lang": ["en"] * len(rows), "source": ["s"] * len(rows),
          "n_chars": [len(r[1]) for r in rows]}
-    tmp = str(spark._sc._temp_dir) + "/recall_curve"
+    tmp = str(tmp_path / "recall_curve")
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(pa.table(d), f"{tmp}/documents.parquet")
 
