@@ -436,3 +436,163 @@ register(QuerySpec(
         "(integer-exact ranks, no float percentile boundary)",
     tags=("text", "north-star", "quality", "window"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier — hashing-trick linear keep/drop scorer
+# ---------------------------------------------------------------------------
+# The CCNet / LLaMA curation stage the rule batteries above don't
+# cover: a *trained* linear classifier over hashed bag-of-words
+# features (fastText's model shape — Joulin et al. 2017, "Bag of
+# Tricks"; applied as the wiki-reference quality filter in CCNet
+# (Wenzek 2020 §4.3) and LLaMA (Touvron 2023 §2)).  The engine
+# implements the APPLY half: score(doc) = bias + mean over tokens of
+# w[h(token) mod B] — a linear model over B hashed feature buckets.
+#
+# Model-as-fixture convention: real pipelines load trained weights
+# from an artifact; here the weight table is a FIXED PUBLIC function
+# of the bucket id (md5-derived integer milliweights in
+# [-QCLF_WEIGHT_SPAN, +QCLF_WEIGHT_SPAN]), so both engines derive
+# the identical model in-expression and the scorer itself is what's
+# under test.  Two-level hashing keeps the hashing trick's collision
+# structure: tokens share a weight iff they share a bucket.
+#
+# Exactness: weights are integers, the per-doc sum is an exact
+# bigint fold, and the decision boundary keep = (sum + bias*n >= 0)
+# is INTEGER arithmetic — no float compare anywhere.  The reported
+# score is one double division of exact integers (bit-identical
+# across engines).  The sigmoid fastText applies is a monotone
+# calibration: keep ≡ sigmoid(score) >= 1/2 at the zero threshold,
+# so it is omitted per the repo's log/exp-free exactness convention
+# (the surprisal/dsir precedent).
+#
+# 100 TB: the apply is MAP-ONLY — tokenize, hash, fold, compare, all
+# row-local narrow expressions in whole-stage codegen; zero
+# exchanges (plan-asserted), scan-bound at any scale.  A real
+# trained model swaps the in-expression weight derivation for a
+# broadcast of the weight vector (B = 2^21 floats ≈ 8 MB — one
+# torrent to each executor, apply still map-only); the bucket
+# hashing and fold shape are unchanged.
+
+QCLF_BUCKETS = 1024        # fixture-scale B; fastText uses 2^21
+QCLF_WEIGHT_SPAN = 1000    # integer milliweights in [-1000, 1000]
+QCLF_BIAS_MILLI = -25      # nonzero so the boundary isn't symmetric
+
+
+def _qclf_w(tok_expr: str) -> str:
+    """Spark SQL: integer milliweight of one token — bucket by md5,
+    then the bucket's fixed public weight by a second md5."""
+    bucket = (f"cast(conv(substring(md5(concat('qb:', {tok_expr})), "
+              f"1, 15), 16, 10) as bigint) % {QCLF_BUCKETS}")
+    return (f"(cast(conv(substring(md5(concat('qw:', "
+            f"cast(({bucket}) as string))), 1, 15), 16, 10) as bigint)"
+            f" % {2 * QCLF_WEIGHT_SPAN + 1}) - {QCLF_WEIGHT_SPAN}")
+
+
+def _qclf_w_sql(tok_expr: str) -> str:
+    """The DuckDB twin of :func:`_qclf_w` (same md5/hex-cast algebra
+    as the dedup fingerprints — both casts are positive, so plain %
+    agrees)."""
+    bucket = (f"CAST(('0x' || substr(md5('qb:' || {tok_expr}), 1, 15))"
+              f" AS BIGINT) % {QCLF_BUCKETS}")
+    return (f"(CAST(('0x' || substr(md5('qw:' || "
+            f"CAST(({bucket}) AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" % {2 * QCLF_WEIGHT_SPAN + 1}) - {QCLF_WEIGHT_SPAN}")
+
+
+def classifier_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, lang, n_toks, clf_milli, clf_score, keep) —
+    the linear-classifier apply, shared by the report and the
+    survivor filter so the model cannot drift between them.
+
+    clf_milli = sum over tokens of w[h(t)] + bias * n_toks (exact
+    bigint); clf_score = clf_milli / (1000 * n_toks); keep =
+    clf_milli >= 0.  Documents with no tokens are excluded (the
+    quarantine report's jurisdiction, the LM scorers' convention).
+    """
+    return (docs
+            .withColumn("_toks", norm_tokens())
+            .filter(F.size("_toks") >= 1)
+            .select(
+                "doc_id", "source", "lang",
+                F.size("_toks").alias("n_toks"),
+                F.expr(
+                    f"aggregate(_toks, cast(0 as bigint), "
+                    f"(acc, t) -> acc + ({_qclf_w('t')}))"
+                ).alias("_wsum"))
+            .withColumn(
+                "clf_milli",
+                F.col("_wsum") + F.lit(QCLF_BIAS_MILLI) * F.col("n_toks"))
+            .withColumn(
+                "clf_score",
+                F.col("clf_milli").cast("double")
+                / (F.lit(float(QCLF_WEIGHT_SPAN)) * F.col("n_toks")))
+            .withColumn("keep", F.col("clf_milli") >= 0)
+            .drop("_wsum"))
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return classifier_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_classifier_apply(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The survivor half: the corpus filtered to keep = true — the
+    frame the next pipeline stage trains on."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (classifier_scores(docs)
+            .filter(F.col("keep"))
+            .select("doc_id", "source", "lang", "n_toks", "clf_score"))
+
+
+# Shared oracle CTE block ending in a ``clf`` relation — the SQL twin
+# of :func:`classifier_scores` (SURPRISAL_SQL_CTES convention).
+QCLF_SQL_CTES = f"""
+        qtoks AS (
+            SELECT doc_id, source, lang, {NORM_TOKENS_SQL} AS toks
+            FROM documents
+        ),
+        qsummed AS (
+            SELECT doc_id, source, lang,
+                   len(toks) AS n_toks,
+                   CAST(list_sum(list_transform(toks,
+                       t -> {_qclf_w_sql('t')})) AS BIGINT)
+                   + ({QCLF_BIAS_MILLI} * len(toks)) AS clf_milli
+            FROM qtoks WHERE len(toks) >= 1
+        ),
+        clf AS (
+            SELECT doc_id, source, lang, CAST(n_toks AS INT) AS n_toks,
+                   clf_milli,
+                   CAST(clf_milli AS DOUBLE)
+                       / ({float(QCLF_WEIGHT_SPAN)} * n_toks) AS clf_score,
+                   clf_milli >= 0 AS keep
+            FROM qsummed
+        )
+"""
+
+register(QuerySpec(
+    "quality_classifier", q_quality_classifier,
+    oracle=f"""
+        WITH {QCLF_SQL_CTES.strip()}
+        SELECT doc_id, source, lang, n_toks, clf_milli, clf_score,
+               keep
+        FROM clf
+    """,
+    doc="fastText-style hashing-trick linear quality scorer "
+        "(md5-bucketed features, fixed public milliweights, "
+        "integer-exact keep boundary; map-only apply)",
+    tags=("text", "north-star", "quality", "classifier"),
+))
+
+register(QuerySpec(
+    "quality_classifier_apply", q_quality_classifier_apply,
+    oracle=f"""
+        WITH {QCLF_SQL_CTES.strip()}
+        SELECT doc_id, source, lang, n_toks, clf_score
+        FROM clf WHERE keep
+    """,
+    doc="the classifier's survivors: corpus filtered to keep = true",
+    tags=("text", "north-star", "quality", "classifier", "filter"),
+))

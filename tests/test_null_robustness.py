@@ -64,6 +64,7 @@ PROBED = [
     "doc_line_profile", "line_dedup_pipeline", "mixture_apply",
     "setjoin_prefix", "perplexity_split", "markup_scrub",
     "lsh_recall_exact", "setjoin_incremental", "lsh_recall_curve",
+    "quality_classifier", "quality_classifier_apply",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",

@@ -1058,3 +1058,14 @@ def test_training_order_is_parallel_sort_no_window(spark):
     assert "Window" not in plan
     assert "rangepartitioning(order_key" in plan
     assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_quality_classifier_is_map_only(spark):
+    """The hashing-trick classifier apply is the scan-bound hot path
+    of a curation run: tokenize, hash, integer fold, compare — all
+    row-local.  Zero exchanges at any scale (and the survivor filter
+    adds only a Filter on top)."""
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+    for name in ("quality_classifier", "quality_classifier_apply"):
+        plan = formatted_plan(SPECS[name].fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, name
