@@ -218,6 +218,31 @@ register(QuerySpec(
 # deliberately NOT a forced broadcast: a web-scale vocab outgrows
 # one; AQE promotes when small).
 
+def fit_bpe_vocab(spark: SparkSession, docs: DataFrame,
+                  n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """(w, syms): every distinct corpus word mapped to its BPE symbol
+    sequence under the merges learned from the same ``docs`` — the
+    fitted tokenizer as a TABLE (vocabulary-sized, never corpus-
+    sized), shared by ``bpe_tokenize`` (counts) and
+    ``token_ngram_decontaminate`` (full sequences) so the tokenizer
+    cannot drift between its consumers."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+    merges = [(r.lhs, r.rhs) for r in
+              learn_bpe_merges(spark, docs, n_merges).collect()]
+    vocab = (widen_for_explode(docs, "doc_id")
+             .select(F.explode(norm_tokens()).alias("w"))
+             .distinct()
+             .withColumn(
+                 "syms",
+                 F.expr(f"concat(filter(split(w, ''), c -> c != ''), "
+                        f"array('{EOW}'))")))
+    for lhs, rhs in merges:          # chained row-local folds
+        vocab = vocab.withColumn("syms", _apply_merge(lhs, rhs))
+    return vocab
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_words, n_bpe_tokens): per-document token counts
     under the 10-merge BPE tokenizer learned from the same corpus.
@@ -228,33 +253,32 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (
         norm_tokens,
     )
-    merges = [(r.lhs, r.rhs) for r in
-              learn_bpe_merges(spark, docs).collect()]
     words = (widen_for_explode(docs, "doc_id")
              .select("doc_id", F.explode(norm_tokens()).alias("w")))
-    vocab = words.select("w").distinct().withColumn(
-        "syms",
-        F.expr(f"concat(filter(split(w, ''), c -> c != ''), "
-               f"array('{EOW}'))"))
-    for lhs, rhs in merges:          # 10 chained row-local folds
-        vocab = vocab.withColumn("syms", _apply_merge(lhs, rhs))
-    vocab = vocab.select("w", F.size("syms").alias("n_syms"))
+    vocab = (fit_bpe_vocab(spark, docs)
+             .select("w", F.size("syms").alias("n_syms")))
     return (words.join(vocab, "w")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_words"),
                  F.sum("n_syms").alias("n_bpe_tokens")))
 
 
-def _bpe_tokenize_oracle(n_merges: int = BPE_N_MERGES) -> str:
-    """Reuses the learning chain's CTEs but keeps word identity in
-    the state, so the final state IS the word -> symbols map."""
+def bpe_vocab_ctes(n_merges: int = BPE_N_MERGES,
+                   source: str = "documents") -> tuple[str, str]:
+    """The fitted-tokenizer CTE chain (the SQL twin of
+    :func:`fit_bpe_vocab`): from ``source`` (doc_id, text) through
+    ``toks`` (doc_id, w) and the unrolled merge learning to the final
+    word -> symbols map.  Returns ``(ctes, final)`` where ``final``
+    names the v{{n}} relation (w, s, freq) — shared by the tokenize
+    oracle and the token-space decontaminator so the tokenizer spec
+    exists once on the SQL side too."""
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (
         NORM_TOKENS_SQL,
     )
     parts = [f"""
         toks AS (
             SELECT doc_id, t.tok AS w
-            FROM (SELECT doc_id, {NORM_TOKENS_SQL} AS l FROM documents),
+            FROM (SELECT doc_id, {NORM_TOKENS_SQL} AS l FROM {source}),
                  UNNEST(l) AS t(tok)
         ),
         wf AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
@@ -282,11 +306,18 @@ def _bpe_tokenize_oracle(n_merges: int = BPE_N_MERGES) -> str:
             SELECT w, {_APPLY_SQL} AS s, freq
             FROM v{i - 1}, b{i}
         )""")
-    return ("WITH " + ",".join(parts) + f"""
+    return ",".join(parts), f"v{n_merges}"
+
+
+def _bpe_tokenize_oracle(n_merges: int = BPE_N_MERGES) -> str:
+    """The learning chain's CTEs with word identity kept in the
+    state, so the final state IS the word -> symbols map."""
+    ctes, final = bpe_vocab_ctes(n_merges)
+    return ("WITH " + ctes + f"""
         SELECT t.doc_id,
                COUNT(*) AS n_words,
                CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe_tokens
-        FROM toks t JOIN v{n_merges} v USING (w)
+        FROM toks t JOIN {final} v USING (w)
         GROUP BY t.doc_id
     """)
 
@@ -298,4 +329,138 @@ register(QuerySpec(
         "under the fitted tokenizer (folds run over the vocabulary, "
         "counts join back corpus-side — the tokenizer inference half)",
     tags=("text", "north-star", "tokenizer"),
+))
+
+
+# ---------------------------------------------------------------------------
+# token_ngram_decontaminate — eval hygiene in BPE token space
+# ---------------------------------------------------------------------------
+# The GPT-3 / Llama decontamination convention checks overlap in
+# TOKENIZER n-grams (GPT-3 appendix C: 13-gram token overlap), not
+# word shingles: token-space grams are what the model actually
+# memorizes, and they catch contamination that word splitting hides
+# (tokenizer-normalized punctuation/case variants collapse to the
+# same token sequence).  Composition: the corpus-fitted BPE vocab
+# table (``fit_bpe_vocab``) maps each doc's words to symbol
+# sequences; flattening in word order rebuilds the doc as ONE BPE
+# token sequence; the gram/benchmark/broadcast-semi-join tail is then
+# ``ngram_decontaminate``'s exact shape, one level down the
+# tokenizer.  Same canary seeding as the word-level operator (the
+# fixture corpus is random word soup with no natural long-gram
+# overlap), learned and applied on the SEEDED corpus on both engines.
+#
+# 100 TB: the added cost over the word-level operator is the
+# vocabulary-keyed join (bpe_tokenize's topology — AQE promotes to
+# broadcast when the vocab is small) plus ONE doc_id-keyed groupBy to
+# reassemble sequences (the line_dedup reassembly shape: shuffles
+# (doc_id, pos, syms) triples, never full text).  Gram fingerprints
+# are md5 digests — the contamination join moves 32-byte digests, and
+# the benchmark side stays eval-sized and broadcast.
+
+# GPT-3's window is 13 SUBWORD tokens (~10 words under a 50k-merge
+# vocabulary).  The unit must scale with the tokenizer's granularity:
+# under this 10-merge fixture tokenizer a word averages ~5 symbols,
+# so 13 symbols span ~2.5 words — a window that short flags natural
+# collisions corpus-wide (measured: 321/500 docs at sf0.001 vs the
+# word operator's 18) and decontaminates nothing.  32 symbols ≈ 6.5
+# words matches the word-level operator's 6-gram span one tokenizer
+# level down, and still fits inside the planted canary (~45 symbols
+# after merges) so seeded contamination is provably caught.
+TOKEN_DECON_K = 32
+
+
+def q_token_ngram_decontaminate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared_grams): training docs sharing at least one
+    TOKEN_DECON_K-gram of BPE tokens with the benchmark slice
+    (doc_id % 97 == 0), under the tokenizer fitted on the same
+    (seeded) corpus.  Reference semantics: llm_pipeline's
+    ``ngram_decontaminate`` with word shingles swapped for fitted
+    BPE token sequences."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        decon_canary_seeded,
+    )
+
+    tune_session(spark)
+    docs = decon_canary_seeded(load_table(spark, sf_dir, "documents"))
+    vocab = fit_bpe_vocab(spark, docs)
+    words = (widen_for_explode(docs, "doc_id")
+             .withColumn("_toks", norm_tokens())
+             .select("doc_id",
+                     F.posexplode("_toks").alias("pos", "w")))
+    # Word order -> token order: sort the collected (pos, syms)
+    # structs (array_sort orders by the leading pos field; positions
+    # are distinct within a doc, so the order is total) and flatten.
+    seq = (words.join(vocab, "w")
+           .groupBy("doc_id")
+           .agg(F.expr(
+               "flatten(transform(array_sort(collect_list("
+               "struct(pos, syms))), x -> x.syms))").alias("seq")))
+    grams = F.expr(
+        f"transform(sequence(1, size(seq) - {TOKEN_DECON_K - 1}), "
+        f"i -> md5(concat_ws(' ', slice(seq, i, {TOKEN_DECON_K}))))")
+    g = (seq.filter(F.size("seq") >= TOKEN_DECON_K)
+         .select("doc_id", F.explode(F.array_distinct(grams))
+                 .alias("gram")))
+    bench = (g.filter(F.col("doc_id") % 97 == 0)
+             .select("gram").distinct())
+    return (g.filter(F.col("doc_id") % 97 != 0)
+            .join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_grams")))
+
+
+def _token_decon_oracle(n_merges: int = BPE_N_MERGES) -> str:
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        NORM_TOKENS_SQL,
+    )
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        DECON_CANARY_SQL,
+    )
+
+    k = TOKEN_DECON_K
+    ctes, final = bpe_vocab_ctes(n_merges, source="seeded")
+    return f"""
+        WITH seeded AS ({DECON_CANARY_SQL}),
+        {ctes},
+        ptoks AS (
+            SELECT doc_id, r.i AS pos, l[r.i] AS w
+            FROM (SELECT doc_id, {NORM_TOKENS_SQL} AS l FROM seeded),
+                 UNNEST(range(1, len(l) + 1)) AS r(i)
+        ),
+        seq AS (
+            SELECT t.doc_id,
+                   flatten(list(v.s ORDER BY t.pos)) AS seq
+            FROM ptoks t JOIN {final} v USING (w)
+            GROUP BY t.doc_id
+        ),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, len(seq) - {k - 2}),
+                       i -> md5(list_aggregate(seq[i:i+{k - 1}],
+                                               'string_agg', ' ')))))
+                       AS gram
+            FROM seq WHERE len(seq) >= {k}
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        )
+        SELECT g.doc_id, COUNT(*) AS n_shared_grams
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id
+    """
+
+
+register(QuerySpec(
+    "token_ngram_decontaminate", q_token_ngram_decontaminate,
+    oracle=_token_decon_oracle(),
+    doc=f"benchmark decontamination in BPE token space: flag docs "
+        f"sharing a {TOKEN_DECON_K}-token-gram with the broadcast "
+        "benchmark set under the corpus-fitted tokenizer (GPT-3 "
+        "appendix-C convention)",
+    tags=("text", "north-star", "tokenizer", "dedup", "join"),
 ))

@@ -597,15 +597,30 @@ register(QuerySpec(
 DECON_K = 6
 _CANARY = " the quick brown fox jumps over the lazy dog tonight"
 
+# The seeded corpus as a shared definition — Spark column + SQL CTE
+# body — so the word-level operator here and the BPE-token-space one
+# (bpe.py::token_ngram_decontaminate) plant the identical canary.
+DECON_CANARY_SQL = f"""
+            SELECT * REPLACE (
+                text || CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 0
+                             THEN '{_CANARY}' ELSE '' END AS text)
+            FROM documents
+"""
 
-def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+
+def decon_canary_seeded(docs: DataFrame) -> DataFrame:
+    """``documents`` with the decontamination canary appended to every
+    benchmark (% 97) and planted-contamination (% 31) doc."""
     seeded = F.concat(
         F.col("text"),
         F.when((F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 31 == 0),
                F.lit(_CANARY)).otherwise(F.lit("")))
-    docs = docs.withColumn("text", seeded)
+    return docs.withColumn("text", seeded)
+
+
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = decon_canary_seeded(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")
     grams = F.expr(
         f"transform(sequence(1, size(_toks) - {DECON_K - 1}), "
@@ -626,12 +641,7 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(QuerySpec(
     "ngram_decontaminate", q_ngram_decontaminate,
     oracle=f"""
-        WITH seeded AS (
-            SELECT doc_id,
-                   text || CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 0
-                                THEN '{_CANARY}' ELSE '' END AS text
-            FROM documents
-        ), g AS (
+        WITH seeded AS ({DECON_CANARY_SQL}), g AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                        range(1, len(toks) - {DECON_K - 2}),
                        i -> md5(list_aggregate(toks[i:i+{DECON_K - 1}],

@@ -135,3 +135,29 @@ def test_bpe_tokenize_matches_reference(spark):
         words = _norm_words([t])
         want = (len(words), sum(tok(w) for w in words))
         assert got[i] == want, (i, got[i], want)
+
+
+def test_token_decon_catches_planted_contamination(spark):
+    """Every planted-contamination doc (% 31, excluding the benchmark
+    slice itself) is flagged by the BPE-token-space decontaminator —
+    the canary's symbol sequence must survive tokenization intact —
+    and the flagged set agrees with the word-level operator's on the
+    fixture (the 32-symbol window spans ~6.5 words, the word
+    operator's 6-gram span one tokenizer level down)."""
+    import duckdb
+
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    specs = all_queries()
+    token_flagged = {r.doc_id for r in specs[
+        "token_ngram_decontaminate"].fn(spark, SF_SMOKE).collect()}
+    word_flagged = {r.doc_id for r in specs[
+        "ngram_decontaminate"].fn(spark, SF_SMOKE).collect()}
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet("
+        f"'{SF_SMOKE}/documents.parquet')").fetchall()]
+    planted = {i for i in ids if i % 31 == 0 and i % 97 != 0}
+    assert planted, "fixture must contain planted docs"
+    assert planted <= token_flagged
+    assert planted <= word_flagged

@@ -1069,3 +1069,11 @@ def test_quality_classifier_is_map_only(spark):
     for name in ("quality_classifier", "quality_classifier_apply"):
         plan = formatted_plan(SPECS[name].fn(spark, SF_SMOKE))
         assert "Exchange" not in plan, name
+
+
+def test_token_decon_broadcasts_benchmark(spark):
+    """Token-space decontamination keeps the word-level operator's
+    topology: the benchmark gram set stays broadcast (the corpus side
+    must not shuffle for the contamination join)."""
+    assert uses_broadcast_join(
+        SPECS["token_ngram_decontaminate"].fn(spark, SF_SMOKE))
