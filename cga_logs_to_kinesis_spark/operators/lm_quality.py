@@ -87,9 +87,18 @@ def surprisal_scores(docs: DataFrame) -> DataFrame:
     conditional distribution sums to 1 over w.  V is the corpus
     vocabulary (distinct types over bigram positions).
     """
-    # Tokenize + explode bigrams ONCE (module docstring): this subtree
-    # feeds the context counts, the bigram counts, the vocabulary
-    # scalar, and the join probe — four evaluations without the cut.
+    bi = doc_bigrams(docs)
+    freq2 = bi.groupBy("prev", "w").agg(F.count("*").alias("c_bg"))
+    return surprisal_from_counts(bi, freq2)
+
+
+def doc_bigrams(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """(doc_id, prev, w): every bigram instance of every document
+    with >= 2 tokens — the LM core's corpus-scale front, tokenized
+    ONCE into a ``localCheckpoint`` (module docstring: the subtree
+    feeds the count tables and the join probe — redundant full scans
+    without the cut).  ``checkpoint=False`` for single-consumer
+    contexts (the streaming sink's per-batch partial agg)."""
     bi = (widen_for_explode(docs, "doc_id")
           .withColumn("_toks", norm_tokens())
           .filter(F.size("_toks") >= 2)
@@ -99,20 +108,40 @@ def surprisal_scores(docs: DataFrame) -> DataFrame:
                   "transform(sequence(1, size(_toks) - 1), "
                   "i -> struct(element_at(_toks, i) as prev, "
                   "element_at(_toks, i + 1) as w))")).alias("bg"))
-          .select("doc_id", "bg.prev", "bg.w")
-          .localCheckpoint())
-    ctx = bi.groupBy("prev").agg(F.count("*").alias("c_prev"))
-    freq2 = bi.groupBy("prev", "w").agg(F.count("*").alias("c_bg"))
-    # Vocabulary over bigram positions; UNION dedups, so the count is
-    # distinct types.  1 row → broadcast scalar.
-    vocab = (bi.select(F.col("prev").alias("t"))
-             .union(bi.select(F.col("w").alias("t")))
+          .select("doc_id", "bg.prev", "bg.w"))
+    return bi.localCheckpoint() if checkpoint else bi
+
+
+def surprisal_from_counts(bi: DataFrame, freq2: DataFrame) -> DataFrame:
+    """Score the bigram instances ``bi`` against a (prev, w, c_bg)
+    count table: the whole LM derives from ``freq2`` alone — the
+    context counts are its per-prev sums (every occurrence of prev as
+    a left element is in exactly one (prev, w) group) and the
+    vocabulary is the distinct types over its keys.  That single-table
+    factoring is what lets the streaming bigram-count store carry the
+    model: a folded freq2 IS the LM.
+
+    Joins are LEFT with zero-coalesce so a tranche containing bigrams
+    the count corpus never saw still scores (add-one smoothing's
+    unseen case: (0 + V) / (0 + 1)); in the batch path every instance
+    matches its own counts, so values are unchanged — identical to
+    the inner-join oracle.
+
+    Aggregating ctx/vocab from freq2 instead of from ``bi`` also
+    drops two corpus-scale aggregations to vocabulary-squared scale —
+    the cheaper shape at 100 TB.
+    """
+    ctx = freq2.groupBy("prev").agg(F.sum("c_bg").alias("c_prev"))
+    vocab = (freq2.select(F.col("prev").alias("t"))
+             .union(freq2.select(F.col("w").alias("t")))
              .distinct()
              .agg(F.count("*").alias("v")))
-    inv = ((F.col("c_prev") + F.col("v")).cast("double")
-           / (F.col("c_bg") + F.lit(1)).cast("double"))
-    return (bi.join(freq2, ["prev", "w"])
-            .join(ctx, "prev")
+    inv = ((F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v"))
+           .cast("double")
+           / (F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(1))
+           .cast("double"))
+    return (bi.join(freq2, ["prev", "w"], "left")
+            .join(ctx, "prev", "left")
             .crossJoin(F.broadcast(vocab))
             .withColumn("inv", inv)
             .groupBy("doc_id")
@@ -392,11 +421,12 @@ register(QuerySpec(
 # back (quality_percentile_calibrate's note) — exact-for-oracle,
 # sketch-at-scale.
 
-def q_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    scored = (surprisal_scores(docs)
-              .join(docs.select("doc_id", "lang"), "doc_id"))
+def perplexity_buckets(scored: DataFrame) -> DataFrame:
+    """(doc_id, lang, surprisal_score) -> + (bucket, keep): the CCNet
+    head/middle/tail tertile tail over a scored frame — shared by the
+    batch query and the bigram-count-store reader
+    (``streaming/corpus.py::perplexity_split_from_store``) so the
+    bucketing rule cannot drift between them."""
     w = Window.partitionBy("lang").orderBy("surprisal_score", "doc_id")
     part = Window.partitionBy("lang")
     rank = F.row_number().over(w)
@@ -408,6 +438,14 @@ def q_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "surprisal_score",
                     bucket.alias("bucket"))
             .withColumn("keep", F.col("bucket") != "tail"))
+
+
+def q_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(
+        surprisal_scores(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id"))
 
 
 register(QuerySpec(

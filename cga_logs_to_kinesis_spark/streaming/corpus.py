@@ -2534,6 +2534,99 @@ def mixture_from_store(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Streaming bigram-LM store: CCNet perplexity split on maintained counts
+# ---------------------------------------------------------------------------
+# The streaming twin of the LM behind ``bigram_surprisal`` /
+# ``perplexity_split`` (operators/lm_quality.py).  The key factoring
+# (lm_quality.surprisal_from_counts): the ENTIRE add-one bigram LM
+# derives from one (prev, w) count table — context counts are its
+# per-prev sums, the vocabulary is the distinct types over its keys —
+# so one store of per-batch (prev, w, cnt) partials carries the whole
+# model.  Plain occurrence counts SUM under any corpus split with no
+# arrival assumption (the token-count store's algebra, one order up),
+# so the watermark-base compactor applies unchanged.  State is
+# |distinct bigrams| — bigram-vocabulary-sized (~1e10 at web scale:
+# big but DataFrame-shaped, the same envelope the batch query's
+# count table already occupies; never driver-sized).
+#
+# The reader scores a DOCS argument (the tranche to bucket) against
+# the folded counts and applies the shared tertile tail — CCNet's
+# head/middle/tail bucketing riding continuously-maintained counts,
+# with no corpus re-scan to rebuild the LM.  Scoring the full
+# ingested corpus reproduces the batch query bit-for-bit (pinned);
+# scoring an unseen tranche uses add-one smoothing's unseen case
+# (surprisal_from_counts' left joins) — the generalization a
+# continuously-fitted LM exists for.
+
+def bigram_count_sink(store_dir: str,
+                      fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink over document batches: per-batch
+    (prev, w, cnt) bigram-count partials appended batch_id-keyed.
+    Per-batch work is the batch query's exact bigram front
+    (``doc_bigrams``, checkpoint-free — single consumer here) plus
+    one partial-agg groupBy."""
+    from cga_logs_to_kinesis_spark.operators.lm_quality import (
+        doc_bigrams,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (doc_bigrams(batch_df, checkpoint=False)
+         .groupBy("prev", "w").agg(F.count("*").alias("cnt"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def perplexity_split_from_store(spark: SparkSession, docs: DataFrame,
+                                store_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split of ``docs`` under the LM folded
+    from the bigram-count store: fold partials to the count table,
+    push it through the batch query's exact algebra tail
+    (``surprisal_from_counts`` + ``perplexity_buckets``) — bit-
+    identical to ``perplexity_split`` when ``docs`` is the ingested
+    corpus, and a smoothed generalization for unseen tranches."""
+    from cga_logs_to_kinesis_spark.operators.lm_quality import (
+        doc_bigrams,
+        perplexity_buckets,
+        surprisal_from_counts,
+    )
+
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return spark.createDataFrame(
+            [], "doc_id long, lang string, surprisal_score double, "
+                "bucket string, keep boolean")
+    freq2 = (_effective_mg_summaries(s)
+             .groupBy("prev", "w").agg(F.sum("cnt").alias("c_bg")))
+    scored = (surprisal_from_counts(doc_bigrams(docs), freq2)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    return perplexity_buckets(scored)
+
+
+def compact_bigram_count_store(spark: SparkSession, store_dir: str,
+                               upto_batch_id: int,
+                               files_per_partition: int = 1) -> int:
+    """Fold bigram-count partials into the watermark base (counts
+    SUM)."""
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, ["prev", "w"],
+        _sum_fold("cnt"), files_per_partition)
+
+
+# ---------------------------------------------------------------------------
 # Streaming n-gram novelty: first-occurrence state as a MIN-fold store
 # ---------------------------------------------------------------------------
 # The streaming twin of operators/dedup.py::q_ngram_novelty.  Novelty
@@ -2861,6 +2954,16 @@ STORE_FAMILIES: tuple[StoreFamily, ...] = (
         "same store's per-source totals feed the temperature-mixture "
         "algebra (mixture_from_store), so divergence AND resampling "
         "rates ride one state"),
+    StoreFamily(
+        "bigram LM counts", "sum (watermark base)",
+        ("bigram_count_sink",), ("perplexity_split_from_store",),
+        ("compact_bigram_count_store",),
+        "one (prev, w) count store IS the add-one bigram LM "
+        "(context counts = per-prev sums, vocabulary = distinct key "
+        "types — lm_quality.surprisal_from_counts' factoring); the "
+        "reader scores any docs tranche through the batch query's "
+        "exact tail, so the CCNet perplexity split rides "
+        "continuously-maintained counts"),
     StoreFamily(
         "HLL distinct sketch", "union (register-wise MAX)",
         ("hll_distinct_sink",), ("approx_distinct_from_store",),

@@ -2406,3 +2406,72 @@ def test_setjoin_index_sink_crash_is_exactly_once(spark, tmp_path):
             .fn(spark, SF_SMOKE).collect()}
     assert got == want and len(want) > 0
     assert all(b != s for b, s in got)          # nothing self-matched
+
+
+def test_perplexity_split_from_store_matches_batch(spark, tmp_path):
+    """The bigram-count store folded through the batch query's exact
+    algebra tail reproduces perplexity_split bit-for-bit — under a
+    3-batch split with crash-replay on batch 1, and unmoved by the
+    watermark compactor.  One (prev, w) count store carries the whole
+    add-one LM."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.sources import load_table
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        bigram_count_sink,
+        compact_bigram_count_store,
+        perplexity_split_from_store,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    empty = perplexity_split_from_store(spark, docs,
+                                        str(tmp_path / "no"))
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "lang", "surprisal_score",
+                             "bucket", "keep"]
+
+    src = _doc_chunks(spark, tmp_path)
+    store = str(tmp_path / "bigram_counts")
+    sink = bigram_count_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    fold = lambda: sorted(  # noqa: E731
+        tuple(r) for r in perplexity_split_from_store(
+            spark, docs, store).collect())
+    want = sorted(tuple(r) for r in all_queries()["perplexity_split"]
+                  .fn(spark, SF_SMOKE).collect())
+    got = fold()
+    assert got == want and len(want) == 500
+    assert {"head", "middle", "tail"} == {r[3] for r in got}
+    assert compact_bigram_count_store(spark, store, 2) == 3
+    assert fold() == want
+
+
+def test_perplexity_store_scores_unseen_tranche(spark, tmp_path):
+    """Scoring docs the count corpus never saw exercises add-one
+    smoothing's unseen case (left joins + zero coalesce): every
+    unseen bigram scores (0 + V) / (0 + 1) = V, so a fully-unseen
+    doc's score is exactly the store vocabulary size."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        bigram_count_sink,
+        perplexity_split_from_store,
+    )
+
+    known = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 16)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    store = str(tmp_path / "counts")
+    bigram_count_sink(store)(known, 0)
+    unseen = spark.createDataFrame(
+        [(9, "zz qq", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    row = perplexity_split_from_store(spark, unseen, store).collect()
+    # store vocab = {alpha, beta, gamma} -> V = 3; one bigram (zz,qq)
+    # unseen -> inv = (0 + 3) / (0 + 1) = 3.0
+    assert len(row) == 1
+    assert row[0].surprisal_score == 3.0
+    # integer tertiles: a 1-doc language has rank*3 = 3 > 2n = 2, so
+    # its only doc is the "tail" (same as the batch rule)
+    assert row[0].bucket == "tail"

@@ -749,3 +749,25 @@ def test_setjoin_index_sink_work_grows_linearly_not_quadratically(
         F.size("fps").alias("n")).agg(
         F.sum(F.expr("n - ((n + 1) div 2) + 1"))).collect()[0][0]
     assert idx_rows == sizes
+
+
+def test_bigram_count_sink_work_is_flat(spark, tmp_path):
+    """The bigram-LM counter folds its own batch only — strictly flat
+    per-batch work while the bigram-vocabulary store grows
+    underneath (the token-count envelope, one n-gram order up)."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        bigram_count_sink,
+    )
+
+    sink = bigram_count_sink(str(tmp_path / "bigram_counts"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        sink(_dup_doc_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch bigram-count work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
