@@ -18,7 +18,7 @@ under re-partitioning at any scale (no rand(), no seed plumbing; see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -988,21 +988,11 @@ DUP_FRAC_DROP_NUM = 3          # drop when n_dup * 10 > n_passages * 3
 DUP_FRAC_DROP_DEN = 10         # (integer compare: no float threshold)
 
 
-def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("t"))
-    # Full passages only; the CASE guards sequence(1, 0), which would
-    # otherwise step backwards.  Docs shorter than one passage drop out.
-    passages = toks.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"CASE WHEN size(t) >= {PASSAGE_TOKENS} THEN "
-            f"transform(sequence(1, size(t) DIV {PASSAGE_TOKENS}), "
-            f"i -> md5(array_join(slice(t, (i-1)*{PASSAGE_TOKENS}+1, "
-            f"{PASSAGE_TOKENS}), ' '))) "
-            "ELSE array() END")).alias("digest"))
+def passage_dup_report(passages: DataFrame) -> DataFrame:
+    """(doc_id, digest) passage stream -> per-doc duplicated-span
+    report — the digest-count/join/threshold tail shared by the
+    fixed-window and content-defined chunkers so the dup decision
+    cannot drift between them."""
     ndocs = (passages.groupBy("digest")
              .agg(F.count_distinct("doc_id").alias("n_docs")))
     per_doc = (passages.join(ndocs, "digest")
@@ -1019,21 +1009,28 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep").alias("verdict"))
 
 
-register(QuerySpec(
-    "passage_dedup", q_passage_dedup,
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
-            FROM documents
-        ), p AS (
-            SELECT doc_id,
-                   md5(array_to_string(list_slice(t,
-                       (i-1)*{PASSAGE_TOKENS}+1, i*{PASSAGE_TOKENS}), ' '))
-                       AS digest
-            FROM toks,
-                 unnest(range(1, 1 + len(t)//{PASSAGE_TOKENS})) AS u(i)
-            WHERE len(t) >= {PASSAGE_TOKENS}
-        ), nd AS (
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("t"))
+    # Full passages only; the CASE guards sequence(1, 0), which would
+    # otherwise step backwards.  Docs shorter than one passage drop out.
+    passages = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(t) >= {PASSAGE_TOKENS} THEN "
+            f"transform(sequence(1, size(t) DIV {PASSAGE_TOKENS}), "
+            f"i -> md5(array_join(slice(t, (i-1)*{PASSAGE_TOKENS}+1, "
+            f"{PASSAGE_TOKENS}), ' '))) "
+            "ELSE array() END")).alias("digest"))
+    return passage_dup_report(passages)
+
+
+# The SQL twin of :func:`passage_dup_report`: composes onto any ``p``
+# relation of (doc_id, digest) passage rows.
+PASSAGE_DUP_TAIL_SQL = f"""
+        nd AS (
             SELECT digest, COUNT(DISTINCT doc_id) AS n_docs
             FROM p GROUP BY digest
         )
@@ -1049,9 +1046,134 @@ register(QuerySpec(
                     THEN 'drop' ELSE 'keep' END AS verdict
         FROM p JOIN nd USING (digest)
         GROUP BY p.doc_id
+"""
+
+register(QuerySpec(
+    "passage_dedup", q_passage_dedup,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(t,
+                       (i-1)*{PASSAGE_TOKENS}+1, i*{PASSAGE_TOKENS}), ' '))
+                       AS digest
+            FROM toks,
+                 unnest(range(1, 1 + len(t)//{PASSAGE_TOKENS})) AS u(i)
+            WHERE len(t) >= {PASSAGE_TOKENS}
+        ), {PASSAGE_DUP_TAIL_SQL.strip()}
     """,
     doc=f"passage-level exact dedup: duplicated {PASSAGE_TOKENS}-token "
         "span fraction per doc (digest-only shuffle)",
+    tags=("llm-pipeline", "dedup", "north-star"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking passage dedup (shift-invariant boundaries)
+# ---------------------------------------------------------------------------
+# passage_dedup's fixed 10-token windows break under insertion shift:
+# prepend one token and EVERY downstream passage digest changes, so a
+# boilerplate span shared by two pages at different offsets is never
+# matched.  Content-defined chunking (the rsync/LBFS/CDC idea —
+# Muthitacharoen et al., SOSP 2001) fixes this by cutting where the
+# CONTENT says so: a token is a chunk boundary iff its rolling hash
+# lands in a fixed residue class (here h(token) % CDC_MOD == 0, the
+# window-1 Rabin-Karp case; md5 plays the rolling hash, same digest
+# algebra both engines).  Boundary decisions are token-local, so an
+# insertion re-digests only the chunk it lands in: every chunk after
+# the next boundary is byte-identical — shift invariance, property-
+# tested.  Expected chunk length is CDC_MOD tokens (geometric);
+# production CDC adds min/max forced cuts to bound the tail, which
+# trades EXACT invariance for bounded shift propagation — documented
+# deviation, the pure form keeps the proof exact and the fixture's
+# docs are bounded anyway.
+#
+# 100 TB: identical topology to passage_dedup — chunking is row-local
+# narrow work in codegen, only 16-byte digests shuffle, the dup
+# decision is one digest-keyed agg joined back (exchange reuse), AQE
+# splits hot boilerplate digests.
+
+CDC_MOD = 8     # boundary residue: expected chunk ≈ 8 tokens
+
+
+def cdc_cut_positions() -> Column:
+    """Cut positions (1-based, after the token) of the token array
+    column ``_t``: every boundary-class token plus the array end."""
+    bnd = (f"(cast(conv(substring(md5(concat('cdc:', "
+           f"element_at(_t, i))), 1, 15), 16, 10) as bigint) "
+           f"% {CDC_MOD}) = 0")
+    return F.expr(
+        f"concat(filter(sequence(1, size(_t)), i -> {bnd}), "
+        f"array(size(_t)))")
+
+
+def cdc_digest_array() -> Column:
+    """Ordered md5 digests of the CDC chunks of ``_t`` under the cut
+    list ``_cuts`` (zero-length final chunk — when the last token is
+    itself a boundary — dropped)."""
+    return F.expr("""
+        transform(
+          filter(
+            transform(sequence(1, size(_cuts)),
+              j -> struct(IF(j = 1, 0, element_at(_cuts, j - 1)) AS s,
+                          element_at(_cuts, j) AS e)),
+            c -> c.e > c.s),
+          c -> md5(array_join(slice(_t, c.s + 1, c.e - c.s), ' ')))""")
+
+
+def q_passage_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    passages = (
+        docs
+        # every non-blank doc chunks (no fixed-window minimum); blank
+        # and NULL text belongs to the quarantine report
+        .filter(F.length(F.trim("text")) >= 1)
+        .withColumn("_t", F.split(F.trim(F.col("text")),
+                                  r"[ \t\n\x0B\f\r]+"))
+        .withColumn("_cuts", cdc_cut_positions())
+        .select("doc_id",
+                F.explode(cdc_digest_array()).alias("digest")))
+    return passage_dup_report(passages)
+
+
+_CDC_BND_SQL = (f"(CAST(('0x' || substr(md5('cdc:' || t[i]), 1, 15)) "
+                f"AS BIGINT) % {CDC_MOD}) = 0")
+
+register(QuerySpec(
+    "passage_dedup_cdc", q_passage_dedup_cdc,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(TRIM(text),
+                       '[ \\t\\n\\x0B\\f\\r]+') AS t
+            FROM documents WHERE len(TRIM(text)) >= 1
+        ), cut AS (
+            SELECT doc_id, t,
+                   list_append(list_filter(range(1, len(t) + 1),
+                       i -> {_CDC_BND_SQL}), len(t)) AS cuts
+            FROM toks
+        ), p AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_filter(
+                           list_transform(range(1, len(cuts) + 1),
+                               j -> struct_pack(
+                                   s := CASE WHEN j = 1 THEN 0
+                                        ELSE cuts[j - 1] END,
+                                   e := cuts[j])),
+                           c -> c.e > c.s),
+                       c -> md5(array_to_string(
+                           list_slice(t, c.s + 1, c.e), ' '))))
+                       AS digest
+            FROM cut
+        ), {PASSAGE_DUP_TAIL_SQL.strip()}
+    """,
+    doc=f"passage dedup with content-defined chunk boundaries "
+        f"(h(token) % {CDC_MOD} residue cuts): insertion-shift-"
+        "invariant duplicated-span fraction per doc",
     tags=("llm-pipeline", "dedup", "north-star"),
 ))
 

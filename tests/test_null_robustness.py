@@ -65,7 +65,7 @@ PROBED = [
     "setjoin_prefix", "perplexity_split", "markup_scrub",
     "lsh_recall_exact", "setjoin_incremental", "lsh_recall_curve",
     "quality_classifier", "quality_classifier_apply",
-    "token_ngram_decontaminate",
+    "token_ngram_decontaminate", "passage_dedup_cdc",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",
