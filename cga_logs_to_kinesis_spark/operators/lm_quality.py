@@ -517,22 +517,34 @@ QCLF_WEIGHT_SPAN = 1000    # integer milliweights in [-1000, 1000]
 QCLF_BIAS_MILLI = -25      # nonzero so the boundary isn't symmetric
 
 
+def _qclf_bucket(tok_expr: str) -> str:
+    """Spark SQL: the token's hashed feature bucket — shared by the
+    fixed-weight scorer and the trained probe so the feature space is
+    one definition."""
+    return (f"cast(conv(substring(md5(concat('qb:', {tok_expr})), "
+            f"1, 15), 16, 10) as bigint) % {QCLF_BUCKETS}")
+
+
+def _qclf_bucket_sql(tok_expr: str) -> str:
+    """DuckDB twin of :func:`_qclf_bucket` (same md5/hex-cast algebra
+    as the dedup fingerprints — both casts are positive, so plain %
+    agrees)."""
+    return (f"CAST(('0x' || substr(md5('qb:' || {tok_expr}), 1, 15))"
+            f" AS BIGINT) % {QCLF_BUCKETS}")
+
+
 def _qclf_w(tok_expr: str) -> str:
     """Spark SQL: integer milliweight of one token — bucket by md5,
     then the bucket's fixed public weight by a second md5."""
-    bucket = (f"cast(conv(substring(md5(concat('qb:', {tok_expr})), "
-              f"1, 15), 16, 10) as bigint) % {QCLF_BUCKETS}")
+    bucket = _qclf_bucket(tok_expr)
     return (f"(cast(conv(substring(md5(concat('qw:', "
             f"cast(({bucket}) as string))), 1, 15), 16, 10) as bigint)"
             f" % {2 * QCLF_WEIGHT_SPAN + 1}) - {QCLF_WEIGHT_SPAN}")
 
 
 def _qclf_w_sql(tok_expr: str) -> str:
-    """The DuckDB twin of :func:`_qclf_w` (same md5/hex-cast algebra
-    as the dedup fingerprints — both casts are positive, so plain %
-    agrees)."""
-    bucket = (f"CAST(('0x' || substr(md5('qb:' || {tok_expr}), 1, 15))"
-              f" AS BIGINT) % {QCLF_BUCKETS}")
+    """The DuckDB twin of :func:`_qclf_w`."""
+    bucket = _qclf_bucket_sql(tok_expr)
     return (f"(CAST(('0x' || substr(md5('qw:' || "
             f"CAST(({bucket}) AS VARCHAR)), 1, 15)) AS BIGINT)"
             f" % {2 * QCLF_WEIGHT_SPAN + 1}) - {QCLF_WEIGHT_SPAN}")
@@ -633,4 +645,188 @@ register(QuerySpec(
     """,
     doc="the classifier's survivors: corpus filtered to keep = true",
     tags=("text", "north-star", "quality", "classifier", "filter"),
+))
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_train / _eval — the TRAINED probe
+# ---------------------------------------------------------------------------
+# quality_classifier applies a model-as-fixture; these two close the
+# loop by TRAINING the probe distributed and evaluating it, entirely
+# in-engine.  The model is the difference-of-class-means linear
+# classifier over the same hashed feature space (Rocchio's relevance
+# classifier / nearest-class-centroid — the closed-form linear probe),
+# with add-one smoothing on the class-conditional bucket estimates
+# (the module's Laplace convention — and what keeps a single-class
+# tranche, e.g. a monolingual crawl slice, defined instead of
+# dividing by a zero class total):
+#
+#     w_b = P̂(b | target) − P̂(b | rest)
+#         = (n_pos_b + 1) / (N_pos + B) − (n_neg_b + 1) / (N_neg + B)
+#
+# with the DSIR convention's target domain (lang = 'en').  Training is
+# ONE aggregation pass: explode tokens, bucket-keyed groupBy with two
+# conditional sums — the map-side-combinable shape that trains on
+# 100 TB in a single scan (B bucket rows of state, never corpus-
+# sized), which is exactly why production pipelines reach for linear
+# probes over hashed features at this scale (fastText's trick minus
+# the iterative softmax).
+#
+# Exactness: counts are integers; the decision clears denominators —
+# a doc is predicted target iff
+#     Σ_tokens ((n_pos_b + 1)(N_neg + B) − (n_neg_b + 1)(N_pos + B)) > 0
+# an exact bigint sum, so the confusion matrix has no float compare
+# anywhere.  The reported weight / score are fixed-order double
+# divisions of exact integers (bit-identical across engines).
+# Self-evaluation on the training corpus is the standard training-set
+# confusion diagnostic; a held-out eval is this composed with
+# split_assign's hash split.
+
+def _qclf_class_counts(docs: DataFrame) -> DataFrame:
+    """(bucket, n_pos, n_neg): per-feature-bucket token counts by
+    class — the trained model's sufficient statistics."""
+    y = F.col("lang") == DSIR_TARGET_LANG
+    return (widen_for_explode(docs, "doc_id")
+            .select("doc_id", "lang",
+                    F.explode(norm_tokens()).alias("tok"))
+            .select(F.expr(_qclf_bucket("tok")).alias("bucket"),
+                    y.alias("y"))
+            .groupBy("bucket")
+            .agg(F.sum(F.when(F.col("y"), 1).otherwise(0))
+                 .alias("n_pos"),
+                 F.sum(F.when(F.col("y"), 0).otherwise(1))
+                 .alias("n_neg")))
+
+
+def q_quality_classifier_train(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = _qclf_class_counts(docs)
+    totals = counts.agg(F.sum("n_pos").alias("t_pos"),
+                        F.sum("n_neg").alias("t_neg"))
+    b = F.lit(QCLF_BUCKETS)
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("bucket", "n_pos", "n_neg",
+                    ((F.col("n_pos") + 1).cast("double")
+                     / (F.col("t_pos") + b)
+                     - (F.col("n_neg") + 1).cast("double")
+                     / (F.col("t_neg") + b))
+                    .alias("weight"))
+            .orderBy("bucket"))
+
+
+def q_quality_classifier_eval(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Training-set confusion matrix of the trained probe:
+    (is_target, predicted, n_docs, example_doc_id, avg_score)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = _qclf_class_counts(docs)
+    totals = counts.agg(F.sum("n_pos").alias("t_pos"),
+                        F.sum("n_neg").alias("t_neg"))
+    toks = (widen_for_explode(docs, "doc_id")
+            .select("doc_id", "lang",
+                    F.explode(norm_tokens()).alias("tok"))
+            .withColumn("bucket", F.expr(_qclf_bucket("tok"))))
+    scored = (toks.join(counts, "bucket")
+              .crossJoin(F.broadcast(totals))
+              .groupBy("doc_id", "lang", "t_pos", "t_neg")
+              .agg(F.count("*").alias("n_toks"),
+                   F.sum((F.col("n_pos") + 1)
+                         * (F.col("t_neg") + QCLF_BUCKETS)
+                         - (F.col("n_neg") + 1)
+                         * (F.col("t_pos") + QCLF_BUCKETS))
+                   .alias("s_num"))
+              .withColumn(
+                  "score",
+                  F.col("s_num").cast("double")
+                  / ((F.col("t_pos") + QCLF_BUCKETS).cast("double")
+                     * (F.col("t_neg") + QCLF_BUCKETS)
+                     * (F.col("n_toks")))))
+    return (scored
+            .groupBy((F.col("lang") == DSIR_TARGET_LANG)
+                     .alias("is_target"),
+                     (F.col("s_num") > 0).alias("predicted"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("example_doc_id"),
+                 davg("score", "avg_score"))
+            .orderBy("is_target", "predicted"))
+
+
+# Shared oracle CTEs ending in (counts, tot) — the model's sufficient
+# statistics, the SQL twin of _qclf_class_counts + its totals.
+_QCLF_TRAIN_CTES = f"""
+        qtoks AS (
+            SELECT doc_id, lang, t.tok
+            FROM (SELECT doc_id, lang, {NORM_TOKENS_SQL} AS l
+                  FROM documents),
+                 UNNEST(l) AS t(tok)
+        ),
+        bt AS (
+            SELECT doc_id, lang, {_qclf_bucket_sql('tok')} AS bucket
+            FROM qtoks
+        ),
+        counts AS (
+            SELECT bucket,
+                   CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+            FROM bt GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_pos) AS BIGINT) AS t_pos,
+                   CAST(SUM(n_neg) AS BIGINT) AS t_neg
+            FROM counts
+        )
+"""
+
+register(QuerySpec(
+    "quality_classifier_train", q_quality_classifier_train,
+    oracle=f"""
+        WITH {_QCLF_TRAIN_CTES.strip()}
+        SELECT bucket, n_pos, n_neg,
+               CAST(n_pos + 1 AS DOUBLE) / (t_pos + {QCLF_BUCKETS})
+                   - CAST(n_neg + 1 AS DOUBLE) / (t_neg + {QCLF_BUCKETS})
+                   AS weight
+        FROM counts CROSS JOIN tot
+        ORDER BY bucket
+    """,
+    doc="train the hashed-feature linear probe distributed "
+        "(difference-of-class-means / Rocchio, one aggregation "
+        "pass): per-bucket class counts + the learned weight",
+    tags=("text", "north-star", "quality", "classifier", "agg"),
+))
+
+register(QuerySpec(
+    "quality_classifier_eval", q_quality_classifier_eval,
+    oracle=f"""
+        WITH {_QCLF_TRAIN_CTES.strip()},
+        scored AS (
+            SELECT doc_id, lang, t_pos, t_neg,
+                   COUNT(*) AS n_toks,
+                   CAST(SUM((n_pos + 1) * (t_neg + {QCLF_BUCKETS})
+                            - (n_neg + 1) * (t_pos + {QCLF_BUCKETS}))
+                        AS BIGINT) AS s_num
+            FROM bt JOIN counts USING (bucket) CROSS JOIN tot
+            GROUP BY doc_id, lang, t_pos, t_neg
+        )
+        SELECT (lang = '{DSIR_TARGET_LANG}') AS is_target,
+               s_num > 0 AS predicted,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS example_doc_id,
+               {davg_sql(f"CAST(s_num AS DOUBLE) / "
+                         f"(CAST(t_pos + {QCLF_BUCKETS} AS DOUBLE) "
+                         f"* (t_neg + {QCLF_BUCKETS}) * n_toks)",
+                         "avg_score")}
+        FROM scored
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="the trained probe's training-set confusion matrix: the keep "
+        "decision is an exact integer sum (denominators cleared), no "
+        "float compare anywhere",
+    tags=("text", "north-star", "quality", "classifier",
+          "evaluation"),
 ))

@@ -716,9 +716,11 @@ _COS_SQL = (
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))")
 
 
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    emb = load_embeddings(spark, sf_dir)
+def semdedup_pairs(emb: DataFrame) -> DataFrame:
+    """(cluster, vec_a, vec_b, cosine): the centroid-blocked semantic
+    near-dup pairs at the SemDeDup threshold — shared by the pair
+    report and the cross-split leakage audit so the blocking and
+    threshold are one definition."""
     cents = (emb.filter(F.col("vec_id") < SEMDEDUP_K)
              .select(F.col("vec_id").alias("centroid_id"),
                      F.col("embedding").alias("cent")))
@@ -746,10 +748,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD))
 
 
-register(QuerySpec(
-    "semdedup", q_semdedup,
-    oracle=f"""
-        WITH cents AS (
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return semdedup_pairs(load_embeddings(spark, sf_dir))
+
+
+# Shared oracle CTE block ending in ``sempairs`` — the SQL twin of
+# :func:`semdedup_pairs`, composed by the pair report and the
+# cross-split leakage audit.
+SEMDEDUP_SQL_CTES = f"""
+        cents AS (
             SELECT vec_id AS centroid_id, embedding AS cent
             FROM embeddings WHERE vec_id < {SEMDEDUP_K}
         ), scored AS (
@@ -773,13 +781,92 @@ register(QuerySpec(
             FROM pairs p
             JOIN embeddings ea ON p.vec_a = ea.vec_id
             JOIN embeddings eb ON p.vec_b = eb.vec_id
+        ), sempairs AS (
+            SELECT cluster, vec_a, vec_b, cosine
+            FROM final WHERE cosine >= {SEMDEDUP_THRESHOLD}
         )
-        SELECT cluster, vec_a, vec_b, cosine
-        FROM final WHERE cosine >= {SEMDEDUP_THRESHOLD}
+"""
+
+register(QuerySpec(
+    "semdedup", q_semdedup,
+    oracle=f"""
+        WITH {SEMDEDUP_SQL_CTES.strip()}
+        SELECT cluster, vec_a, vec_b, cosine FROM sempairs
     """,
     doc=f"SemDeDup: nearest-centroid blocking (k={SEMDEDUP_K}) + "
         "within-cluster cosine near-dup pairs",
     tags=("similarity", "llm-pipeline", "dedup", "north-star"),
+))
+
+
+# ---------------------------------------------------------------------------
+# Semantic split leakage: paraphrase contamination ACROSS the splits
+# ---------------------------------------------------------------------------
+# split_leakage audits the hash split against LEXICAL near-dups
+# (MinHash pairs); paraphrases that no lexical dedup sees leak
+# through it.  This is the same audit one modality over: the SemDeDup
+# pair surface (embedding cosine, centroid-blocked) classified by its
+# members' splits — the decontamination check run between a training
+# corpus and held-out evals in embedding space.  Ids line up because
+# the fixture embeds document doc_ids as vec_ids (the modal_agreement
+# convention).  Topology: the pair table is semdedup's (bounded by
+# cluster blocking); the split is a row-local hash; one final
+# (split, split)-keyed agg over pair rows.
+
+def q_split_leakage_semantic(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        _split_of,
+    )
+    tune_session(spark)
+    pairs = semdedup_pairs(load_embeddings(spark, sf_dir))
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (pairs
+            .withColumn("split_a", _split_of(F.col("vec_a")))
+            .withColumn("split_b", _split_of(F.col("vec_b")))
+            .groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.min("vec_a").alias("example_vec_a"),
+                 F.max("cosine").alias("max_cosine"))
+            .withColumn("is_leak",
+                        F.col("split_lo") != F.col("split_hi"))
+            .orderBy("split_lo", "split_hi"))
+
+
+def _split_leakage_semantic_oracle() -> str:
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        _split_sql,
+    )
+    return f"""
+        WITH {SEMDEDUP_SQL_CTES.strip()},
+        classed AS (
+            SELECT cosine, vec_a,
+                   {_split_sql('vec_a')} AS split_a,
+                   {_split_sql('vec_b')} AS split_b
+            FROM sempairs
+        )
+        SELECT LEAST(split_a, split_b) AS split_lo,
+               GREATEST(split_a, split_b) AS split_hi,
+               COUNT(*) AS n_pairs,
+               MIN(vec_a) AS example_vec_a,
+               MAX(cosine) AS max_cosine,
+               LEAST(split_a, split_b) <> GREATEST(split_a, split_b)
+                   AS is_leak
+        FROM classed
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+register(QuerySpec(
+    "split_leakage_semantic", q_split_leakage_semantic,
+    oracle=_split_leakage_semantic_oracle(),
+    doc="split_leakage one modality over: SemDeDup's embedding "
+        "near-dup pairs classified by their members' hash splits — "
+        "the paraphrase-contamination audit lexical dedup misses",
+    tags=("similarity", "llm-pipeline", "split", "dedup",
+          "north-star", "evaluation"),
 ))
 
 

@@ -444,6 +444,18 @@ def streaming_gopher_quality(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "lang", *cols.values())
 
 
+def streaming_quality_classifier(docs: DataFrame) -> DataFrame:
+    """The hashing-trick linear quality scorer over a document stream
+    — the batch operator (``operators/lm_quality.py::
+    classifier_scores``) is a pure row-local tokenize/hash/fold, so
+    it composes unchanged (stateless, no watermark): the keep/drop
+    gate runs AT INGEST, before anything hits the corpus store."""
+    from cga_logs_to_kinesis_spark.operators.lm_quality import (
+        classifier_scores,
+    )
+    return classifier_scores(docs)
+
+
 def fit_bm25_model(spark, docs: DataFrame) -> DataFrame:
     """Batch front half for :func:`streaming_bm25_score`: the 1-row
     retrieval model fitted on the existing corpus — corpus scalars

@@ -66,6 +66,7 @@ PROBED = [
     "lsh_recall_exact", "setjoin_incremental", "lsh_recall_curve",
     "quality_classifier", "quality_classifier_apply",
     "token_ngram_decontaminate", "passage_dedup_cdc",
+    "quality_classifier_train", "quality_classifier_eval",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",
