@@ -118,6 +118,21 @@ HEADLINE = (
     # NOT benched separately: it recomputes this plus
     # lsh_candidate_ids, both already watched).
     "setjoin_prefix",
+    # r16: the curation hot paths added this round — the map-only
+    # hashing-trick scorer (scan-bound: tokenize + 2 md5 + integer
+    # fold per token, zero exchanges), the content-defined chunker
+    # (row-local chunking + digest-keyed dup agg — passage_dedup's
+    # topology with a different narrow front), and the trained-probe
+    # eval (two corpus-scale aggs + bucket join — the train pass is a
+    # strict subset of it and is not benched separately).
+    # token_ngram_decontaminate is NOT benched: its cost is the
+    # bpe_learn_merges driver loop (10 fixed collect rounds, ~10 s at
+    # any sf — iteration count, not data, so a regression there is
+    # invisible to sf scaling) plus a reassembly join; priced as a
+    # composition in its docstring, the lsh_recall_exact convention.
+    "quality_classifier",
+    "passage_dedup_cdc",
+    "quality_classifier_eval",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the
