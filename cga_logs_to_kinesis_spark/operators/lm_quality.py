@@ -686,11 +686,8 @@ def _qclf_class_counts(docs: DataFrame) -> DataFrame:
     """(bucket, n_pos, n_neg): per-feature-bucket token counts by
     class — the trained model's sufficient statistics."""
     y = F.col("lang") == DSIR_TARGET_LANG
-    return (widen_for_explode(docs, "doc_id")
-            .select("doc_id", "lang",
-                    F.explode(norm_tokens()).alias("tok"))
-            .select(F.expr(_qclf_bucket("tok")).alias("bucket"),
-                    y.alias("y"))
+    return (_qclf_doc_buckets(docs)
+            .select("bucket", y.alias("y"))
             .groupBy("bucket")
             .agg(F.sum(F.when(F.col("y"), 1).otherwise(0))
                  .alias("n_pos"),
@@ -716,20 +713,34 @@ def q_quality_classifier_train(spark: SparkSession,
             .orderBy("bucket"))
 
 
-def q_quality_classifier_eval(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
-    """Training-set confusion matrix of the trained probe:
-    (is_target, predicted, n_docs, example_doc_id, avg_score)."""
-    tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    counts = _qclf_class_counts(docs)
-    totals = counts.agg(F.sum("n_pos").alias("t_pos"),
-                        F.sum("n_neg").alias("t_neg"))
-    toks = (widen_for_explode(docs, "doc_id")
+def _qclf_doc_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket): every token instance's feature bucket
+    — the scoring probe's corpus-scale front."""
+    return (widen_for_explode(docs, "doc_id")
             .select("doc_id", "lang",
                     F.explode(norm_tokens()).alias("tok"))
             .withColumn("bucket", F.expr(_qclf_bucket("tok"))))
-    scored = (toks.join(counts, "bucket")
+
+
+def classifier_confusion(toks: DataFrame,
+                         counts: DataFrame) -> DataFrame:
+    """Confusion matrix of the trained probe over the ``toks``
+    instances (``_qclf_doc_buckets`` shape), with the model's
+    sufficient statistics coming from ``counts`` (bucket, n_pos,
+    n_neg) — the whole model derives from that one table (totals are
+    its sums), which is what lets the streaming class-count store
+    carry it (the surprisal_from_counts factoring, one model over).
+
+    The bucket join is LEFT with zero-coalesce so a tranche hitting
+    buckets the count corpus never saw still scores — the smoothed
+    estimator's unseen case ((0+1) numerators); in the self-eval path
+    every bucket matches, so values are unchanged — identical to the
+    inner-join oracle."""
+    totals = counts.agg(F.sum("n_pos").alias("t_pos"),
+                        F.sum("n_neg").alias("t_neg"))
+    scored = (toks.join(counts, "bucket", "left")
+              .withColumn("n_pos", F.coalesce("n_pos", F.lit(0)))
+              .withColumn("n_neg", F.coalesce("n_neg", F.lit(0)))
               .crossJoin(F.broadcast(totals))
               .groupBy("doc_id", "lang", "t_pos", "t_neg")
               .agg(F.count("*").alias("n_toks"),
@@ -752,6 +763,16 @@ def q_quality_classifier_eval(spark: SparkSession,
                  F.min("doc_id").alias("example_doc_id"),
                  davg("score", "avg_score"))
             .orderBy("is_target", "predicted"))
+
+
+def q_quality_classifier_eval(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Training-set confusion matrix of the trained probe:
+    (is_target, predicted, n_docs, example_doc_id, avg_score)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_confusion(_qclf_doc_buckets(docs),
+                                _qclf_class_counts(docs))
 
 
 # Shared oracle CTEs ending in (counts, tot) — the model's sufficient

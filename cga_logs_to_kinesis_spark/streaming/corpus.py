@@ -2639,6 +2639,87 @@ def compact_bigram_count_store(spark: SparkSession, store_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# Streaming class-count store: the trained probe rides the crawl
+# ---------------------------------------------------------------------------
+# The trained quality probe's sufficient statistics are ONE table of
+# per-bucket class counts (lm_quality's difference-of-class-means
+# factoring: totals are its sums, the smoothed weights and the
+# integer-exact decision all derive from it) — and counts SUM under
+# any corpus split, so per-batch (bucket, n_pos, n_neg) partials make
+# the probe continuously TRAINED: every tranche that arrives updates
+# the model, and the reader can score any docs frame against the
+# model-so-far with no corpus re-scan.  State is B = QCLF_BUCKETS
+# rows per batch — the hashing trick bounds the model, which is
+# exactly why this classifier family scales to crawls (fastText's
+# argument).  The watermark-base compactor applies unchanged.
+
+def class_count_sink(store_dir: str,
+                     fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink over document batches: per-batch
+    (bucket, n_pos, n_neg) class-count partials, batch_id-keyed.
+    Per-batch work is the batch trainer's exact front
+    (``_qclf_class_counts``) — one partial-agg groupBy to B rows."""
+    from cga_logs_to_kinesis_spark.operators.lm_quality import (
+        _qclf_class_counts,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (_qclf_class_counts(batch_df)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(store_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def classifier_eval_from_store(spark: SparkSession, docs: DataFrame,
+                               store_dir: str) -> DataFrame:
+    """Confusion matrix of ``docs`` under the probe trained from the
+    class-count store: fold partials to the sufficient statistics,
+    push them through the batch query's exact tail
+    (``classifier_confusion``) — bit-identical to
+    ``quality_classifier_eval`` when ``docs`` is the ingested corpus,
+    and a smoothed generalization for tranches hitting unseen
+    buckets."""
+    from cga_logs_to_kinesis_spark.operators.lm_quality import (
+        _qclf_doc_buckets,
+        classifier_confusion,
+    )
+
+    s = _read_store(spark, store_dir)
+    if s is None:
+        return spark.createDataFrame(
+            [], "is_target boolean, predicted boolean, n_docs long, "
+                "example_doc_id long, avg_score double")
+    counts = (_effective_mg_summaries(s)
+              .groupBy("bucket")
+              .agg(F.sum("n_pos").alias("n_pos"),
+                   F.sum("n_neg").alias("n_neg")))
+    return classifier_confusion(_qclf_doc_buckets(docs), counts)
+
+
+def compact_class_count_store(spark: SparkSession, store_dir: str,
+                              upto_batch_id: int,
+                              files_per_partition: int = 1) -> int:
+    """Fold class-count partials into the watermark base (counts
+    SUM)."""
+    return _compact_mergeable_store(
+        spark, store_dir, upto_batch_id, ["bucket"],
+        _sum_fold("n_pos", "n_neg"), files_per_partition)
+
+
+# ---------------------------------------------------------------------------
 # Streaming n-gram novelty: first-occurrence state as a MIN-fold store
 # ---------------------------------------------------------------------------
 # The streaming twin of operators/dedup.py::q_ngram_novelty.  Novelty
@@ -2966,6 +3047,15 @@ STORE_FAMILIES: tuple[StoreFamily, ...] = (
         "same store's per-source totals feed the temperature-mixture "
         "algebra (mixture_from_store), so divergence AND resampling "
         "rates ride one state"),
+    StoreFamily(
+        "classifier class counts", "sum (watermark base)",
+        ("class_count_sink",), ("classifier_eval_from_store",),
+        ("compact_class_count_store",),
+        "the trained quality probe's sufficient statistics — B "
+        "hashed-bucket rows of (n_pos, n_neg); every tranche updates "
+        "the model (counts SUM), the reader scores any docs frame "
+        "through lm_quality.classifier_confusion's exact tail, so "
+        "the probe is continuously trained with no corpus re-scan"),
     StoreFamily(
         "bigram LM counts", "sum (watermark base)",
         ("bigram_count_sink",), ("perplexity_split_from_store",),

@@ -2475,3 +2475,50 @@ def test_perplexity_store_scores_unseen_tranche(spark, tmp_path):
     # integer tertiles: a 1-doc language has rank*3 = 3 > 2n = 2, so
     # its only doc is the "tail" (same as the batch rule)
     assert row[0].bucket == "tail"
+
+
+def test_classifier_eval_from_store_matches_batch(spark, tmp_path):
+    """The class-count store folded through the batch trainer's exact
+    tail reproduces quality_classifier_eval bit-for-bit — under a
+    3-batch split with crash-replay on batch 1, unmoved by the
+    watermark compactor — and a tranche hitting buckets the model
+    never saw still scores (the smoothed estimator's unseen case)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.sources import load_table
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        class_count_sink,
+        classifier_eval_from_store,
+        compact_class_count_store,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    empty = classifier_eval_from_store(spark, docs,
+                                       str(tmp_path / "no"))
+    assert empty.count() == 0
+    assert empty.columns == ["is_target", "predicted", "n_docs",
+                             "example_doc_id", "avg_score"]
+
+    src = _doc_chunks(spark, tmp_path)
+    store = str(tmp_path / "class_counts")
+    sink = class_count_sink(store, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, src, sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, src, sink, ckpt)   # replay 1, finish 2
+    fold = lambda: [tuple(r) for r in  # noqa: E731
+                    classifier_eval_from_store(spark, docs,
+                                               store).collect()]
+    want = [tuple(r) for r in all_queries()["quality_classifier_eval"]
+            .fn(spark, SF_SMOKE).collect()]
+    got = fold()
+    assert got == want and sum(r[2] for r in want) == 500
+    assert compact_class_count_store(spark, store, 2) == 3
+    assert fold() == want
+
+    # unseen-bucket tranche: tokens the model never counted get the
+    # (0+1)-smoothed terms, not a crash or a dropped doc
+    unseen = spark.createDataFrame(
+        [(9_999, "zzzzqqqq wwwwvvvv", "en", "s", 17)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    rows = classifier_eval_from_store(spark, unseen, store).collect()
+    assert len(rows) == 1 and rows[0].n_docs == 1

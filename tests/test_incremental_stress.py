@@ -771,3 +771,37 @@ def test_bigram_count_sink_work_is_flat(spark, tmp_path):
     assert late <= 3.0 * early, (
         f"per-batch bigram-count work grew: early={early:.0f} "
         f"late={late:.0f} records/batch")
+
+
+def test_class_count_sink_work_is_flat(spark, tmp_path):
+    """The probe trainer folds its own batch only — flat per-batch
+    work AND bounded state (B hashed buckets per batch, the hashing
+    trick's whole point)."""
+    import glob
+
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        class_count_sink,
+    )
+
+    store = str(tmp_path / "class_counts")
+    sink = class_count_sink(store)
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        batch = _dup_doc_batch(spark, k).withColumn(
+            "lang", F.when(F.col("doc_id") % 3 == 0, "en")
+            .otherwise("xx"))
+        sink(batch, k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch class-count work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
+    # bounded state: every batch partition holds at most B rows
+    from cga_logs_to_kinesis_spark.operators.lm_quality import (
+        QCLF_BUCKETS,
+    )
+    for d in glob.glob(store + "/batch_id=*"):
+        assert spark.read.parquet(d).count() <= QCLF_BUCKETS
