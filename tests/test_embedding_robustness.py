@@ -27,7 +27,7 @@ EMB_QUERIES = [
     "embedding_covariance", "pca_project", "embedding_quantize",
     "embedding_centroids", "modal_agreement", "embedding_validity",
     "embedding_drift", "cosine_topk_pq", "cosine_topk_ivf_sq",
-    "cluster_mixture",
+    "cluster_mixture", "split_leakage_semantic",
 ]
 
 N_VALID = 8
