@@ -209,6 +209,38 @@ def _git_head_sha(repo_dir: str) -> str | None:
     return None
 
 
+# The tree paths whose git object ids identify the EXECUTED engine.
+_CODE_PATHS = ("cga_logs_to_kinesis_spark", "bench.py",
+               "__spark_entry__.py")
+
+
+def _code_sha(repo_dir: str) -> str | None:
+    """SHA identifying the executed CODE irrespective of doc-only
+    commits.  The commit SHA alone misses the main case: a round's
+    final bench records are committed AFTER the benched commit (the
+    records-and-notes commit is docs-only), so the driver's HEAD
+    differs from every recorded commit SHA while the code is
+    byte-identical.  Hashing the git object ids of the package tree
+    plus the two entry files tracks exactly what executes — doc/test
+    commits leave it unchanged, any engine change moves it.
+    (Reflects the COMMITTED tree: the builder always commits before
+    final runs, and the driver benches a committed tree.)"""
+    import hashlib
+    import subprocess
+    try:
+        res = subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse"]
+            + [f"HEAD:{p}" for p in _CODE_PATHS],
+            capture_output=True, text=True, timeout=10)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    ids = (res.stdout or "").split()
+    if res.returncode != 0 or len(ids) != len(_CODE_PATHS) \
+            or not all(re.fullmatch(r"[0-9a-f]{40}", i) for i in ids):
+        return None
+    return hashlib.sha256(" ".join(ids).encode()).hexdigest()[:40]
+
+
 def detect_current_round(repo_dir: str) -> int | None:
     """The round number THIS bench run belongs to.
 
@@ -261,7 +293,7 @@ def _resolve_round(sources: dict, rnd: int, sf: float) -> dict | None:
     the driver's parsed record, then tail recovery."""
     merged: dict[str, float] = {}
     used = []
-    shas: list[str | None] = []
+    shas: list[tuple[str | None, str | None]] = []
     for path in sorted(sources.get("builder", [])):
         try:
             with open(path) as f:
@@ -272,17 +304,18 @@ def _resolve_round(sources: dict, rnd: int, sf: float) -> dict | None:
                 rec.get("queries"), dict):
             continue
         used.append(os.path.basename(path))
-        # None for pre-r16 records (no stamp): a base containing any
-        # unstamped record can never be PROVEN same-code, so the
-        # same-sha host-drift reroute stays conservative.
-        shas.append(rec.get("git_sha"))
+        # (None, None) for pre-r16 records (no stamp): a base
+        # containing any unstamped record can never be PROVEN
+        # same-code, so the same-sha host-drift reroute stays
+        # conservative.
+        shas.append((rec.get("git_sha"), rec.get("code_sha")))
         for k, v in rec["queries"].items():
             if k not in merged or v < merged[k]:
                 merged[k] = v
     if merged:
         return {"sf": sf, "queries": merged,
                 "base": f"r{rnd}:min({len(used)}runs)",
-                "base_files": used, "shas": shas}
+                "base_files": used, "sha_pairs": shas}
     driver_path = sources.get("driver")
     if driver_path:
         try:
@@ -356,10 +389,25 @@ def current_round_bench(repo_dir: str, sf: float,
     return _resolve_round({"builder": sources["builder"]}, rnd, sf)
 
 
+def _same_code(pair: tuple[str | None, str | None],
+               head_sha: str | None,
+               code_sha: str | None) -> bool:
+    """One base record is proven same-code iff its code SHA matches
+    HEAD's (preferred — doc-only commits don't move it) or, lacking a
+    code stamp on either side, its commit SHA does."""
+    rec_git, rec_code = pair
+    if rec_code and code_sha:
+        return rec_code == code_sha
+    if rec_git and head_sha:
+        return rec_git == head_sha
+    return False
+
+
 def delta_sections(repo_dir: str, sf: float, cur: int | None,
                    timings: dict[str, float],
                    canary: float | None,
-                   head_sha: str | None) -> tuple[dict, dict]:
+                   head_sha: str | None,
+                   code_sha: str | None = None) -> tuple[dict, dict]:
     """The round-over-round and host-drift sections of the record.
 
     Returns ``(full_fields, out_fields)`` — merged into the persisted
@@ -386,9 +434,9 @@ def delta_sections(repo_dir: str, sf: float, cur: int | None,
     out: dict = {}
     prev = previous_round_bench(repo_dir, sf, before_round=cur)
     prev_same_sha = (
-        prev is not None and head_sha is not None
-        and bool(prev.get("shas"))
-        and all(s == head_sha for s in prev["shas"]))
+        prev is not None and bool(prev.get("sha_pairs"))
+        and all(_same_code(pair, head_sha, code_sha)
+                for pair in prev["sha_pairs"]))
     if prev is not None and not prev_same_sha:
         deltas, regressions = {}, []
         for name, sec in timings.items():
@@ -418,9 +466,10 @@ def delta_sections(repo_dir: str, sf: float, cur: int | None,
         out["n_regressions"] = len(regressions)
         out["regressions"] = regressions[:8]
     elif prev_same_sha:
+        stamp = (code_sha or head_sha or "?")[:12]
         full["delta_skipped"] = (
-            f"base {prev.get('base')} carries the benched tree's SHA "
-            f"{head_sha[:12]} — same code, reported as host_drift")
+            f"base {prev.get('base')} carries the benched tree's "
+            f"code SHA {stamp} — same code, reported as host_drift")
     # SAME-code host drift: this run vs a builder min of the SAME
     # tree — any ratio here is host/run noise, reported under an
     # honest name with a looser canary-scaled threshold (r14's
@@ -533,9 +582,12 @@ def main() -> None:
     cur = detect_current_round(repo)
     full["current_round"] = cur
     head_sha = _git_head_sha(repo)
+    code_sha = _code_sha(repo)
     full["git_sha"] = head_sha
+    full["code_sha"] = code_sha
     d_full, d_out = delta_sections(repo, sf, cur, timings,
-                                   out.get("canary_drift"), head_sha)
+                                   out.get("canary_drift"), head_sha,
+                                   code_sha)
     full.update(d_full)
     out.update(d_out)
     line = json.dumps(out)

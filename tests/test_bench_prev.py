@@ -310,3 +310,66 @@ def test_git_head_sha_of_this_repo():
     assert re.fullmatch(r"[0-9a-f]{40}", sha)
     assert _git_head_sha("/tmp") is None  # not a repo -> None, no raise
 
+
+
+# ---------------------------------------------------------------------------
+# code_sha: doc-only commits must not break same-code detection
+# ---------------------------------------------------------------------------
+
+from bench import _code_sha, _same_code  # noqa: E402
+
+CODE_X = "c" * 40
+CODE_Y = "d" * 40
+
+
+def _builder_code(tmp, rnd, run, queries, git, code, sf=0.1):
+    _write(os.path.join(tmp, "docs", "bench",
+                        f"r{rnd}_final_run{run}.json"),
+           {"metric": "headline_suite_wall_clock", "sf": sf,
+            "queries": queries, "git_sha": git, "code_sha": code})
+
+
+def test_docs_only_commit_still_detected_as_same_code(
+        tmp_path, capsys):
+    """The round's final-run records are committed AFTER the benched
+    commit, so the driver's HEAD commit differs while the code
+    objects are identical — the code SHA must carry the reroute."""
+    tmp = str(tmp_path)
+    _builder_code(tmp, 16, 1, {"q1": 2.0}, git=SHA_A, code=CODE_X)
+    full, _ = delta_sections(tmp, 0.1, 17, {"q1": 4.3},
+                             canary=1.0, head_sha=SHA_B,
+                             code_sha=CODE_X)   # new commit, same code
+    err = capsys.readouterr().err
+    assert "BENCH REGRESSION" not in err
+    assert "BENCH HOST-DRIFT: q1" in err        # 2.15x > 2.0
+    assert full["host_base"] == "r16:min(1runs):same-sha"
+
+
+def test_code_change_beats_commit_sha_equality(tmp_path, capsys):
+    """Conversely: if the code objects differ, the comparison is a
+    true round-over-round regression even under any commit-SHA
+    coincidence."""
+    tmp = str(tmp_path)
+    _builder_code(tmp, 15, 1, {"q1": 2.0}, git=SHA_A, code=CODE_X)
+    full, _ = delta_sections(tmp, 0.1, 16, {"q1": 4.3},
+                             canary=1.0, head_sha=SHA_A,
+                             code_sha=CODE_Y)
+    assert "BENCH REGRESSION: q1" in capsys.readouterr().err
+    assert full["regressions"] == ["q1"]
+
+
+def test_same_code_fallback_to_commit_sha():
+    """Records stamped before the code SHA existed (git_sha only)
+    still match on commit identity; unstamped records never do."""
+    assert _same_code((SHA_A, None), SHA_A, CODE_X)
+    assert not _same_code((SHA_A, None), SHA_B, CODE_X)
+    assert _same_code((SHA_A, CODE_X), SHA_B, CODE_X)
+    assert not _same_code((SHA_A, CODE_X), SHA_A, CODE_Y)
+    assert not _same_code((None, None), SHA_A, CODE_X)
+
+
+def test_code_sha_of_this_repo_is_stable_and_real():
+    a = _code_sha("/root/repo")
+    assert a is not None and re.fullmatch(r"[0-9a-f]{40}", a)
+    assert _code_sha("/root/repo") == a
+    assert _code_sha("/tmp") is None
