@@ -223,11 +223,21 @@ def _code_sha(repo_dir: str) -> str | None:
     byte-identical.  Hashing the git object ids of the package tree
     plus the two entry files tracks exactly what executes — doc/test
     commits leave it unchanged, any engine change moves it.
-    (Reflects the COMMITTED tree: the builder always commits before
-    final runs, and the driver benches a committed tree.)"""
+    Returns None when the working tree is dirty under any code path:
+    HEAD's object ids would then stamp a same-code SHA for code that
+    did not actually execute, which could later reroute a true
+    regression into the looser canary-scaled host-drift channel —
+    dirty-tree runs stay unstamped and on the conservative
+    regression path."""
     import hashlib
     import subprocess
     try:
+        dirty = subprocess.run(
+            ["git", "-C", repo_dir, "status", "--porcelain", "--"]
+            + list(_CODE_PATHS),
+            capture_output=True, text=True, timeout=10)
+        if dirty.returncode != 0 or (dirty.stdout or "").strip():
+            return None
         res = subprocess.run(
             ["git", "-C", repo_dir, "rev-parse"]
             + [f"HEAD:{p}" for p in _CODE_PATHS],

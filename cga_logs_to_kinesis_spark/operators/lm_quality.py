@@ -735,20 +735,27 @@ def classifier_confusion(toks: DataFrame,
     buckets the count corpus never saw still scores — the smoothed
     estimator's unseen case ((0+1) numerators); in the self-eval path
     every bucket matches, so values are unchanged — identical to the
-    inner-join oracle."""
+    inner-join oracle.
+
+    The cleared-denominator terms are per-bucket counts times
+    corpus-wide class token totals: int64 products overflow once
+    total tokens pass ~3e9, far below the operator's design scale, so
+    the sum accumulates in decimal(38,0) (the repo's pagerank-style
+    decimal-exact convention) — the exactness claim holds to ~1e38."""
     totals = counts.agg(F.sum("n_pos").alias("t_pos"),
                         F.sum("n_neg").alias("t_neg"))
+    dec = "decimal(38,0)"
     scored = (toks.join(counts, "bucket", "left")
               .withColumn("n_pos", F.coalesce("n_pos", F.lit(0)))
               .withColumn("n_neg", F.coalesce("n_neg", F.lit(0)))
               .crossJoin(F.broadcast(totals))
               .groupBy("doc_id", "lang", "t_pos", "t_neg")
               .agg(F.count("*").alias("n_toks"),
-                   F.sum((F.col("n_pos") + 1)
+                   F.sum((F.col("n_pos") + 1).cast(dec)
                          * (F.col("t_neg") + QCLF_BUCKETS)
-                         - (F.col("n_neg") + 1)
+                         - (F.col("n_neg") + 1).cast(dec)
                          * (F.col("t_pos") + QCLF_BUCKETS))
-                   .alias("s_num"))
+                   .cast(dec).alias("s_num"))
               .withColumn(
                   "score",
                   F.col("s_num").cast("double")

@@ -2623,7 +2623,11 @@ def perplexity_split_from_store(spark: SparkSession, docs: DataFrame,
                 "bucket string, keep boolean")
     freq2 = (_effective_mg_summaries(s)
              .groupBy("prev", "w").agg(F.sum("cnt").alias("c_bg")))
-    scored = (surprisal_from_counts(doc_bigrams(docs), freq2)
+    # checkpoint=False: freq2 comes from the store, so the bigram
+    # frame has exactly one consumer here — no reuse to materialize
+    # for (same single-consumer usage as bigram_count_sink).
+    scored = (surprisal_from_counts(doc_bigrams(docs, checkpoint=False),
+                                    freq2)
               .join(docs.select("doc_id", "lang"), "doc_id"))
     return perplexity_buckets(scored)
 

@@ -369,7 +369,65 @@ def test_same_code_fallback_to_commit_sha():
 
 
 def test_code_sha_of_this_repo_is_stable_and_real():
+    import subprocess
+    dirty = subprocess.run(
+        ["git", "-C", "/root/repo", "status", "--porcelain", "--",
+         "cga_logs_to_kinesis_spark", "bench.py",
+         "__spark_entry__.py"],
+        capture_output=True, text=True).stdout.strip()
     a = _code_sha("/root/repo")
-    assert a is not None and re.fullmatch(r"[0-9a-f]{40}", a)
-    assert _code_sha("/root/repo") == a
+    if dirty:
+        # Mid-iteration (uncommitted engine edits) the stamp must
+        # refuse: HEAD's objects are not the code that executes.
+        assert a is None
+    else:
+        assert a is not None and re.fullmatch(r"[0-9a-f]{40}", a)
+        assert _code_sha("/root/repo") == a
     assert _code_sha("/tmp") is None
+
+
+def test_code_sha_none_on_dirty_code_tree(tmp_path):
+    """A dirty code path must unstamp the run (a same-code SHA for
+    code that did not execute would reroute a true regression into
+    the looser host-drift channel); doc-only dirt must NOT unstamp —
+    that is the main production case (driver benches after writing
+    uncommitted CORRECTNESS_rN.json at the repo root)."""
+    import subprocess
+    repo = str(tmp_path)
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", repo, "-c", "user.email=t@t",
+             "-c", "user.name=t"] + list(args),
+            check=True, capture_output=True)
+
+    git("init", "-q")
+    os.makedirs(os.path.join(repo, "cga_logs_to_kinesis_spark"))
+    for rel in ("bench.py", "__spark_entry__.py",
+                "cga_logs_to_kinesis_spark/x.py"):
+        _write_text(os.path.join(repo, rel), "x = 1\n")
+    git("add", "-A")
+    git("commit", "-qm", "init")
+    clean = _code_sha(repo)
+    assert clean is not None
+
+    _write_text(os.path.join(repo, "README.md"), "docs only\n")
+    assert _code_sha(repo) == clean          # untracked doc: stamped
+
+    _write_text(os.path.join(repo, "bench.py"), "x = 2\n")
+    assert _code_sha(repo) is None           # dirty code: unstamped
+
+    git("checkout", "--", "bench.py")
+    _write_text(
+        os.path.join(repo, "cga_logs_to_kinesis_spark/new.py"),
+        "y = 1\n")
+    assert _code_sha(repo) is None           # untracked code file too
+
+    os.remove(os.path.join(repo, "cga_logs_to_kinesis_spark/new.py"))
+    assert _code_sha(repo) == clean
+
+
+def _write_text(path, text):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
