@@ -133,6 +133,13 @@ HEADLINE = (
     "quality_classifier",
     "passage_dedup_cdc",
     "quality_classifier_eval",
+    # r17: the store-fed tokenizer APPLY path (r16 verdict #5).
+    # token_ngram_decontaminate stays unbenched (its cost is the
+    # 10-round fit loop — iteration count, not data); this twin pins
+    # the path production actually runs per-invocation once the BPE
+    # store exists: vocabulary merge folds + doc_id-keyed reassembly
+    # join + gram broadcast-semi-join, zero fit rounds.
+    "token_decon_apply",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the

@@ -49,7 +49,13 @@ CHECKPOINT_EVERY = 4    # bound lineage depth without paying a vocab
                         # faster locally, same bits)
 
 
-def _word_freqs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def word_freqs(docs: DataFrame) -> DataFrame:
+    """(w, freq): the corpus reduced to its word-frequency table —
+    the tokenizer's SUFFICIENT STATISTICS: everything downstream
+    (merge learning, the fitted vocabulary) derives from this one
+    table, and plain counts SUM under any corpus split, which is
+    what lets the streaming store (streaming/corpus.py::
+    bpe_vocab_sink) carry a continuously-fittable tokenizer."""
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (
         norm_tokens,
     )
@@ -89,13 +95,17 @@ def _apply_merge(lhs: str, rhs: str) -> F.Column:
     """)
 
 
-def learn_bpe_merges(spark: SparkSession, docs: DataFrame,
-                     n_merges: int = BPE_N_MERGES) -> DataFrame:
-    """(step, lhs, rhs, pair_freq): the learned merge table, in order."""
-    syms0 = F.expr(
-        f"concat(filter(split(w, ''), c -> c != ''), array('{EOW}'))")
-    state = (_word_freqs(spark, docs)
-             .select(syms0.alias("syms"), "freq")
+def learn_bpe_merges_from_freqs(spark: SparkSession, wf: DataFrame,
+                                n_merges: int = BPE_N_MERGES,
+                                ) -> DataFrame:
+    """(step, lhs, rhs, pair_freq): the merge table learned from a
+    word-frequency table ``wf`` (w, freq) — the fitting loop proper,
+    vocabulary-shaped from the first instruction.  Factored off
+    :func:`learn_bpe_merges` so the streaming store's fit step
+    (streaming/corpus.py::fit_bpe_store) runs the SAME loop over its
+    folded counts: one fit, identical merges, no corpus re-scan."""
+    state = (wf
+             .select(_syms0().alias("syms"), "freq")
              .localCheckpoint())
     pair_structs = F.expr(
         "transform(sequence(1, size(syms) - 1), "
@@ -120,6 +130,35 @@ def learn_bpe_merges(spark: SparkSession, docs: DataFrame,
             state = state.localCheckpoint()
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_freq long")
+
+
+def _syms0() -> F.Column:
+    """A word's initial symbol sequence: characters + the end-of-word
+    marker (Sennrich §3)."""
+    return F.expr(
+        f"concat(filter(split(w, ''), c -> c != ''), array('{EOW}'))")
+
+
+def apply_merges_to_words(words: DataFrame,
+                          merges: list[tuple[str, str]]) -> DataFrame:
+    """``words`` (any frame with a ``w`` column) + ``syms``: each word
+    tokenized under the given merge table — char split + end-of-word
+    marker, then one row-local fold per merge, in merge order.  The
+    INFERENCE half of the tokenizer as a reusable transform: the
+    batch fit, the pinned-tokenizer apply query, and the store
+    reader's unseen-word branch all tokenize through this one code
+    path, so apply semantics cannot drift between them."""
+    out = words.withColumn("syms", _syms0())
+    for lhs, rhs in merges:          # chained row-local folds
+        out = out.withColumn("syms", _apply_merge(lhs, rhs))
+    return out
+
+
+def learn_bpe_merges(spark: SparkSession, docs: DataFrame,
+                     n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """(step, lhs, rhs, pair_freq): the learned merge table, in order."""
+    return learn_bpe_merges_from_freqs(spark, word_freqs(docs),
+                                       n_merges)
 
 
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +257,19 @@ register(QuerySpec(
 # deliberately NOT a forced broadcast: a web-scale vocab outgrows
 # one; AQE promotes when small).
 
+def bpe_vocab_from_freqs(spark: SparkSession, wf: DataFrame,
+                         n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """(w, syms): the fitted tokenizer as a TABLE, derived entirely
+    from a word-frequency table — learn the merges from ``wf``, then
+    tokenize its keys (which ARE the distinct corpus words) under
+    them.  The streaming fit step persists exactly this pair (merge
+    table + vocab); the batch fit wraps it with a corpus scan."""
+    merges = [(r.lhs, r.rhs) for r in
+              learn_bpe_merges_from_freqs(spark, wf,
+                                          n_merges).collect()]
+    return apply_merges_to_words(wf.select("w"), merges)
+
+
 def fit_bpe_vocab(spark: SparkSession, docs: DataFrame,
                   n_merges: int = BPE_N_MERGES) -> DataFrame:
     """(w, syms): every distinct corpus word mapped to its BPE symbol
@@ -225,22 +277,11 @@ def fit_bpe_vocab(spark: SparkSession, docs: DataFrame,
     fitted tokenizer as a TABLE (vocabulary-sized, never corpus-
     sized), shared by ``bpe_tokenize`` (counts) and
     ``token_ngram_decontaminate`` (full sequences) so the tokenizer
-    cannot drift between its consumers."""
-    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
-        norm_tokens,
-    )
-    merges = [(r.lhs, r.rhs) for r in
-              learn_bpe_merges(spark, docs, n_merges).collect()]
-    vocab = (widen_for_explode(docs, "doc_id")
-             .select(F.explode(norm_tokens()).alias("w"))
-             .distinct()
-             .withColumn(
-                 "syms",
-                 F.expr(f"concat(filter(split(w, ''), c -> c != ''), "
-                        f"array('{EOW}'))")))
-    for lhs, rhs in merges:          # chained row-local folds
-        vocab = vocab.withColumn("syms", _apply_merge(lhs, rhs))
-    return vocab
+    cannot drift between its consumers.  One corpus scan: the
+    word-frequency table is checkpointed and feeds BOTH the merge
+    learning and the vocabulary keys."""
+    wf = word_freqs(docs).localCheckpoint()
+    return bpe_vocab_from_freqs(spark, wf, n_merges)
 
 
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,24 +410,20 @@ register(QuerySpec(
 TOKEN_DECON_K = 32
 
 
-def q_token_ngram_decontaminate(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
+def token_decon_report(docs: DataFrame,
+                       vocab: DataFrame) -> DataFrame:
     """(doc_id, n_shared_grams): training docs sharing at least one
     TOKEN_DECON_K-gram of BPE tokens with the benchmark slice
-    (doc_id % 97 == 0), under the tokenizer fitted on the same
-    (seeded) corpus.  Reference semantics: llm_pipeline's
-    ``ngram_decontaminate`` with word shingles swapped for fitted
-    BPE token sequences."""
+    (doc_id % 97 == 0), with each doc's token sequence produced by
+    joining its words against the ``vocab`` (w, syms) table.  The
+    decontaminator's APPLY half, factored so the corpus-fitted query,
+    the pinned-tokenizer bench twin, and the store-fed reader
+    (streaming/corpus.py::token_decontaminate_from_store) share one
+    tail."""
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (
         norm_tokens,
     )
-    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
-        decon_canary_seeded,
-    )
 
-    tune_session(spark)
-    docs = decon_canary_seeded(load_table(spark, sf_dir, "documents"))
-    vocab = fit_bpe_vocab(spark, docs)
     words = (widen_for_explode(docs, "doc_id")
              .withColumn("_toks", norm_tokens())
              .select("doc_id",
@@ -413,28 +450,42 @@ def q_token_ngram_decontaminate(spark: SparkSession,
             .agg(F.count("*").alias("n_shared_grams")))
 
 
-def _token_decon_oracle(n_merges: int = BPE_N_MERGES) -> str:
+def q_token_ngram_decontaminate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared_grams) under the tokenizer fitted on the
+    same (seeded) corpus.  Reference semantics: llm_pipeline's
+    ``ngram_decontaminate`` with word shingles swapped for fitted
+    BPE token sequences."""
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        decon_canary_seeded,
+    )
+
+    tune_session(spark)
+    docs = decon_canary_seeded(load_table(spark, sf_dir, "documents"))
+    return token_decon_report(docs, fit_bpe_vocab(spark, docs))
+
+
+def token_decon_tail_sql(vocab_rel: str, source: str = "seeded") -> str:
+    """The decontaminator tail as SQL CTEs + final SELECT: token
+    sequences from ``source`` docs joined against the ``vocab_rel``
+    (w, s) relation, gram/benchmark/contamination tail — the SQL twin
+    of :func:`token_decon_report`, shared by the corpus-fitted and
+    pinned-tokenizer oracles."""
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (
         NORM_TOKENS_SQL,
     )
-    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
-        DECON_CANARY_SQL,
-    )
 
     k = TOKEN_DECON_K
-    ctes, final = bpe_vocab_ctes(n_merges, source="seeded")
     return f"""
-        WITH seeded AS ({DECON_CANARY_SQL}),
-        {ctes},
         ptoks AS (
             SELECT doc_id, r.i AS pos, l[r.i] AS w
-            FROM (SELECT doc_id, {NORM_TOKENS_SQL} AS l FROM seeded),
+            FROM (SELECT doc_id, {NORM_TOKENS_SQL} AS l FROM {source}),
                  UNNEST(range(1, len(l) + 1)) AS r(i)
         ),
         seq AS (
             SELECT t.doc_id,
                    flatten(list(v.s ORDER BY t.pos)) AS seq
-            FROM ptoks t JOIN {final} v USING (w)
+            FROM ptoks t JOIN {vocab_rel} v USING (w)
             GROUP BY t.doc_id
         ),
         g AS (
@@ -455,6 +506,19 @@ def _token_decon_oracle(n_merges: int = BPE_N_MERGES) -> str:
     """
 
 
+def _token_decon_oracle(n_merges: int = BPE_N_MERGES) -> str:
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        DECON_CANARY_SQL,
+    )
+
+    ctes, final = bpe_vocab_ctes(n_merges, source="seeded")
+    return f"""
+        WITH seeded AS ({DECON_CANARY_SQL}),
+        {ctes},
+        {token_decon_tail_sql(final)}
+    """
+
+
 register(QuerySpec(
     "token_ngram_decontaminate", q_token_ngram_decontaminate,
     oracle=_token_decon_oracle(),
@@ -462,5 +526,95 @@ register(QuerySpec(
         f"sharing a {TOKEN_DECON_K}-token-gram with the broadcast "
         "benchmark set under the corpus-fitted tokenizer (GPT-3 "
         "appendix-C convention)",
+    tags=("text", "north-star", "tokenizer", "dedup", "join"),
+))
+
+
+# ---------------------------------------------------------------------------
+# token_decon_apply — the decontaminator under an already-FITTED tokenizer
+# ---------------------------------------------------------------------------
+# token_ngram_decontaminate's cost is dominated by the fit: 10 fixed
+# driver collect rounds at ANY sf (iteration count, not data), which
+# is why it is excluded from the bench headline set.  In production
+# you fit ONCE and apply forever — the streaming BPE store
+# (streaming/corpus.py::fit_bpe_store / token_decontaminate_from_store)
+# persists the merge table exactly so every later invocation skips
+# the loop.  This query is that apply path's benchable batch twin:
+# the merge table is PINNED (the 10 merges the sf0.01 fixture corpus
+# learns — any fixed table exercises the same plan), so the measured
+# cost is purely the apply: one distinct-words vocabulary pass, 10
+# row-local merge folds over the vocabulary, the doc_id-keyed
+# reassembly join, and the gram/benchmark broadcast-semi-join tail.
+# Zero driver rounds — the loop below chains 10 fold COLUMNS, not 10
+# collect() calls.
+
+PINNED_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("e", EOW), ("n", EOW), ("er", EOW), ("o", "w"),
+    ("ow", EOW), ("o", "r"), ("s", "t"), ("h", EOW), ("a", "t"),
+)
+
+
+def q_token_decon_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared_grams): token-space decontamination under
+    the PINNED merge table — the store-fed reader's cost profile
+    (apply only, no fit loop), oracle-paired and benchable."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        decon_canary_seeded,
+    )
+
+    tune_session(spark)
+    docs = decon_canary_seeded(load_table(spark, sf_dir, "documents"))
+    words = (widen_for_explode(docs, "doc_id")
+             .select(F.explode(norm_tokens()).alias("w"))
+             .distinct())
+    vocab = apply_merges_to_words(words, list(PINNED_MERGES))
+    return token_decon_report(docs, vocab)
+
+
+def _token_decon_apply_oracle() -> str:
+    """The pinned merge table as a chain of one-row CTEs (the learned
+    b{i} relations of the fitted oracle replaced by VALUES), then the
+    shared decontaminator tail."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        NORM_TOKENS_SQL,
+    )
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        DECON_CANARY_SQL,
+    )
+
+    parts = [f"""
+        pv0 AS MATERIALIZED (
+            SELECT DISTINCT t.tok AS w,
+                   list_append(
+                       list_filter(string_split_regex(t.tok, ''),
+                                   c -> c != ''), '{EOW}') AS s
+            FROM (SELECT {NORM_TOKENS_SQL} AS l FROM seeded),
+                 UNNEST(l) AS t(tok)
+        )"""]
+    for i, (lhs, rhs) in enumerate(PINNED_MERGES, start=1):
+        parts.append(f"""
+        pb{i} AS (SELECT {_sql_quote(lhs)} AS lhs,
+                         {_sql_quote(rhs)} AS rhs),
+        pv{i} AS MATERIALIZED (
+            SELECT w, {_APPLY_SQL} AS s
+            FROM pv{i - 1}, pb{i}
+        )""")
+    return f"""
+        WITH seeded AS ({DECON_CANARY_SQL}),
+        {",".join(parts)},
+        {token_decon_tail_sql(f"pv{len(PINNED_MERGES)}")}
+    """
+
+
+register(QuerySpec(
+    "token_decon_apply", q_token_decon_apply,
+    oracle=_token_decon_apply_oracle(),
+    doc=f"token-space decontamination under a pinned (pre-fitted) "
+        f"{len(PINNED_MERGES)}-merge table: the store-fed apply path "
+        "— vocabulary folds + reassembly join + gram broadcast-semi-"
+        "join, zero fit rounds",
     tags=("text", "north-star", "tokenizer", "dedup", "join"),
 ))

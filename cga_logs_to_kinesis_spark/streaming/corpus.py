@@ -2724,6 +2724,145 @@ def compact_class_count_store(spark: SparkSession, store_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# Streaming BPE tokenizer store: fit the merges once, apply forever
+# ---------------------------------------------------------------------------
+# The r16 watch item: every token_ngram_decontaminate invocation
+# refit the tokenizer — 10 driver-side aggregate-and-collect rounds,
+# at ANY scale, because the loop's cost is iteration count, not data.
+# The factoring that kills it is the same one the bigram-LM and
+# class-count stores ride: the WHOLE tokenizer derives from the
+# word-frequency table (operators/bpe.py::word_freqs — merge learning
+# consumes only (w, freq); the fitted vocabulary is its keys
+# tokenized), and plain word counts SUM under any corpus split.  So
+# the store is two levels:
+#
+#   * per-batch (w, freq) partials, batch_id-keyed (this family's
+#     sufficient statistics — the usual watermark-base summing store);
+#   * a FITTED MODEL artifact (merge table + vocabulary), produced by
+#     an explicit fit step that folds the partials and runs the merge
+#     loop ONCE — a maintenance operation like compaction, not
+#     per-batch work.
+#
+# Readers apply the persisted artifact with no fit loop and no corpus
+# re-scan; words the fitted vocabulary never saw are tokenized by
+# applying the stored merge table (a tokenizer maps ANY word — the
+# new-word branch is distinct-new-words-sized, and empty when the
+# scored tranche is the ingested corpus, which is the bit-for-bit
+# parity case).  State: |vocabulary| rows per batch partial and for
+# the vocab artifact, n_merges rows for the merge table.
+
+def bpe_vocab_sink(freq_dir: str,
+                   fail_after_write_for: tuple[int, ...] = ()):
+    """foreachBatch sink over document batches: per-batch (w, freq)
+    word-frequency partials appended batch_id-keyed.  Per-batch work
+    is the batch fit's exact front (``word_freqs``) — one partial-agg
+    groupBy to the batch's distinct words."""
+    from cga_logs_to_kinesis_spark.operators.bpe import word_freqs
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (word_freqs(batch_df)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .options(partitionOverwriteMode="dynamic")
+         .partitionBy("batch_id").parquet(freq_dir))
+        if (batch_id in fail_after_write_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after write, batch {batch_id}")
+
+    return process
+
+
+def fit_bpe_store(spark: SparkSession, freq_dir: str, model_dir: str,
+                  n_merges: int | None = None) -> int:
+    """Fold the word-frequency partials and fit the tokenizer ONCE:
+    writes the merge table (``model_dir/merges``) and the fitted
+    vocabulary (``model_dir/vocab``, every folded word tokenized
+    under the merges).  Returns the number of merges learned (0 if
+    the frequency store has never been written — no model is laid
+    down).  The 10-round driver loop runs HERE and nowhere else;
+    every reader applies the persisted artifact.  Idempotent: the
+    model derives deterministically from the folded store, so a
+    crash-and-rerun overwrites with identical content."""
+    from cga_logs_to_kinesis_spark.operators.bpe import (
+        BPE_N_MERGES,
+        apply_merges_to_words,
+        learn_bpe_merges_from_freqs,
+    )
+
+    if n_merges is None:
+        n_merges = BPE_N_MERGES
+    s = _read_store(spark, freq_dir)
+    if s is None:
+        return 0
+    wf = (_effective_mg_summaries(s)
+          .groupBy("w").agg(F.sum("freq").alias("freq"))
+          .localCheckpoint())      # two consumers: loop + vocab keys
+    merges_df = learn_bpe_merges_from_freqs(spark, wf, n_merges)
+    # n_merges rows by construction — the bounded-collect class.
+    merges = [(r.lhs, r.rhs)
+              for r in merges_df.orderBy("step").collect()]
+    merges_df.coalesce(1).write.mode("overwrite").parquet(
+        model_dir + "/merges")
+    (apply_merges_to_words(wf.select("w"), merges)
+     .write.mode("overwrite").parquet(model_dir + "/vocab"))
+    return len(merges)
+
+
+def token_decontaminate_from_store(spark: SparkSession,
+                                   docs: DataFrame,
+                                   model_dir: str) -> DataFrame:
+    """``token_ngram_decontaminate``'s tail under the PERSISTED
+    tokenizer: (doc_id, n_shared_grams) with no fit loop and no
+    corpus re-scan — bit-identical to the batch query when ``docs``
+    is the corpus the frequency store ingested (every word is then in
+    the fitted vocabulary), and a faithful generalization for unseen
+    tranches: new words are tokenized by applying the stored merge
+    table (``apply_merges_to_words`` over the distinct new words
+    only)."""
+    from cga_logs_to_kinesis_spark.operators.bpe import (
+        apply_merges_to_words,
+        token_decon_report,
+    )
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+    from cga_logs_to_kinesis_spark.session import widen_for_explode
+
+    vocab = _read_store(spark, model_dir + "/vocab")
+    if vocab is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_shared_grams long")
+    # n_merges rows by construction — the bounded-collect class.
+    merges = [(r.lhs, r.rhs)
+              for r in spark.read.parquet(model_dir + "/merges")
+              .orderBy("step").collect()]
+    new_words = (widen_for_explode(docs, "doc_id")
+                 .select(F.explode(norm_tokens()).alias("w"))
+                 .distinct()
+                 .join(vocab.select("w"), "w", "left_anti"))
+    full_vocab = vocab.select("w", "syms").unionByName(
+        apply_merges_to_words(new_words, merges))
+    return token_decon_report(docs, full_vocab)
+
+
+def compact_bpe_freq_store(spark: SparkSession, freq_dir: str,
+                           upto_batch_id: int,
+                           files_per_partition: int = 1) -> int:
+    """Fold word-frequency partials into the watermark base (counts
+    SUM)."""
+    return _compact_mergeable_store(
+        spark, freq_dir, upto_batch_id, ["w"],
+        _sum_fold("freq"), files_per_partition)
+
+
+# ---------------------------------------------------------------------------
 # Streaming n-gram novelty: first-occurrence state as a MIN-fold store
 # ---------------------------------------------------------------------------
 # The streaming twin of operators/dedup.py::q_ngram_novelty.  Novelty
@@ -3070,6 +3209,19 @@ STORE_FAMILIES: tuple[StoreFamily, ...] = (
         "reader scores any docs tranche through the batch query's "
         "exact tail, so the CCNet perplexity split rides "
         "continuously-maintained counts"),
+    StoreFamily(
+        "BPE tokenizer", "sum (watermark base) + fitted model artifact",
+        ("bpe_vocab_sink",),
+        ("fit_bpe_store", "token_decontaminate_from_store"),
+        ("compact_bpe_freq_store",),
+        "per-batch (w, freq) word-frequency partials — the "
+        "tokenizer's sufficient statistics (merge learning consumes "
+        "only the word-frequency table; bpe.word_freqs' factoring); "
+        "fit_bpe_store folds them and runs the 10-round merge loop "
+        "ONCE, persisting merge table + fitted vocabulary, so "
+        "token_decontaminate_from_store applies the stored tokenizer "
+        "with no refit and no corpus re-scan — unseen words tokenize "
+        "through the stored merges"),
     StoreFamily(
         "HLL distinct sketch", "union (register-wise MAX)",
         ("hll_distinct_sink",), ("approx_distinct_from_store",),

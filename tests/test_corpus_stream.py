@@ -2522,3 +2522,93 @@ def test_classifier_eval_from_store_matches_batch(spark, tmp_path):
         "n_chars long")
     rows = classifier_eval_from_store(spark, unseen, store).collect()
     assert len(rows) == 1 and rows[0].n_docs == 1
+
+
+def test_token_decon_from_store_matches_batch(spark, tmp_path):
+    """The word-frequency store, fitted ONCE, reproduces
+    token_ngram_decontaminate bit-for-bit — under a 3-batch split of
+    the SEEDED corpus with crash-replay on batch 1, unmoved by the
+    watermark compactor + a refit.  The 10-round merge loop runs in
+    fit_bpe_store only; the reader applies the persisted artifact
+    (r16 verdict #2: no refit per invocation)."""
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        decon_canary_seeded,
+    )
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        bpe_vocab_sink,
+        compact_bpe_freq_store,
+        fit_bpe_store,
+        token_decontaminate_from_store,
+    )
+
+    docs = decon_canary_seeded(
+        load_table(spark, SF_SMOKE, "documents"))
+    no_model = token_decontaminate_from_store(
+        spark, docs, str(tmp_path / "no"))
+    assert no_model.count() == 0
+    assert no_model.columns == ["doc_id", "n_shared_grams"]
+    assert fit_bpe_store(spark, str(tmp_path / "nofreq"),
+                         str(tmp_path / "nomodel")) == 0
+
+    # the batch query fits on the SEEDED corpus, so the stream
+    # ingests the seeded docs (the canary is part of the fixture
+    # contract, not of the reader)
+    src = tmp_path / "seeded_chunks"
+    for k in range(3):
+        docs.filter(F.abs(F.hash("doc_id")) % 3 == k).coalesce(1) \
+            .write.parquet(str(src / f"chunk={k}"))
+    freq = str(tmp_path / "word_freqs")
+    model = str(tmp_path / "bpe_model")
+    sink = bpe_vocab_sink(freq, fail_after_write_for=(1,))
+    ckpt = str(tmp_path / "ckpt")
+    _drain_doc_sink(spark, str(src), sink, ckpt)   # dies on batch 1
+    _drain_doc_sink(spark, str(src), sink, ckpt)   # replay 1, finish 2
+    assert fit_bpe_store(spark, freq, model) == 10
+
+    fold = lambda: sorted(  # noqa: E731
+        tuple(r) for r in token_decontaminate_from_store(
+            spark, docs, model).collect())
+    want = sorted(
+        tuple(r) for r in all_queries()["token_ngram_decontaminate"]
+        .fn(spark, SF_SMOKE).collect())
+    got = fold()
+    assert got == want and len(want) > 0
+    assert compact_bpe_freq_store(spark, freq, 2) == 3
+    assert fit_bpe_store(spark, freq, model) == 10   # refit: same bits
+    assert fold() == want
+
+
+def test_token_decon_store_scores_unseen_tranche(spark, tmp_path):
+    """Words the fitted vocabulary never saw tokenize through the
+    STORED merge table (apply_merges_to_words over the distinct new
+    words), so contamination between two fully-unseen docs is still
+    caught — the 'a tokenizer maps ANY word' branch."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        bpe_vocab_sink,
+        fit_bpe_store,
+        token_decontaminate_from_store,
+    )
+
+    known = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta", "en", "s", 27)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    freq = str(tmp_path / "freqs")
+    model = str(tmp_path / "model")
+    bpe_vocab_sink(freq)(known, 0)
+    assert 1 <= fit_bpe_store(spark, freq, model) <= 10
+
+    # two docs the store never saw, sharing one long passage:
+    # doc 0 is the benchmark slice (0 % 97 == 0), doc 1 trains —
+    # every token is outside the fitted vocabulary
+    passage = " ".join(["zebra", "quokka"] * 20)
+    unseen = spark.createDataFrame(
+        [(0, passage, "en", "s", len(passage)),
+         (1, passage, "en", "s", len(passage))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    rows = token_decontaminate_from_store(
+        spark, unseen, model).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id == 1 and rows[0].n_shared_grams > 0

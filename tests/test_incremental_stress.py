@@ -805,3 +805,27 @@ def test_class_count_sink_work_is_flat(spark, tmp_path):
     )
     for d in glob.glob(store + "/batch_id=*"):
         assert spark.read.parquet(d).count() <= QCLF_BUCKETS
+
+
+def test_bpe_vocab_sink_work_is_flat(spark, tmp_path):
+    """The word-frequency counter folds its own batch only — flat
+    per-batch work while the vocabulary store grows underneath (the
+    bigram-count envelope, one n-gram order down).  The expensive
+    part of this family (the merge-learning loop) runs in
+    fit_bpe_store, explicitly NOT per batch."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        bpe_vocab_sink,
+    )
+
+    sink = bpe_vocab_sink(str(tmp_path / "word_freqs"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(HH_BATCHES):
+        sink(_dup_doc_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[1:5]) / 4
+    late = sum(work[8:12]) / 4
+    assert late <= 3.0 * early, (
+        f"per-batch word-freq work grew: early={early:.0f} "
+        f"late={late:.0f} records/batch")
