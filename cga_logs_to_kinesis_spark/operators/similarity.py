@@ -716,11 +716,13 @@ _COS_SQL = (
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))")
 
 
-def semdedup_pairs(emb: DataFrame) -> DataFrame:
-    """(cluster, vec_a, vec_b, cosine): the centroid-blocked semantic
-    near-dup pairs at the SemDeDup threshold — shared by the pair
-    report and the cross-split leakage audit so the blocking and
-    threshold are one definition."""
+def semdedup_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, cluster, ccos): every vector assigned to its nearest
+    fixed centroid (ties → lowest centroid id), keeping the cosine to
+    that centroid — the blocking HALF of SemDeDup, factored out so
+    the pair surface and the survivor policy (which keeps the member
+    FARTHEST from its centroid, the paper's diversity rule) read one
+    assignment."""
     cents = (emb.filter(F.col("vec_id") < SEMDEDUP_K)
              .select(F.col("vec_id").alias("centroid_id"),
                      F.col("embedding").alias("cent")))
@@ -730,9 +732,17 @@ def semdedup_pairs(emb: DataFrame) -> DataFrame:
                       cosine_vec("embedding", "cent").alias("ccos")))
     w = (Window.partitionBy("vec_id")
          .orderBy(F.col("ccos").desc(), "centroid_id"))
-    assign = (scored.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") == 1)
-              .select("vec_id", F.col("centroid_id").alias("cluster")))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("centroid_id").alias("cluster"),
+                    "ccos"))
+
+
+def semdedup_pairs_from_assign(emb: DataFrame,
+                               assign: DataFrame) -> DataFrame:
+    """The pair half of SemDeDup over a prebuilt assignment — lets
+    the survivor queries reuse one assignment for both the pair
+    surface and the keep-farthest ranking."""
     a = assign.select(F.col("vec_id").alias("vec_a"), "cluster")
     b = assign.select(F.col("vec_id").alias("vec_b"), "cluster")
     pair_ids = (a.join(b, "cluster")
@@ -746,6 +756,14 @@ def semdedup_pairs(emb: DataFrame) -> DataFrame:
             .select("cluster", "vec_a", "vec_b",
                     cosine_vec("ea", "eb").alias("cosine"))
             .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD))
+
+
+def semdedup_pairs(emb: DataFrame) -> DataFrame:
+    """(cluster, vec_a, vec_b, cosine): the centroid-blocked semantic
+    near-dup pairs at the SemDeDup threshold — shared by the pair
+    report and the cross-split leakage audit so the blocking and
+    threshold are one definition."""
+    return semdedup_pairs_from_assign(emb, semdedup_assign(emb))
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,8 +783,8 @@ SEMDEDUP_SQL_CTES = f"""
                    {_COS_SQL.format(a="e.embedding", b="c.cent")} AS ccos
             FROM embeddings e CROSS JOIN cents c
         ), assign AS (
-            SELECT vec_id, centroid_id AS cluster FROM (
-                SELECT vec_id, centroid_id,
+            SELECT vec_id, centroid_id AS cluster, ccos FROM (
+                SELECT vec_id, centroid_id, ccos,
                        ROW_NUMBER() OVER (PARTITION BY vec_id
                            ORDER BY ccos DESC, centroid_id) AS rn
                 FROM scored) WHERE rn = 1
@@ -867,6 +885,143 @@ register(QuerySpec(
         "the paraphrase-contamination audit lexical dedup misses",
     tags=("similarity", "llm-pipeline", "split", "dedup",
           "north-star", "evaluation"),
+))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup survivor selection: one representative per semantic cluster
+# ---------------------------------------------------------------------------
+# semdedup emits the pair REPORT; the published recipe (Abbas et al.
+# 2023, "SemDeDup", §3) then keeps ONE example per group of semantic
+# duplicates — the member with the LOWEST cosine to its cluster
+# centroid (the most atypical representative, chosen to preserve
+# diversity).  Duplicate groups are the connected components of the
+# pair graph — the same pointer-doubled machinery every lexical
+# family composes (dedup.connected_components) — so embedding-space
+# dedup gets the same report → survivors → apply triple as the
+# minhash/simhash/ngram families.  Topology at 100 TB: components run
+# on the centroid-blocked pair surface (bounded, never all-pairs);
+# the survivor rank is one window over the tiny label table joined to
+# the assignment's ccos; apply anti-joins loser ids against documents
+# (vec_id == doc_id, the fixture's modal_agreement convention) — the
+# corpus never re-shuffles and embedding arrays never move past the
+# pair scorer.
+
+def _semdedup_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, component, ccos, rn): every member of a semantic
+    duplicate group ranked by the keep-farthest-from-centroid rule
+    (ccos ASC, ties → min vec_id); rn = 1 is the survivor.  One
+    assignment feeds both the pair surface and the rank (checkpointed
+    — two consumers)."""
+    from cga_logs_to_kinesis_spark.operators.dedup import (
+        connected_components,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    assign = semdedup_assign(emb).localCheckpoint()
+    pairs = semdedup_pairs_from_assign(emb, assign)
+    comp = connected_components(
+        pairs.select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    members = (comp.select(F.col("doc").alias("vec_id"),
+                           F.col("comp").alias("component"))
+               .join(assign.select("vec_id", "ccos"), "vec_id"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("ccos").asc(), "vec_id")
+    return members.withColumn("rn", F.row_number().over(w))
+
+
+def q_semdedup_survivors(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """(component, component_size, survivor_vec_id, survivor_ccos):
+    each semantic duplicate group with its kept representative."""
+    tune_session(spark)
+    return (_semdedup_ranked(spark, sf_dir)
+            .groupBy("component")
+            .agg(F.count("*").alias("component_size"),
+                 F.min(F.when(F.col("rn") == 1, F.col("vec_id")))
+                 .alias("survivor_vec_id"),
+                 F.min(F.when(F.col("rn") == 1, F.col("ccos")))
+                 .alias("survivor_ccos")))
+
+
+def q_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving DOCUMENTS under semantic dedup: drop every
+    non-survivor member of a duplicate group, pass singletons (and
+    docs without a vector) through — dedup_best_survivors' shape, one
+    modality over."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    losers = (_semdedup_ranked(spark, sf_dir)
+              .filter(F.col("rn") > 1)
+              .select(F.col("vec_id").alias("doc_id")))
+    return (docs.join(losers, "doc_id", "left_anti")
+            .select("doc_id", "source", "lang", "n_chars"))
+
+
+# The component/rank chain shared by both survivor oracles, appended
+# to SEMDEDUP_SQL_CTES (whose assign CTE carries ccos for exactly
+# this consumer).
+_SEMDEDUP_RANKED_SQL = """
+        sym AS (
+            SELECT vec_a AS a, vec_b AS b FROM sempairs
+            UNION
+            SELECT vec_b, vec_a FROM sempairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        comp AS (
+            SELECT a AS vec_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        ),
+        ranked AS (
+            SELECT c.vec_id, c.component, aw.ccos,
+                   ROW_NUMBER() OVER (PARTITION BY c.component
+                       ORDER BY aw.ccos ASC, c.vec_id) AS rn
+            FROM comp c JOIN assign aw ON c.vec_id = aw.vec_id
+        )
+"""
+
+register(QuerySpec(
+    "semdedup_survivors", q_semdedup_survivors,
+    oracle=f"""
+        WITH RECURSIVE {SEMDEDUP_SQL_CTES.strip()},
+        {_SEMDEDUP_RANKED_SQL.strip()}
+        SELECT component,
+               COUNT(*) AS component_size,
+               MIN(CASE WHEN rn = 1 THEN vec_id END)
+                   AS survivor_vec_id,
+               MIN(CASE WHEN rn = 1 THEN ccos END)
+                   AS survivor_ccos
+        FROM ranked
+        GROUP BY component
+    """,
+    doc="SemDeDup survivor selection: semantic duplicate groups = "
+        "connected components of the centroid-blocked pair graph; "
+        "keep the member farthest from its centroid (the published "
+        "diversity rule), report each group with its survivor",
+    tags=("similarity", "llm-pipeline", "dedup", "north-star",
+          "report", "iterative"),
+))
+
+register(QuerySpec(
+    "semdedup_apply", q_semdedup_apply,
+    oracle=f"""
+        WITH RECURSIVE {SEMDEDUP_SQL_CTES.strip()},
+        {_SEMDEDUP_RANKED_SQL.strip()}
+        SELECT d.doc_id, d.source, d.lang, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM ranked r
+                          WHERE r.vec_id = d.doc_id AND r.rn > 1)
+    """,
+    doc="embedding-space dedup APPLY: drop non-survivor members of "
+        "each semantic duplicate group (keep-farthest-from-centroid "
+        "rule), pass singletons and vectorless docs through",
+    tags=("similarity", "llm-pipeline", "dedup", "north-star",
+          "apply", "iterative"),
 ))
 
 
