@@ -1554,3 +1554,173 @@ register(QuerySpec(
         "covered — the retrieval-indexing twin of pack_chunks",
     tags=("llm-pipeline", "north-star", "chunking", "rag"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern blocklist content filter (C4's badwords convention)
+# ---------------------------------------------------------------------------
+# The standard curation gate this registry still lacked (r16 verdict
+# #4): drop every document containing any term of a blocklist, where
+# terms are normalized TOKEN sequences — single words AND multi-token
+# phrases (C4 drops pages containing any entry of the "List of Dirty,
+# Naughty, Obscene or Otherwise Bad Words"; phrase entries match on
+# word boundaries, not substrings, so "grape" never flags "grapes
+# of wrath"-class false positives that substring scans produce).
+#
+# Spark shape, Aho-Corasick reconsidered for a cluster: a trie scan
+# is the single-machine answer; the distributed answer is tokenize
+# once, emit token n-grams ONLY of the orders the blocklist actually
+# contains (here {1, 2, 3} — computed from the list, not hardcoded),
+# and broadcast-hash-join the grams against the terms.  Everything
+# before the join is row-local (one scan, no shuffle); the join moves
+# (doc_id, source, gram-hit) rows only — at 100 TB the gram explode
+# is the same front every shingle operator pays, and the blocklist
+# (a few thousand terms in production) broadcasts for free.  The
+# report tail is one source-keyed agg; apply anti-joins flagged ids.
+#
+# The fixture corpus has no real badwords, so the list is drawn from
+# the fixture vocabulary (the pii_scrub convention: the operator
+# under test is the MATCHER, and the oracle proves match parity);
+# "forbidden" never occurs and pins the zero-hit path.
+
+BLOCKLIST: tuple[str, ...] = (
+    "dup",                # 1-token, common
+    "slow query",         # 2-token phrase
+    "table scan",         # 2-token phrase
+    "key order sort",     # 3-token phrase (rare: 0 hits at sf0.01)
+    "forbidden",          # never occurs — the zero-hit guard
+)
+
+
+def blocklist_hits(docs: DataFrame,
+                   terms: tuple[str, ...] = BLOCKLIST) -> DataFrame:
+    """(doc_id, source, term): one row per blocklisted-term OCCURRENCE
+    in each document (token-boundary matches over the normalized
+    token stream).  Shared front of the report and the apply."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+
+    spark = docs.sparkSession
+    bl = spark.createDataFrame(
+        [(t, len(t.split())) for t in terms], "term string, n int")
+    orders = sorted({len(t.split()) for t in terms})
+    gram_arrays = [
+        F.when(F.size("toks") >= n, F.expr(
+            f"transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {n})))"))
+        .otherwise(F.expr("array()"))
+        for n in orders
+    ]
+    grams = (docs
+             .withColumn("toks", norm_tokens())
+             .select("doc_id", "source",
+                     F.explode(F.flatten(F.array(*gram_arrays)))
+                     .alias("gram")))
+    return (grams.join(F.broadcast(bl),
+                       grams["gram"] == bl["term"])
+            .select("doc_id", "source", "term"))
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_dropped, n_kept, n_hits): the per-source
+    keep/drop report of the blocklist gate — n_hits counts term
+    occurrences, n_dropped counts documents with at least one."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (blocklist_hits(docs)
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_hits")))
+    return (docs.select("doc_id", "source")
+            .join(per_doc, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("n_hits").isNotNull(), 1)
+                       .otherwise(0)).alias("n_dropped"),
+                 F.sum(F.when(F.col("n_hits").isNull(), 1)
+                       .otherwise(0)).alias("n_kept"),
+                 F.sum(F.coalesce("n_hits", F.lit(0)))
+                 .alias("n_hits")))
+
+
+def q_blocklist_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving documents: anti-join the flagged ids (C4's drop
+    rule applied)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = blocklist_hits(docs).select("doc_id").distinct()
+    return (docs.join(flagged, "doc_id", "left_anti")
+            .select("doc_id", "source", "lang", "n_chars"))
+
+
+def _blocklist_ctes() -> str:
+    """Shared oracle CTEs ending in ``hits`` (doc_id, source, term) —
+    the SQL twin of :func:`blocklist_hits`."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        NORM_TOKENS_SQL,
+    )
+
+    values = ", ".join(
+        f"('{t}', {len(t.split())})" for t in BLOCKLIST)
+    orders = sorted({len(t.split()) for t in BLOCKLIST})
+    gram_branches = " || ".join(
+        f"CASE WHEN len(l) >= {n} THEN list_transform("
+        f"range(1, len(l) - {n - 2}), "
+        f"i -> array_to_string(l[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END" for n in orders)
+    return f"""
+        bl AS (SELECT * FROM (VALUES {values}) AS t(term, n)),
+        toks AS (
+            SELECT doc_id, source, {NORM_TOKENS_SQL} AS l
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, source,
+                   unnest({gram_branches}) AS gram
+            FROM toks
+        ),
+        hits AS (
+            SELECT g.doc_id, g.source, b.term
+            FROM grams g JOIN bl b ON g.gram = b.term
+        )
+    """
+
+
+register(QuerySpec(
+    "blocklist_filter", q_blocklist_filter,
+    oracle=f"""
+        WITH {_blocklist_ctes().strip()},
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM hits GROUP BY doc_id
+        )
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN p.n_hits IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN p.n_hits IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(COALESCE(p.n_hits, 0)) AS BIGINT) AS n_hits
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        GROUP BY d.source
+    """,
+    doc="C4-style blocklist gate report: token-boundary word AND "
+        "phrase matches (broadcast gram join), per-source keep/drop "
+        "counts",
+    tags=("llm-pipeline", "north-star", "scrub", "report"),
+))
+
+register(QuerySpec(
+    "blocklist_apply", q_blocklist_apply,
+    oracle=f"""
+        WITH {_blocklist_ctes().strip()}
+        SELECT d.doc_id, d.source, d.lang, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM hits h
+                          WHERE h.doc_id = d.doc_id)
+    """,
+    doc="C4-style blocklist gate APPLY: drop every document "
+        "containing any blocklisted word or phrase, token-boundary "
+        "matched",
+    tags=("llm-pipeline", "north-star", "scrub", "apply"),
+))

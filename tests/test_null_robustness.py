@@ -67,7 +67,7 @@ PROBED = [
     "quality_classifier", "quality_classifier_apply",
     "token_ngram_decontaminate", "passage_dedup_cdc",
     "quality_classifier_train", "quality_classifier_eval",
-    "token_decon_apply",
+    "token_decon_apply", "blocklist_filter", "blocklist_apply",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",
