@@ -43,38 +43,42 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-16 curation -----------------------------------------------
-    # Leads: the four r16-NEW oracle-paired queries
-    # (quality_classifier — fastText-style hashing-trick linear
-    # keep/drop scorer, integer-exact boundary, map-only apply;
-    # quality_classifier_apply — its survivor filter;
-    # token_ngram_decontaminate — eval hygiene in BPE token space
-    # under the corpus-fitted tokenizer, GPT-3 appendix-C convention;
-    # passage_dedup_cdc — content-defined chunk boundaries, the
-    # insertion-shift-invariant passage dedup), then seven whose CODE
-    # changed this round — bigram_surprisal and perplexity_split (the
-    # LM core refactored through surprisal_from_counts: left joins +
-    # freq2-derived ctx/vocab for the bigram-count store reader),
-    # bpe_tokenize (vocab fitting factored into fit_bpe_vocab, shared
-    # with the token decontaminator), ngram_decontaminate (canary
-    # seeding factored into the shared decon_canary_seeded /
-    # DECON_CANARY_SQL), passage_dedup (dup-decision tail factored
-    # into passage_dup_report / PASSAGE_DUP_TAIL_SQL, shared with the
-    # CDC chunker), cluster_mixture (expected_epochs renamed
-    # budget_per_vec — honest units, r15 advice), and
-    # mixture_weights (mixture_weight_columns gained the budget_col
-    # parameter that rename rides on).  Then the stale-r12 cohort as
-    # the r15 plan deferred it: shard_assign leads (it yielded in the
-    # r15 rotation), then the rest in CORRECTNESS_r12.json order —
-    # verified programmatically: green in r12, no green driver row in
-    # r13/r14/r15.  4 + 7 + 39 = 50.
+    # -- round-17 curation -----------------------------------------------
+    # Leads: the three oracle-paired queries that had NEVER had a
+    # driver row (registered after the r16 rotation; r16 verdict #1
+    # names them as the r17 leads): quality_classifier_train,
+    # quality_classifier_eval, split_leakage_semantic.  Then the five
+    # r17-NEW oracle-paired queries (token_decon_apply — the
+    # decontaminator under a pinned pre-fitted merge table, the BPE
+    # store's benchable apply twin; semdedup_survivors /
+    # semdedup_apply — SemDeDup's keep-farthest-from-centroid
+    # survivor selection over connected components of the pair graph;
+    # blocklist_filter / blocklist_apply — the C4 badwords gate,
+    # word AND phrase token-boundary matches).  Then four whose CODE
+    # changed this round: token_ngram_decontaminate + bpe_tokenize
+    # (tokenizer fitting refactored through word_freqs /
+    # learn_bpe_merges_from_freqs / bpe_vocab_from_freqs +
+    # token_decon_report, shared with the new store family),
+    # bpe_learn_merges (same refactor, the loop itself), and semdedup
+    # (pair surface refactored through semdedup_assign /
+    # semdedup_pairs_from_assign so the survivor queries reuse one
+    # assignment).  quality_classifier_eval's code also changed (the
+    # decision sum now accumulates in decimal(38,0), r16 advice) —
+    # already leading.  Then the 8 remaining stale-r12 queries in
+    # CORRECTNESS_r12.json order, then the stalest 30 of the r13
+    # cohort in CORRECTNESS_r13.json order — both cohorts verified
+    # programmatically (green in source round, no green since).
+    # 3 + 5 + 4 + 8 + 30 = 50.
     #
-    # Deferred to the r17 window: the remaining 8 stale-r12 queries
-    # in CORRECTNESS_r12.json order (conditional_pivot, corpus_stats,
-    # dedup_containment, dedup_events_first, dedup_exact_survivors,
-    # dedup_ngram_jaccard, dedup_simhash_pairs, dedup_source_flow),
-    # then the stalest of the r13 window (CORRECTNESS_r13.json
-    # order).  Lead with r17-new/changed as always.
+    # Deferred to the r18 window: the remaining 16 stale-r13 queries
+    # in CORRECTNESS_r13.json order (date_gallery, filter_project,
+    # grouping_sets_sql, longest_doc_per_lang, orders_in_window,
+    # orders_no_bulk_item, rank_gallery, scalar_gallery,
+    # bpe_token_counts, cosine_topk_ivf, curriculum_deciles,
+    # dedup_embedding_cosine, dedup_exact, dedup_incremental,
+    # dedup_minhash_lsh, doc_fingerprint), then the stalest of the
+    # r14 block (CORRECTNESS_r14.json order).  Lead with
+    # r18-new/changed as always.
     # Permanently out by convention: cosine_topk_fast (bit-exact
     # parity-pinned to cosine_topk) and the rows-only queries
     # (multimodal_features / multimodal_resize PNG-zlib;
@@ -82,60 +86,61 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # length_outliers_approx sketches, error-bound-tested against
     # their exact siblings).
     #
-    # r16-new:
-    "quality_classifier",
-    "quality_classifier_apply",
+    # never-driver-checked leads:
+    "quality_classifier_train",
+    "quality_classifier_eval",
+    "split_leakage_semantic",
+    # r17-new:
+    "token_decon_apply",
+    "semdedup_survivors",
+    "semdedup_apply",
+    "blocklist_filter",
+    "blocklist_apply",
+    # r17-changed:
     "token_ngram_decontaminate",
-    "passage_dedup_cdc",
-    # r16-changed:
-    "bigram_surprisal",
-    "perplexity_split",
     "bpe_tokenize",
-    "ngram_decontaminate",
-    "passage_dedup",
-    "cluster_mixture",
-    "mixture_weights",
-    # stale-r12 cohort (shard_assign promoted per the r15 plan; then
-    # CORRECTNESS_r12.json order):
-    "shard_assign",
-    "salted_join_plan",
-    "encoding_anomaly_report",
-    "training_order",
-    "training_interleave",
-    "novelty_curve",
-    "cosine_topk_ivf_sq",
-    "event_funnel",
-    "join_key_skew",
-    "sliding_window",
-    "small_qty_revenue",
-    "split_leakage",
-    "split_leakage_repair",
-    "split_repair",
-    "stats_tumbling",
-    "stratified_sample",
-    "top3_orders_per_customer",
-    "top_supplier",
-    "unigram_rarity",
-    "volume_shipping",
-    "waiting_suppliers",
-    "curation_export_manifest",
-    "dedup_cluster_stats",
-    "dedup_threshold_sweep",
-    "forecast_revenue",
-    "table_profile",
-    "quality_percentile_calibrate",
-    "embedding_drift",
-    "min_cost_supplier",
-    "product_profit",
-    "important_stock",
-    "supplier_part_counts",
-    "excess_stock_suppliers",
-    "dedup_best_survivors",
-    "dedup_downweight",
-    "dedup_components",
-    "jsonl_ingest_report",
-    "array_functions",
-    "asof_last_signup",
+    "bpe_learn_merges",
+    "semdedup",
+    # stale-r12 cohort (CORRECTNESS_r12.json order):
+    "conditional_pivot",
+    "corpus_stats",
+    "dedup_containment",
+    "dedup_events_first",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_source_flow",
+    # stale-r13 cohort, first 30 in CORRECTNESS_r13.json order:
+    "salted_join_apply",
+    "script_mixing_report",
+    "ngram_novelty",
+    "heavy_hitters",
+    "minhash_signatures",
+    "dedup_simhash",
+    "prune_frequent_tokens",
+    "token_length_histogram",
+    "chunk_overlap",
+    "dedup_winnow_pairs",
+    "distinct_users",
+    "domain_cap",
+    "envelope_project",
+    "funnel_conversion",
+    "global_topk",
+    "json_props",
+    "map_functions",
+    "multi_resolution_rollup",
+    "pivot_event_types",
+    "price_percentiles",
+    "pricing_summary",
+    "range_join_error_after_purchase",
+    "running_revenue",
+    "session_windows",
+    "shipping_priority",
+    "similar_part_names",
+    "rollup_pricing",
+    "unpivot_metrics",
+    "above_nation_avg",
+    "cube_orders",
 )
 
 
