@@ -1710,6 +1710,47 @@ register(QuerySpec(
     tags=("llm-pipeline", "north-star", "scrub", "report"),
 ))
 
+def q_blocklist_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, n_docs, n_hits): per-term audit of the blocklist gate —
+    which entries actually fire and how hard (the report you read
+    before shipping a list revision; zero-hit terms stay visible so
+    dead entries are explicit).  One extra agg over the shared hits
+    front plus a broadcast-sized left join from the term list."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bl = spark.createDataFrame([(t,) for t in BLOCKLIST],
+                               "term string")
+    per_term = (blocklist_hits(docs)
+                .groupBy("term")
+                .agg(F.countDistinct("doc_id").alias("n_docs"),
+                     F.count("*").alias("n_hits")))
+    return (bl.join(per_term, "term", "left")
+            .select("term",
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+            .orderBy("term"))
+
+
+register(QuerySpec(
+    "blocklist_terms", q_blocklist_terms,
+    oracle=f"""
+        WITH {_blocklist_ctes().strip()},
+        per_term AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_hits
+            FROM hits GROUP BY term
+        )
+        SELECT b.term,
+               CAST(COALESCE(p.n_docs, 0) AS BIGINT) AS n_docs,
+               CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits
+        FROM bl b LEFT JOIN per_term p USING (term)
+        ORDER BY b.term
+    """,
+    doc="per-term blocklist audit: docs and occurrences per entry, "
+        "zero-hit entries included — the list-revision report",
+    tags=("llm-pipeline", "north-star", "scrub", "report"),
+))
+
 register(QuerySpec(
     "blocklist_apply", q_blocklist_apply,
     oracle=f"""

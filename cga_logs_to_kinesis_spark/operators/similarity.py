@@ -1007,6 +1007,61 @@ register(QuerySpec(
           "report", "iterative"),
 ))
 
+def q_semdedup_downweight(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Soft SemDeDup: per-doc weight 1/group_size instead of dropping
+    (the D4/SoftDeDup policy applied in embedding space — semantic
+    duplicates carry distribution signal; see dedup_downweight's
+    lexical twin).  Same component front as the survivor queries; the
+    extra work is one count per group and a broadcast left join back
+    — the corpus never re-shuffles."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    comp = (_semdedup_ranked(spark, sf_dir)
+            .select(F.col("vec_id").alias("doc_id"), "component"))
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("group_size"))
+    member = comp.join(sizes, "component") \
+        .select("doc_id", "group_size")
+    return (docs.select("doc_id", "source")
+            .join(F.broadcast(member), "doc_id", "left")
+            .select("doc_id", "source",
+                    F.coalesce("group_size", F.lit(1))
+                    .cast("bigint").alias("group_size"),
+                    (F.lit(1.0)
+                     / F.coalesce("group_size", F.lit(1))
+                     .cast("double")).alias("weight"))
+            .orderBy("doc_id"))
+
+
+register(QuerySpec(
+    "semdedup_downweight", q_semdedup_downweight,
+    oracle=f"""
+        WITH RECURSIVE {SEMDEDUP_SQL_CTES.strip()},
+        {_SEMDEDUP_RANKED_SQL.strip()},
+        sizes AS (
+            SELECT component, COUNT(*) AS group_size
+            FROM ranked GROUP BY component
+        ),
+        member AS (
+            SELECT r.vec_id AS doc_id, s.group_size
+            FROM ranked r JOIN sizes s USING (component)
+        )
+        SELECT d.doc_id, d.source,
+               CAST(COALESCE(m.group_size, 1) AS BIGINT)
+                   AS group_size,
+               1.0 / CAST(COALESCE(m.group_size, 1) AS DOUBLE)
+                   AS weight
+        FROM documents d LEFT JOIN member m ON d.doc_id = m.doc_id
+        ORDER BY d.doc_id
+    """,
+    doc="soft SemDeDup: per-doc training weight 1/group_size over "
+        "the semantic duplicate groups (downweight instead of drop — "
+        "the D4 policy in embedding space)",
+    tags=("similarity", "llm-pipeline", "dedup", "north-star",
+          "apply", "weighting", "iterative"),
+))
+
 register(QuerySpec(
     "semdedup_apply", q_semdedup_apply,
     oracle=f"""

@@ -47,14 +47,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Leads: the three oracle-paired queries that had NEVER had a
     # driver row (registered after the r16 rotation; r16 verdict #1
     # names them as the r17 leads): quality_classifier_train,
-    # quality_classifier_eval, split_leakage_semantic.  Then the five
+    # quality_classifier_eval, split_leakage_semantic.  Then the seven
     # r17-NEW oracle-paired queries (token_decon_apply — the
     # decontaminator under a pinned pre-fitted merge table, the BPE
     # store's benchable apply twin; semdedup_survivors /
     # semdedup_apply — SemDeDup's keep-farthest-from-centroid
     # survivor selection over connected components of the pair graph;
-    # blocklist_filter / blocklist_apply — the C4 badwords gate,
-    # word AND phrase token-boundary matches).  Then four whose CODE
+    # semdedup_downweight — its 1/group_size soft twin;
+    # blocklist_filter / blocklist_apply / blocklist_terms — the C4
+    # badwords gate, word AND phrase token-boundary matches, with the
+    # per-term audit).  Then four whose CODE
     # changed this round: token_ngram_decontaminate + bpe_tokenize
     # (tokenizer fitting refactored through word_freqs /
     # learn_bpe_merges_from_freqs / bpe_vocab_from_freqs +
@@ -68,10 +70,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # CORRECTNESS_r12.json order, then the stalest 30 of the r13
     # cohort in CORRECTNESS_r13.json order — both cohorts verified
     # programmatically (green in source round, no green since).
-    # 3 + 5 + 4 + 8 + 30 = 50.
+    # 3 + 7 + 4 + 8 + 28 = 50.
     #
-    # Deferred to the r18 window: the remaining 16 stale-r13 queries
-    # in CORRECTNESS_r13.json order (date_gallery, filter_project,
+    # Deferred to the r18 window: the remaining 18 stale-r13 queries
+    # in CORRECTNESS_r13.json order (above_nation_avg, cube_orders,
+    # date_gallery, filter_project,
     # grouping_sets_sql, longest_doc_per_lang, orders_in_window,
     # orders_no_bulk_item, rank_gallery, scalar_gallery,
     # bpe_token_counts, cosine_topk_ivf, curriculum_deciles,
@@ -96,6 +99,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "semdedup_apply",
     "blocklist_filter",
     "blocklist_apply",
+    "blocklist_terms",
+    "semdedup_downweight",
     # r17-changed:
     "token_ngram_decontaminate",
     "bpe_tokenize",
@@ -110,7 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "dedup_source_flow",
-    # stale-r13 cohort, first 30 in CORRECTNESS_r13.json order:
+    # stale-r13 cohort, first 28 in CORRECTNESS_r13.json order:
     "salted_join_apply",
     "script_mixing_report",
     "ngram_novelty",
@@ -139,8 +144,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similar_part_names",
     "rollup_pricing",
     "unpivot_metrics",
-    "above_nation_avg",
-    "cube_orders",
 )
 
 

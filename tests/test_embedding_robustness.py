@@ -28,7 +28,7 @@ EMB_QUERIES = [
     "embedding_centroids", "modal_agreement", "embedding_validity",
     "embedding_drift", "cosine_topk_pq", "cosine_topk_ivf_sq",
     "cluster_mixture", "split_leakage_semantic",
-    "semdedup_survivors", "semdedup_apply",
+    "semdedup_survivors", "semdedup_apply", "semdedup_downweight",
 ]
 
 N_VALID = 8

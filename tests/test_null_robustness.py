@@ -68,6 +68,7 @@ PROBED = [
     "token_ngram_decontaminate", "passage_dedup_cdc",
     "quality_classifier_train", "quality_classifier_eval",
     "token_decon_apply", "blocklist_filter", "blocklist_apply",
+    "blocklist_terms",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",

@@ -1077,3 +1077,28 @@ def test_token_decon_broadcasts_benchmark(spark):
     must not shuffle for the contamination join)."""
     assert uses_broadcast_join(
         SPECS["token_ngram_decontaminate"].fn(spark, SF_SMOKE))
+
+
+def test_blocklist_gram_join_is_broadcast_and_text_free(spark):
+    """The blocklist gate's term join must broadcast the (tiny) term
+    list — a shuffled join keyed on grams would move the whole gram
+    explode to the exchange — and no shuffle may be keyed on document
+    text (the gram explode and tokenization stay map-side below the
+    broadcast join; only (doc_id, count) hit rows and the source agg
+    shuffle)."""
+    import re
+
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["blocklist_filter"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    # the gram->term join specifically is the broadcast one: its
+    # detail section keys on gram/term (BuildRight = the term list),
+    # not a shuffled gram table
+    details = [seg for seg in plan.split("\n\n")
+               if "BroadcastHashJoin" in seg and "Left keys" in seg]
+    assert any("[gram" in seg and "[term" in seg for seg in details)
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys and all("text" not in k and "gram" not in k
+                        for k in keys)
