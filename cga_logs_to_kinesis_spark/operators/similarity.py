@@ -1013,8 +1013,13 @@ def q_semdedup_downweight(spark: SparkSession,
     (the D4/SoftDeDup policy applied in embedding space — semantic
     duplicates carry distribution signal; see dedup_downweight's
     lexical twin).  Same component front as the survivor queries; the
-    extra work is one count per group and a broadcast left join back
-    — the corpus never re-shuffles."""
+    extra work is one count per group and a left join back — the
+    corpus never re-shuffles its text.  ``member`` is deliberately
+    NOT a forced broadcast (the bpe.py vocab-join convention): in the
+    SemDeDup regime duplicate-group members are a corpus-sized
+    fraction (the paper prunes up to ~50%), so the hint would OOM at
+    the 100 TB topology this module targets — AQE promotes the join
+    when member is actually small."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     comp = (_semdedup_ranked(spark, sf_dir)
@@ -1024,7 +1029,7 @@ def q_semdedup_downweight(spark: SparkSession,
     member = comp.join(sizes, "component") \
         .select("doc_id", "group_size")
     return (docs.select("doc_id", "source")
-            .join(F.broadcast(member), "doc_id", "left")
+            .join(member, "doc_id", "left")
             .select("doc_id", "source",
                     F.coalesce("group_size", F.lit(1))
                     .cast("bigint").alias("group_size"),

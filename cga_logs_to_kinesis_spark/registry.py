@@ -67,7 +67,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # assignment).  quality_classifier_eval's code also changed (the
     # decision sum now accumulates in decimal(38,0), r16 advice) —
     # already leading.  Then the 8 remaining stale-r12 queries in
-    # CORRECTNESS_r12.json order, then the stalest 30 of the r13
+    # CORRECTNESS_r12.json order, then the stalest 28 of the r13
     # cohort in CORRECTNESS_r13.json order — both cohorts verified
     # programmatically (green in source round, no green since).
     # 3 + 7 + 4 + 8 + 28 = 50.

@@ -2779,17 +2779,41 @@ def bpe_vocab_sink(freq_dir: str,
     return process
 
 
+def _bpe_current_fit(model_dir: str) -> str | None:
+    """Resolve the model's ``CURRENT`` manifest to its fit directory
+    (``model_dir/fit_<n>``), or None if no fit has ever committed.
+    The manifest is the atomicity point of :func:`fit_bpe_store`."""
+    import os
+    try:
+        with open(os.path.join(model_dir, "CURRENT")) as f:
+            fit = f.read().strip()
+    except OSError:
+        return None
+    return os.path.join(model_dir, fit) if fit else None
+
+
 def fit_bpe_store(spark: SparkSession, freq_dir: str, model_dir: str,
                   n_merges: int | None = None) -> int:
     """Fold the word-frequency partials and fit the tokenizer ONCE:
-    writes the merge table (``model_dir/merges``) and the fitted
-    vocabulary (``model_dir/vocab``, every folded word tokenized
-    under the merges).  Returns the number of merges learned (0 if
-    the frequency store has never been written — no model is laid
-    down).  The 10-round driver loop runs HERE and nowhere else;
-    every reader applies the persisted artifact.  Idempotent: the
-    model derives deterministically from the folded store, so a
-    crash-and-rerun overwrites with identical content."""
+    writes the merge table and the fitted vocabulary (every folded
+    word tokenized under the merges).  Returns the number of merges
+    learned (0 if the frequency store has never been written — no
+    model is laid down).  The 10-round driver loop runs HERE and
+    nowhere else; every reader applies the persisted artifact.
+
+    The model is a PAIR of artifacts, so publication is atomic: both
+    parquet dirs land in a fresh ``model_dir/fit_<n>`` staging
+    directory, then a ``CURRENT`` manifest naming it is swapped in
+    with ``os.replace`` (POSIX-atomic) — a crash between the two
+    parquet writes, or a reader racing a refit, can never observe
+    new merges paired with a stale vocabulary.  A crash BEFORE the
+    manifest swap leaves an orphan fit dir the next fit ignores (and
+    the rerun's content is bit-identical anyway — the model derives
+    deterministically from the folded store).  On an object store
+    the manifest swap maps to the same conditional-PUT pointer
+    commit Delta's ``_last_checkpoint`` uses."""
+    import os
+
     from cga_logs_to_kinesis_spark.operators.bpe import (
         BPE_N_MERGES,
         apply_merges_to_words,
@@ -2808,10 +2832,21 @@ def fit_bpe_store(spark: SparkSession, freq_dir: str, model_dir: str,
     # n_merges rows by construction — the bounded-collect class.
     merges = [(r.lhs, r.rhs)
               for r in merges_df.orderBy("step").collect()]
+    os.makedirs(model_dir, exist_ok=True)
+    n_fit = 1 + max(
+        (int(d.split("_", 1)[1]) for d in os.listdir(model_dir)
+         if d.startswith("fit_") and d.split("_", 1)[1].isdigit()),
+        default=0)
+    fit_name = f"fit_{n_fit}"
+    fit_dir = os.path.join(model_dir, fit_name)
     merges_df.coalesce(1).write.mode("overwrite").parquet(
-        model_dir + "/merges")
+        fit_dir + "/merges")
     (apply_merges_to_words(wf.select("w"), merges)
-     .write.mode("overwrite").parquet(model_dir + "/vocab"))
+     .write.mode("overwrite").parquet(fit_dir + "/vocab"))
+    tmp = os.path.join(model_dir, f"CURRENT.{fit_name}.tmp")
+    with open(tmp, "w") as f:
+        f.write(fit_name)
+    os.replace(tmp, os.path.join(model_dir, "CURRENT"))
     return len(merges)
 
 
@@ -2835,13 +2870,15 @@ def token_decontaminate_from_store(spark: SparkSession,
     )
     from cga_logs_to_kinesis_spark.session import widen_for_explode
 
-    vocab = _read_store(spark, model_dir + "/vocab")
+    fit_dir = _bpe_current_fit(model_dir)
+    vocab = (_read_store(spark, fit_dir + "/vocab")
+             if fit_dir is not None else None)
     if vocab is None:
         return spark.createDataFrame(
             [], "doc_id long, n_shared_grams long")
     # n_merges rows by construction — the bounded-collect class.
     merges = [(r.lhs, r.rhs)
-              for r in spark.read.parquet(model_dir + "/merges")
+              for r in spark.read.parquet(fit_dir + "/merges")
               .orderBy("step").collect()]
     new_words = (widen_for_explode(docs, "doc_id")
                  .select(F.explode(norm_tokens()).alias("w"))
