@@ -1592,6 +1592,24 @@ BLOCKLIST: tuple[str, ...] = (
 )
 
 
+def blocklist_gram_col(terms: tuple[str, ...] = BLOCKLIST) -> Column:
+    """Flattened token-n-gram array over a prebuilt ``toks`` column,
+    emitting ONLY the n-gram orders ``terms`` actually contains — the
+    row-local matcher front shared by the batch gate (which explodes
+    it into the broadcast term join) and the streaming twin (which
+    probes it against the literal term array).  One matcher, two
+    faces: both match normalized grams by exact string equality."""
+    orders = sorted({len(t.split()) for t in terms})
+    gram_arrays = [
+        F.when(F.size("toks") >= n, F.expr(
+            f"transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {n})))"))
+        .otherwise(F.expr("array()"))
+        for n in orders
+    ]
+    return F.flatten(F.array(*gram_arrays))
+
+
 def blocklist_hits(docs: DataFrame,
                    terms: tuple[str, ...] = BLOCKLIST) -> DataFrame:
     """(doc_id, source, term): one row per blocklisted-term OCCURRENCE
@@ -1604,18 +1622,10 @@ def blocklist_hits(docs: DataFrame,
     spark = docs.sparkSession
     bl = spark.createDataFrame(
         [(t, len(t.split())) for t in terms], "term string, n int")
-    orders = sorted({len(t.split()) for t in terms})
-    gram_arrays = [
-        F.when(F.size("toks") >= n, F.expr(
-            f"transform(sequence(1, size(toks) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(toks, i, {n})))"))
-        .otherwise(F.expr("array()"))
-        for n in orders
-    ]
     grams = (docs
              .withColumn("toks", norm_tokens())
              .select("doc_id", "source",
-                     F.explode(F.flatten(F.array(*gram_arrays)))
+                     F.explode(blocklist_gram_col(terms))
                      .alias("gram")))
     return (grams.join(F.broadcast(bl),
                        grams["gram"] == bl["term"])

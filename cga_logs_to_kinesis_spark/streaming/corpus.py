@@ -588,6 +588,37 @@ def streaming_markup_scrub(docs: DataFrame) -> DataFrame:
             F.length("text").cast("double")).alias("markup_ratio"))
 
 
+def streaming_blocklist(docs: DataFrame) -> DataFrame:
+    """C4-style blocklist gate over a document stream — the ingest
+    position a badwords list actually occupies in a crawl pipeline
+    (drop BEFORE anything hits the corpus stores), next to
+    ``streaming_quality_classifier`` / ``streaming_markup_scrub``.
+    Stateless: the batch matcher's shared front
+    (``operators/llm_pipeline.py::blocklist_gram_col`` over
+    ``norm_tokens``) builds each row's token n-grams row-locally, and
+    membership is probed against the literal term array — the same
+    exact-string-equality semantics the batch gate's broadcast term
+    join applies (one matcher, two faces; parity is row-for-row by
+    construction, pinned in tests/test_corpus_stream.py).  Emits
+    every arriving document with its occurrence count; the gate keeps
+    ``n_hits == 0``."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        BLOCKLIST,
+        blocklist_gram_col,
+    )
+    terms = F.array(*[F.lit(t) for t in BLOCKLIST])
+    n_hits = F.size(F.filter(
+        blocklist_gram_col(), lambda g: F.array_contains(terms, g)))
+    return (docs
+            .withColumn("toks", norm_tokens())
+            .select("doc_id", "source", "lang", "n_chars",
+                    n_hits.cast("long").alias("n_hits"))
+            .withColumn("kept", F.col("n_hits") == 0))
+
+
 def streaming_line_dedup_intra(docs: DataFrame) -> DataFrame:
     """Within-document repeated-line removal over a document stream —
     stateless, because the computation needs only the document's own

@@ -2355,6 +2355,41 @@ def test_streaming_markup_scrub_matches_batch(spark, tmp_path):
                if orig[d] is not None)
 
 
+def test_streaming_blocklist_matches_batch(spark, tmp_path):
+    """The C4 blocklist gate runs continuously at ingest: over a
+    multi-batch document stream, the kept set equals blocklist_apply
+    row-for-row, per-doc occurrence counts equal the batch hits
+    front, and every arriving doc is emitted exactly once (one
+    matcher, two faces — shared BLOCKLIST + norm_tokens +
+    blocklist_gram_col definitions)."""
+    from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
+        blocklist_hits,
+    )
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        streaming_blocklist,
+    )
+
+    docs, stream = _staged_stream(spark, tmp_path)
+    got = _drain(streaming_blocklist(stream), tmp_path, "blgate")
+    rows = got.collect()
+    assert len(rows) == docs.count()          # every doc, exactly once
+    kept = sorted((r.doc_id, r.source, r.lang, r.n_chars)
+                  for r in rows if r.kept)
+    flagged = blocklist_hits(docs).select("doc_id").distinct()
+    want_kept = sorted(tuple(r) for r in
+                       docs.join(flagged, "doc_id", "left_anti")
+                       .select("doc_id", "source", "lang", "n_chars")
+                       .collect())
+    assert kept == want_kept
+    want_counts = {r.doc_id: r.n for r in
+                   blocklist_hits(docs).groupBy("doc_id")
+                   .agg(F.count("*").alias("n")).collect()}
+    got_counts = {r.doc_id: r.n_hits for r in rows if r.n_hits > 0}
+    assert got_counts == want_counts
+    assert got_counts and len(kept) > 0       # gate fires both ways
+    assert all(not r.kept for r in rows if r.n_hits > 0)
+
+
 def test_setjoin_index_sink_crash_is_exactly_once(spark, tmp_path):
     """The EXACT incremental join's streaming twin holds the same
     at-least-once window discipline as the minhash sink: after a
