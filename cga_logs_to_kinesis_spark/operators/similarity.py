@@ -716,16 +716,27 @@ _COS_SQL = (
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))")
 
 
-def semdedup_assign(emb: DataFrame) -> DataFrame:
+def semdedup_centroids(emb: DataFrame) -> DataFrame:
+    """(centroid_id, cent): the fixed blocking centroids — the first
+    SEMDEDUP_K vectors by id (the oracle-checkability convention;
+    production feeds trained k-means output, clustering.py:103).
+    Factored out because the INCREMENTAL form persists this frame
+    once as a fitted artifact (the BPE-model discipline) and every
+    later batch assigns against it unchanged."""
+    return (emb.filter(F.col("vec_id") < SEMDEDUP_K)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("cent")))
+
+
+def semdedup_assign_with_cents(emb: DataFrame,
+                               cents: DataFrame) -> DataFrame:
     """(vec_id, cluster, ccos): every vector assigned to its nearest
-    fixed centroid (ties → lowest centroid id), keeping the cosine to
-    that centroid — the blocking HALF of SemDeDup, factored out so
-    the pair surface and the survivor policy (which keeps the member
-    FARTHEST from its centroid, the paper's diversity rule) read one
-    assignment."""
-    cents = (emb.filter(F.col("vec_id") < SEMDEDUP_K)
-             .select(F.col("vec_id").alias("centroid_id"),
-                     F.col("embedding").alias("cent")))
+    centroid from a GIVEN centroid frame (ties → lowest centroid id),
+    keeping the cosine to that centroid.  Row-local given the
+    centroids — a vector's assignment never depends on any other
+    vector, which is what lets the streaming twin append per-batch
+    assignment partials (streaming/corpus.py::semdedup_assign_sink)
+    that stay valid forever under the fixed artifact."""
     scored = (emb.select("vec_id", "embedding")
               .crossJoin(F.broadcast(cents))
               .select("vec_id", "centroid_id",
@@ -736,6 +747,16 @@ def semdedup_assign(emb: DataFrame) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("vec_id", F.col("centroid_id").alias("cluster"),
                     "ccos"))
+
+
+def semdedup_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, cluster, ccos): every vector assigned to its nearest
+    fixed centroid (ties → lowest centroid id), keeping the cosine to
+    that centroid — the blocking HALF of SemDeDup, factored out so
+    the pair surface and the survivor policy (which keeps the member
+    FARTHEST from its centroid, the paper's diversity rule) read one
+    assignment."""
+    return semdedup_assign_with_cents(emb, semdedup_centroids(emb))
 
 
 def semdedup_pairs_from_assign(emb: DataFrame,
@@ -771,10 +792,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(load_embeddings(spark, sf_dir))
 
 
-# Shared oracle CTE block ending in ``sempairs`` — the SQL twin of
-# :func:`semdedup_pairs`, composed by the pair report and the
-# cross-split leakage audit.
-SEMDEDUP_SQL_CTES = f"""
+# Shared oracle CTE block ending in ``assign`` — the SQL twin of
+# :func:`semdedup_assign` (fixed centroids + nearest-centroid
+# assignment), composed by every SemDeDup oracle including the
+# incremental form (whose pair surface is batch x seen, not a < b).
+_SEMDEDUP_ASSIGN_CTES = f"""
         cents AS (
             SELECT vec_id AS centroid_id, embedding AS cent
             FROM embeddings WHERE vec_id < {SEMDEDUP_K}
@@ -788,7 +810,13 @@ SEMDEDUP_SQL_CTES = f"""
                        ROW_NUMBER() OVER (PARTITION BY vec_id
                            ORDER BY ccos DESC, centroid_id) AS rn
                 FROM scored) WHERE rn = 1
-        ), pairs AS (
+        )"""
+
+# Shared oracle CTE block ending in ``sempairs`` — the SQL twin of
+# :func:`semdedup_pairs`, composed by the pair report and the
+# cross-split leakage audit.
+SEMDEDUP_SQL_CTES = f"""
+        {_SEMDEDUP_ASSIGN_CTES.strip()}, pairs AS (
             SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b
             FROM assign x JOIN assign y
               ON x.cluster = y.cluster AND x.vec_id < y.vec_id
@@ -1630,6 +1658,105 @@ register(QuerySpec(
 ))
 
 _gate_oracles("ann_incremental")
+
+
+# ---------------------------------------------------------------------------
+# Incremental SemDeDup: new vectors vs the PERSISTED assignment
+# ---------------------------------------------------------------------------
+# Every lexical dedup family has an incremental form that joins a
+# crawl drop against persisted state (dedup_minhash_incremental,
+# setjoin_incremental, line_pipeline_from_store); this is the same
+# shape in embedding space.  The key property is that nearest-centroid
+# assignment under FIXED centroids is row-local (a vector's cluster
+# never depends on any other vector), so the persisted state is just
+# appended per-batch (vec_id, cluster, ccos) partials plus the vector
+# store — no refit, no re-assignment, no corpus re-scan.  Arriving
+# vectors are assigned once against the centroid artifact, candidate
+# pairs form ONLY across batch x store WITHIN a cluster (the SemDeDup
+# blocking, never all-pairs), and the exact Arrow cosine scores those
+# candidates alone.  Per-batch work is O(|batch| + |store|/K x
+# |batch|-per-cluster) — linear in the store, pinned by
+# tests/test_incremental_stress.py; the streaming twin is
+# streaming/corpus.py::semdedup_assign_sink (three batch_id-keyed
+# writes, crash-replay parity pinned in test_corpus_stream.py).
+
+def semdedup_incremental_from_assign(seen_assign: DataFrame,
+                                     seen_vecs: DataFrame,
+                                     batch_assign: DataFrame,
+                                     batch_vecs: DataFrame) -> DataFrame:
+    """``seen_assign``: persisted (vec_id, cluster, ccos) partials;
+    ``seen_vecs``: persisted (vec_id, embedding); ``batch_assign`` /
+    ``batch_vecs``: the arriving batch, assigned under the SAME fixed
+    centroids.  Returns every batch x seen semantic near-dup pair
+    (cluster, batch_vec, seen_vec, cosine >= SEMDEDUP_THRESHOLD).
+    The batch_vec != seen_vec guard covers the streaming twin's
+    at-least-once replay window, where the store may already contain
+    the batch's own vectors (belt to the sink's batch_id < current
+    read filter, the setjoin_incremental_from_index convention)."""
+    b = batch_assign.select(F.col("vec_id").alias("batch_vec"),
+                            "cluster")
+    s = seen_assign.select(F.col("vec_id").alias("seen_vec"),
+                           "cluster")
+    pair_ids = (b.join(s, "cluster")
+                .filter(F.col("batch_vec") != F.col("seen_vec"))
+                .select("cluster", "batch_vec", "seen_vec"))
+    ea = batch_vecs.select(F.col("vec_id").alias("batch_vec"),
+                           F.col("embedding").alias("ea"))
+    eb = seen_vecs.select(F.col("vec_id").alias("seen_vec"),
+                          F.col("embedding").alias("eb"))
+    return (pair_ids
+            .join(ea, "batch_vec").join(eb, "seen_vec")
+            .select("cluster", "batch_vec", "seen_vec",
+                    cosine_vec("ea", "eb").alias("cosine"))
+            .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD))
+
+
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_embeddings(spark, sf_dir)
+    # the centroid artifact is fitted ONCE over the corpus convention
+    # (first SEMDEDUP_K ids) and fixed thereafter — both sides assign
+    # under it, exactly as the sink reads the seeded cents_dir
+    cents = semdedup_centroids(emb)
+    seen = emb.filter(F.col("vec_id") % 4 < 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    return semdedup_incremental_from_assign(
+        semdedup_assign_with_cents(seen, cents),
+        seen.select("vec_id", "embedding"),
+        semdedup_assign_with_cents(batch, cents),
+        batch.select("vec_id", "embedding"))
+
+
+register(QuerySpec(
+    "semdedup_incremental", q_semdedup_incremental,
+    oracle=f"""
+        WITH {_SEMDEDUP_ASSIGN_CTES.strip()},
+        pairs AS (
+            SELECT b.cluster, b.vec_id AS batch_vec,
+                   s.vec_id AS seen_vec
+            FROM assign b JOIN assign s ON b.cluster = s.cluster
+            WHERE b.vec_id % 4 = 3 AND s.vec_id % 4 < 3
+        ),
+        final AS (
+            SELECT p.cluster, p.batch_vec, p.seen_vec,
+                   {_COS_SQL.format(a="ea.embedding", b="eb.embedding")}
+                       AS cosine
+            FROM pairs p
+            JOIN embeddings ea ON p.batch_vec = ea.vec_id
+            JOIN embeddings eb ON p.seen_vec = eb.vec_id
+        )
+        SELECT cluster, batch_vec, seen_vec, cosine
+        FROM final WHERE cosine >= {SEMDEDUP_THRESHOLD}
+    """,
+    doc="incremental SemDeDup: arriving vectors assigned under the "
+        "fixed centroid artifact and scored ONLY against same-cluster "
+        "members of the persisted assignment — the store-fed form of "
+        "semdedup (new-vs-seen pairs, never all-pairs, no refit)",
+    tags=("similarity", "llm-pipeline", "dedup", "north-star",
+          "incremental"),
+))
+
+_gate_oracles("semdedup_incremental")
 
 
 # ---------------------------------------------------------------------------
