@@ -741,6 +741,113 @@ def ann_index_sink(index_dir: str, vector_dir: str, out_dir: str,
     return process
 
 
+def seed_semdedup_centroids(emb: DataFrame, cents_dir: str) -> int:
+    """Persist the fixed SemDeDup centroid artifact ONCE, before the
+    assignment stream starts — the fit-once/apply-forever discipline
+    of ``fit_bpe_store``, with a single parquet dir instead of a
+    manifest-swapped pair (one artifact, so there is no torn-pair
+    window to close).  Here the centroids are the registry's
+    oracle-checkable convention (the first SEMDEDUP_K vectors by id,
+    operators/similarity.py::semdedup_centroids); production seeds
+    this directory from trained k-means output
+    (operators/clustering.py:103) — the sink never cares which, it
+    only requires that the artifact stays FIXED, because fixed
+    centroids are what make per-vector assignment row-local and the
+    appended partials valid forever.  Returns the centroid count."""
+    from cga_logs_to_kinesis_spark.operators.similarity import (
+        semdedup_centroids,
+    )
+    cents = semdedup_centroids(emb)
+    cents.coalesce(1).write.mode("overwrite").parquet(cents_dir)
+    return cents.count()
+
+
+def semdedup_assign_sink(cents_dir: str, assign_dir: str,
+                         vector_dir: str, out_dir: str,
+                         fail_after_all_writes_for:
+                         tuple[int, ...] = ()):
+    """foreachBatch twin of ``semdedup_incremental``: each arriving
+    vector batch is assigned ONCE under the persisted centroid
+    artifact (``seed_semdedup_centroids`` — read fresh per batch, K
+    rows, broadcast by the assigner), scored against ONLY same-cluster
+    members of the PERSISTED assignment + vector stores (the SemDeDup
+    blocking — never all-pairs, never re-assigning the corpus), then
+    appended into both stores.  Assignment under fixed centroids is
+    row-local — a vector's (cluster, ccos) never depends on any other
+    vector — so the partials this sink appends stay correct as batches
+    accumulate, with no refit and no corpus re-scan: the embedding-
+    space member of the incremental-dedup family
+    (``minhash_incremental_sink`` / ``setjoin_index_sink`` /
+    ``ann_index_sink``).
+
+    Exactly-once: all three writes are batch_id-keyed
+    dynamic-overwrite partitions; store reads filter ``batch_id <
+    current`` so a replay after the last write sees pre-batch state,
+    and ``semdedup_incremental_from_assign``'s batch_vec != seen_vec
+    guard is defense in depth.  Pinned by tests/test_corpus_stream.py
+    ::test_semdedup_assign_sink_matches_batch_and_survives_replay.
+
+    Store sizing: the assignment store is 3 scalars per vector (~20 B
+    — negligible next to the vector store, which is the embedding
+    column itself, needed for the exact-cosine pair scoring).
+    Per-batch work is O(|batch| x K) assignment + O(|batch| x
+    |store| / K) blocked pairs — linear in the store, pinned by
+    tests/test_incremental_stress.py."""
+    from cga_logs_to_kinesis_spark.operators.similarity import (
+        semdedup_assign_with_cents,
+        semdedup_incremental_from_assign,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # missing artifact fails loudly here (AnalysisException) —
+        # assigning under ad-hoc centroids would poison every
+        # partial already in the store
+        cents = spark.read.parquet(cents_dir)
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint()
+        batch_assign = semdedup_assign_with_cents(batch, cents) \
+            .localCheckpoint()   # two consumers: pair scoring + store
+        assign_store = _read_store(spark, assign_dir)
+        vec_store = _read_store(spark, vector_dir)
+        if assign_store is None or vec_store is None:
+            seen_assign = spark.createDataFrame(
+                [], "vec_id long, cluster long, ccos double")
+            seen_vecs = spark.createDataFrame(
+                [], "vec_id long, embedding array<float>")
+        else:
+            seen_assign = (assign_store
+                           .filter(F.col("batch_id") < F.lit(batch_id))
+                           .select("vec_id", "cluster", "ccos"))
+            seen_vecs = (vec_store
+                         .filter(F.col("batch_id") < F.lit(batch_id))
+                         .select("vec_id", "embedding"))
+        report = semdedup_incremental_from_assign(
+            seen_assign, seen_vecs, batch_assign, batch) \
+            .localCheckpoint()
+        conf = {"partitionOverwriteMode": "dynamic"}
+        (report.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(out_dir))
+        (batch_assign.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(assign_dir))
+        (batch.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(vector_dir))
+        if (batch_id in fail_after_all_writes_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after last write, batch {batch_id}")
+
+    return process
+
+
 def compact_digest_store(spark: SparkSession, store_dir: str,
                          upto_batch_id: int,
                          files_per_partition: int = 1) -> int:
@@ -3167,6 +3274,18 @@ STORE_FAMILIES: tuple[StoreFamily, ...] = (
         "(similarity.ann_incremental_from_index), so replay "
         "duplicates are harmless; hot buckets capped via "
         "bucket_bounded's anti-join"),
+    StoreFamily(
+        "SemDeDup assignment", "append (join-consumed)",
+        ("semdedup_assign_sink",), (), (),
+        "per-batch (vec_id, cluster, ccos) partials + the vector "
+        "store, assigned under the FIXED centroid artifact "
+        "(seed_semdedup_centroids, fitted once; production seeds it "
+        "from trained k-means): assignment is row-local under fixed "
+        "centroids, so partials append forever with no refit; "
+        "arriving batches pair ONLY against same-cluster store "
+        "members (the SemDeDup blocking, never all-pairs); NO "
+        "compactor (append-only, batch_id < current read filter "
+        "covers replays)"),
     StoreFamily(
         "ingest audit", "sum + min/max extrema",
         ("ingest_audit_sink",), ("ingest_audit_report_from_store",),

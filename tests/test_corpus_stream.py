@@ -2647,3 +2647,65 @@ def test_token_decon_store_scores_unseen_tranche(spark, tmp_path):
         spark, unseen, model).collect()
     assert len(rows) == 1
     assert rows[0].doc_id == 1 and rows[0].n_shared_grams > 0
+
+
+def test_semdedup_assign_sink_matches_batch_and_survives_replay(
+        spark, tmp_path):
+    """The incremental SemDeDup twin: the centroid artifact is seeded
+    ONCE from the full corpus (seed_semdedup_centroids), chunk A (75%)
+    streams in and builds the persisted assignment + vector stores,
+    chunk B is scored against them with an injected crash AFTER all
+    three writes (the at-least-once window).  After the replay the
+    batch-1 pair report must equal the registry query's output
+    bit-for-bit — and nothing may pair with itself (the failure mode
+    the batch_id < current read filter prevents)."""
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.sources import load_embeddings
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        seed_semdedup_centroids,
+        semdedup_assign_sink,
+        stream_embeddings,
+    )
+
+    emb = load_embeddings(spark, SF_SMOKE)
+    cents_dir = str(tmp_path / "cents")
+    assert seed_semdedup_centroids(emb, cents_dir) > 0
+    src = tmp_path / "arrivals"
+    args = (cents_dir,
+            str(tmp_path / "assign_store"),
+            str(tmp_path / "vector_store"),
+            str(tmp_path / "reports"))
+
+    def drain(sink):
+        q = (stream_embeddings(spark, str(src) + "/*")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    emb.filter(F.col("vec_id") % 4 < 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    drain(semdedup_assign_sink(*args))
+
+    emb.filter(F.col("vec_id") % 4 == 3).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    crashed = False
+    try:
+        drain(semdedup_assign_sink(
+            *args, fail_after_all_writes_for=(1,)))
+    except Exception:
+        crashed = True
+    assert crashed
+    assert spark.read.parquet(args[1]).filter("batch_id = 1").count() > 0
+    assert spark.read.parquet(args[2]).filter("batch_id = 1").count() > 0
+
+    drain(semdedup_assign_sink(*args))          # replay batch 1
+
+    got = {(r.batch_vec, r.seen_vec): (r.cluster, r.cosine)
+           for r in spark.read.parquet(args[3])
+           .filter("batch_id = 1").collect()}
+    want = {(r.batch_vec, r.seen_vec): (r.cluster, r.cosine)
+            for r in all_queries()["semdedup_incremental"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert got == want and len(want) > 0
+    assert all(b != s for b, s in got)

@@ -829,3 +829,40 @@ def test_bpe_vocab_sink_work_is_flat(spark, tmp_path):
     assert late <= 3.0 * early, (
         f"per-batch word-freq work grew: early={early:.0f} "
         f"late={late:.0f} records/batch")
+
+
+def test_semdedup_assign_sink_work_grows_linearly_not_quadratically(
+        spark, tmp_path):
+    """20 vector batches through the SemDeDup assignment sink.
+    Per-batch work is O(|batch| x K) assignment + O(|batch| x
+    |store| / K) blocked pairs — linear in the store (the ANN sink's
+    envelope; the centroid artifact is fixed, so nothing is ever
+    re-assigned).  With the store 3.6x larger between the windows,
+    linear work may grow ~3.6x (+ slack); an all-pairs or
+    re-assign-the-corpus shape would be ~13x."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        seed_semdedup_centroids,
+        semdedup_assign_sink,
+    )
+
+    assert seed_semdedup_centroids(
+        _vec_batch(spark, 0), str(tmp_path / "cents")) == 8
+    sink = semdedup_assign_sink(
+        str(tmp_path / "cents"), str(tmp_path / "assign"),
+        str(tmp_path / "vecs"), str(tmp_path / "out"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(ANN_BATCHES):
+        sink(_vec_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[3:6]) / 3       # store ~450-750 vectors
+    late = sum(work[17:20]) / 3      # store ~2550-2850 vectors
+    assert late <= 6.0 * early, (
+        f"per-batch SemDeDup work grew superlinearly: early={early:.0f} "
+        f"late={late:.0f} records/batch — cluster blocking is supposed "
+        f"to keep the pair join off the full corpus")
+    # both stores linear in vectors seen, never in pairs
+    n_vecs = ANN_BATCHES * VECS_PER_BATCH
+    assert spark.read.parquet(str(tmp_path / "vecs")).count() == n_vecs
+    assert spark.read.parquet(str(tmp_path / "assign")).count() == n_vecs
