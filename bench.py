@@ -140,6 +140,22 @@ HEADLINE = (
     # store exists: vocabulary merge folds + doc_id-keyed reassembly
     # join + gram broadcast-semi-join, zero fit rounds.
     "token_decon_apply",
+    # r18: the two r17 families the r17 verdict flagged as benchless
+    # (watch item #1), plus the new incremental form.
+    # blocklist_filter prices like the shingle operators: a char-gram
+    # explode of ONLY the blocklist's gram orders over each doc,
+    # broadcast-joined to the tiny term list (plan-pinned text-free;
+    # cost scales with corpus tokens, never with pairs).
+    # semdedup_apply prices the embedding-dedup serve path: K-row
+    # broadcast centroid cross-score + within-cluster blocked pairs +
+    # components + keep-farthest window + anti-join — the pair join
+    # is |cluster|-blocked, so cost scales with sum of cluster sizes
+    # squared / K, not corpus^2.  semdedup_incremental is the same
+    # pair surface restricted to batch x seen — the per-drop cost a
+    # store-fed run pays (linear in store, envelope-pinned).
+    "blocklist_filter",
+    "semdedup_apply",
+    "semdedup_incremental",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the
