@@ -515,6 +515,327 @@ register(QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# Image near-dup dedup: dHash perceptual fingerprint, Hamming-banded
+# ---------------------------------------------------------------------------
+# The one modality that had features/resize but no dedup.  dHash
+# (difference hash): downsample to a 9x8 grayscale grid, emit one bit
+# per horizontally-adjacent cell comparison (64 bits) — invariant to
+# uniform brightness shifts by construction (a +k on every pixel
+# preserves every strict comparison), which is the perceptual property
+# that makes it a near-dup hash rather than a byte hash.  Candidate
+# generation is the Manku block-banding of dedup_simhash_pairs one
+# modality over: 4 x 16-bit bands, equality join per band (pigeonhole
+# guarantees detection at Hamming <= 3), hot-band capped, exact
+# Hamming verify on candidates only — never all-pairs.
+#
+# Fixture: the pure hash-per-doc_id raw fixture has NO near-dups, so
+# the dedup fixture plants them — groups of IMG_GROUP docs share a
+# scene seed; variants 0..2 are the scene at uniform brightness
+# +0/+1/+2 (v1 additionally overwrites pixel byte 0 with 255, flipping
+# at most dHash bit 0 — a controlled nonzero-Hamming near-miss);
+# variant 3 is an unrelated scene (odd seed space, disjoint from the
+# even group seeds).  Everything stays integer arithmetic over
+# hash-generated bytes, so DuckDB recomputes the fingerprints exactly
+# (the multimodal_raw_features discipline).
+#
+# 100 TB shape: the decode is a scan-bound Arrow mapInPandas; only
+# (doc_id, 4 x 16-bit bands) ever leaves the executor — the
+# digest-only-shuffle discipline of dedup_exact.  The band join's
+# build side is collision buckets only (bucket_bounded lo=2), and the
+# fingerprint frame is checkpointed once for the explode and both
+# join sides (the simhash double-eval guard; here the upstream is an
+# EXPENSIVE Python decode, so re-evaluation would decode the corpus
+# three times).
+
+IMG_GROUP = 4            # docs per planted scene group (3 dups + 1 distinct)
+IMG_PIX_LEVELS = 248     # base pixel range; + brightness <= 250, no clip
+IMG_BANDS = 4
+IMG_BAND_BITS = 16
+IMG_HAMMING_MAX = 3      # 4 blocks pigeonhole-guarantee d <= 3
+IMG_MAX_BAND = 1000      # hot-band cap, the SIMHASH_MAX_BLOCK analogue
+
+
+def _scene_seed(doc_id: int) -> int:
+    """Even seeds = shared scenes (doc_id // IMG_GROUP), odd seeds =
+    the per-doc distinct variant — the two spaces never collide."""
+    v = int(doc_id) % IMG_GROUP
+    return 2 * int(doc_id) + 1 if v == 3 else 2 * (int(doc_id) // IMG_GROUP)
+
+
+def make_raw_media_scenes(docs: DataFrame) -> DataFrame:
+    """Raw-RGB fixture with PLANTED near-duplicates (see module
+    comment above): deterministic, so the oracle recomputes every
+    byte.  Dims derive from the scene seed — group members must share
+    dimensions for the brightness invariance to hold cell-for-cell."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                seed = _scene_seed(doc_id)
+                v = int(doc_id) % IMG_GROUP
+                w = 8 + seed % 25
+                h = 8 + (seed // 3) % 25
+                n = w * h * 3
+                i = np.arange(n, dtype=np.int64)
+                d = seed % PIX_M
+                base = (d * PIX_A + i * PIX_B + (i * i) % PIX_C) \
+                    % IMG_PIX_LEVELS
+                bright = 0 if v == 3 else v
+                arr = (base + bright).astype(np.uint8)
+                if v == 1:
+                    arr[0] = 255
+                payloads.append(
+                    encode_raw_image(arr.reshape(h, w, 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return (media_schema_df(docs)
+            .mapInPandas(batches, schema="doc_id long, payload binary"))
+
+
+IMG_HASH_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("band0", LongType(), False),
+    StructField("band1", LongType(), False),
+    StructField("band2", LongType(), False),
+    StructField("band3", LongType(), False),
+])
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """REAL dHash over decoded pixels: 9x8 nearest-neighbor grayscale
+    grid (gray = r+g+b, integer-exact — no luma weights, no division),
+    64 adjacent-cell comparisons, packed as 4 x 16-bit band values
+    (band j holds bits t = j*16..j*16+15, t = gy*8 + gx).  Band values
+    ARE the join keys downstream, so no 64-bit sign gymnastics."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "band0": [], "band1": [],
+                    "band2": [], "band3": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_raw_image(bytes(blob))
+                h, w = arr.shape[0], arr.shape[1]
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g = arr[np.ix_(ys, xs)].astype(np.int64).sum(axis=2)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+                rows["doc_id"].append(doc_id)
+                for j in range(IMG_BANDS):
+                    block = bits[j * IMG_BAND_BITS:(j + 1) * IMG_BAND_BITS]
+                    rows[f"band{j}"].append(
+                        int((block << np.arange(IMG_BAND_BITS)).sum()))
+            yield pd.DataFrame(
+                {k: pd.Series(vs, dtype="int64" if k != "doc_id"
+                              else "int64")
+                 for k, vs in rows.items()})
+
+    return media.mapInPandas(batches, schema=IMG_HASH_SCHEMA)
+
+
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprints alone — the decode + hash stage, oracle-exact."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dhash(make_raw_media_scenes(docs)).orderBy("doc_id")
+
+
+def _image_pair_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = image_dhash(make_raw_media_scenes(docs)).localCheckpoint()
+    blocks = fps.select(
+        "doc_id",
+        F.expr("stack(4, 0, band0, 1, band1, 2, band2, 3, band3) "
+               "AS (band_id, band_val)"))
+    eligible = bucket_bounded(blocks, ["band_id", "band_val"],
+                              lo=2, hi=IMG_MAX_BAND)
+    a = eligible.select(F.col("doc_id").alias("doc_a"),
+                        "band_id", "band_val")
+    b = eligible.select(F.col("doc_id").alias("doc_b"),
+                        "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    fa = fps.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"band{j}").alias(f"a{j}")
+                      for j in range(IMG_BANDS)])
+    fb = fps.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"band{j}").alias(f"b{j}")
+                      for j in range(IMG_BANDS)])
+    ham = sum(F.expr(f"bit_count(a{j} ^ b{j})")
+              for j in range(IMG_BANDS)).cast("long")
+    return (cand.join(fa, "doc_a").join(fb, "doc_b")
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= IMG_HAMMING_MAX)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def q_image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return _image_pair_report(spark, sf_dir)
+
+
+def q_image_dedup_survivors(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Keep-first survivors: a document is dropped iff it has a
+    near-dup partner with a smaller doc_id (dedup_exact's first-seen
+    convention — pairwise, not component-closed: the policy needs
+    only the pair report, so the iterative components stage stays out
+    of the serving path; semdedup_survivors is the component-closed
+    sibling when group structure matters)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    losers = (_image_pair_report(spark, sf_dir)
+              .select(F.col("doc_b").alias("doc_id")).distinct())
+    return (docs.join(losers, "doc_id", "left_anti")
+            .select("doc_id", "source", "lang", "n_chars"))
+
+
+def _img_pix_sql(i_expr: str) -> str:
+    """DuckDB expression for pixel byte ``i_expr`` of the SCENE
+    fixture (seed/brightness/override columns from the dims CTE)."""
+    return (f"(CASE WHEN v = 1 AND ({i_expr}) = 0 THEN 255 "
+            f"ELSE (((seed % {PIX_M}) * {PIX_A} + ({i_expr}) * {PIX_B} "
+            f"+ (({i_expr}) * ({i_expr})) % {PIX_C}) "
+            f"% {IMG_PIX_LEVELS}) + bright END)")
+
+
+def _img_gray_sql() -> str:
+    """Grid-cell gray sum at (gx, gy): r+g+b of the sampled pixel."""
+    i = "((gy * h // 8) * w + (gx * w // 9)) * 3"
+    return (f"list_sum(list_transform(range(0, 3), "
+            f"c -> {_img_pix_sql(f'{i} + c')}))")
+
+
+# Shared oracle CTE block ending in ``fps`` (doc_id, band0..band3) —
+# the SQL twin of image_dhash over make_raw_media_scenes.
+IMG_FPS_SQL_CTES = f"""
+        dims AS (
+            SELECT doc_id,
+                   doc_id % {IMG_GROUP} AS v,
+                   CASE WHEN doc_id % {IMG_GROUP} = 3
+                        THEN 2 * doc_id + 1
+                        ELSE 2 * (doc_id // {IMG_GROUP}) END AS seed,
+                   CASE WHEN doc_id % {IMG_GROUP} = 3
+                        THEN 0 ELSE doc_id % {IMG_GROUP} END AS bright
+            FROM documents
+        ), dims2 AS (
+            SELECT *, 8 + seed % 25 AS w, 8 + (seed // 3) % 25 AS h
+            FROM dims
+        ), grid AS (
+            SELECT doc_id, gx, gy, {_img_gray_sql()} AS gray
+            FROM dims2,
+                 (SELECT unnest(range(0, 9)) AS gx) gxs,
+                 (SELECT unnest(range(0, 8)) AS gy) gys
+        ), bits AS (
+            SELECT a.doc_id, (a.gy * 8 + a.gx) AS t,
+                   CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+            FROM grid a JOIN grid b
+              ON a.doc_id = b.doc_id AND b.gy = a.gy
+             AND b.gx = a.gx + 1
+            WHERE a.gx < 8
+        ), fps AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN t // 16 = 0
+                        THEN bit * (1 << (t % 16)) ELSE 0 END)
+                        AS BIGINT) AS band0,
+                   CAST(SUM(CASE WHEN t // 16 = 1
+                        THEN bit * (1 << (t % 16)) ELSE 0 END)
+                        AS BIGINT) AS band1,
+                   CAST(SUM(CASE WHEN t // 16 = 2
+                        THEN bit * (1 << (t % 16)) ELSE 0 END)
+                        AS BIGINT) AS band2,
+                   CAST(SUM(CASE WHEN t // 16 = 3
+                        THEN bit * (1 << (t % 16)) ELSE 0 END)
+                        AS BIGINT) AS band3
+            FROM bits GROUP BY doc_id
+        )"""
+
+# ``fps`` -> near-dup pair report (doc_a, doc_b, hamming), the SQL
+# twin of _image_pair_report's band join + Hamming verify.
+IMG_PAIRS_SQL_TAIL = f"""
+        blocks AS (
+            SELECT doc_id, b.band_id,
+                   CASE b.band_id WHEN 0 THEN band0 WHEN 1 THEN band1
+                        WHEN 2 THEN band2 ELSE band3 END AS band_val
+            FROM fps,
+                 (SELECT unnest(range(0, {IMG_BANDS})) AS band_id) b
+        ), eligible AS (
+            SELECT doc_id, band_id, band_val FROM (
+                SELECT *, COUNT(*) OVER (
+                    PARTITION BY band_id, band_val) AS bn
+                FROM blocks
+            ) WHERE bn > 1 AND bn <= {IMG_MAX_BAND}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM eligible a JOIN eligible b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), impairs AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(x.band0, y.band0))
+                      + bit_count(xor(x.band1, y.band1))
+                      + bit_count(xor(x.band2, y.band2))
+                      + bit_count(xor(x.band3, y.band3)) AS BIGINT)
+                       AS hamming
+            FROM cand c
+            JOIN fps x ON c.doc_a = x.doc_id
+            JOIN fps y ON c.doc_b = y.doc_id
+        )"""
+
+register(QuerySpec(
+    "image_phash", q_image_phash,
+    oracle=f"""
+        WITH {IMG_FPS_SQL_CTES.strip()}
+        SELECT doc_id, band0, band1, band2, band3
+        FROM fps ORDER BY doc_id
+    """,
+    doc="REAL dHash perceptual fingerprints over decoded planted-"
+        "scene images (9x8 grid, 64 comparison bits as 4 x 16-bit "
+        "bands); oracle recomputes every pixel and bit in SQL",
+    tags=("multimodal", "dedup", "north-star", "pandas-udf"),
+))
+
+register(QuerySpec(
+    "image_dedup_pairs", q_image_dedup_pairs,
+    oracle=f"""
+        WITH {IMG_FPS_SQL_CTES.strip()}, {IMG_PAIRS_SQL_TAIL.strip()}
+        SELECT doc_a, doc_b, hamming FROM impairs
+        WHERE hamming <= {IMG_HAMMING_MAX}
+    """,
+    doc=f"image near-dup pairs: dHash bands equality-joined "
+        f"(Manku block banding, detection guaranteed at Hamming <= "
+        f"{IMG_HAMMING_MAX}), hot-band capped, exact Hamming verify "
+        f"on candidates only",
+    tags=("multimodal", "dedup", "north-star", "join", "pandas-udf"),
+))
+
+register(QuerySpec(
+    "image_dedup_survivors", q_image_dedup_survivors,
+    oracle=f"""
+        WITH {IMG_FPS_SQL_CTES.strip()}, {IMG_PAIRS_SQL_TAIL.strip()},
+        losers AS (
+            SELECT DISTINCT doc_b FROM impairs
+            WHERE hamming <= {IMG_HAMMING_MAX}
+        )
+        SELECT d.doc_id, d.source, d.lang, d.n_chars
+        FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_b
+        WHERE l.doc_b IS NULL
+    """,
+    doc="image dedup applied: drop every doc with a smaller-id "
+        "near-dup partner (keep-first), pass everything else through",
+    tags=("multimodal", "dedup", "north-star", "pandas-udf"),
+))
+
+
+# ---------------------------------------------------------------------------
 # Audio path: REAL 16-bit PCM decode via the stdlib WAV codec
 # (functions/wav.py) — the audio analogue of the PNG operators.
 # Features are integer-exact (no floats anywhere): duration in exact

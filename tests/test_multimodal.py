@@ -264,3 +264,72 @@ def test_video_frames_query_exact(spark):
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(v) for v in s)
         assert r.frame_digest == hashlib.md5(
             arr.tobytes().hex().encode()).hexdigest()
+
+
+# -- Image near-dup dedup: dHash over planted scenes -----------------------
+
+def test_image_dhash_brightness_invariant_and_near_miss():
+    """The perceptual property the family rests on, pinned in pure
+    Python: within a planted group, variant 2 (uniform +2 brightness)
+    hashes IDENTICALLY to variant 0, and variant 1 (brightness +1 plus
+    the single-pixel override) lands within Hamming 1 — while the
+    group's variant-3 distinct scene is far away."""
+    import numpy as np
+
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        IMG_BAND_BITS,
+        IMG_BANDS,
+        decode_raw_image,
+        make_raw_media_scenes,  # noqa: F401 — fixture twin under test
+        _scene_seed,
+        IMG_PIX_LEVELS,
+        PIX_A, PIX_B, PIX_C, PIX_M,
+        encode_raw_image,
+    )
+
+    def blob(doc_id: int) -> bytes:
+        seed = _scene_seed(doc_id)
+        v = doc_id % 4
+        w, h = 8 + seed % 25, 8 + (seed // 3) % 25
+        i = np.arange(w * h * 3, dtype=np.int64)
+        base = ((seed % PIX_M) * PIX_A + i * PIX_B
+                + (i * i) % PIX_C) % IMG_PIX_LEVELS
+        arr = (base + (0 if v == 3 else v)).astype(np.uint8)
+        if v == 1:
+            arr[0] = 255
+        return encode_raw_image(arr.reshape(h, w, 3))
+
+    def dhash_bits(b: bytes):
+        arr = decode_raw_image(b)
+        h, w = arr.shape[0], arr.shape[1]
+        ys, xs = (np.arange(8) * h) // 8, (np.arange(9) * w) // 9
+        g = arr[np.ix_(ys, xs)].astype(np.int64).sum(axis=2)
+        return (g[:, 1:] > g[:, :-1]).ravel()
+
+    assert IMG_BANDS * IMG_BAND_BITS == 64
+    for group in (0, 7, 31):
+        v0, v1, v2, v3 = (dhash_bits(blob(group * 4 + v))
+                          for v in range(4))
+        assert (v0 == v2).all()                    # brightness-invariant
+        assert (v0 != v1).sum() <= 1               # controlled near-miss
+        assert (v0 != v3).sum() > 3                # distinct scene is far
+
+
+def test_image_dhash_rejects_truncated_blob(spark):
+    """Dirty-net: a truncated or odd-size payload must fail the
+    fingerprint stage loudly (decode_raw_image's length check), never
+    hash garbage into the dedup graph."""
+    import pytest
+
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    good = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + b"\x01" * 18
+    for bad in (good[:-5],                      # truncated body
+                good + b"\x00\x00\x00"):        # trailing junk
+        media = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(bad))],
+            "doc_id long, payload binary")
+        with pytest.raises(Exception, match="expected"):
+            image_dhash(media).collect()
