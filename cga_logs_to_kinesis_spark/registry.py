@@ -43,107 +43,97 @@ def register(spec: QuerySpec) -> QuerySpec:
 # out keep their green rows from earlier CORRECTNESS_r*.json and remain
 # covered by tests/test_queries_oracle.py over the full registry.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-17 curation -----------------------------------------------
-    # Leads: the three oracle-paired queries that had NEVER had a
-    # driver row (registered after the r16 rotation; r16 verdict #1
-    # names them as the r17 leads): quality_classifier_train,
-    # quality_classifier_eval, split_leakage_semantic.  Then the seven
-    # r17-NEW oracle-paired queries (token_decon_apply — the
-    # decontaminator under a pinned pre-fitted merge table, the BPE
-    # store's benchable apply twin; semdedup_survivors /
-    # semdedup_apply — SemDeDup's keep-farthest-from-centroid
-    # survivor selection over connected components of the pair graph;
-    # semdedup_downweight — its 1/group_size soft twin;
-    # blocklist_filter / blocklist_apply / blocklist_terms — the C4
-    # badwords gate, word AND phrase token-boundary matches, with the
-    # per-term audit).  Then four whose CODE
-    # changed this round: token_ngram_decontaminate + bpe_tokenize
-    # (tokenizer fitting refactored through word_freqs /
-    # learn_bpe_merges_from_freqs / bpe_vocab_from_freqs +
-    # token_decon_report, shared with the new store family),
-    # bpe_learn_merges (same refactor, the loop itself), and semdedup
-    # (pair surface refactored through semdedup_assign /
-    # semdedup_pairs_from_assign so the survivor queries reuse one
-    # assignment).  quality_classifier_eval's code also changed (the
-    # decision sum now accumulates in decimal(38,0), r16 advice) —
-    # already leading.  Then the 8 remaining stale-r12 queries in
-    # CORRECTNESS_r12.json order, then the stalest 28 of the r13
-    # cohort in CORRECTNESS_r13.json order — both cohorts verified
-    # programmatically (green in source round, no green since).
-    # 3 + 7 + 4 + 8 + 28 = 50.
+    # -- round-18 curation -----------------------------------------------
+    # Leads: the four r18-NEW oracle-paired queries
+    # (semdedup_incremental — batch-vs-persisted-assignment pairs
+    # under the fixed centroid artifact, the store-fed SemDeDup form;
+    # image_phash / image_dedup_pairs / image_dedup_survivors — dHash
+    # perceptual fingerprints over the planted-scene raw-image
+    # fixture, Hamming-banded pairs, keep-first survivors).  Then the
+    # five whose CODE changed this round: semdedup /
+    # semdedup_survivors / semdedup_apply / split_leakage_semantic
+    # (assignment refactored through semdedup_centroids +
+    # semdedup_assign_with_cents so the incremental form and the
+    # store sink share it; oracle CTEs refactored the same way) and
+    # semdedup_downweight (the forced member broadcast dropped — r17
+    # advice — AQE promotes it when actually small).  Then the 18
+    # r17-deferred stale-r13 queries in CORRECTNESS_r13.json order,
+    # then the stalest 23 of the r14 block in CORRECTNESS_r14.json
+    # order — both cohorts verified programmatically (green in source
+    # round, no green since).  4 + 5 + 18 + 23 = 50.
     #
-    # Deferred to the r18 window: the remaining 18 stale-r13 queries
-    # in CORRECTNESS_r13.json order (above_nation_avg, cube_orders,
-    # date_gallery, filter_project,
-    # grouping_sets_sql, longest_doc_per_lang, orders_in_window,
-    # orders_no_bulk_item, rank_gallery, scalar_gallery,
-    # bpe_token_counts, cosine_topk_ivf, curriculum_deciles,
-    # dedup_embedding_cosine, dedup_exact, dedup_incremental,
-    # dedup_minhash_lsh, doc_fingerprint), then the stalest of the
-    # r14 block (CORRECTNESS_r14.json order).  Lead with
-    # r18-new/changed as always.
-    # Permanently out by convention: cosine_topk_fast (bit-exact
-    # parity-pinned to cosine_topk) and the rows-only queries
+    # Deferred to the r19 window: the remaining 20 stale-r14 queries
+    # in CORRECTNESS_r14.json order (semi_join_customers,
+    # share_of_total, shipmode_priority, snapshot_diff, split_assign,
+    # text_stats, tfidf_top_terms, vocab_coverage,
+    # winnowing_fingerprints, bloom_decontaminate, cosine_topk_pq,
+    # anti_join_customers, bulk_orders, curation_funnel,
+    # curation_manifest, date_trunc_buckets, envelope_json_roundtrip,
+    # priority_count, promo_share, text_normalize), then the stalest
+    # of the r15 block (CORRECTNESS_r15.json order).  Lead with
+    # r19-new/changed as always.
+    # Permanently out by convention (unchanged, still holds):
+    # cosine_topk_fast (bit-exact parity-pinned to cosine_topk by
+    # tests/test_similarity_fast.py) and the rows-only queries
     # (multimodal_features / multimodal_resize PNG-zlib;
     # approx_distinct_users / approx_quantiles / table_profile_approx /
     # length_outliers_approx sketches, error-bound-tested against
     # their exact siblings).
     #
-    # never-driver-checked leads:
-    "quality_classifier_train",
-    "quality_classifier_eval",
-    "split_leakage_semantic",
-    # r17-new:
-    "token_decon_apply",
+    # r18-new:
+    "semdedup_incremental",
+    "image_phash",
+    "image_dedup_pairs",
+    "image_dedup_survivors",
+    # r18-changed:
+    "semdedup",
     "semdedup_survivors",
     "semdedup_apply",
-    "blocklist_filter",
-    "blocklist_apply",
-    "blocklist_terms",
+    "split_leakage_semantic",
     "semdedup_downweight",
-    # r17-changed:
-    "token_ngram_decontaminate",
-    "bpe_tokenize",
-    "bpe_learn_merges",
-    "semdedup",
-    # stale-r12 cohort (CORRECTNESS_r12.json order):
-    "conditional_pivot",
-    "corpus_stats",
-    "dedup_containment",
-    "dedup_events_first",
-    "dedup_exact_survivors",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_source_flow",
-    # stale-r13 cohort, first 28 in CORRECTNESS_r13.json order:
-    "salted_join_apply",
-    "script_mixing_report",
-    "ngram_novelty",
-    "heavy_hitters",
-    "minhash_signatures",
-    "dedup_simhash",
-    "prune_frequent_tokens",
-    "token_length_histogram",
-    "chunk_overlap",
-    "dedup_winnow_pairs",
-    "distinct_users",
-    "domain_cap",
-    "envelope_project",
-    "funnel_conversion",
-    "global_topk",
-    "json_props",
-    "map_functions",
-    "multi_resolution_rollup",
-    "pivot_event_types",
-    "price_percentiles",
-    "pricing_summary",
-    "range_join_error_after_purchase",
-    "running_revenue",
-    "session_windows",
-    "shipping_priority",
-    "similar_part_names",
-    "rollup_pricing",
-    "unpivot_metrics",
+    # stale-r13 cohort, remaining 18 in CORRECTNESS_r13.json order:
+    "above_nation_avg",
+    "cube_orders",
+    "date_gallery",
+    "filter_project",
+    "grouping_sets_sql",
+    "longest_doc_per_lang",
+    "orders_in_window",
+    "orders_no_bulk_item",
+    "rank_gallery",
+    "scalar_gallery",
+    "bpe_token_counts",
+    "cosine_topk_ivf",
+    "curriculum_deciles",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    # stale-r14 cohort, first 23 in CORRECTNESS_r14.json order:
+    "boilerplate_lines",
+    "source_divergence",
+    "corpus_drift",
+    "homoglyph_scrub",
+    "embedding_centroids",
+    "embedding_quantize",
+    "fertility_by_lang",
+    "gopher_quality",
+    "gopher_repetition",
+    "lang_id",
+    "large_volume_customers",
+    "multimodal_audio_features",
+    "multimodal_raw_features",
+    "multimodal_raw_resize",
+    "multimodal_video_frames",
+    "nation_set_ops",
+    "pack_chunks",
+    "pii_scrub",
+    "quality_features",
+    "quality_filter_survivors",
+    "returned_revenue",
+    "revenue_by_nation",
+    "segment_totals",
 )
 
 
