@@ -650,11 +650,8 @@ def _image_pair_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     fps = image_dhash(make_raw_media_scenes(docs)).localCheckpoint()
-    blocks = fps.select(
-        "doc_id",
-        F.expr("stack(4, 0, band0, 1, band1, 2, band2, 3, band3) "
-               "AS (band_id, band_val)"))
-    eligible = bucket_bounded(blocks, ["band_id", "band_val"],
+    eligible = bucket_bounded(image_band_entries(fps),
+                              ["band_id", "band_val"],
                               lo=2, hi=IMG_MAX_BAND)
     a = eligible.select(F.col("doc_id").alias("doc_a"),
                         "band_id", "band_val")
@@ -696,6 +693,71 @@ def q_image_dedup_survivors(spark: SparkSession,
               .select(F.col("doc_b").alias("doc_id")).distinct())
     return (docs.join(losers, "doc_id", "left_anti")
             .select("doc_id", "source", "lang", "n_chars"))
+
+
+def image_band_entries(fps: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_val) long form — the banded index rows
+    a persisted store holds (4 rows x ~12 B per image; the fps wide
+    form stays beside it for the exact Hamming verify)."""
+    return fps.select(
+        "doc_id",
+        F.expr("stack(4, 0, band0, 1, band1, 2, band2, 3, band3) "
+               "AS (band_id, band_val)"))
+
+
+def image_incremental_from_index(band_index: DataFrame,
+                                 seen_fps: DataFrame,
+                                 batch_fps: DataFrame) -> DataFrame:
+    """``band_index``: persisted (doc_id, band_id, band_val) rows;
+    ``seen_fps``: persisted wide fingerprints; ``batch_fps``: the
+    arriving batch's fingerprints.  Returns every batch x seen
+    near-dup pair (batch_doc, seen_doc, hamming <= IMG_HAMMING_MAX) —
+    the incremental form of image_dedup_pairs: arriving images are
+    fingerprinted once and banded ONLY against the persisted index,
+    never re-hashing the corpus.  The seen side is hot-band capped
+    (bucket_bounded hi, the ann_incremental_from_index convention —
+    partial-agg counts, never a Window over the degenerate band);
+    the batch_doc != seen_doc guard covers the streaming twin's
+    at-least-once replay window."""
+    from cga_logs_to_kinesis_spark.functions.buckets import (
+        bucket_bounded,
+    )
+
+    seen_idx = bucket_bounded(
+        band_index.select(F.col("doc_id").alias("seen_doc"),
+                          "band_id", "band_val"),
+        ["band_id", "band_val"], hi=IMG_MAX_BAND)
+    b_blocks = image_band_entries(batch_fps).select(
+        F.col("doc_id").alias("batch_doc"), "band_id", "band_val")
+    cand = (b_blocks.join(seen_idx, ["band_id", "band_val"])
+            .filter(F.col("batch_doc") != F.col("seen_doc"))
+            .select("batch_doc", "seen_doc").distinct())
+    fa = batch_fps.select(F.col("doc_id").alias("batch_doc"),
+                          *[F.col(f"band{j}").alias(f"a{j}")
+                            for j in range(IMG_BANDS)])
+    fb = seen_fps.select(F.col("doc_id").alias("seen_doc"),
+                         *[F.col(f"band{j}").alias(f"b{j}")
+                           for j in range(IMG_BANDS)])
+    ham = sum(F.expr(f"bit_count(a{j} ^ b{j})")
+              for j in range(IMG_BANDS)).cast("long")
+    return (cand.join(fa, "batch_doc").join(fb, "seen_doc")
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= IMG_HAMMING_MAX)
+            .select("batch_doc", "seen_doc", "hamming"))
+
+
+def q_image_dedup_incremental(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Crawl-drop split on doc_id % 5 (deliberately coprime to the
+    IMG_GROUP = 4 variant cycle, so batch membership varies across a
+    group's variants and real cross-split dup pairs exist)."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fps = image_dhash(make_raw_media_scenes(docs)).localCheckpoint()
+    seen = fps.filter(F.col("doc_id") % 5 < 4)
+    batch = fps.filter(F.col("doc_id") % 5 == 4)
+    return image_incremental_from_index(
+        image_band_entries(seen), seen, batch)
 
 
 def _img_pix_sql(i_expr: str) -> str:
@@ -832,6 +894,58 @@ register(QuerySpec(
     doc="image dedup applied: drop every doc with a smaller-id "
         "near-dup partner (keep-first), pass everything else through",
     tags=("multimodal", "dedup", "north-star", "pandas-udf"),
+))
+
+register(QuerySpec(
+    "image_dedup_incremental", q_image_dedup_incremental,
+    oracle=f"""
+        WITH {IMG_FPS_SQL_CTES.strip()},
+        sblocks AS (
+            SELECT doc_id, b.band_id,
+                   CASE b.band_id WHEN 0 THEN band0 WHEN 1 THEN band1
+                        WHEN 2 THEN band2 ELSE band3 END AS band_val
+            FROM fps,
+                 (SELECT unnest(range(0, {IMG_BANDS})) AS band_id) b
+            WHERE doc_id % 5 < 4
+        ), eligible AS (
+            SELECT doc_id, band_id, band_val FROM (
+                SELECT *, COUNT(*) OVER (
+                    PARTITION BY band_id, band_val) AS bn
+                FROM sblocks
+            ) WHERE bn <= {IMG_MAX_BAND}
+        ), bblocks AS (
+            SELECT doc_id, b.band_id,
+                   CASE b.band_id WHEN 0 THEN band0 WHEN 1 THEN band1
+                        WHEN 2 THEN band2 ELSE band3 END AS band_val
+            FROM fps,
+                 (SELECT unnest(range(0, {IMG_BANDS})) AS band_id) b
+            WHERE doc_id % 5 = 4
+        ), cand AS (
+            SELECT DISTINCT b.doc_id AS batch_doc, s.doc_id AS seen_doc
+            FROM bblocks b JOIN eligible s
+              ON b.band_id = s.band_id AND b.band_val = s.band_val
+             AND b.doc_id != s.doc_id
+        )
+        SELECT c.batch_doc, c.seen_doc,
+               CAST(bit_count(xor(x.band0, y.band0))
+                  + bit_count(xor(x.band1, y.band1))
+                  + bit_count(xor(x.band2, y.band2))
+                  + bit_count(xor(x.band3, y.band3)) AS BIGINT)
+                   AS hamming
+        FROM cand c
+        JOIN fps x ON c.batch_doc = x.doc_id
+        JOIN fps y ON c.seen_doc = y.doc_id
+        WHERE bit_count(xor(x.band0, y.band0))
+            + bit_count(xor(x.band1, y.band1))
+            + bit_count(xor(x.band2, y.band2))
+            + bit_count(xor(x.band3, y.band3)) <= {IMG_HAMMING_MAX}
+    """,
+    doc="incremental image near-dup: an arriving crawl drop is "
+        "fingerprinted once and banded ONLY against the persisted "
+        "band index (batch x seen pairs, hot-band-capped seen side, "
+        "exact Hamming verify) — never re-hashing the corpus",
+    tags=("multimodal", "dedup", "north-star", "join", "incremental",
+          "pandas-udf"),
 ))
 
 

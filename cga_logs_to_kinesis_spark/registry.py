@@ -47,9 +47,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Leads: the four r18-NEW oracle-paired queries
     # (semdedup_incremental — batch-vs-persisted-assignment pairs
     # under the fixed centroid artifact, the store-fed SemDeDup form;
-    # image_phash / image_dedup_pairs / image_dedup_survivors — dHash
-    # perceptual fingerprints over the planted-scene raw-image
-    # fixture, Hamming-banded pairs, keep-first survivors).  Then the
+    # image_phash / image_dedup_pairs / image_dedup_survivors /
+    # image_dedup_incremental — dHash perceptual fingerprints over
+    # the planted-scene raw-image fixture, Hamming-banded pairs,
+    # keep-first survivors, and the batch-vs-persisted-band-index
+    # incremental form).  Then the
     # five whose CODE changed this round: semdedup /
     # semdedup_survivors / semdedup_apply / split_leakage_semantic
     # (assignment refactored through semdedup_centroids +
@@ -58,12 +60,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # semdedup_downweight (the forced member broadcast dropped — r17
     # advice — AQE promotes it when actually small).  Then the 18
     # r17-deferred stale-r13 queries in CORRECTNESS_r13.json order,
-    # then the stalest 23 of the r14 block in CORRECTNESS_r14.json
+    # then the stalest 22 of the r14 block in CORRECTNESS_r14.json
     # order — both cohorts verified programmatically (green in source
-    # round, no green since).  4 + 5 + 18 + 23 = 50.
+    # round, no green since).  5 + 5 + 18 + 22 = 50.
     #
-    # Deferred to the r19 window: the remaining 20 stale-r14 queries
-    # in CORRECTNESS_r14.json order (semi_join_customers,
+    # Deferred to the r19 window: the remaining 21 stale-r14 queries
+    # in CORRECTNESS_r14.json order (segment_totals,
+    # semi_join_customers,
     # share_of_total, shipmode_priority, snapshot_diff, split_assign,
     # text_stats, tfidf_top_terms, vocab_coverage,
     # winnowing_fingerprints, bloom_decontaminate, cosine_topk_pq,
@@ -85,6 +88,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "image_phash",
     "image_dedup_pairs",
     "image_dedup_survivors",
+    "image_dedup_incremental",
     # r18-changed:
     "semdedup",
     "semdedup_survivors",
@@ -110,7 +114,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_minhash_lsh",
     "doc_fingerprint",
-    # stale-r14 cohort, first 23 in CORRECTNESS_r14.json order:
+    # stale-r14 cohort, first 22 in CORRECTNESS_r14.json order:
     "boilerplate_lines",
     "source_divergence",
     "corpus_drift",
@@ -133,7 +137,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_filter_survivors",
     "returned_revenue",
     "revenue_by_nation",
-    "segment_totals",
 )
 
 

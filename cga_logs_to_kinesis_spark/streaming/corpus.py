@@ -741,6 +741,83 @@ def ann_index_sink(index_dir: str, vector_dir: str, out_dir: str,
     return process
 
 
+def stream_media(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File stream over a media-shaped parquet directory: opaque
+    binary payloads keyed by doc_id (the multimodal column model)."""
+    return spark.readStream.schema(
+        "doc_id long, payload binary").parquet(src_dir)
+
+
+def image_index_sink(index_dir: str, fps_dir: str, out_dir: str,
+                     fail_after_all_writes_for: tuple[int, ...] = ()):
+    """foreachBatch twin of ``image_dedup_incremental``: each arriving
+    media batch is decoded + dHashed ONCE (the expensive Python stage
+    runs on exactly the new images), banded against the PERSISTED band
+    index, Hamming-verified against the persisted fingerprint store,
+    then merged into both stores — never re-hashing the corpus.  Same
+    exactly-once discipline as the ann/setjoin sinks: all three writes
+    are batch_id-keyed dynamic-overwrite partitions, store reads
+    filter ``batch_id < current`` so a replay after the last write
+    sees pre-batch state (and the operator's batch_doc != seen_doc
+    guard is defense in depth).  Pinned by tests/test_corpus_stream.py
+    ::test_image_index_sink_matches_batch_and_survives_replay.
+
+    Store sizing: 4 band rows (~12 B) + one 4-long fps row per image
+    — the stores hold fingerprints only, never pixels, so state is
+    independent of image size."""
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        image_band_entries,
+        image_dhash,
+        image_incremental_from_index,
+    )
+    from cga_logs_to_kinesis_spark.streaming.sink import (
+        FatalDeliveryError,
+    )
+
+    already_failed: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fps = image_dhash(batch_df.select("doc_id", "payload")) \
+            .localCheckpoint()
+        idx_store = _read_store(spark, index_dir)
+        fps_store = _read_store(spark, fps_dir)
+        if idx_store is None or fps_store is None:
+            idx = spark.createDataFrame(
+                [], "doc_id long, band_id int, band_val long")
+            seen_fps = spark.createDataFrame(
+                [], "doc_id long, band0 long, band1 long, "
+                    "band2 long, band3 long")
+        else:
+            idx = (idx_store
+                   .filter(F.col("batch_id") < F.lit(batch_id))
+                   .select("doc_id", "band_id", "band_val"))
+            seen_fps = (fps_store
+                        .filter(F.col("batch_id") < F.lit(batch_id))
+                        .select("doc_id", "band0", "band1",
+                                "band2", "band3"))
+        report = image_incremental_from_index(idx, seen_fps, fps) \
+            .localCheckpoint()
+        conf = {"partitionOverwriteMode": "dynamic"}
+        (report.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(out_dir))
+        (image_band_entries(fps)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(index_dir))
+        (fps.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**conf)
+         .partitionBy("batch_id").parquet(fps_dir))
+        if (batch_id in fail_after_all_writes_for
+                and batch_id not in already_failed):
+            already_failed.add(batch_id)
+            raise FatalDeliveryError(
+                f"injected crash after last write, batch {batch_id}")
+
+    return process
+
+
 def seed_semdedup_centroids(emb: DataFrame, cents_dir: str) -> int:
     """Persist the fixed SemDeDup centroid artifact ONCE, before the
     assignment stream starts — the fit-once/apply-forever discipline
@@ -3274,6 +3351,16 @@ STORE_FAMILIES: tuple[StoreFamily, ...] = (
         "(similarity.ann_incremental_from_index), so replay "
         "duplicates are harmless; hot buckets capped via "
         "bucket_bounded's anti-join"),
+    StoreFamily(
+        "image band index", "append (distinct-consumed)",
+        ("image_index_sink",), (), (),
+        "dHash band rows + wide fingerprints per image (never "
+        "pixels): arriving media is decoded/hashed once, banded "
+        "against the persisted index, Hamming-verified against the "
+        "persisted fps store; candidates are .distinct()ed by the "
+        "operator so replay duplicates are harmless, hot bands "
+        "capped via bucket_bounded; NO compactor (append-only, "
+        "batch_id < current read filter covers replays)"),
     StoreFamily(
         "SemDeDup assignment", "append (join-consumed)",
         ("semdedup_assign_sink",), (), (),

@@ -2709,3 +2709,62 @@ def test_semdedup_assign_sink_matches_batch_and_survives_replay(
             .fn(spark, SF_SMOKE).collect()}
     assert got == want and len(want) > 0
     assert all(b != s for b, s in got)
+
+
+def test_image_index_sink_matches_batch_and_survives_replay(
+        spark, tmp_path):
+    """The image dedup serving twin: chunk A (80%) of the
+    planted-scene media builds the persisted band index + fingerprint
+    stores; chunk B is fingerprinted and scored against them with an
+    injected crash AFTER all three writes.  After the replay the
+    batch-1 pair report must equal the registry query's output
+    exactly — and nothing may pair with itself."""
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        make_raw_media_scenes,
+    )
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.sources import load_table
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        image_index_sink,
+        stream_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = make_raw_media_scenes(docs).localCheckpoint()
+    src = tmp_path / "arrivals"
+    args = (str(tmp_path / "band_index"),
+            str(tmp_path / "fps_store"),
+            str(tmp_path / "reports"))
+
+    def drain(sink):
+        q = (stream_media(spark, str(src) + "/*")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    media.filter(F.col("doc_id") % 5 < 4).coalesce(1) \
+        .write.parquet(str(src / "chunk=0"))
+    drain(image_index_sink(*args))
+
+    media.filter(F.col("doc_id") % 5 == 4).coalesce(1) \
+        .write.parquet(str(src / "chunk=1"))
+    crashed = False
+    try:
+        drain(image_index_sink(*args, fail_after_all_writes_for=(1,)))
+    except Exception:
+        crashed = True
+    assert crashed
+    assert spark.read.parquet(args[0]).filter("batch_id = 1").count() > 0
+    assert spark.read.parquet(args[1]).filter("batch_id = 1").count() > 0
+
+    drain(image_index_sink(*args))              # replay batch 1
+
+    got = {(r.batch_doc, r.seen_doc): r.hamming
+           for r in spark.read.parquet(args[2])
+           .filter("batch_id = 1").collect()}
+    want = {(r.batch_doc, r.seen_doc): r.hamming
+            for r in all_queries()["image_dedup_incremental"]
+            .fn(spark, SF_SMOKE).collect()}
+    assert got == want and len(want) > 0
+    assert all(b != s for b, s in got)

@@ -866,3 +866,50 @@ def test_semdedup_assign_sink_work_grows_linearly_not_quadratically(
     n_vecs = ANN_BATCHES * VECS_PER_BATCH
     assert spark.read.parquet(str(tmp_path / "vecs")).count() == n_vecs
     assert spark.read.parquet(str(tmp_path / "assign")).count() == n_vecs
+
+
+IMG_PER_BATCH = 150
+
+
+def _media_batch(spark, k: int):
+    """Planted-scene media over a contiguous doc_id block — group
+    structure identical to the fixture builder's."""
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        make_raw_media_scenes,
+    )
+    ids = (spark.range(IMG_PER_BATCH)
+           .select((F.lit(k * IMG_PER_BATCH) + F.col("id"))
+                   .alias("doc_id")))
+    return make_raw_media_scenes(ids)
+
+
+def test_image_index_sink_work_grows_linearly_not_quadratically(
+        spark, tmp_path):
+    """20 media batches through the image band-index sink.  Per-batch
+    work is O(|batch| decode) + O(|batch| x |store| / bands) banded
+    candidates — linear in the store (the ANN envelope, one modality
+    over); a re-hash-the-corpus shape would be ~13x between the
+    measurement windows."""
+    from cga_logs_to_kinesis_spark.streaming.corpus import (
+        image_index_sink,
+    )
+
+    sink = image_index_sink(str(tmp_path / "idx"),
+                            str(tmp_path / "fps"),
+                            str(tmp_path / "out"))
+    work = []
+    cursor = _max_stage_id(spark)
+    for k in range(ANN_BATCHES):
+        sink(_media_batch(spark, k), k)
+        delta, cursor = _work_since(spark, cursor)
+        work.append(delta)
+    early = sum(work[3:6]) / 3
+    late = sum(work[17:20]) / 3
+    assert late <= 6.0 * early, (
+        f"per-batch image-index work grew superlinearly: "
+        f"early={early:.0f} late={late:.0f} records/batch — band "
+        f"blocking is supposed to keep the pair join off the corpus")
+    n_imgs = ANN_BATCHES * IMG_PER_BATCH
+    assert spark.read.parquet(str(tmp_path / "fps")).count() == n_imgs
+    idx_rows = spark.read.parquet(str(tmp_path / "idx")).count()
+    assert idx_rows == 4 * n_imgs    # exactly 4 band rows per image

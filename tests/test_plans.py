@@ -1102,3 +1102,24 @@ def test_blocklist_gram_join_is_broadcast_and_text_free(spark):
     keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert keys and all("text" not in k and "gram" not in k
                         for k in keys)
+
+
+def test_image_band_join_is_banded_and_payload_free(spark):
+    """The image near-dup candidate join must be the banded equi-join
+    (pigeonhole blocks), never a cross product — and no exchange may
+    carry the decoded payloads: only (band_id, band_val) candidate
+    keys and (doc_a, doc_b) pair keys hit a shuffle (the decode stage
+    is checkpointed upstream, the fingerprints are 4 ints/doc)."""
+    import re
+
+    from cga_logs_to_kinesis_spark.plans import formatted_plan
+
+    df = SPECS["image_dedup_pairs"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys, "banded join lost its exchanges?"
+    for k in keys:
+        assert "payload" not in k and "text" not in k, k
+        assert re.search(r"band_id|band_val|doc_a|doc_b|doc_id", k), k
