@@ -156,6 +156,14 @@ HEADLINE = (
     "blocklist_filter",
     "semdedup_apply",
     "semdedup_incremental",
+    # r18 late round: the image near-dup pair report — the one
+    # headline entry whose cost is DECODE-bound (Arrow mapInPandas
+    # pixel work) rather than shuffle-bound: fingerprints are 4 ints
+    # per image, so the banded join is fingerprint-cheap and the
+    # regression this entry watches is the Python/Arrow decode path
+    # (image_phash / survivors / incremental share the same front and
+    # are not benched separately — the lsh_recall_exact convention).
+    "image_dedup_pairs",
 )
 
 # In-run drift control (r10 verdict): the same query measured at the

@@ -629,8 +629,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
                     rows[f"band{j}"].append(
                         int((block << np.arange(IMG_BAND_BITS)).sum()))
             yield pd.DataFrame(
-                {k: pd.Series(vs, dtype="int64" if k != "doc_id"
-                              else "int64")
+                {k: pd.Series(vs, dtype="int64")
                  for k, vs in rows.items()})
 
     return media.mapInPandas(batches, schema=IMG_HASH_SCHEMA)
