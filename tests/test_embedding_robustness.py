@@ -29,6 +29,7 @@ EMB_QUERIES = [
     "embedding_drift", "cosine_topk_pq", "cosine_topk_ivf_sq",
     "cluster_mixture", "split_leakage_semantic",
     "semdedup_survivors", "semdedup_apply", "semdedup_downweight",
+    "semdedup_incremental",
 ]
 
 N_VALID = 8

@@ -68,7 +68,8 @@ PROBED = [
     "token_ngram_decontaminate", "passage_dedup_cdc",
     "quality_classifier_train", "quality_classifier_eval",
     "token_decon_apply", "blocklist_filter", "blocklist_apply",
-    "blocklist_terms",
+    "blocklist_terms", "image_phash", "image_dedup_pairs",
+    "image_dedup_survivors", "image_dedup_incremental",
 ]
 
 _TEXTS = ["normal words here for all the tests to chew on",
