@@ -1569,14 +1569,23 @@ register(QuerySpec(
 #
 # Spark shape, Aho-Corasick reconsidered for a cluster: a trie scan
 # is the single-machine answer; the distributed answer is tokenize
-# once, emit token n-grams ONLY of the orders the blocklist actually
-# contains (here {1, 2, 3} — computed from the list, not hardcoded),
-# and broadcast-hash-join the grams against the terms.  Everything
-# before the join is row-local (one scan, no shuffle); the join moves
-# (doc_id, source, gram-hit) rows only — at 100 TB the gram explode
-# is the same front every shingle operator pays, and the blocklist
-# (a few thousand terms in production) broadcasts for free.  The
-# report tail is one source-keyed agg; apply anti-joins flagged ids.
+# once and match ROW-LOCALLY — per token position, a first-token
+# probe against the set of term-initial tokens (the trie's first
+# level), building and checking the full n-gram string only at the
+# few positions that survive (optimization r18, guide §2.3/§4.1: the
+# previous shape built EVERY position's gram string and shipped the
+# ~3x-tokens gram explode through a broadcast join; the matcher is a
+# pure function of the row, so no join row stream is fundamentally
+# required).  Membership probes compile to Catalyst In/InSet —
+# a hash-set lookup per candidate at production list sizes (a few
+# thousand terms), the same per-probe cost the broadcast hash join
+# paid, minus building one gram string per corpus position and minus
+# the corpus-tokens-sized Generate+join row stream.  Only the n-gram
+# orders the blocklist actually contains are scanned (here {1, 2, 3}
+# — computed from the list, not hardcoded).  The hits frame then
+# carries ONLY matches (at 100 TB: hits << tokens), the report tail
+# is one source-keyed partial agg, and apply is a pure row-local
+# filter — zero joins, zero exchanges.
 #
 # The fixture corpus has no real badwords, so the list is drawn from
 # the fixture vocabulary (the pii_scrub convention: the operator
@@ -1592,74 +1601,126 @@ BLOCKLIST: tuple[str, ...] = (
 )
 
 
-def blocklist_gram_col(terms: tuple[str, ...] = BLOCKLIST) -> Column:
-    """Flattened token-n-gram array over a prebuilt ``toks`` column,
-    emitting ONLY the n-gram orders ``terms`` actually contains — the
-    row-local matcher front shared by the batch gate (which explodes
-    it into the broadcast term join) and the streaming twin (which
-    probes it against the literal term array).  One matcher, two
-    faces: both match normalized grams by exact string equality."""
-    orders = sorted({len(t.split()) for t in terms})
-    gram_arrays = [
-        F.when(F.size("toks") >= n, F.expr(
-            f"transform(sequence(1, size(toks) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(toks, i, {n})))"))
-        .otherwise(F.expr("array()"))
-        for n in orders
-    ]
-    return F.flatten(F.array(*gram_arrays))
+def blocklist_hit_grams_col(terms: tuple[str, ...] = BLOCKLIST
+                            ) -> Column:
+    """Array of MATCHING blocklist grams over a prebuilt ``toks``
+    column — the row-local matcher shared by the batch hits frame
+    (which explodes it), the gate report (which sizes it), the apply
+    (which keeps size = 0), and the streaming twin.  One matcher,
+    every face.
+
+    Per n-gram order the blocklist contains: probe each position's
+    FIRST token against the set of term-initial tokens (the trie's
+    first level — In/InSet, a hash probe at production list sizes),
+    build the concat'd gram string only at surviving positions, and
+    confirm it against the full term set.  1-token terms skip gram
+    construction entirely (a plain token filter).  The result is
+    empty (never NULL — coalesced) for short or NULL-text rows, so
+    ``size() = 0`` is exactly "no hit" everywhere.
+
+    Matches the broadcast-join matcher it replaced occurrence-for-
+    occurrence: same normalized token stream, same exact-string
+    equality, same per-order position order.
+
+    The whole matcher is built inside a ``transform(array(toks),
+    ts -> ...)`` let-binding: every internal reference is to the
+    lambda variable ``ts``, never to the ``toks`` expression itself.
+    Without this, CollapseProject inlines the tokenization into every
+    per-position ``element_at`` probe and the expression both
+    re-tokenizes the document per position and overflows whole-stage
+    codegen (no CSE in interpreted eval) — measured 15x slower on the
+    apply path."""
+    by_n: dict[int, list[str]] = {}
+    for t in terms:
+        by_n.setdefault(len(t.split()), []).append(t)
+
+    def matcher(ts: Column) -> Column:
+        arrays = []
+        for n in sorted(by_n):
+            tl = sorted(by_n[n])
+            if n == 1:
+                arrays.append(F.filter(ts, lambda t: t.isin(*tl)))
+                continue
+            firsts = sorted({t.split()[0] for t in tl})
+            pos = F.filter(
+                F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+                lambda i: F.element_at(ts, i).isin(*firsts))
+            grams = F.transform(
+                pos, lambda i: F.concat_ws(" ", F.slice(ts, i, n)))
+            arrays.append(
+                F.when(F.size(ts) >= n,
+                       F.filter(grams, lambda g: g.isin(*tl)))
+                .otherwise(F.expr("array()")))
+        return F.coalesce(F.flatten(F.array(*arrays)),
+                          F.expr("array()"))
+
+    return F.element_at(
+        F.transform(F.array(F.col("toks")), matcher), 1)
 
 
 def blocklist_hits(docs: DataFrame,
                    terms: tuple[str, ...] = BLOCKLIST) -> DataFrame:
     """(doc_id, source, term): one row per blocklisted-term OCCURRENCE
     in each document (token-boundary matches over the normalized
-    token stream).  Shared front of the report and the apply."""
+    token stream).  Shared front of the report and the apply.  Pure
+    map: the matcher is row-local and only MATCHES are ever exploded
+    into rows (hits << tokens), so no join and no token-sized row
+    stream exist in the plan (optimization r18; was explode-all-grams
+    + broadcast term join)."""
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (
         norm_tokens,
     )
 
-    spark = docs.sparkSession
-    bl = spark.createDataFrame(
-        [(t, len(t.split())) for t in terms], "term string, n int")
-    grams = (docs
-             .withColumn("toks", norm_tokens())
-             .select("doc_id", "source",
-                     F.explode(blocklist_gram_col(terms))
-                     .alias("gram")))
-    return (grams.join(F.broadcast(bl),
-                       grams["gram"] == bl["term"])
-            .select("doc_id", "source", "term"))
+    return (docs
+            .withColumn("toks", norm_tokens())
+            .select("doc_id", "source",
+                    F.explode(blocklist_hit_grams_col(terms))
+                    .alias("term")))
 
 
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, n_docs, n_dropped, n_kept, n_hits): the per-source
     keep/drop report of the blocklist gate — n_hits counts term
-    occurrences, n_dropped counts documents with at least one."""
+    occurrences, n_dropped counts documents with at least one.
+
+    One scan, one exchange: the per-document occurrence count is
+    row-local (``size`` of the matcher array), so the whole report is
+    a single source-keyed partial aggregation — no per-doc groupBy,
+    no join back to documents (optimization r18: was gram explode +
+    broadcast join + doc_id agg + sort-merge join + source agg)."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = (blocklist_hits(docs)
-               .groupBy("doc_id")
-               .agg(F.count("*").alias("n_hits")))
-    return (docs.select("doc_id", "source")
-            .join(per_doc, "doc_id", "left")
+    nh = F.size(blocklist_hit_grams_col())
+    return (docs
+            .withColumn("toks", norm_tokens())
+            .select("source", nh.alias("nh"))
             .groupBy("source")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.when(F.col("n_hits").isNotNull(), 1)
+                 F.sum(F.when(F.col("nh") > 0, 1)
                        .otherwise(0)).alias("n_dropped"),
-                 F.sum(F.when(F.col("n_hits").isNull(), 1)
-                       .otherwise(0)).alias("n_kept"),
-                 F.sum(F.coalesce("n_hits", F.lit(0)))
-                 .alias("n_hits")))
+                 F.sum(F.when(F.col("nh") > 0, 0)
+                       .otherwise(1)).alias("n_kept"),
+                 F.sum("nh").cast("bigint").alias("n_hits")))
 
 
 def q_blocklist_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The surviving documents: anti-join the flagged ids (C4's drop
-    rule applied)."""
+    """The surviving documents: C4's drop rule applied as a pure
+    row-local filter — a document survives iff its matcher array is
+    empty.  Zero joins, zero exchanges (optimization r18: was hits
+    explode + distinct + left-anti join)."""
+    from cga_logs_to_kinesis_spark.operators.corpus_quality import (
+        norm_tokens,
+    )
+
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    flagged = blocklist_hits(docs).select("doc_id").distinct()
-    return (docs.join(flagged, "doc_id", "left_anti")
+    return (docs
+            .withColumn("toks", norm_tokens())
+            .filter(F.size(blocklist_hit_grams_col()) == 0)
             .select("doc_id", "source", "lang", "n_chars"))
 
 

@@ -594,24 +594,20 @@ def streaming_blocklist(docs: DataFrame) -> DataFrame:
     (drop BEFORE anything hits the corpus stores), next to
     ``streaming_quality_classifier`` / ``streaming_markup_scrub``.
     Stateless: the batch matcher's shared front
-    (``operators/llm_pipeline.py::blocklist_gram_col`` over
-    ``norm_tokens``) builds each row's token n-grams row-locally, and
-    membership is probed against the literal term array — the same
-    exact-string-equality semantics the batch gate's broadcast term
-    join applies (one matcher, two faces; parity is row-for-row by
-    construction, pinned in tests/test_corpus_stream.py).  Emits
-    every arriving document with its occurrence count; the gate keeps
-    ``n_hits == 0``."""
+    (``operators/llm_pipeline.py::blocklist_hit_grams_col`` over
+    ``norm_tokens``) probes each row's token positions row-locally
+    against the term set (first-token prefilter, then exact-string
+    gram confirm — the SAME column expression the batch gate sizes
+    and explodes, so parity is row-for-row by construction, pinned in
+    tests/test_corpus_stream.py).  Emits every arriving document with
+    its occurrence count; the gate keeps ``n_hits == 0``."""
     from cga_logs_to_kinesis_spark.operators.corpus_quality import (
         norm_tokens,
     )
     from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
-        BLOCKLIST,
-        blocklist_gram_col,
+        blocklist_hit_grams_col,
     )
-    terms = F.array(*[F.lit(t) for t in BLOCKLIST])
-    n_hits = F.size(F.filter(
-        blocklist_gram_col(), lambda g: F.array_contains(terms, g)))
+    n_hits = F.size(blocklist_hit_grams_col())
     return (docs
             .withColumn("toks", norm_tokens())
             .select("doc_id", "source", "lang", "n_chars",

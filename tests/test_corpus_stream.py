@@ -2361,7 +2361,7 @@ def test_streaming_blocklist_matches_batch(spark, tmp_path):
     row-for-row, per-doc occurrence counts equal the batch hits
     front, and every arriving doc is emitted exactly once (one
     matcher, two faces — shared BLOCKLIST + norm_tokens +
-    blocklist_gram_col definitions)."""
+    blocklist_hit_grams_col definitions)."""
     from cga_logs_to_kinesis_spark.operators.llm_pipeline import (
         blocklist_hits,
     )

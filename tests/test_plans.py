@@ -1079,29 +1079,31 @@ def test_token_decon_broadcasts_benchmark(spark):
         SPECS["token_ngram_decontaminate"].fn(spark, SF_SMOKE))
 
 
-def test_blocklist_gram_join_is_broadcast_and_text_free(spark):
-    """The blocklist gate's term join must broadcast the (tiny) term
-    list — a shuffled join keyed on grams would move the whole gram
-    explode to the exchange — and no shuffle may be keyed on document
-    text (the gram explode and tokenization stay map-side below the
-    broadcast join; only (doc_id, count) hit rows and the source agg
-    shuffle)."""
+def test_blocklist_gate_is_row_local(spark):
+    """The blocklist matcher is a pure function of the row
+    (first-token probe + in-set gram confirm), so the gate must carry
+    NO join and no token/gram-sized row stream at all (optimization
+    r18; the r17 shape exploded every corpus gram through a broadcast
+    term join):
+
+    * blocklist_filter — one scan, one source-keyed exchange (the
+      partial agg), no join, no Generate;
+    * blocklist_apply — pure scan + filter + project: zero exchanges,
+      zero joins, zero Generate;
+    * no shuffle keyed on document text or grams anywhere.
+    """
     import re
 
     from cga_logs_to_kinesis_spark.plans import formatted_plan
 
-    df = SPECS["blocklist_filter"].fn(spark, SF_SMOKE)
-    plan = formatted_plan(df)
-    assert uses_broadcast_join(df)
-    # the gram->term join specifically is the broadcast one: its
-    # detail section keys on gram/term (BuildRight = the term list),
-    # not a shuffled gram table
-    details = [seg for seg in plan.split("\n\n")
-               if "BroadcastHashJoin" in seg and "Left keys" in seg]
-    assert any("[gram" in seg and "[term" in seg for seg in details)
+    plan = formatted_plan(SPECS["blocklist_filter"].fn(spark, SF_SMOKE))
+    assert "Join" not in plan and "Generate" not in plan
     keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert keys and all("text" not in k and "gram" not in k
                         for k in keys)
+    aplan = formatted_plan(SPECS["blocklist_apply"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in aplan
+    assert "Join" not in aplan and "Generate" not in aplan
 
 
 def test_image_band_join_is_banded_and_payload_free(spark):
