@@ -642,17 +642,32 @@ def connected_components(pairs: DataFrame,
     rounds, so 25 covers any graph that physically fits anywhere.
     """
     # The label graph is docs-in-pairs, orders of magnitude smaller
-    # than the corpus — collapse it to a narrow width so each
-    # propagation round is a handful of tasks, not a full-width
-    # shuffle.  Width follows the engine's explode-parallelism knob
-    # (the edge set is corpus-fraction-sized at 100 TB, so the same
-    # submit-time conf that scales the shingle explodes scales this).
-    width = max(4, explode_parallelism(pairs.sparkSession) // 8)
-    sym = (pairs.select("doc_a", "doc_b")
-           .union(pairs.select(F.col("doc_b").alias("doc_a"),
-                               F.col("doc_a").alias("doc_b")))
-           .coalesce(width)
-           .localCheckpoint())
+    # than the corpus — and the edge set is the one frame EVERY
+    # propagation round joins, always on doc_b.  Hash-partition it by
+    # doc_b ONCE before the checkpoint (optimization r18, guide §2.4):
+    # localCheckpoint preserves the physical partitioning in its
+    # LogicalRDD, so each round's sym-side exchange disappears — at
+    # 100 TB the edge set is corpus-fraction-sized and was previously
+    # re-shuffled every round once labels outgrow broadcast.  No
+    # explicit width: AQE sizes the exchange (coalescing the
+    # fixture-scale case to a handful of tasks, keeping a cluster run
+    # wide).  The checkpoint itself is lazy — the labels checkpoint
+    # below materializes both in ONE job (each eager localCheckpoint
+    # is a full sequential driver round-trip; guide §5).
+    # Symmetrize by EXPLODING each edge into both orientations
+    # row-locally rather than a self-union (optimization r18, guide
+    # §1.2): callers pass computed pair surfaces (banded candidate
+    # join + verify; the cosine-scored SemDeDup pairs), and a union
+    # evaluates that subtree once per branch — the explode reads it
+    # once.
+    sym = (pairs.select(F.explode(F.array(
+               F.struct(F.col("doc_a").alias("doc_a"),
+                        F.col("doc_b").alias("doc_b")),
+               F.struct(F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b")))).alias("e"))
+           .select("e.doc_a", "e.doc_b")
+           .repartition(F.col("doc_b"))
+           .localCheckpoint(eager=False))
     labels = (sym.select(F.col("doc_a").alias("doc")).distinct()
               .withColumn("comp", F.col("doc"))
               .localCheckpoint())
@@ -674,15 +689,18 @@ def connected_components(pairs: DataFrame,
         new = (prop.join(hop, "comp", "left")
                .select("doc",
                        F.coalesce("comp_hop", "comp").alias("comp")))
-        # Amortized convergence check: each driver round-trip (the
-        # eager localCheckpoint job + the count job) is sequential
-        # latency, so pay it every SECOND round — labels are
-        # min-monotone, so a fixpoint at round 2k was also a fixpoint
-        # at 2k-1 if it arrived there, and the worst case is one extra
-        # (cheap, lineage-bounded) propagation round.  Odd rounds
-        # chain lazily; lineage never exceeds two rounds of joins.
+        # Amortized convergence check: each driver round-trip is
+        # sequential latency, so pay it every SECOND round — labels
+        # are min-monotone, so a fixpoint at round 2k was also a
+        # fixpoint at 2k-1 if it arrived there, and the worst case is
+        # one extra (cheap, lineage-bounded) propagation round.  Odd
+        # rounds chain lazily; lineage never exceeds two rounds of
+        # joins.  The checkpoint is LAZY and the count materializes
+        # it (optimization r18): one job per check instead of the
+        # eager-checkpoint job + count job pair — lineage is cut the
+        # same, the anti-join reads the just-persisted blocks.
         if it % 2 == 1 or it == max_iters - 1:
-            new = new.localCheckpoint()
+            new = new.localCheckpoint(eager=False)
             changed = new.join(labels, ["doc", "comp"],
                                "left_anti").count()
             if changed == 0:

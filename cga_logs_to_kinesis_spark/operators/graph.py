@@ -46,14 +46,30 @@ _DECR = "decimal(38,12)"
 def pagerank(pairs: DataFrame, iters: int = PAGERANK_ITERS,
              damping: float = PAGERANK_D) -> DataFrame:
     """PageRank over an undirected pair list (doc_a, doc_b)."""
-    edges = (pairs.select(F.col("doc_a").alias("src"),
-                          F.col("doc_b").alias("dst"))
-             .union(pairs.select(F.col("doc_b").alias("src"),
-                                 F.col("doc_a").alias("dst")))
-             .localCheckpoint())
+    # Hash-partition the edge list by src ONCE before the checkpoint
+    # (optimization r18, guide §2.4): localCheckpoint preserves the
+    # physical partitioning, so the contribution join each iteration
+    # and the degree fold all reuse it — previously the edge set (the
+    # loop's biggest frame; corpus-fraction-sized at 100 TB)
+    # re-exchanged every iteration.  AQE sizes the exchange.  The
+    # edges checkpoint is lazy; deg's eager checkpoint materializes
+    # both in one job (guide §5: fewer sequential driver round-trips).
+    # Symmetrized by a row-local explode, not a self-union: the pair
+    # list is a computed subtree (the winnowing candidate join) and a
+    # union would evaluate it once per branch (guide §1.2).
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst")),
+                 F.struct(F.col("doc_b").alias("src"),
+                          F.col("doc_a").alias("dst")))).alias("e"))
+             .select("e.src", "e.dst")
+             .repartition(F.col("src"))
+             .localCheckpoint(eager=False))
     # deg is referenced by the init frame, n_nodes, and every
     # iteration's rank update — checkpoint the (node, degree) pairs
-    # once instead of re-aggregating edges 5 times
+    # once instead of re-aggregating edges 5 times; the groupBy
+    # reuses edges' src partitioning (no exchange) and deg itself
+    # comes out src-partitioned for the per-iteration rank join.
     deg = (edges.groupBy("src").agg(F.count("*").alias("outdeg"))
            .localCheckpoint())
     n_nodes = F.broadcast(deg.agg(F.count("*").alias("n_nodes")))

@@ -736,17 +736,27 @@ def semdedup_assign_with_cents(emb: DataFrame,
     centroids — a vector's assignment never depends on any other
     vector, which is what lets the streaming twin append per-batch
     assignment partials (streaming/corpus.py::semdedup_assign_sink)
-    that stay valid forever under the fixed artifact."""
+    that stay valid forever under the fixed artifact.
+
+    The arg-max is a groupBy of ``max(struct(ccos, -centroid_id))``
+    rather than a row_number window (optimization r18, guide §2.3):
+    struct ordering compares ccos first, then -centroid_id, so the
+    winner is exactly the window's (ccos DESC, centroid_id ASC) head
+    — bit-identical ccos, deterministic ties — but the k rows per
+    vector collapse MAP-SIDE in the partial aggregate instead of all
+    k x N scored rows shuffling through a vec_id-keyed sort (a
+    partition-key-only window has no partial aggregation; the
+    functions/buckets.py argument, applied to the arg-max shape)."""
     scored = (emb.select("vec_id", "embedding")
               .crossJoin(F.broadcast(cents))
               .select("vec_id", "centroid_id",
                       cosine_vec("embedding", "cent").alias("ccos")))
-    w = (Window.partitionBy("vec_id")
-         .orderBy(F.col("ccos").desc(), "centroid_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("centroid_id").alias("cluster"),
-                    "ccos"))
+    best = F.max(F.struct(
+        F.col("ccos"), (-F.col("centroid_id")).alias("_ncid")))
+    return (scored.groupBy("vec_id").agg(best.alias("_b"))
+            .select("vec_id",
+                    (-F.col("_b._ncid")).alias("cluster"),
+                    F.col("_b.ccos").alias("ccos")))
 
 
 def semdedup_assign(emb: DataFrame) -> DataFrame:
