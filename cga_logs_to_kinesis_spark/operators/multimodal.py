@@ -104,15 +104,30 @@ MEDIA_FEATURES = StructType([
 ])
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over (doc_id, media_type, payload).
+def _fused_map(src: DataFrame, stages, schema) -> DataFrame:
+    """Compose per-batch generator stages into ONE mapInPandas.
 
-    One Arrow batch in, one pandas frame out — vectorized transport,
-    per-blob decode.  Partitioning is inherited from the input scan, so
-    decode parallelism = input partitions (tune with repartition before
-    this stage if blobs are few and large).
-    """
+    Every media query is fixture-generate → consume (features /
+    resize / fingerprint): as separate ``mapInPandas`` calls the
+    payload column crosses Python→JVM→Python between the stages —
+    two extra Arrow (de)serializations of the HEAVIEST bytes in the
+    plan for zero work (guide §4.1: you cannot remove the boundary,
+    but you control how often the bytes cross it).  Composing the
+    batch generators chains them inside one Python worker: payloads
+    are born and consumed in-process, only the final (narrow) feature
+    rows cross back.  Each stage is the same ``Iterator[pd.DataFrame]
+    -> Iterator[pd.DataFrame]`` callable the unfused operator passes
+    to mapInPandas, so fused and unfused paths share one
+    implementation (parity pinned in tests/test_multimodal.py)."""
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for stage in stages:
+            it = stage(it)
+        return it
 
+    return src.mapInPandas(run, schema=schema)
+
+
+def _media_features_stage():
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,7 +157,19 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 "mean_b": pd.Series([m[2] for m in means], dtype="int64"),
             })
 
-    return media.mapInPandas(batches, schema=MEDIA_FEATURES)
+    return batches
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, media_type, payload).
+
+    One Arrow batch in, one pandas frame out — vectorized transport,
+    per-blob decode.  Partitioning is inherited from the input scan, so
+    decode parallelism = input partitions (tune with repartition before
+    this stage if blobs are few and large).
+    """
+    return media.mapInPandas(_media_features_stage(),
+                             schema=MEDIA_FEATURES)
 
 
 # Deterministic fixture content: every pixel/sample value comes from
@@ -188,12 +215,7 @@ def _pcm_sql(j_expr: str) -> str:
             f"+ (({j_expr}) * ({j_expr})) % {PCM_C}) % 65536 - 32768)")
 
 
-def make_png_media(docs: DataFrame) -> DataFrame:
-    """Deterministic PNG fixture blobs: dimensions and pixels hashed
-    from doc_id (identical content to the raw-RGB fixtures, so the two
-    paths decode the SAME pixel arrays — the cross-codec parity hook),
-    encoded with the stdlib PNG writer."""
-
+def _png_media_stage():
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
@@ -206,8 +228,29 @@ def make_png_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
+    return batches
+
+
+def _const_column_stage(name: str, value):
+    """Tiny adapter stage: the fused twin of a ``F.lit`` select
+    between two mapInPandas operators."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[name] = value
+            yield pdf
+
+    return batches
+
+
+def make_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG fixture blobs: dimensions and pixels hashed
+    from doc_id (identical content to the raw-RGB fixtures, so the two
+    paths decode the SAME pixel arrays — the cross-codec parity hook),
+    encoded with the stdlib PNG writer."""
     return (media_schema_df(docs)
-            .mapInPandas(batches, schema="doc_id long, payload binary"))
+            .mapInPandas(_png_media_stage(),
+                         schema="doc_id long, payload binary"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,9 +261,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw-RGB operators over the identically-seeded arrays."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    media = make_png_media(docs).select(
-        "doc_id", F.lit("image/png").alias("media_type"), "payload")
-    return extract_media_features(media).orderBy("doc_id")
+    return _fused_map(
+        media_schema_df(docs),
+        [_png_media_stage(),
+         _const_column_stage("media_type", "image/png"),
+         _media_features_stage()],
+        MEDIA_FEATURES).orderBy("doc_id")
 
 
 register(QuerySpec(
@@ -248,12 +294,7 @@ RESIZED = StructType([
     StructField("thumb_digest", StringType(), False),
 ])
 
-def resize_media(media: DataFrame, max_side: int = 16) -> DataFrame:
-    """Real thumbnail stage: decode → aspect-preserving nearest-
-    neighbor resample → re-encode PNG.  Reported dimensions come from
-    RE-DECODING the thumbnail payload (the output is verified media,
-    not an assumption); digest is of the re-encoded bytes."""
-
+def _resize_media_stage(max_side: int = 16):
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_w, out_h, digests = [], [], []
@@ -275,13 +316,25 @@ def resize_media(media: DataFrame, max_side: int = 16) -> DataFrame:
                 "thumb_digest": digests,
             })
 
-    return media.mapInPandas(batches, schema=RESIZED)
+    return batches
+
+
+def resize_media(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """Real thumbnail stage: decode → aspect-preserving nearest-
+    neighbor resample → re-encode PNG.  Reported dimensions come from
+    RE-DECODING the thumbnail payload (the output is verified media,
+    not an assumption); digest is of the re-encoded bytes."""
+    return media.mapInPandas(_resize_media_stage(max_side),
+                             schema=RESIZED)
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return resize_media(make_png_media(docs)).orderBy("doc_id")
+    return _fused_map(
+        media_schema_df(docs),
+        [_png_media_stage(), _resize_media_stage()],
+        RESIZED).orderBy("doc_id")
 
 
 register(QuerySpec(
@@ -335,12 +388,7 @@ def decode_raw_image(blob: bytes):
     return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
 
 
-def make_raw_media(docs: DataFrame) -> DataFrame:
-    """Deterministic raw-RGB fixture blobs: dimensions and pixels are
-    hashed from doc_id (hash_pixel_bytes), so every run — and the
-    DuckDB oracle recomputing from _pix_sql — sees identical
-    payloads."""
-
+def _raw_media_stage():
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
@@ -353,8 +401,17 @@ def make_raw_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
+    return batches
+
+
+def make_raw_media(docs: DataFrame) -> DataFrame:
+    """Deterministic raw-RGB fixture blobs: dimensions and pixels are
+    hashed from doc_id (hash_pixel_bytes), so every run — and the
+    DuckDB oracle recomputing from _pix_sql — sees identical
+    payloads."""
     return (media_schema_df(docs)
-            .mapInPandas(batches, schema="doc_id long, payload binary"))
+            .mapInPandas(_raw_media_stage(),
+                         schema="doc_id long, payload binary"))
 
 
 def media_schema_df(docs: DataFrame) -> DataFrame:
@@ -367,11 +424,7 @@ def media_schema_df(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").repartition(par)
 
 
-def raw_features(media: DataFrame) -> DataFrame:
-    """Real per-channel means from decoded pixels.  Means are emitted
-    as x1e6 fixed-point integers: the mean of uint8s is an exact
-    rational (sum/count in int64), and fixed-point keeps the output
-    float-free so any downstream comparison is exact."""
+def _raw_features_stage():
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -397,14 +450,19 @@ def raw_features(media: DataFrame) -> DataFrame:
                 "mean_b": pd.Series(rows["mean_b"], dtype="int64"),
             })
 
-    return media.mapInPandas(batches, schema=RAW_FEATURES)
+    return batches
 
 
-def resize_raw(media: DataFrame, out_w: int = 16,
-               out_h: int = 16) -> DataFrame:
-    """Real nearest-neighbor resample via numpy index arithmetic —
-    source pixel for output (x, y) is (x*w//out_w, y*h//out_h).
-    Emits the resized payload (still raw format) plus its digest."""
+def raw_features(media: DataFrame) -> DataFrame:
+    """Real per-channel means from decoded pixels.  Means are emitted
+    as x1e6 fixed-point integers: the mean of uint8s is an exact
+    rational (sum/count in int64), and fixed-point keeps the output
+    float-free so any downstream comparison is exact."""
+    return media.mapInPandas(_raw_features_stage(),
+                             schema=RAW_FEATURES)
+
+
+def _resize_raw_stage(out_w: int = 16, out_h: int = 16):
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -426,8 +484,17 @@ def resize_raw(media: DataFrame, out_w: int = 16,
                 "thumb_digest": digests,
             })
 
+    return batches
+
+
+def resize_raw(media: DataFrame, out_w: int = 16,
+               out_h: int = 16) -> DataFrame:
+    """Real nearest-neighbor resample via numpy index arithmetic —
+    source pixel for output (x, y) is (x*w//out_w, y*h//out_h).
+    Emits the resized payload (still raw format) plus its digest."""
     return media.mapInPandas(
-        batches, schema="doc_id long, payload binary, thumb_digest string")
+        _resize_raw_stage(out_w, out_h),
+        schema="doc_id long, payload binary, thumb_digest string")
 
 
 def q_multimodal_raw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,7 +505,10 @@ def q_multimodal_raw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary parse, exactness double-pinned by tests/test_multimodal.py."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return raw_features(make_raw_media(docs)).orderBy("doc_id")
+    return _fused_map(
+        media_schema_df(docs),
+        [_raw_media_stage(), _raw_features_stage()],
+        RAW_FEATURES).orderBy("doc_id")
 
 
 def _raw_mean_sql(channel: int) -> str:
@@ -477,9 +547,10 @@ register(QuerySpec(
 def q_multimodal_raw_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    resized = resize_raw(make_raw_media(docs))
-    return (raw_features(resized)
-            .orderBy("doc_id"))
+    return _fused_map(
+        media_schema_df(docs),
+        [_raw_media_stage(), _resize_raw_stage(), _raw_features_stage()],
+        RAW_FEATURES).orderBy("doc_id")
 
 
 def _resized_mean_sql(channel: int) -> str:
@@ -562,11 +633,7 @@ def _scene_seed(doc_id: int) -> int:
     return 2 * int(doc_id) + 1 if v == 3 else 2 * (int(doc_id) // IMG_GROUP)
 
 
-def make_raw_media_scenes(docs: DataFrame) -> DataFrame:
-    """Raw-RGB fixture with PLANTED near-duplicates (see module
-    comment above): deterministic, so the oracle recomputes every
-    byte.  Dims derive from the scene seed — group members must share
-    dimensions for the brightness invariance to hold cell-for-cell."""
+def _scene_media_stage():
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -591,8 +658,17 @@ def make_raw_media_scenes(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
+    return batches
+
+
+def make_raw_media_scenes(docs: DataFrame) -> DataFrame:
+    """Raw-RGB fixture with PLANTED near-duplicates (see module
+    comment above): deterministic, so the oracle recomputes every
+    byte.  Dims derive from the scene seed — group members must share
+    dimensions for the brightness invariance to hold cell-for-cell."""
     return (media_schema_df(docs)
-            .mapInPandas(batches, schema="doc_id long, payload binary"))
+            .mapInPandas(_scene_media_stage(),
+                         schema="doc_id long, payload binary"))
 
 
 IMG_HASH_SCHEMA = StructType([
@@ -604,12 +680,7 @@ IMG_HASH_SCHEMA = StructType([
 ])
 
 
-def image_dhash(media: DataFrame) -> DataFrame:
-    """REAL dHash over decoded pixels: 9x8 nearest-neighbor grayscale
-    grid (gray = r+g+b, integer-exact — no luma weights, no division),
-    64 adjacent-cell comparisons, packed as 4 x 16-bit band values
-    (band j holds bits t = j*16..j*16+15, t = gy*8 + gx).  Band values
-    ARE the join keys downstream, so no 64-bit sign gymnastics."""
+def _dhash_stage():
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -632,14 +703,34 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 {k: pd.Series(vs, dtype="int64")
                  for k, vs in rows.items()})
 
-    return media.mapInPandas(batches, schema=IMG_HASH_SCHEMA)
+    return batches
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """REAL dHash over decoded pixels: 9x8 nearest-neighbor grayscale
+    grid (gray = r+g+b, integer-exact — no luma weights, no division),
+    64 adjacent-cell comparisons, packed as 4 x 16-bit band values
+    (band j holds bits t = j*16..j*16+15, t = gy*8 + gx).  Band values
+    ARE the join keys downstream, so no 64-bit sign gymnastics."""
+    return media.mapInPandas(_dhash_stage(), schema=IMG_HASH_SCHEMA)
+
+
+def scene_dhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """Fused scene-generate + dHash: the planted-scene payloads are
+    born and fingerprinted inside ONE Python worker pass, so the
+    pixel bytes never cross the JVM boundary at all — only the
+    (doc_id, 4 x int64 band) rows come back (guide §4.1; parity with
+    the unfused pair pinned in tests/test_multimodal.py)."""
+    return _fused_map(media_schema_df(docs),
+                      [_scene_media_stage(), _dhash_stage()],
+                      IMG_HASH_SCHEMA)
 
 
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprints alone — the decode + hash stage, oracle-exact."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return image_dhash(make_raw_media_scenes(docs)).orderBy("doc_id")
+    return scene_dhash_fingerprints(docs).orderBy("doc_id")
 
 
 def _image_pair_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,7 +739,7 @@ def _image_pair_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = image_dhash(make_raw_media_scenes(docs)).localCheckpoint()
+    fps = scene_dhash_fingerprints(docs).localCheckpoint()
     eligible = bucket_bounded(image_band_entries(fps),
                               ["band_id", "band_val"],
                               lo=2, hi=IMG_MAX_BAND)
@@ -752,7 +843,7 @@ def q_image_dedup_incremental(spark: SparkSession,
     group's variants and real cross-split dup pairs exist)."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    fps = image_dhash(make_raw_media_scenes(docs)).localCheckpoint()
+    fps = scene_dhash_fingerprints(docs).localCheckpoint()
     seen = fps.filter(F.col("doc_id") % 5 < 4)
     batch = fps.filter(F.col("doc_id") % 5 == 4)
     return image_incremental_from_index(
@@ -970,10 +1061,7 @@ AUDIO_FEATURES = StructType([
 ])
 
 
-def audio_features(media: DataFrame) -> DataFrame:
-    """mapInPandas audio feature extraction over (doc_id, payload) WAV
-    blobs.  Same Arrow topology as the image stages; all outputs are
-    exact integers, so results are partitioning-independent."""
+def _audio_features_stage():
     import numpy as np
 
     from cga_logs_to_kinesis_spark.functions.wav import decode_wav
@@ -1016,14 +1104,18 @@ def audio_features(media: DataFrame) -> DataFrame:
                                             dtype="int64"),
             })
 
-    return media.mapInPandas(batches, schema=AUDIO_FEATURES)
+    return batches
 
 
-def make_wav_media(docs: DataFrame) -> DataFrame:
-    """Deterministic WAV fixture blobs hashed from doc_id: varying
-    length, rate, and channel count, int16 hash-noise samples
-    (hash_pcm_samples, recomputable by the _pcm_sql oracle) — so
-    decode under test is a real codec decode with real variety."""
+def audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction over (doc_id, payload) WAV
+    blobs.  Same Arrow topology as the image stages; all outputs are
+    exact integers, so results are partitioning-independent."""
+    return media.mapInPandas(_audio_features_stage(),
+                             schema=AUDIO_FEATURES)
+
+
+def _wav_media_stage():
     from cga_logs_to_kinesis_spark.functions.wav import encode_wav
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1039,8 +1131,17 @@ def make_wav_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
+    return batches
+
+
+def make_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV fixture blobs hashed from doc_id: varying
+    length, rate, and channel count, int16 hash-noise samples
+    (hash_pcm_samples, recomputable by the _pcm_sql oracle) — so
+    decode under test is a real codec decode with real variety."""
     return (media_schema_df(docs)
-            .mapInPandas(batches, schema="doc_id long, payload binary"))
+            .mapInPandas(_wav_media_stage(),
+                         schema="doc_id long, payload binary"))
 
 
 def q_multimodal_audio_features(spark: SparkSession,
@@ -1052,7 +1153,10 @@ def q_multimodal_audio_features(spark: SparkSession,
     double-pinned by pytest recomputation."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return audio_features(make_wav_media(docs)).orderBy("doc_id")
+    return _fused_map(
+        media_schema_df(docs),
+        [_wav_media_stage(), _audio_features_stage()],
+        AUDIO_FEATURES).orderBy("doc_id")
 
 
 register(QuerySpec(
@@ -1152,13 +1256,7 @@ VIDEO_FRAMES = StructType([
 ])
 
 
-def video_frame_features(media: DataFrame,
-                         every_nth: int = 3) -> DataFrame:
-    """mapInPandas frame sampler: container parse, decode every Nth
-    frame with the REAL stdlib PNG codec, emit integer-exact channel
-    sums + a digest of the raw pixels.  One input row expands to many
-    output rows executor-side — the row-amplification shape that must
-    never route through the driver."""
+def _video_frames_stage(every_nth: int = 3):
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1196,15 +1294,21 @@ def video_frame_features(media: DataFrame,
                 "frame_digest": rows["frame_digest"],
             })
 
-    return media.mapInPandas(batches, schema=VIDEO_FRAMES)
+    return batches
 
 
-def make_mpng_media(docs: DataFrame, n_frames: int = 12) -> DataFrame:
-    """Deterministic MPNG fixture blobs: per doc, ``n_frames`` small
-    RGB frames with per-frame hashed pixels (seed = doc_id*1000 +
-    frame_index, recomputable by the oracle; constant dims within a
-    blob, like real video)."""
+def video_frame_features(media: DataFrame,
+                         every_nth: int = 3) -> DataFrame:
+    """mapInPandas frame sampler: container parse, decode every Nth
+    frame with the REAL stdlib PNG codec, emit integer-exact channel
+    sums + a digest of the raw pixels.  One input row expands to many
+    output rows executor-side — the row-amplification shape that must
+    never route through the driver."""
+    return media.mapInPandas(_video_frames_stage(every_nth),
+                             schema=VIDEO_FRAMES)
 
+
+def _mpng_media_stage(n_frames: int = 12):
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
@@ -1220,8 +1324,17 @@ def make_mpng_media(docs: DataFrame, n_frames: int = 12) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
+    return batches
+
+
+def make_mpng_media(docs: DataFrame, n_frames: int = 12) -> DataFrame:
+    """Deterministic MPNG fixture blobs: per doc, ``n_frames`` small
+    RGB frames with per-frame hashed pixels (seed = doc_id*1000 +
+    frame_index, recomputable by the oracle; constant dims within a
+    blob, like real video)."""
     return (media_schema_df(docs)
-            .mapInPandas(batches, schema="doc_id long, payload binary"))
+            .mapInPandas(_mpng_media_stage(n_frames),
+                         schema="doc_id long, payload binary"))
 
 
 def q_multimodal_video_frames(spark: SparkSession,
@@ -1233,8 +1346,10 @@ def q_multimodal_video_frames(spark: SparkSession,
     stay real, double-pinned by pytest recomputation."""
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return (video_frame_features(make_mpng_media(docs), every_nth=3)
-            .orderBy("doc_id", "frame_index"))
+    return _fused_map(
+        media_schema_df(docs),
+        [_mpng_media_stage(), _video_frames_stage(every_nth=3)],
+        VIDEO_FRAMES).orderBy("doc_id", "frame_index")
 
 
 def _frame_sum_sql(channel: int) -> str:

@@ -333,3 +333,39 @@ def test_image_dhash_rejects_truncated_blob(spark):
             "doc_id long, payload binary")
         with pytest.raises(Exception, match="expected"):
             image_dhash(media).collect()
+
+
+def test_fused_media_stages_match_unfused(spark):
+    """The fused generate+consume mapInPandas paths (optimization
+    r18: payloads born and consumed inside one Python worker, never
+    crossing the JVM boundary) must be row-for-row identical to the
+    unfused operator pairs they compose — same batch callables, so
+    this pins the composition wiring."""
+    from cga_logs_to_kinesis_spark.operators.multimodal import (
+        audio_features,
+        image_dhash,
+        make_raw_media,
+        make_raw_media_scenes,
+        make_wav_media,
+        raw_features,
+        resize_raw,
+        scene_dhash_fingerprints,
+    )
+    from cga_logs_to_kinesis_spark.registry import all_queries
+    from cga_logs_to_kinesis_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(scene_dhash_fingerprints(docs)) == \
+        rows(image_dhash(make_raw_media_scenes(docs)))
+    assert rows(all_queries()["multimodal_raw_features"].fn(spark, sf)) == \
+        rows(raw_features(make_raw_media(docs)).orderBy("doc_id"))
+    assert rows(all_queries()["multimodal_raw_resize"].fn(spark, sf)) == \
+        rows(raw_features(resize_raw(make_raw_media(docs)))
+             .orderBy("doc_id"))
+    assert rows(all_queries()["multimodal_audio_features"].fn(spark, sf)) \
+        == rows(audio_features(make_wav_media(docs)).orderBy("doc_id"))
