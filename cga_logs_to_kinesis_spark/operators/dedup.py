@@ -267,13 +267,37 @@ def banded_buckets(sh: DataFrame) -> DataFrame:
     """(doc_id, band2, sig2): the 16 raw minhashes paired into 8
     r=2 bands — the bucket key every minhash-family candidate
     generator joins on (self-join for corpus dedup, batch-vs-store
-    join for incremental dedup)."""
-    return (signatures_from_shingles(sh)
-            .withColumn("band2", F.expr("band DIV 2"))
-            .groupBy("doc_id", "band2")
-            .agg(F.md5(F.concat_ws("", F.sort_array(
-                F.collect_list(F.concat_ws(":", "band", "sig")))))
-                 .alias("sig2")))
+    join for incremental dedup).
+
+    Computed ROW-LOCALLY: the 16 per-band minhashes are an array
+    expression inside the row, so pairing band 2b with band 2b+1 is
+    array indexing — there is nothing to reunite.  The previous form
+    posexploded the 16 signatures and ran a (doc_id, band2) groupBy +
+    collect_list to pair rows that were born in the same row, paying a
+    corpus x 16 exchange per call (two calls in the incremental form).
+    sig2 is bit-identical: md5 over the same sort_array'd pair of
+    "band:sig" strings the collect_list fold produced (band2 stays
+    LONG to match the old ``band DIV 2`` dtype — the persisted band
+    index store reads it back).  The outer ``transform(array(...),
+    bs -> ...)`` is the let-binding idiom: every reference inside the
+    lambda is to the evaluated-once 16-element array, so
+    CollapseProject cannot inline the minhash derivation into each of
+    the 8 pair expressions (the blocklist gate documents the 8x
+    re-evaluation that happens without it)."""
+    band_sig = (
+        f"transform(sequence(0, {N_BANDS - 1}), b -> "
+        f"array_min(transform(shingles, s -> md5(concat(b, ':', s)))))")
+    paired = (
+        f"transform(array({band_sig}), bs -> "
+        f"transform(sequence(0, {N_BANDS // 2 - 1}), b2 -> "
+        f"md5(concat_ws('', sort_array(array("
+        f"concat(b2 * 2, ':', bs[b2 * 2]), "
+        f"concat(b2 * 2 + 1, ':', bs[b2 * 2 + 1])))))))[0]")
+    return (sh.select("doc_id",
+                      F.posexplode(F.expr(paired)).alias("band2", "sig2"))
+            .select("doc_id",
+                    F.col("band2").cast("long").alias("band2"),
+                    "sig2"))
 
 
 def lsh_candidate_ids(sh: DataFrame) -> DataFrame:
@@ -548,10 +572,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit repartition pins the width (user-specified partitioning
     # is exempt from AQE coalescing).
     par = explode_parallelism(spark)
+    # Width pin BEFORE the distinct: the dedup aggregate's required
+    # (doc_a, doc_b) distribution is satisfied by the user repartition,
+    # so ONE exchange of the pair table does both jobs (the previous
+    # distinct-then-repartition shape exchanged it twice — once for the
+    # dedup agg, once for the width pin).
     cand = (a.join(b, ["band", "sig"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct()
-            .repartition(par, "doc_a"))
+            .select("doc_a", "doc_b")
+            .repartition(par, "doc_a", "doc_b")
+            .distinct())
     sa = sh.select(F.col("doc_id").alias("doc_a"),
                    F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"),
@@ -889,18 +919,27 @@ def minhash_incremental_from_index(seen_b: DataFrame,
                        .cast("double")
                        / F.size(F.array_union("sh_a", "sh_b")))
                       .alias("jaccard")))
-    w = Window.partitionBy("batch_doc")
-    best = Window.partitionBy("batch_doc").orderBy(
-        F.col("jaccard").desc(), F.col("seen_doc"))
+    # Keep-best as an arg-max aggregate, not a partition-keyed window:
+    # max(struct(jaccard, -seen_doc)) reproduces the (jaccard DESC,
+    # seen_doc ASC) row_number()==1 pick exactly — (jaccard, seen_doc)
+    # is unique per batch_doc (cand is grouped), so the tiebreak never
+    # reaches the payload field.  A partition-only window has NO
+    # map-side partial aggregation (all scored rows shuffle and sort);
+    # the aggregate collapses each batch_doc to one row per map
+    # partition before the exchange — the same rewrite the semdedup
+    # assignment landed, equivalence reasoning identical.
+    best = F.max(F.struct(
+        F.col("jaccard").alias("j"),
+        (-F.col("seen_doc")).alias("neg"),
+        F.col("seen_doc").alias("seen_doc"))).alias("best")
     return (scored
-            .withColumn("n_candidates", F.count("*").over(w))
-            .withColumn("_rn", F.row_number().over(best))
-            .filter(F.col("_rn") == 1)
+            .groupBy("batch_doc")
+            .agg(F.count("*").alias("n_candidates"), best)
             .select("batch_doc",
-                    F.col("seen_doc").alias("nearest_seen"),
+                    F.col("best.seen_doc").alias("nearest_seen"),
                     "n_candidates",
-                    F.col("jaccard").alias("best_jaccard"),
-                    (F.col("jaccard") >= INCR_NEAR_MIN)
+                    F.col("best.j").alias("best_jaccard"),
+                    (F.col("best.j") >= INCR_NEAR_MIN)
                     .alias("is_near_dup")))
 
 

@@ -208,11 +208,15 @@ def setjoin_pairs(docs: DataFrame) -> DataFrame:
                        >= F.col("n_b") * SETJOIN_TNUM)
                     & (F.col("n_b") * SETJOIN_TDEN
                        >= F.col("n_a") * SETJOIN_TNUM))
-            .select("doc_a", "doc_b").distinct()
+            .select("doc_a", "doc_b")
             # CPU-bound verify over byte-small input: pin the width so
             # AQE's size-based coalescing cannot collapse it to one
             # task (same reasoning as dedup_ngram_jaccard's verify).
-            .repartition(explode_parallelism(spark), "doc_a"))
+            # Repartition FIRST: the distinct's (doc_a, doc_b) agg
+            # reuses the user exchange, so the pair table crosses the
+            # wire once instead of twice.
+            .repartition(explode_parallelism(spark), "doc_a", "doc_b")
+            .distinct())
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("fps").alias("f_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
