@@ -189,25 +189,47 @@ def setjoin_pairs(docs: DataFrame) -> DataFrame:
     # without the cut the dfreq join + doc_id rebuild (the plan's two
     # heaviest exchanges) run twice, once per side.  Measured 1.55x
     # at sf0.1; at scale it halves the occurrence-sized shuffle.
+    # pos (1-based position in the GLOBAL (df, fp) order) rides along
+    # for the positional filter below.
     pref = (ordered
             .select("doc_id", F.size("o").alias("n"),
                     F.expr(f"slice(o, 1, {p_len})").alias("pref"))
             .select("doc_id", "n",
-                    F.explode("pref").alias("e"))
-            .select("doc_id", "n", F.col("e.fp").alias("fp"))
+                    F.posexplode("pref").alias("p0", "e"))
+            .select("doc_id", "n", (F.col("p0") + 1).alias("pos"),
+                    F.col("e.fp").alias("fp"))
             .localCheckpoint())
     a = pref.select(F.col("doc_id").alias("doc_a"),
-                    F.col("n").alias("n_a"), "fp")
+                    F.col("n").alias("n_a"),
+                    F.col("pos").alias("pos_a"), "fp")
     b = pref.select(F.col("doc_id").alias("doc_b"),
-                    F.col("n").alias("n_b"), "fp")
+                    F.col("n").alias("n_b"),
+                    F.col("pos").alias("pos_b"), "fp")
     # Length filter inside the join: J >= T forces
-    # T * n_big <= n_small, as exact integers.
+    # T * n_big <= n_small, as exact integers.  Plus PPJoin's
+    # positional filter (Xiao et al., WWW 2008): a pair with
+    # J >= T needs overlap alpha = ceil(T/(1+T) * (n_a + n_b)); a
+    # match at (1-based) prefix positions (pos_a, pos_b) of the SHARED
+    # global order bounds the overlap by 1 + min(n_a - pos_a,
+    # n_b - pos_b), so occurrences that cannot reach alpha are dropped
+    # BEFORE the pair-dedup exchange and the array-intersect verify.
+    # Sound (zero false negatives): a qualifying pair's FIRST common
+    # element in the global order satisfies the bound and lies in both
+    # prefixes, so the pair always survives at least that occurrence.
+    # Integer-exact: ubound >= ceil(p/q) <=> ubound * q >= p.
+    # Measured at sf0.1: distinct candidate pairs 310 161 -> 124 961,
+    # whole query 2.79 -> 2.12 s min-of-3.
+    alpha_num = (F.col("n_a") + F.col("n_b")) * SETJOIN_TNUM
+    ubound = 1 + F.least(F.col("n_a") - F.col("pos_a"),
+                         F.col("n_b") - F.col("pos_b"))
     cand = (a.join(b, "fp")
             .filter((F.col("doc_a") < F.col("doc_b"))
                     & (F.col("n_a") * SETJOIN_TDEN
                        >= F.col("n_b") * SETJOIN_TNUM)
                     & (F.col("n_b") * SETJOIN_TDEN
-                       >= F.col("n_a") * SETJOIN_TNUM))
+                       >= F.col("n_a") * SETJOIN_TNUM)
+                    & (ubound * (SETJOIN_TNUM + SETJOIN_TDEN)
+                       >= alpha_num))
             .select("doc_a", "doc_b")
             # CPU-bound verify over byte-small input: pin the width so
             # AQE's size-based coalescing cannot collapse it to one
