@@ -701,6 +701,23 @@ def connected_components(pairs: DataFrame,
     labels = (sym.select(F.col("doc_a").alias("doc")).distinct()
               .withColumn("comp", F.col("doc"))
               .localCheckpoint())
+
+    # Convergence via the exact label-sum fingerprint: labels are
+    # MIN-MONOTONE (prop takes min(self, neighbors); the pointer jump
+    # lands on label(label) <= label), and the node set is fixed — so
+    # the decimal-exact sum of comp strictly decreases iff ANY label
+    # changed, and equality between two checks IS the fixpoint.  This
+    # replaces the previous left-anti join of the full label table
+    # against the prior round (two label-table exchanges + a join per
+    # check) with one map-side aggregate — at 100 TB the label table
+    # is corpus-fraction-sized and was shuffled twice per check just
+    # to detect "nothing changed".  decimal(38,0): node ids x node
+    # count overflows int64 long before the operator's design scale.
+    def _label_sum(df: DataFrame) -> int:
+        return (df.agg(F.sum(F.col("comp").cast("decimal(38,0)")))
+                .first()[0]) or 0
+
+    prev_sum = _label_sum(labels)
     for it in range(max_iters):
         # one-hop min propagation over the (symmetric) edge set
         nbr = (sym.join(labels.withColumnRenamed("doc", "doc_b"),
@@ -730,22 +747,22 @@ def connected_components(pairs: DataFrame,
         new = (prop.join(hop, "comp", "left")
                .select("doc",
                        F.coalesce("comp_hop", "comp").alias("comp")))
-        # Amortized convergence check: each driver round-trip is
-        # sequential latency, so pay it every SECOND round — labels
-        # are min-monotone, so a fixpoint at round 2k was also a
-        # fixpoint at 2k-1 if it arrived there, and the worst case is
-        # one extra (cheap, lineage-bounded) propagation round.  Odd
-        # rounds chain lazily; lineage never exceeds two rounds of
-        # joins.  The checkpoint is LAZY and the count materializes
-        # it (optimization r18): one job per check instead of the
-        # eager-checkpoint job + count job pair — lineage is cut the
-        # same, the anti-join reads the just-persisted blocks.
-        if it % 2 == 1 or it == max_iters - 1:
-            new = new.localCheckpoint(eager=False)
-            changed = new.join(labels, ["doc", "comp"],
-                               "left_anti").count()
-            if changed == 0:
-                return new
+        # Per-round convergence check: the sum fingerprint is one
+        # map-side aggregate over the just-persisted round (the LAZY
+        # checkpoint is materialized by this same job — no separate
+        # checkpoint job), so checking every round costs one cheap
+        # driver round-trip and detects the fixpoint at the exact
+        # round it arrives.  The earlier amortized-every-2nd-round
+        # anti-join paid fewer driver syncs but shuffled the label
+        # table twice per check and, compared against a two-rounds-ago
+        # fingerprint, could overshoot convergence by two full
+        # propagation rounds — at 100 TB a round is a corpus-fraction
+        # join, far more than a driver sync.
+        new = new.localCheckpoint(eager=False)
+        cur_sum = _label_sum(new)
+        if cur_sum == prev_sum:
+            return new
+        prev_sum = cur_sum
         labels = new
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds; "
