@@ -544,12 +544,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3x reuse (band signatures + both sides of the verify join) —
     # same localCheckpoint discipline as minhash_candidates
     sh = char_shingle_docs(docs).localCheckpoint()
+    # ONE aggregate pass computes all 2 x CHAR_BANDS running minima
+    # instead of 8 separate array_min(transform(...)) traversals of
+    # the shingle array — same affine hashes, same minima
+    # (exceptAll-verified bit-identical at sf0.1; 0.41 -> 0.21 s for
+    # the signature fragment).  The Long.MAX sentinel never escapes:
+    # char_shingle_docs filters to length >= CHAR_K, so every shingle
+    # array is non-empty and every minimum is a real hash.
+    _mins = ", ".join(
+        f"least(acc[{r}], {_row_hash_expr('h', str(r))})"
+        for r in range(2 * CHAR_BANDS))
+    _init = ", ".join(["9223372036854775807"] * (2 * CHAR_BANDS))
     band_sig = F.expr(
-        f"transform(sequence(0, {CHAR_BANDS - 1}), b -> concat("
-        f"array_min(transform(shingles, h -> "
-        f"{_row_hash_expr('h', 'b * 2')})), ':', "
-        f"array_min(transform(shingles, h -> "
-        f"{_row_hash_expr('h', 'b * 2 + 1')}))))")
+        f"transform(array(aggregate(shingles, array({_init}), "
+        f"(acc, h) -> array({_mins}))), m -> "
+        f"transform(sequence(0, {CHAR_BANDS - 1}), b -> "
+        f"concat(m[b * 2], ':', m[b * 2 + 1])))[0]")
     from cga_logs_to_kinesis_spark.functions.buckets import (
         bucket_bounded,
     )
