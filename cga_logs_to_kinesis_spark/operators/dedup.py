@@ -657,13 +657,14 @@ register(QuerySpec(
 # collapse into one group even when A~C was never emitted.  That's
 # connected components — an inherently iterative algorithm, expressed
 # as min-label propagation WITH POINTER DOUBLING: each round every
-# node takes the minimum label among itself and its neighbors (one
-# hop), then jumps to its label's own label (path halving).  The jump
-# makes label chains collapse geometrically, so the fixpoint arrives
-# in O(log diameter) rounds instead of O(diameter) — the difference
+# node takes the minimum label among itself, its neighbors (one hop),
+# and its label's own label (path halving).  The jump makes label
+# chains collapse geometrically, so the fixpoint arrives in
+# O(log diameter) rounds instead of O(diameter) — the difference
 # between 6 rounds and 10^4 on a templated-spam chain at 100 TB.
-# Each round is two joins + one agg over the (small) label table —
-# localCheckpoint cuts the growing lineage.  Exhausting ``max_iters``
+# Each round is two PARALLEL joins folded by one agg over the (small)
+# label table — localCheckpoint cuts the growing lineage.  Exhausting
+# ``max_iters``
 # without a fixpoint RAISES rather than returning silently-wrong
 # labels.  The DuckDB oracle reaches the same fixpoint with a
 # recursive transitive-closure CTE, making this a hash-checked
@@ -708,55 +709,70 @@ def connected_components(pairs: DataFrame,
            .select("e.doc_a", "e.doc_b")
            .repartition(F.col("doc_b"))
            .localCheckpoint(eager=False))
-    labels = (sym.select(F.col("doc_a").alias("doc")).distinct()
-              .withColumn("comp", F.col("doc"))
-              .localCheckpoint())
+    # Round 0 is FUSED into the init aggregate (optimization r19,
+    # guide §1.2): sym is symmetric, so every node appears as doc_a
+    # and ONE groupBy builds the node set AND applies the first
+    # one-hop min propagation — where the previous shape paid a
+    # distinct (same exchange) just to initialize comp = doc and then
+    # spent a full propagation round reaching this exact state.
+    labels = (sym.groupBy("doc_a").agg(F.min("doc_b").alias("_mb"))
+              .select(F.col("doc_a").alias("doc"),
+                      F.least(F.col("doc_a"), F.col("_mb"))
+                      .alias("comp"))
+              .localCheckpoint(eager=False))
 
     # Convergence via the exact label-sum fingerprint: labels are
-    # MIN-MONOTONE (prop takes min(self, neighbors); the pointer jump
-    # lands on label(label) <= label), and the node set is fixed — so
-    # the decimal-exact sum of comp strictly decreases iff ANY label
-    # changed, and equality between two checks IS the fixpoint.  This
-    # replaces the previous left-anti join of the full label table
-    # against the prior round (two label-table exchanges + a join per
-    # check) with one map-side aggregate — at 100 TB the label table
-    # is corpus-fraction-sized and was shuffled twice per check just
-    # to detect "nothing changed".  decimal(38,0): node ids x node
-    # count overflows int64 long before the operator's design scale.
+    # MIN-MONOTONE (each round takes min(self, neighbors, label of
+    # label)), and the node set is fixed — so the decimal-exact sum
+    # of comp strictly decreases iff ANY label changed, and equality
+    # between two checks IS the fixpoint.  This replaces the earlier
+    # left-anti join of the full label table against the prior round
+    # (two label-table exchanges + a join per check) with one
+    # map-side aggregate — at 100 TB the label table is
+    # corpus-fraction-sized and was shuffled twice per check just to
+    # detect "nothing changed".  decimal(38,0): node ids x node count
+    # overflows int64 long before the operator's design scale.
     def _label_sum(df: DataFrame) -> int:
         return (df.agg(F.sum(F.col("comp").cast("decimal(38,0)")))
                 .first()[0]) or 0
 
+    # One action: materializes the lazy sym AND labels checkpoints
+    # and seeds the fingerprint.
     prev_sum = _label_sum(labels)
     for it in range(max_iters):
-        # one-hop min propagation over the (symmetric) edge set
+        # One FUSED round (optimization r19, guide §1.2/§2.4): the
+        # new label is min over three branches —
+        #   self:  the node's current label,
+        #   nbr:   every neighbor's current label (one-hop),
+        #   hop:   the current label's own current label (pointer
+        #          doubling: label chains halve every round, so the
+        #          fixpoint arrives in O(log diameter) rounds),
+        # folded by ONE groupBy.  The r18 shape ran these
+        # SEQUENTIALLY (prop = min(self, nbr), checkpoint, then a
+        # second join prop-with-prop for the jump): two dependent
+        # join stages plus a mid-round node-sized checkpoint write
+        # per round.  Here all three branches read the SAME
+        # already-checkpointed `labels` frame, so no intra-round cut
+        # is needed at all, the two joins run as parallel stages, and
+        # one exchange (the groupBy) reunites them.  The hop uses the
+        # PREVIOUS round's labels rather than the mid-round
+        # propagation result — chains still halve per round (verified
+        # by the diameter-30-in-8-rounds test), and the fixpoint is
+        # identical: min label reachable.
         nbr = (sym.join(labels.withColumnRenamed("doc", "doc_b"),
                         "doc_b")
                .select(F.col("doc_a").alias("doc"), "comp"))
-        prop = (labels.union(nbr)
-                .groupBy("doc").agg(F.min("comp").alias("comp"))
-                # LAZY checkpoint: prop feeds BOTH sides of the
-                # pointer-double join below.  Without the cut, single
-                # evaluation depends on physical exchange reuse
-                # recognizing the two aliased subtrees — when it
-                # misses, the whole propagation join + agg runs twice
-                # per round.  The checkpoint makes one evaluation
-                # deterministic; being lazy it adds no driver job
-                # (whatever materializes the round materializes it).
-                # Measured on the semdedup pair graph at sf0.1:
-                # 3.24 -> 2.72 s for the full components call.
-                .localCheckpoint(eager=False))
-        # pointer doubling: jump to the label of my label.  Labels are
-        # min-monotone, so label(comp) <= comp; a chain of length d
-        # halves every round.  comp is always itself a node (labels
-        # start at comp=doc and only node ids propagate), so the left
-        # join misses only when prop hasn't materialized it this round
-        # — coalesce keeps the un-jumped label then.
-        hop = prop.select(F.col("doc").alias("comp"),
-                          F.col("comp").alias("comp_hop"))
-        new = (prop.join(hop, "comp", "left")
-               .select("doc",
-                       F.coalesce("comp_hop", "comp").alias("comp")))
+        # comp is always itself a node id (labels start at node ids
+        # and only node ids propagate) and the right side carries
+        # EVERY node, so the inner join never drops a row — and even
+        # a dropped row would be restored by the self branch below.
+        hop = (labels.join(labels.select(F.col("doc").alias("comp"),
+                                         F.col("comp").alias("_h")),
+                           "comp")
+               .select("doc", F.col("_h").alias("comp")))
+        new = (labels.unionByName(nbr).unionByName(hop)
+               .groupBy("doc").agg(F.min("comp").alias("comp"))
+               .localCheckpoint(eager=False))
         # Per-round convergence check: the sum fingerprint is one
         # map-side aggregate over the just-persisted round (the LAZY
         # checkpoint is materialized by this same job — no separate
@@ -768,7 +784,6 @@ def connected_components(pairs: DataFrame,
         # fingerprint, could overshoot convergence by two full
         # propagation rounds — at 100 TB a round is a corpus-fraction
         # join, far more than a driver sync.
-        new = new.localCheckpoint(eager=False)
         cur_sum = _label_sum(new)
         if cur_sum == prev_sum:
             return new

@@ -373,15 +373,27 @@ register(QuerySpec(
 # same envelope as the minhash band index + shingle store.
 
 def prefix_entries(sets: DataFrame) -> DataFrame:
-    """(doc_id, n, fp): the fp-ascending-order prefix of each set —
-    the incremental-stable index representation (see above).  Narrow:
-    sort + slice + explode inside the row, no dfreq fold."""
+    """(doc_id, n, pos, fp): the fp-ascending-order prefix of each
+    set — the incremental-stable index representation (see above).
+    Narrow: sort + slice + posexplode inside the row, no dfreq fold.
+
+    ``pos`` (1-based position of the entry in the FULL fp-sorted
+    array; prefix entries are its head, so prefix position == global
+    position) carries PPJoin's positional filter into the incremental
+    join (optimization r19): it is valid forever for the same reason
+    the fp order itself is — a set's sorted order never changes as
+    the corpus grows.  Store migration: indexes persisted before r19
+    lack the column; :func:`setjoin_incremental_from_index` reads
+    them as pos=1, the loosest sound bound (filter becomes a no-op
+    for those entries, never a false negative)."""
     p_len = (f"size(fps) - ((size(fps) * {SETJOIN_TNUM} "
              f"+ {SETJOIN_TDEN - 1}) div {SETJOIN_TDEN}) + 1")
     return (sets.select("doc_id", F.size("fps").alias("n"),
-                        F.explode(F.expr(
+                        F.posexplode(F.expr(
                             f"slice(array_sort(fps), 1, {p_len})"))
-                        .alias("fp")))
+                        .alias("p0", "fp"))
+            .select("doc_id", "n",
+                    (F.col("p0") + 1).cast("int").alias("pos"), "fp"))
 
 
 def setjoin_incremental_from_index(seen_idx: DataFrame,
@@ -392,21 +404,47 @@ def setjoin_incremental_from_index(seen_idx: DataFrame,
     drops so the seen corpus is never re-shingled or re-indexed.
     Returns every (batch_doc, seen_doc) pair with exact Jaccard >= T:
     (batch_doc, seen_doc, n_inter, n_union, jaccard)."""
+    # Versioned store migration (r19): indexes persisted before the
+    # positional filter carry no ``pos`` column (or NULL pos rows
+    # when a mixed-era store's footer sampling found the new schema).
+    # pos=1 is the loosest SOUND bound — the occurrence prunes
+    # nothing, it never false-negatives — so old entries keep exactly
+    # their pre-r19 behavior while new entries prune.
+    pos_s = (F.coalesce(F.col("pos"), F.lit(1))
+             if "pos" in seen_idx.columns else F.lit(1))
     sp = seen_idx.select(F.col("doc_id").alias("seen_doc"),
-                         F.col("n").alias("n_s"), "fp")
+                         F.col("n").alias("n_s"),
+                         pos_s.alias("pos_s"), "fp")
     bp = (prefix_entries(batch_sets)
           .select(F.col("doc_id").alias("batch_doc"),
-                  F.col("n").alias("n_b"), "fp"))
+                  F.col("n").alias("n_b"),
+                  F.col("pos").alias("pos_b"), "fp"))
     # batch_doc != seen_doc: disjoint sides in the batch operator;
     # the guard exists for the streaming twin, where an at-least-once
     # replay may present an index already containing the batch's own
     # docs (belt to the sink's batch_id < current read filter).
+    # Positional filter (PPJoin, Xiao et al., WWW 2008 — the batch
+    # self-join's r18 filter carried into the incremental index): a
+    # match at 1-based positions (pos_b, pos_s) of the SHARED
+    # fp-ascending order bounds the overlap by 1 + min(n_b - pos_b,
+    # n_s - pos_s); pairs that cannot reach
+    # alpha = ceil(T/(1+T) * (n_b + n_s)) are dropped before the
+    # pair-dedup exchange and the array-intersect verify.  Sound for
+    # the same reason as the batch form: a qualifying pair's FIRST
+    # common element in the shared order satisfies the bound and lies
+    # in both prefixes.  Integer-exact: ubound >= ceil(p/q) <=>
+    # ubound * q >= p.
+    alpha_num = (F.col("n_b") + F.col("n_s")) * SETJOIN_TNUM
+    ubound = 1 + F.least(F.col("n_b") - F.col("pos_b"),
+                         F.col("n_s") - F.col("pos_s"))
     cand = (bp.join(sp, "fp")
             .filter((F.col("batch_doc") != F.col("seen_doc"))
                     & (F.col("n_b") * SETJOIN_TDEN
                        >= F.col("n_s") * SETJOIN_TNUM)
                     & (F.col("n_s") * SETJOIN_TDEN
-                       >= F.col("n_b") * SETJOIN_TNUM))
+                       >= F.col("n_b") * SETJOIN_TNUM)
+                    & (ubound * (SETJOIN_TNUM + SETJOIN_TDEN)
+                       >= alpha_num))
             .select("batch_doc", "seen_doc").distinct())
     sa = batch_sets.select(F.col("doc_id").alias("batch_doc"),
                            F.col("fps").alias("f_a"))

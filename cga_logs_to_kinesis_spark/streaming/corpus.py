@@ -313,13 +313,19 @@ def setjoin_index_sink(index_dir: str, sets_dir: str, out_dir: str,
         set_store = _read_store(spark, sets_dir)
         if idx_store is None or set_store is None:
             idx = spark.createDataFrame(
-                [], "doc_id long, n int, fp long")
+                [], "doc_id long, n int, pos int, fp long")
             seen_sets = spark.createDataFrame(
                 [], "doc_id long, fps array<bigint>")
         else:
+            # pre-r19 index partitions carry no pos column; the
+            # operator reads them as pos=1 (loosest sound bound) —
+            # see setjoin.py::prefix_entries' migration note.
+            idx_cols = (["doc_id", "n", "pos", "fp"]
+                        if "pos" in idx_store.columns
+                        else ["doc_id", "n", "fp"])
             idx = (idx_store
                    .filter(F.col("batch_id") < F.lit(batch_id))
-                   .select("doc_id", "n", "fp"))
+                   .select(*idx_cols))
             seen_sets = (set_store
                          .filter(F.col("batch_id") < F.lit(batch_id))
                          .select("doc_id", "fps"))

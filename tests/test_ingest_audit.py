@@ -136,7 +136,8 @@ def test_table_profile_approx_error_bound(spark):
     """The at-scale twin's contract: every non-sketch column (n_null,
     min/max) bit-equal to the exact profile; the HLL n_distinct within
     5 sigma of the exact count (rsd=0.02 -> 10%).  Also pins the whole
-    point of the twin — ONE scan, no Expand, no second distinct pass."""
+    point of the twin — sketched distincts (map-side HLL partials, no
+    exact-distinct shuffle), no Expand, no value-pair explode."""
     from cga_logs_to_kinesis_spark.operators.ingest_audit import (
         PROFILE_APPROX_RSD,
         q_table_profile,
@@ -157,12 +158,18 @@ def test_table_profile_approx_error_bound(spark):
         tol = 5 * PROFILE_APPROX_RSD * max(e.n_distinct, 1)
         assert abs(a.n_distinct - e.n_distinct) <= max(tol, 2), \
             (c, a.n_distinct, e.n_distinct)
-    # plan: single scan, single aggregate chain, no Expand and no
-    # explode-before-aggregate (the value-pair pass the sketch removes)
+    # plan: distincts are SKETCHED — approx_count_distinct partials
+    # fold map-side, so the plan has no exact-distinct machinery: no
+    # Expand and no count(distinct ...) aggregate anywhere.  (The r18
+    # one-scan form is gone: its single mixed aggregate dragged ~40
+    # numeric folds out of codegen behind the imperative HLL buffers —
+    # the branch shape mirrors the exact twin instead; the only
+    # remaining Generate is profile_partials' 1-row pivot explode.)
     plan = (q_table_profile_approx(spark, SF_SMOKE)
             ._jdf.queryExecution().executedPlan().toString())
-    assert plan.count("Scan parquet") == 1
+    assert "approx_count_distinct" in plan
     assert "Expand" not in plan
+    assert "count(distinct" not in plan.lower()
 
 
 def test_join_key_skew_branches_are_both_exercised(spark):

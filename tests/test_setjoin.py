@@ -164,6 +164,41 @@ def test_setjoin_incremental_matches_brute_force(spark, doc_phrases):
     assert got == want
 
 
+def test_setjoin_incremental_reads_pre_pos_index(spark):
+    """Store migration (r19): an index persisted BEFORE the
+    positional-filter column exists (doc_id, n, fp — no pos) must
+    still be readable and produce byte-identical results — the
+    operator treats missing pos as 1, the loosest sound bound, so
+    migration costs pruning, never correctness."""
+    from cga_logs_to_kinesis_spark.operators.setjoin import (
+        prefix_entries,
+        setjoin_incremental_from_index,
+        shingle_fp_sets,
+    )
+
+    docs = [(i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a b c d e f g h i j", "completely different text here now",
+        "the quick brown fox jumps over the lazy dog today",
+        "b c d e f g h i j k"])]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = shingle_fp_sets(sdf).localCheckpoint()
+    seen = sets.filter("doc_id % 2 = 0")
+    batch = sets.filter("doc_id % 2 = 1")
+    new_idx = prefix_entries(seen)
+    assert set(new_idx.columns) == {"doc_id", "n", "pos", "fp"}
+    old_idx = new_idx.drop("pos")          # the pre-r19 store schema
+    key = ["batch_doc", "seen_doc", "n_inter", "n_union", "jaccard"]
+    got_new = sorted(tuple(r[k] for k in key) for r in
+                     setjoin_incremental_from_index(
+                         new_idx, seen, batch).collect())
+    got_old = sorted(tuple(r[k] for k in key) for r in
+                     setjoin_incremental_from_index(
+                         old_idx, seen, batch).collect())
+    assert got_new == got_old and got_new  # non-vacuous: pairs exist
+
+
 def test_lsh_recall_curve_bands_and_consistency(spark, tmp_path):
     """On a corpus with pairs at different Jaccard levels the curve
     separates them into the right decile bands, every band's

@@ -1,6 +1,7 @@
-"""Capture .explain("formatted") for headline queries → plans/r18/.
+"""Capture .explain("formatted") for headline queries → plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
+  env PLANS_ROUND=r19 picks the output dir (default r19).
   suffix: "before" or "after" (file name becomes <query>_<suffix>.txt)
   queries: default = the bench HEADLINE set.
 
@@ -29,7 +30,7 @@ def main() -> None:
     names = sys.argv[2:] or list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r18")
+        os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r19"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("capture-plans")
     specs = all_queries()
